@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analogs of the reference's CDC semantics (SURVEY.md §2.b).
+  *
+  * The `events` table plays the change stream: `event_id` ≈ LSN
+  * (`seq_number`, ld8 at ext/_informixcdcmodule.ec:1233), `user_id` ≈
+  * transaction id / row key, `event_type` ≈ record type, `ts` ≈ commit time.
+  *
+  * Scale notes (100 TB design): every aggregate here is a hash aggregate
+  * with map-side partial aggregation (Spark plans partial_ + final), so the
+  * shuffle carries one row per (key) per map partition, not the raw stream.
+  * Window queries shuffle once on the partition key and sort within
+  * partitions — the minimum work the semantics allow. Anti joins against
+  * small key sets broadcast.
+  */
+object CdcQueries {
+
+  /** Restart LSN: `select nvl(min(seq_number),0) from informixcdc_opntxns
+    * where id = ?` (ext/_informixcdcmodule.ec:590-591), generalized to
+    * per-key min over "open" events. */
+  private def qOpenTxnMin(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(coalesce(min(col("event_id")), lit(0L)).as("restart_seq"))
+      .orderBy(col("user_id"))
+
+  /** Last committed LSN: `select seq_number from informixcdc_lsttxn where
+    * id = ?` with the monotonic max guard (ec:630-631, 747). */
+  private def qLastCommitted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("last_seq"))
+      .orderBy(col("user_id"))
+
+  /** Per-transaction assembly: count/min/max/span per txid, the shape of the
+    * BEGIN..COMMIT bookkeeping (ec:2259-2299). */
+  private def qTxnStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        min(col("event_id")).as("first_seq"),
+        max(col("event_id")).as("last_seq"),
+        (max(col("event_id")) - min(col("event_id"))).as("seq_span"))
+      .orderBy(col("user_id"))
+
+  /** CDC materialization: latest row image per key by LSN — the semantic
+    * heart of applying a change stream (SURVEY.md §7.2). One shuffle on the
+    * key, in-partition sort, rank prune; at scale AQE handles skewed keys. */
+  private def qLatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Pair update before/after images (records 42/43, ec:1848-1856): each
+    * change sees the previous image's value via lag over (key, seq). */
+  private def qUpdbefUpdaftPair(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_seq", lag(col("event_id"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("prev_seq"), col("prev_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Drop rows of rolled-back transactions (CDC_REC_RBTX, ec:1566-1615):
+    * left-anti join of the change stream against rolled-back txids. The
+    * rolled-back key set is small → broadcast anti join, no shuffle of the
+    * big side. */
+  private def qRollbackFilter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val rolledBack = ev.filter(col("event_type") === "error")
+      .select(col("user_id")).distinct()
+    ev.join(broadcast(rolledBack), Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Apply DELETE records to a base snapshot (CDC_REC_DELETE, ec:1843-1846):
+    * left-anti join base ⋈ delete keys. */
+  private def qDeleteApply(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+    val deletes = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    base.join(deletes, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Apply INSERT/UPDAFT upserts to a snapshot — MERGE semantics
+    * (CDC_REC_INSERT/UPDAFT, ec:1838-1856): latest change per key wins,
+    * unmatched base rows carry through. Full-outer join + coalesce. */
+  private def qUpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("base_val"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").desc)
+    val updates = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("key"), col("o_totalprice").as("upd_val"))
+    base.join(updates, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("upd_val"), col("base_val")).as("merged_val"))
+      .orderBy(col("key"))
+  }
+
+  /** Truncate marker (CDC_REC_TRUNCATE, ec:1657-1720) zeroes a table before
+    * later changes: keep only events after each key's last truncate-like
+    * marker (here: the key's last 'signup'). Broadcast the tiny per-key
+    * truncate-LSN map. */
+  private def qTruncateApply(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val truncAt = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("trunc_seq"))
+    ev.join(broadcast(truncAt), Seq("user_id"), "left")
+      .filter(col("trunc_seq").isNull || col("event_id") > col("trunc_seq"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Micro-batch/time bucketing of commits (TIMEOUT heartbeats,
+    * ec:1403-1428): tumbling 1-hour windows. Sums go through decimal so the
+    * result is order-independent (exact) — required for oracle parity and
+    * good practice for money-like measures at any scale. */
+  private def qTumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour"))
+
+  /** Transaction grouping by activity gap: 30-minute session windows per
+    * key. Uses Spark's session_window; the oracle reproduces the semantics
+    * with gaps-and-islands SQL (SURVEY.md §7.4.6). */
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_trunc("second", col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_open_txn_min" -> qOpenTxnMin _,
+    "q_last_committed" -> qLastCommitted _,
+    "q_txn_stats" -> qTxnStats _,
+    "q_latest_per_key" -> qLatestPerKey _,
+    "q_updbef_updaft_pair" -> qUpdbefUpdaftPair _,
+    "q_rollback_filter" -> qRollbackFilter _,
+    "q_delete_apply" -> qDeleteApply _,
+    "q_upsert_merge" -> qUpsertMerge _,
+    "q_truncate_apply" -> qTruncateApply _,
+    "q_tumbling_window" -> qTumblingWindow _,
+    "q_session_window" -> qSessionWindow _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_open_txn_min" ->
+      """SELECT user_id, coalesce(min(event_id), 0) AS restart_seq
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_last_committed" ->
+      """SELECT user_id, max(event_id) AS last_seq
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_txn_stats" ->
+      """SELECT user_id, count(*) AS n_records, min(event_id) AS first_seq,
+        |       max(event_id) AS last_seq,
+        |       max(event_id) - min(event_id) AS seq_span
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_updbef_updaft_pair" ->
+      """SELECT user_id, event_id, value,
+        |       lag(event_id) OVER w AS prev_seq,
+        |       lag(value) OVER w AS prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_rollback_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id NOT IN
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY event_id""".stripMargin,
+    "q_delete_apply" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_upsert_merge" ->
+      """WITH upd AS (
+        |  SELECT o_custkey AS key, o_totalprice AS upd_val FROM (
+        |    SELECT o_custkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) t WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key, c_acctbal AS base_val FROM customer)
+        |SELECT coalesce(base.key, upd.key) AS key,
+        |       coalesce(upd_val, base_val) AS merged_val
+        |FROM base FULL OUTER JOIN upd ON base.key = upd.key
+        |ORDER BY key""".stripMargin,
+    "q_truncate_apply" ->
+      """WITH trunc AS (
+        |  SELECT user_id, max(event_id) AS trunc_seq FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e LEFT JOIN trunc t ON e.user_id = t.user_id
+        |WHERE t.trunc_seq IS NULL OR e.event_id > t.trunc_seq
+        |ORDER BY e.event_id""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT cast(date_trunc('hour', ts) AS timestamp) AS hour,
+        |       count(*) AS n_events,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    // Gaps-and-islands: a new session starts when the gap from the previous
+    // event of the same key is >= 30 min (Spark's session window is
+    // half-open [start, last+gap), so an event exactly at the boundary
+    // starts a new session).
+    "q_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       cast(date_trunc('second', min(ts)) AS timestamp) AS session_start,
+        |       count(*) AS n_events,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

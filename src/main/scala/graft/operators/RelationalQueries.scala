@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.b): scan/project, filter,
+  * typed decode, date/string/decimal/JSON functions, joins, aggregates,
+  * rollup, top-k, set ops.
+  *
+  * Determinism rules for DuckDB-oracle parity (and for reproducible results
+  * at any scale): every query ends in a total ORDER BY; sums over doubles go
+  * through decimal (exact, order-independent); averages are computed as
+  * exact-decimal sum divided once by count (single IEEE op ⇒ bit-stable
+  * regardless of partitioning).
+  */
+object RelationalQueries {
+
+  /** Projection pushdown — the capture column list (ec:2042-2044). The plan
+    * must show ReadSchema with only these columns. */
+  private def qScanProject(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Predicate pushdown on the sort key — discard records below the last
+    * committed LSN (discard_candidate, ec:1459-1461). Plan must show
+    * PushedFilters on event_id. */
+  private def qFilterSeq(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") >= 500 && col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Typed column decode — every scalar type of §1.3 incl. the DECIMAL and
+    * DATETIME paths the reference disabled (ec:1031-1040, 1075-1084). */
+  private def qDecodeTypes(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("smallint").as("v_smallint"),
+        col("l_linenumber").cast("int").as("v_int"),
+        (col("l_orderkey") * 1000000L).cast("bigint").as("v_bigint"),
+        col("l_quantity").cast("decimal(32,16)").cast("double").as("v_decimal"),
+        col("l_extendedprice").cast("double").as("v_double"),
+        col("l_discount").cast("float").cast("double").as("v_float_as_double"),
+        col("l_shipdate").cast("date").as("v_date"),
+        col("l_shipdate").cast("timestamp").as("v_timestamp"),
+        (col("l_returnflag") === "R").as("v_bool"))
+      .orderBy(col("l_orderkey"), col("v_smallint"))
+
+  /** Julian-day date decode analog (rjulmdy, ec:863-886): day-offset
+    * arithmetic from an epoch plus calendar part extraction. */
+  private def qDateJulian(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        date_add(lit(java.sql.Date.valueOf("1899-12-31")),
+          (col("event_id") % 40000).cast("int")).as("v_date"))
+      .withColumn("v_year", year(col("v_date")))
+      .withColumn("v_month", month(col("v_date")))
+      .withColumn("v_day", dayofmonth(col("v_date")))
+      .orderBy(col("event_id"))
+
+  /** CHAR/VARCHAR semantics (ec:899-954): pad/trim/length/case/substring/
+    * concat. Mirrors the blank-padded CHAR normalize-on-decode decision
+    * (SURVEY.md §7.4.4): rtrim applied before compare. */
+  private def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("v_upper"),
+        lower(col("c_mktsegment")).as("v_lower"),
+        length(col("c_name")).cast("int").as("v_len"),
+        substring(col("c_name"), 1, 8).as("v_sub"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("v_concat"),
+        rtrim(concat(col("c_name"), lit("   "))).as("v_rtrim"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("v_lpad"))
+      .orderBy(col("c_custkey"))
+
+  /** DECIMAL(32,16) done right (the reference returns "0.0" — ec:1029-1066):
+    * exact decimal aggregation. */
+  private def qDecimalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"),
+        // scale 2, not 16: DuckDB's decimal→double cast double-rounds when
+        // the unscaled value exceeds 2^53, so keep aggregate scales low.
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_price",
+        (col("sum_price").cast("double") / col("n_rows")).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** In-band metadata parse — TABSCHEM cols_desc analog (ec:1346) over the
+    * events.props JSON column. */
+  private def qJsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_seq"))
+      .orderBy(col("k"))
+
+  /** tabid → tabname registry lookup (ec:1247, 450-474): broadcast hash
+    * join of the stream against a small dimension — the O(1) array lookup
+    * of the reference, distributed. */
+  private def qLookupJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("n_key", (col("user_id") % 25).cast("int"))
+    val dim = Tables.nation(s, d)
+    ev.join(broadcast(dim), ev("n_key") === dim("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Registry + base-table enrichment generalized: 4-way join
+    * lineitem ⋈ orders ⋈ customer ⋈ nation with exact-decimal revenue.
+    * At scale: lineitem⋈orders shuffles on orderkey; customer and nation
+    * broadcast (small dims). */
+  private def qMultiwayJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Tail of the stream — highest LSNs (TakeOrderedAndProject): top-k
+    * without a total sort. */
+  private def qTopkSeq(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .orderBy(col("event_id").desc)
+      .limit(100)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** Changed-keys reconciliation: UNION / INTERSECT / EXCEPT on key sets. */
+  private def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def keys(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    keys("click").intersect(keys("purchase"))
+      .except(keys("error"))
+      .union(keys("signup").intersect(keys("view")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** TPC-H-Q1-style multi-measure aggregate (the all-types workout). */
+  private def qGroupedMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_price",
+        col("sum_base_price").cast("double") / col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Per-table/per-type change counts at multiple grains (ROLLUP). */
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("user_bucket", (col("user_id") % 5).cast("int"))
+      .rollup(col("event_type"), col("user_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_bucket"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> qScanProject _,
+    "q_filter_seq" -> qFilterSeq _,
+    "q_decode_types" -> qDecodeTypes _,
+    "q_date_julian" -> qDateJulian _,
+    "q_string_funcs" -> qStringFuncs _,
+    "q_decimal_agg" -> qDecimalAgg _,
+    "q_json_props" -> qJsonProps _,
+    "q_lookup_join" -> qLookupJoin _,
+    "q_multiway_join" -> qMultiwayJoin _,
+    "q_topk_seq" -> qTopkSeq _,
+    "q_set_ops" -> qSetOps _,
+    "q_grouped_measures" -> qGroupedMeasures _,
+    "q_rollup" -> qRollup _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "q_filter_seq" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id >= 500 AND event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+    "q_decode_types" ->
+      """SELECT l_orderkey,
+        |       cast(l_linenumber AS smallint) AS v_smallint,
+        |       cast(l_linenumber AS integer) AS v_int,
+        |       cast(l_orderkey * 1000000 AS bigint) AS v_bigint,
+        |       cast(cast(l_quantity AS decimal(32,16)) AS double) AS v_decimal,
+        |       cast(l_extendedprice AS double) AS v_double,
+        |       cast(cast(l_discount AS float) AS double) AS v_float_as_double,
+        |       cast(l_shipdate AS date) AS v_date,
+        |       cast(l_shipdate AS timestamp) AS v_timestamp,
+        |       l_returnflag = 'R' AS v_bool
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, v_smallint""".stripMargin,
+    "q_date_julian" ->
+      """SELECT event_id,
+        |       DATE '1899-12-31' + cast(event_id % 40000 AS integer) AS v_date,
+        |       cast(year(DATE '1899-12-31' + cast(event_id % 40000 AS integer)) AS integer) AS v_year,
+        |       cast(month(DATE '1899-12-31' + cast(event_id % 40000 AS integer)) AS integer) AS v_month,
+        |       cast(day(DATE '1899-12-31' + cast(event_id % 40000 AS integer)) AS integer) AS v_day
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS v_upper,
+        |       lower(c_mktsegment) AS v_lower,
+        |       cast(length(c_name) AS integer) AS v_len,
+        |       substring(c_name, 1, 8) AS v_sub,
+        |       concat(c_mktsegment, '-', c_name) AS v_concat,
+        |       rtrim(concat(c_name, '   ')) AS v_rtrim,
+        |       lpad(cast(c_custkey AS varchar), 10, '0') AS v_lpad
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_decimal_agg" ->
+      """SELECT l_returnflag,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       count(*) AS n_rows,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_json_props" ->
+      """SELECT cast(props->>'$.k' AS integer) AS k, count(*) AS n,
+        |       min(event_id) AS first_seq
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_lookup_join" ->
+      """SELECT e.event_id, e.user_id, n.n_name
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin,
+    "q_multiway_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,6))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_topk_seq" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """SELECT DISTINCT user_id FROM (
+        |  (SELECT user_id FROM events WHERE event_type = 'click'
+        |   INTERSECT
+        |   SELECT user_id FROM events WHERE event_type = 'purchase')
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |  UNION
+        |  (SELECT user_id FROM events WHERE event_type = 'signup'
+        |   INTERSECT
+        |   SELECT user_id FROM events WHERE event_type = 'view')
+        |) t ORDER BY user_id""".stripMargin,
+    "q_grouped_measures" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) AS decimal(18,6))) AS double) AS sum_disc_price,
+        |       cast(sum(cast(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS decimal(18,6))) AS double) AS sum_charge,
+        |       count(*) AS count_order,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT event_type, cast(user_id % 5 AS integer) AS user_bucket,
+        |       count(*) AS n,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, user_bucket)
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin
+  )
+}
