@@ -4,11 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the full operator inventory of SURVEY.md §2.b; each entry
-  * with a matching `oracleSql` key is hash-checked by the driver against
-  * DuckDB on the same parquet tables. Entries without oracle SQL (streaming,
-  * sketch-based near-dedup) get a rows-only check and are covered by
-  * ScalaTest/ScalaCheck specs instead.
+  * Every entry in `queries` with a matching `oracleSql` key is hash-checked
+  * by the driver against DuckDB on the same parquet tables; entries without
+  * oracle SQL get a weaker rows-only check. The streaming CDC pipeline
+  * (SURVEY.md §2.b `s_cdc_pipeline`) lives in graft.streaming and is
+  * verified by its golden-replay specs, not through this map.
   */
 object SparkEntry {
 

@@ -28,14 +28,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 only
     * reads via `spark.sql.legacy.parquet.nanosAsLong` (set in [[Session]]).
-    * Convert to microsecond TimestampType with exact integral division
-    * (`div`, not `/` — double division loses precision on 1.7e18-scale
-    * nanos). Truncation (floor for positive epochs) matches DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP cast, keeping oracle parity. */
+    * Convert to microsecond TimestampType with exact integral FLOOR
+    * division (subtract `pmod` first; `div` alone truncates toward zero,
+    * which for a pre-1970 negative-epoch nano value would round UP while
+    * DuckDB's TIMESTAMP_NS → TIMESTAMP cast floors — 1 µs divergence).
+    * No `/`: double division loses precision on 1.7e18-scale nanos. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

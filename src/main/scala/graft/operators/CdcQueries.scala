@@ -77,13 +77,14 @@ object CdcQueries {
 
   /** Drop rows of rolled-back transactions (CDC_REC_RBTX, ec:1566-1615):
     * left-anti join of the change stream against rolled-back txids. The
-    * rolled-back key set is small → broadcast anti join, no shuffle of the
-    * big side. */
+    * rolled-back key set grows with key cardinality (unbounded), so no
+    * broadcast hint — AQE broadcasts when the distinct set fits and falls
+    * back to a shuffled anti join when it doesn't. */
   private def qRollbackFilter(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val rolledBack = ev.filter(col("event_type") === "error")
       .select(col("user_id")).distinct()
-    ev.join(broadcast(rolledBack), Seq("user_id"), "left_anti")
+    ev.join(rolledBack, Seq("user_id"), "left_anti")
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("event_id"))
   }
@@ -119,14 +120,14 @@ object CdcQueries {
 
   /** Truncate marker (CDC_REC_TRUNCATE, ec:1657-1720) zeroes a table before
     * later changes: keep only events after each key's last truncate-like
-    * marker (here: the key's last 'signup'). Broadcast the tiny per-key
-    * truncate-LSN map. */
+    * marker (here: the key's last 'signup'). The per-key truncate-LSN map
+    * is one row per key — unbounded — so no broadcast hint; AQE chooses. */
   private def qTruncateApply(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val truncAt = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(max(col("event_id")).as("trunc_seq"))
-    ev.join(broadcast(truncAt), Seq("user_id"), "left")
+    ev.join(truncAt, Seq("user_id"), "left")
       .filter(col("trunc_seq").isNull || col("event_id") > col("trunc_seq"))
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("event_id"))
@@ -237,15 +238,20 @@ object CdcQueries {
     // Gaps-and-islands: a new session starts when the gap from the previous
     // event of the same key is >= 30 min (Spark's session window is
     // half-open [start, last+gap), so an event exactly at the boundary
-    // starts a new session).
+    // starts a new session). `evts` truncates TIMESTAMP_NS → TIMESTAMP (µs)
+    // so gap comparisons see the same values Spark does after Tables.events'
+    // ns→µs conversion — a ns-precision gap straddling exactly 30 min would
+    // otherwise flip a session boundary between the engines.
     "q_session_window" ->
-      """WITH marked AS (
+      """WITH evts AS (
+        |  SELECT user_id, cast(ts AS TIMESTAMP) AS ts, value FROM events),
+        |marked AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |                   >= INTERVAL 30 MINUTE OR
         |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
+        |  FROM evts),
         |sessions AS (
         |  SELECT user_id, ts, value,
         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts

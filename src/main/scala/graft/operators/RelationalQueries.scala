@@ -122,15 +122,17 @@ object RelationalQueries {
 
   /** Registry + base-table enrichment generalized: 4-way join
     * lineitem ⋈ orders ⋈ customer ⋈ nation with exact-decimal revenue.
-    * At scale: lineitem⋈orders shuffles on orderkey; customer and nation
-    * broadcast (small dims). */
+    * At scale: lineitem⋈orders shuffles on orderkey; customer is
+    * fact-proportional (15M rows at TPC-H sf100), so no broadcast hint —
+    * AQE picks broadcast when it fits and demotes to shuffle join when it
+    * doesn't. Only nation (25 rows, bounded) is hinted. */
   private def qMultiwayJoin(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -255,7 +257,7 @@ object RelationalQueries {
     "q_json_props" ->
       """SELECT cast(props->>'$.k' AS integer) AS k, count(*) AS n,
         |       min(event_id) AS first_seq
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
     "q_lookup_join" ->
       """SELECT e.event_id, e.user_id, n.n_name
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey

@@ -37,7 +37,12 @@ def frame_rows(df: pd.DataFrame):
     for tup in df.itertuples(index=False):
         row = []
         for v in tup:
-            if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
+            # NaN must normalize to the "NaN" sentinel, NOT None — pd.isna
+            # treats NaN as na, which would make a Spark-NaN vs oracle-NULL
+            # disagreement falsely PASS.
+            if isinstance(v, float) and math.isnan(v):
+                row.append("NaN")
+            elif pd.isna(v) if not isinstance(v, (list, tuple)) else False:
                 row.append(None)
             elif isinstance(v, pd.Timestamp):
                 row.append(v.to_pydatetime().replace(tzinfo=None).isoformat(timespec="microseconds"))
