@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.queries ++
-      operators.CdcQueries.queries
+      operators.CdcQueries.queries ++
+      operators.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.oracle ++
-      operators.CdcQueries.oracle
+      operators.CdcQueries.oracle ++
+      operators.LlmQueries.oracle
 }

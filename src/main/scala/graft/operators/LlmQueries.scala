@@ -1,0 +1,500 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.b rows 25-28 + the
+  * north-star extensions): deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force top-k
+  * + IVF-bucketed ANN), text analysis (language-ID, quality score, token
+  * counting, fingerprinting), and multimodal binary-column plumbing.
+  *
+  * Everything is built from codegen'd Catalyst expressions — higher-order
+  * array functions (`transform`/`aggregate`/`zip_with`/`filter`), no UDFs,
+  * no `.collect()` — so every per-document computation is map-side and the
+  * only shuffles are the semantic ones (group-bys and the LSH bucket join).
+  *
+  * Oracle-parity strategy: all hashing is built on md5 (identical hex in
+  * Spark and DuckDB). `h60` maps any string to a 60-bit integer (first 15
+  * hex chars of md5), after which MinHash/SimHash/fingerprints are plain
+  * 64-bit integer arithmetic that both engines evaluate bit-identically.
+  * Floating-point similarity scores are computed per-element in double
+  * (exact float→double widening) and rounded to 6 dp — double accumulation
+  * error (~1e-15 for 64 terms) is far below the rounding grain, so ranking
+  * and hashes agree across engines.
+  *
+  * Scale notes (100 TB): exact dedup and text stats are single hash-agg
+  * passes with map-side partials. MinHash/SimHash signatures are computed
+  * per row with no shuffle; LSH banding turns near-dup search into an
+  * equi-join on (band, band_key) — never an all-pairs product. Brute-force
+  * cosine top-k is a linear scan against one broadcast query vector
+  * (TakeOrderedAndProject, no global sort); the IVF variant prunes the scan
+  * to one centroid bucket, the standard trade at cluster scale where
+  * centroids come from k-means and buckets are pre-partitioned. The sign
+  * sketch for embedding near-dup uses 4 planes here (tiny test SF — wider
+  * sketches at real scale), giving an equi-join on the bucket id.
+  */
+object LlmQueries {
+
+  /** 60-bit deterministic string hash shared with the DuckDB oracle:
+    * first 15 hex chars of md5, as a positive long. */
+  private def h60Spark(e: String) =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) AS bigint)"
+  private def h60Duck(e: String) =
+    s"('0x' || substring(md5($e), 1, 15))::UBIGINT::BIGINT"
+
+  /** MinHash hash family h_i(x) = (a_i*x + b_i) mod P over x < P=2^31-1;
+    * a_i*x < 2^62 so the arithmetic stays exact in signed 64-bit in both
+    * engines. Seeds are fixed constants — determinism per SURVEY §7.4.7. */
+  private val P = 2147483647L
+  private[graft] val NumPerms = 16
+  private[graft] val Bands = 4
+  private[graft] val RowsPerBand = NumPerms / Bands
+  private[graft] val perms: Seq[(Long, Long)] =
+    (0 until NumPerms).map(i => ((1000003L * (i + 1)) % P, (999983L * i + 12345L) % P))
+  private[graft] val JaccardThreshold = 0.7
+
+  /** Exact cosine similarity of two float arrays, computed in double and
+    * rounded to 6 dp (see oracle-parity note above). */
+  private def dotSpark(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)"
+  private def cosSpark(a: String, b: String) =
+    s"round(${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)})), 6)"
+  private def cosDuck(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact deduplication: group documents by content hash, keep the lowest
+    * doc_id per group. One hash aggregate — the canonical 100 TB dedup
+    * shape (shuffle carries one row per distinct hash per map partition). */
+  private def qExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** Near-duplicate detection via seeded MinHash + LSH banding
+    * (SURVEY §2.b q_near_dedup_minhash): word 3-gram shingles → 60-bit
+    * hashes → 16-permutation MinHash signature → 4 bands of 4 → candidate
+    * pairs share a band key (equi-join, never all-pairs) → exact Jaccard
+    * (on the shingle-hash sets) >= 0.7 verifies. Fully deterministic, so
+    * the DuckDB oracle replicates the pipeline exactly. */
+  private def qNearDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val hsx = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), i -> array_join(slice(toks, i, 3), ' '))) AS shingles")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(shingles, s -> ${h60Spark("s")} % $P)) AS hs")
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"array_min(transform(hs, x -> ($a * x + $b) % $P)) AS m$i"
+    }
+    val sig = hsx.selectExpr(Seq("doc_id") ++ sigCols: _*)
+    val bandStructs = (0 until Bands).map { j =>
+      val ms = (0 until RowsPerBand)
+        .map(r => s"cast(m${j * RowsPerBand + r} AS string)").mkString(", ")
+      s"struct($j AS band, md5(concat_ws(',', $ms)) AS bkey)"
+    }.mkString(", ")
+    val bands = sig
+      .selectExpr("doc_id", s"explode(array($bandStructs)) AS bb")
+      .selectExpr("doc_id", "bb.band AS band", "bb.bkey AS bkey")
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = hsx.selectExpr("doc_id AS doc_a", "hs AS hs_a")
+    val y = hsx.selectExpr("doc_id AS doc_b", "hs AS hs_b")
+    pairs.join(x, "doc_a").join(y, "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash per document: token hashes vote ±1 per bit, weighted by
+    * token multiplicity. Entirely map-side (higher-order aggregates inside
+    * the row) — zero shuffle; dedup then groups on the fingerprint. */
+  private def qSimhash(s: SparkSession, d: String): DataFrame = {
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString(" + ")
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "size(toks) AS n_tokens",
+        s"transform(toks, t -> ${h60Spark("t")}) AS hs")
+      .selectExpr("doc_id", "n_tokens", s"cast($bits AS bigint) AS simhash")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine near-duplicates with LSH bucketing: a 4-plane
+    * sign sketch (planes = the first 4 embeddings — deterministic and
+    * data-derived) buckets vectors; pairs are generated only within a
+    * bucket (equi-join on the sketch), then verified at cosine >= 0.35. */
+  private def qEmbNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val planes = e.filter(col("vec_id") < 4)
+      .selectExpr("vec_id AS pid", "embedding AS pv")
+    // Norms are hoisted to one sqrt per VECTOR before the pair join (the
+    // join would otherwise recompute them per PAIR — 3× the flops). Bitwise
+    // identical to inline computation, so oracle parity is unaffected.
+    val sketch = e.crossJoin(broadcast(planes))
+      .withColumn("bit",
+        expr(s"CASE WHEN ${dotSpark("embedding", "pv")} > 0 THEN cast(pow(2, pid) AS bigint) ELSE 0L END"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).cast("bigint").as("sketch"))
+      .join(e, "vec_id")
+      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+    val a = sketch.selectExpr("vec_id AS vec_a", "sketch", "embedding AS va", "norm AS norm_a")
+    val b = sketch.selectExpr("vec_id AS vec_b", "sketch", "embedding AS vb", "norm AS norm_b")
+    a.join(b, Seq("sketch"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", expr(s"round(${dotSpark("va", "vb")} / (norm_a * norm_b), 6)"))
+      .filter(col("sim") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  // ------------------------------------------------------ similarity search
+
+  /** Brute-force cosine top-k against one query vector (vec_id = 0),
+    * broadcast to every partition: a single linear scan +
+    * TakeOrderedAndProject — the baseline ANN path that scales linearly
+    * with the table and never shuffles the embeddings. */
+  private def qCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .selectExpr("embedding AS qv",
+        s"sqrt(${dotSpark("embedding", "embedding")}) AS qnorm")
+    e.crossJoin(broadcast(q))
+      .withColumn("sim", expr(
+        s"round(${dotSpark("embedding", "qv")} / (sqrt(${dotSpark("embedding", "embedding")}) * qnorm), 6)"))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(100)
+  }
+
+  /** IVF-style ANN: vectors are assigned to their nearest of 8 centroids
+    * (here: the first 8 embeddings; k-means centroids in production), and
+    * the query searches only its own centroid's bucket — the scale path
+    * that turns a full scan into a 1/k partition probe. */
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+    val cents = e.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
+        col("cid").as("cluster"))
+    val q = assigned.filter(col("vec_id") === 0)
+      .selectExpr("cluster AS qcluster", "embedding AS qv", "norm AS qnorm")
+    assigned.join(broadcast(q), col("cluster") === col("qcluster"))
+      .withColumn("sim",
+        expr(s"round(${dotSpark("embedding", "qv")} / (norm * qnorm), 6)"))
+      .select(col("vec_id"), col("label"), col("cluster"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Corpus statistics per language: doc/token/char counts, averages as a
+    * single exact division, and distinct-token cardinality (explode +
+    * two-level aggregate — the shuffle carries (lang, token) partials). */
+  private def qTextStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .selectExpr("lang", "n_chars", "split(text, ' ') AS toks")
+    val stats = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_tokens"),
+      sum(col("n_chars")).as("sum_chars"))
+    val uniq = docs
+      .select(col("lang"), explode(expr("array_distinct(toks)")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_uniq_tokens"))
+    stats.join(uniq, "lang")
+      .withColumn("avg_tokens", col("n_tokens") / col("n_docs"))
+      .withColumn("avg_chars", col("sum_chars") / col("n_docs"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("avg_tokens"),
+        col("sum_chars"), col("avg_chars"), col("n_uniq_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token counting per document: whitespace tokens, distinct tokens, a
+    * BPE-ish regex token count, and mean token length — all map-side. */
+  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "n_chars", "text", "split(text, ' ') AS toks")
+      .selectExpr(
+        "doc_id", "n_chars",
+        "size(toks) AS n_ws_tokens",
+        "size(array_distinct(toks)) AS n_uniq_tokens",
+        "cast(regexp_count(text, '[a-z]+') AS bigint) AS n_re_tokens",
+        "aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks) AS avg_token_len")
+      .orderBy(col("doc_id"))
+
+  /** Heuristic quality score per document: stopword ratio, short-token
+    * ratio, and a length credit, combined with fixed weights. The exact
+    * arithmetic (same ops, same order) is reproduced by the oracle. */
+  private def qQualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        "size(filter(toks, t -> array_contains(array('the','a','of','and','to','in'), t))) / size(toks) AS stop_ratio",
+        "size(filter(toks, t -> length(t) <= 2)) / size(toks) AS short_ratio")
+      .withColumn("score",
+        expr("round(0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio) + 0.2 * least(n_tokens / 200.0, 1.0), 6)"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram-heuristic language ID: count marker-token hits per language
+    * profile, argmax with a fixed tiebreak, reported as a confusion matrix
+    * against the labeled `lang` column. */
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "es" -> Seq("el", "los", "las", "y", "es"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "zh" -> Seq("shi", "bu", "wo"))
+    val scoreCols = profiles.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"size(filter(toks, t -> array_contains(array($arr), t))) AS s_$l"
+    }
+    val all = profiles.map { case (l, _) => s"s_$l" }.mkString(", ")
+    val caseChain = profiles.map { case (l, _) =>
+      s"WHEN s_$l >= greatest($all) THEN '$l'"
+    }.mkString(" ")
+    Tables.documents(s, d)
+      .selectExpr(Seq("doc_id", "lang", "split(text, ' ') AS toks") : _*)
+      .selectExpr(Seq("doc_id", "lang") ++ scoreCols: _*)
+      .withColumn("predicted",
+        expr(s"CASE WHEN greatest($all) = 0 THEN 'und' $caseChain ELSE 'und' END"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Document fingerprinting: minimum 60-bit rolling hash over word
+    * 4-gram shingles (MinHash with one permutation — a winnowing-style
+    * content fingerprint), plus the count of documents sharing it. */
+  private def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)), i -> array_join(slice(toks, i, 4), ' '))) AS shingles")
+      .selectExpr("doc_id", "size(shingles) AS n_shingles",
+        s"array_min(transform(shingles, s -> ${h60Spark("s")})) AS fingerprint")
+      .withColumn("n_same_fp",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal binary-column plumbing: documents as opaque `binary`
+    * payloads with typed metadata (byte length, content hash, base64
+    * prefix). Real media decode is environment-dependent (see
+    * graft.multimodal.MultimodalOps for the stubbed decode pipeline); the
+    * schema/projection path here is the part that must scale. */
+  private def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        "cast(text AS binary) AS payload",
+        "source")
+      .selectExpr(
+        "doc_id",
+        "octet_length(payload) AS n_bytes",
+        "md5(payload) AS content_hash",
+        "base64(cast(substring(cast(payload AS string), 1, 8) AS binary)) AS b64_prefix",
+        "source")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exact_dedup" -> qExactDedup _,
+    "q_near_dedup_minhash" -> qNearDedupMinhash _,
+    "q_simhash" -> qSimhash _,
+    "q_emb_near_dup" -> qEmbNearDup _,
+    "q_cosine_topk" -> qCosineTopk _,
+    "q_ann_ivf" -> qAnnIvf _,
+    "q_text_stats" -> qTextStats _,
+    "q_token_count" -> qTokenCount _,
+    "q_quality_score" -> qQualityScore _,
+    "q_lang_id" -> qLangId _,
+    "q_doc_fingerprint" -> qDocFingerprint _,
+    "q_multimodal_meta" -> qMultimodalMeta _
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  private val duckShingles3 =
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), i -> array_to_string(toks[i:i+2], ' ')))"
+  private val duckShingles4 =
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1) + 1), i -> array_to_string(toks[i:i+3], ' ')))"
+
+  private def minhashOracle: String = {
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % $P)) AS m$i"
+    }.mkString(",\n       ")
+    val bandSelects = (0 until Bands).map { j =>
+      val ms = (0 until RowsPerBand)
+        .map(r => s"m${j * RowsPerBand + r}::VARCHAR").mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws(',', $ms)) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles3 AS shingles FROM t),
+       |hsx AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Duck("s")} % $P)) AS hs FROM sh),
+       |sig AS (SELECT doc_id, hs,
+       |       $sigCols
+       |FROM hsx),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_intersect(x.hs, y.hs)) / len(list_distinct(list_concat(x.hs, y.hs))) AS jaccard
+       |  FROM pairs JOIN hsx x ON x.doc_id = doc_a JOIN hsx y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, len(toks) AS n_tokens,
+       |             list_transform(toks, t -> ${h60Duck("t")}) AS hs
+       |      FROM t)
+       |SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+       |       cast($bits AS bigint) AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_near_dedup_minhash" -> minhashOracle,
+    "q_simhash" -> simhashOracle,
+    "q_emb_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
+         |sk AS (
+         |  SELECT e.vec_id, e.v,
+         |         cast(sum(CASE WHEN list_dot_product(e.v, pv) > 0
+         |                       THEN cast(pow(2, pid) AS bigint) ELSE 0 END) AS bigint) AS sketch
+         |  FROM e, planes GROUP BY e.vec_id, e.v)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${cosDuck("a.v", "b.v")} AS sim
+         |FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+         |WHERE ${cosDuck("a.v", "b.v")} >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosDuck("v", "qv")} AS sim
+         |FROM e, q
+         |ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.v, cid, ${cosDuck("e.v", "cv")} AS csim,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+         |  FROM e, cents),
+         |assigned AS (SELECT vec_id, label, v, cid AS cluster FROM scored WHERE rn = 1),
+         |q AS (SELECT cluster AS qcluster, v AS qv FROM assigned WHERE vec_id = 0)
+         |SELECT vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
+         |FROM assigned, q WHERE cluster = qcluster
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |stats AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         sum(len(toks)) AS n_tokens, sum(n_chars) AS sum_chars
+        |  FROM t GROUP BY lang),
+        |uniq AS (
+        |  SELECT lang, count(DISTINCT tok) AS n_uniq_tokens
+        |  FROM (SELECT lang, unnest(list_distinct(toks)) AS tok FROM t)
+        |  GROUP BY lang)
+        |SELECT s.lang, n_docs, n_tokens, n_tokens / n_docs AS avg_tokens,
+        |       sum_chars, sum_chars / n_docs AS avg_chars, n_uniq_tokens
+        |FROM stats s JOIN uniq u ON s.lang = u.lang
+        |ORDER BY s.lang""".stripMargin,
+    "q_token_count" ->
+      """WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, n_chars,
+        |       cast(len(toks) AS integer) AS n_ws_tokens,
+        |       cast(len(list_distinct(toks)) AS integer) AS n_uniq_tokens,
+        |       cast(len(regexp_extract_all(text, '[a-z]+')) AS bigint) AS n_re_tokens,
+        |       list_sum(list_transform(toks, t2 -> length(t2))) / len(toks) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |r AS (
+        |  SELECT doc_id, cast(len(toks) AS integer) AS n_tokens,
+        |         len(list_filter(toks, t2 -> list_contains(['the','a','of','and','to','in'], t2))) / len(toks) AS stop_ratio,
+        |         len(list_filter(toks, t2 -> length(t2) <= 2)) / len(toks) AS short_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stop_ratio, short_ratio,
+        |       round(0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio) + 0.2 * least(n_tokens / 200.0, 1.0), 6) AS score
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |         cast(len(list_filter(toks, t2 -> list_contains(['the','a','of','and','to','in'], t2))) AS integer) AS s_en,
+        |         cast(len(list_filter(toks, t2 -> list_contains(['der','die','das','und','ist'], t2))) AS integer) AS s_de,
+        |         cast(len(list_filter(toks, t2 -> list_contains(['el','los','las','y','es'], t2))) AS integer) AS s_es,
+        |         cast(len(list_filter(toks, t2 -> list_contains(['le','la','les','et','est'], t2))) AS integer) AS s_fr,
+        |         cast(len(list_filter(toks, t2 -> list_contains(['shi','bu','wo'], t2))) AS integer) AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |         CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |              WHEN s_en >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |              WHEN s_de >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |              WHEN s_es >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |              WHEN s_fr >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |              WHEN s_zh >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+        |              ELSE 'und' END AS predicted
+        |  FROM sc)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q_doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles4 AS shingles FROM t),
+         |fp AS (
+         |  SELECT doc_id, cast(len(shingles) AS integer) AS n_shingles,
+         |         list_min(list_transform(shingles, s -> ${h60Duck("s")})) AS fingerprint
+         |  FROM sh)
+         |SELECT doc_id, n_shingles, fingerprint,
+         |       count(*) OVER (PARTITION BY fingerprint) AS n_same_fp
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       cast(octet_length(text::BLOB) AS integer) AS n_bytes,
+        |       md5(text) AS content_hash,
+        |       to_base64(substring(text, 1, 8)::BLOB) AS b64_prefix,
+        |       source
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
