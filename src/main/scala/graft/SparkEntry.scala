@@ -22,12 +22,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.queries ++
       operators.CdcQueries.queries ++
-      operators.LlmQueries.queries
+      operators.LlmQueries.queries ++
+      operators.CodecQueries.queries ++
+      streaming.CdcPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.oracle ++
       operators.CdcQueries.oracle ++
-      operators.LlmQueries.oracle
+      operators.LlmQueries.oracle ++
+      operators.CodecQueries.oracle ++
+      streaming.CdcPipeline.oracle
 }

@@ -1,0 +1,279 @@
+package graft.streaming
+
+import graft.Tables
+import graft.cdc._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** `s_cdc_pipeline` (SURVEY.md §2.b, M2): the reference's pull loop +
+  * savepoint semantics (ec:2228-2368) as a Structured Streaming pipeline:
+  *
+  * {{{
+  * readStream(binaryFile chunks) → FrameBuffer decode (in-band TABSCHEM)
+  *   → flatMapGroupsWithState keyed by txid   (open-txn state, ec:581-771)
+  *   → foreachBatch idempotent merge sink     (latest-per-key + monotonic
+  *                                             LSN guard, ec:735-771)
+  * }}}
+  *
+  * Mapping of the reference's moving parts:
+  *  - the smart-blob byte stream → a directory of binary chunk files; each
+  *    chunk opens with its TABSCHEM frame (schema is re-announced per
+  *    segment, the in-band discovery path of ec:1722-1804) and ends with a
+  *    TIMEOUT heartbeat (ec:1403-1428);
+  *  - `informixcdc_opntxns` (open transactions) → `GroupState[TxnBuf]` per
+  *    txid: BEGIN/rows buffer (upsert_opntxns, ec:663-700), COMMIT emits the
+  *    buffered images downstream and clears (delete_opntxns + upsert_lsttxn
+  *    atomically, ec:2269-2299), ROLLBACK clears without emitting
+  *    (ec:2301-2308), DISCARD drops the tail after its seq (ec:1617-1655);
+  *  - `informixcdc_lsttxn` + exactly-once restart → the streaming
+  *    checkpoint (offset log) plus an idempotent merge sink: re-delivering
+  *    a batch cannot change the materialized table, so foreachBatch retries
+  *    and checkpoint-restart replays are safe (SURVEY §7.4.2);
+  *  - restart-LSN decision table → [[graft.cdc.Restart.resolveStartSeq]]
+  *    (checkpoint recovery makes the offset decision in Spark; the pure
+  *    function is the unit-testable contract).
+  *
+  * Scale: chunks decode in parallel (one task per file split), transaction
+  * assembly shuffles once on txid into the state store, and the sink's
+  * latest-per-key merge is one window over (key) — the same shape as batch
+  * `q_latest_per_key`. At 100 TB the chunk directory becomes a real queue
+  * (Kafka/object-store log) and the sink a transactional table format; both
+  * swaps are config, not code, because every stage is declarative.
+  */
+object CdcPipeline {
+
+  /** Captured-table schema for the streamed fixture (key, value, type). */
+  val StreamDdl = "k bigint, v float, etype varchar(32)"
+  val StreamTabid = 1
+  val StreamTabname = "cdc_stream"
+  private def emptyRegistry = SchemaRegistry(Map(StreamTabid -> StreamTabname))
+  private def streamSchema = DdlParser.parse(StreamTabid, StreamTabname, StreamDdl)
+
+  /** Flat record envelope for the streaming plan (flat nullable fields beat
+    * a true union for Encoder friendliness — SURVEY §1.5). */
+  final case class Envelope(recordType: String, seq: Long, txid: Int,
+                            key: Option[Long], v: Option[Double],
+                            etype: Option[String])
+
+  /** One buffered row image in open-txn state. */
+  final case class Image(seq: Long, key: Long, v: Double, etype: String)
+
+  /** Open-transaction state: buffered images + terminal markers seen. */
+  final case class TxnBuf(images: List[Image], commitSeq: Option[Long],
+                          rolledBack: Boolean, discardAfter: Option[Long])
+
+  /** A committed change ready for materialization. */
+  final case class Committed(k: Long, last_seq: Long, v: Double, etype: String)
+
+  // ------------------------------------------------------------- fixture
+
+  /** Deterministic fixture change-log derived from `events.parquet` — the
+    * analog of the reference's record mode (`write_testing_sblob`,
+    * ec:201-217), which captured a live stream into a replayable file.
+    * Test-harness tooling, not an operator: the bounded collect here builds
+    * fixture files; the pipeline that CONSUMES them is fully distributed.
+    *
+    * Mapping (also encoded in the DuckDB oracle for `s_cdc_pipeline`):
+    *  - txid = event_id / 20 (integer division) — 20-change transactions;
+    *  - each event becomes an INSERT image with seq = event_id * 4 + 2,
+    *    key = user_id, v = value, etype = event_type;
+    *  - BEGIN at min(image seq) - 1; txns with txid % 13 == 5 ROLL BACK at
+    *    max + 1, all others COMMIT at max + 1;
+    *  - a txn lives in chunk (txid % numChunks), except every third txn's
+    *    terminal record lands one chunk later — transactions spanning
+    *    micro-batches, exercising cross-batch state.
+    */
+  def recordFixture(spark: SparkSession, sfDir: String, outDir: String,
+                    numChunks: Int = 8): Unit = {
+    val schema = streamSchema
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy(col("event_id"))
+      .collect()
+
+    val chunks = Array.fill(numChunks)(new java.io.ByteArrayOutputStream())
+    chunks.foreach { out =>
+      out.write(CdcCodec.encodeFrame(TabSchema(StreamTabid, 0,
+        8 + 8, 2, 1, StreamDdl)))
+    }
+    events.groupBy(r => (r.getLong(0) / 20).toInt).toSeq.sortBy(_._1)
+      .foreach { case (txid, rows) =>
+        val seqs = rows.map(_.getLong(0) * 4 + 2)
+        val chunk = txid % numChunks
+        val lateTerminal = txid % 3 == 0
+        val terminalChunk = math.min(chunk + (if (lateTerminal) 1 else 0), numChunks - 1)
+        chunks(chunk).write(CdcCodec.encodeFrame(
+          BeginTx(seqs.min - 1, txid, startTime = seqs.min, userId = 0)))
+        rows.foreach { r =>
+          chunks(chunk).write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, schema,
+            r.getLong(0) * 4 + 2, txid, 0,
+            IndexedSeq(r.getLong(1), r.getDouble(2), r.getString(3))))
+        }
+        val terminal =
+          if (txid % 13 == 5) CdcCodec.encodeFrame(RollbackTx(seqs.max + 1, txid))
+          else CdcCodec.encodeFrame(CommitTx(seqs.max + 1, txid, commitTime = seqs.max))
+        chunks(terminalChunk).write(terminal)
+      }
+    chunks.zipWithIndex.foreach { case (out, i) =>
+      out.write(CdcCodec.encodeFrame(TimeoutBeat(Long.MaxValue)))
+    }
+
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    chunks.zipWithIndex.foreach { case (out, i) =>
+      val f = new java.io.File(dir, f"chunk-$i%03d.bin")
+      java.nio.file.Files.write(f.toPath, out.toByteArray)
+      // File-source ordering is by modification time; make it chunk order.
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+  }
+
+  // -------------------------------------------------------------- pipeline
+
+  /** Decode a chunk's bytes into envelope records (the frame walk of
+    * fetchone, ec:2246-2254, via [[FrameBuffer]]; TABSCHEM consumed in-band,
+    * control records dropped after use). */
+  private def decodeChunk(bytes: Array[Byte]): Iterator[Envelope] = {
+    val fb = new FrameBuffer(emptyRegistry)
+    val recs = fb.append(bytes)
+    require(fb.pendingBytes == 0, "fixture chunk ends mid-frame")
+    recs.iterator.collect {
+      case r: RowImage =>
+        Envelope(r.recordType, r.seqNumber, r.transactionId,
+          Some(r.columns(0).value.asInstanceOf[Long]),
+          Some(r.columns(1).value.asInstanceOf[Double]),
+          Some(r.columns(2).value.asInstanceOf[String]))
+      case r: BeginTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
+      case r: CommitTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
+      case r: RollbackTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
+      case r: DiscardTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
+    }
+  }
+
+  /** Open-transaction assembly (the savepoint hooks of ec:2259-2319 as
+    * group state): buffer row images per txid; COMMIT releases them
+    * downstream in seq order; ROLLBACK drops them; DISCARD trims the tail
+    * after its seq. Emits nothing for still-open transactions — their
+    * state persists into the next micro-batch (exactly the opntxns rows). */
+  private def assemble(txid: Int, records: Iterator[Envelope],
+                       state: GroupState[TxnBuf]): Iterator[Committed] = {
+    var buf = state.getOption.getOrElse(TxnBuf(Nil, None, rolledBack = false, None))
+    records.foreach { r =>
+      r.recordType match {
+        case "CDC_REC_INSERT" | "CDC_REC_UPDAFT" =>
+          buf = buf.copy(images = Image(r.seq, r.key.get, r.v.get, r.etype.get) :: buf.images)
+        case "CDC_REC_DELETE" | "CDC_REC_UPDBEF" => // before-images don't materialize
+        case "CDC_REC_COMMTX" => buf = buf.copy(commitSeq = Some(r.seq))
+        case "CDC_REC_RBTX" => buf = buf.copy(rolledBack = true)
+        case "CDC_REC_DISCARD" => buf = buf.copy(discardAfter = Some(r.seq))
+        case _ => // BEGIN opens the buffer; nothing to record beyond its existence
+      }
+    }
+    if (buf.rolledBack) {
+      state.remove() // delete_opntxns on ROLLBACK (ec:2301-2308)
+      Iterator.empty
+    } else if (buf.commitSeq.isDefined) {
+      state.remove() // delete_opntxns + upsert_lsttxn on COMMIT (ec:2269-2299)
+      val kept = buf.discardAfter.fold(buf.images)(d => buf.images.filter(_.seq <= d))
+      kept.sortBy(_.seq).iterator
+        .map(i => Committed(i.key, i.seq, i.v, i.etype))
+    } else {
+      state.update(buf) // upsert_opntxns: still open (ec:663-700)
+      Iterator.empty
+    }
+  }
+
+  /** Idempotent latest-per-key merge into a parquet "materialized table" —
+    * the lsttxn-style sink with the monotonic guard (ec:747): an existing
+    * row only loses to a strictly-or-equally newer seq, so replaying a
+    * batch (foreachBatch retry, checkpoint restart) is a no-op. */
+  def mergeLatest(changes: DataFrame, outDir: String): Unit = {
+    val spark = changes.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(conf)
+    val base =
+      if (fs.exists(out)) spark.read.parquet(outDir)
+      else changes.limit(0)
+    val merged = base.unionByName(changes)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("last_seq").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val tmp = new Path(outDir + ".staging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(out, true)
+    fs.rename(tmp, out)
+  }
+
+  /** Build and start the streaming query; caller awaits termination. */
+  def start(spark: SparkSession, chunkDir: String, checkpointDir: String,
+            outDir: String, maxFilesPerTrigger: Option[Int] = Some(3)) = {
+    import spark.implicits._
+    val reader = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.bin")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val envelopes = reader.load(chunkDir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(decodeChunk _)
+    val committed = envelopes
+      .groupByKey(_.txid)
+      .flatMapGroupsWithState[TxnBuf, Committed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(assemble)
+    committed.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((batch: Dataset[Committed], _: Long) =>
+        mergeLatest(batch.toDF(), outDir))
+      .start()
+  }
+
+  /** The driver-checked entry: record the fixture, run the pipeline to
+    * completion from a clean checkpoint, return the materialized table.
+    * The DuckDB oracle recomputes the same result relationally from
+    * `events` (the fixture mapping is deterministic), so the whole
+    * decode → txn-state → merge path is hash-checked. */
+  def sCdcPipeline(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(s"/tmp/graft_stream/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    val chunkDir = new java.io.File(root, "chunks")
+    val checkpoint = new java.io.File(root, "checkpoint")
+    val outDir = new java.io.File(root, "materialized")
+    // Fresh deterministic run: clear state, keep nothing from prior runs.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    recordFixture(s, d, chunkDir.getAbsolutePath)
+    val q = start(s, chunkDir.getAbsolutePath, checkpoint.getAbsolutePath,
+      outDir.getAbsolutePath)
+    q.awaitTermination()
+    s.read.parquet(outDir.getAbsolutePath)
+      .select(col("k"), col("last_seq"), col("v"), col("etype"))
+      .orderBy(col("k"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_cdc_pipeline" -> (sCdcPipeline _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s_cdc_pipeline" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value, event_type,
+        |         CAST(event_id // 20 AS integer) AS txid
+        |  FROM events),
+        |keep AS (SELECT * FROM ev WHERE txid % 13 != 5)
+        |SELECT user_id AS k, event_id * 4 + 2 AS last_seq, value AS v,
+        |       event_type AS etype
+        |FROM keep
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY event_id DESC) = 1
+        |ORDER BY k""".stripMargin
+  )
+}

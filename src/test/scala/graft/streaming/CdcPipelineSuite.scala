@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-replay and exactly-once-restart tests for `s_cdc_pipeline`
+  * (SURVEY §5: the record/replay strategy, Spark-native).
+  *
+  * Golden replay: the streamed materialization must equal the batch
+  * latest-per-key computation over the same (committed) changes — the same
+  * assertion the reference's replay mode makes by decoding a recorded
+  * stream and comparing observed dicts.
+  *
+  * Restart: killing the query mid-stream and resuming from the checkpoint
+  * must produce the identical table — the ec:2172-2194 savepoint semantics
+  * (resume from min open txn; re-delivered records change nothing because
+  * the sink merge is idempotent).
+  */
+class CdcPipelineSuite extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The fixture mapping recomputed relationally (the DuckDB oracle's
+    * Spark twin): committed txns only, latest image per key. */
+  private def expected(): DataFrame = {
+    val s = TestSpark.spark
+    val ev = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), col("value").as("v"),
+        col("event_type").as("etype"),
+        (col("event_id") / 20).cast("int").as("txid"))
+      .filter(col("txid") % 13 =!= 5)
+    ev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("k"), (col("event_id") * 4 + 2).as("last_seq"),
+        col("v"), col("etype"))
+      .orderBy(col("k"))
+  }
+
+  private def freshDirs(tag: String): (String, String, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"cdc_$tag").toFile
+    (new java.io.File(root, "chunks").getAbsolutePath,
+      new java.io.File(root, "ckpt").getAbsolutePath,
+      new java.io.File(root, "out").getAbsolutePath)
+  }
+
+  test("golden replay: streamed materialization equals batch latest-per-key") {
+    val s = TestSpark.spark
+    val result = CdcPipeline.sCdcPipeline(s, sf).collect().toSeq
+    val want = expected().collect().toSeq
+    assert(result.nonEmpty)
+    assert(result == want)
+  }
+
+  test("exactly-once across kill-and-restart: resumed run equals single run") {
+    val s = TestSpark.spark
+    val (chunks, ckpt, out) = freshDirs("restart")
+    val staged = new java.io.File(chunks + ".all")
+    CdcPipeline.recordFixture(s, sf, staged.getAbsolutePath)
+    val all = staged.listFiles().sortBy(_.getName)
+    assert(all.length == 8)
+
+    // Phase 1: only the first half of the stream exists; run to completion
+    // (the "kill" — the query stops with transactions still open in state).
+    val live = new java.io.File(chunks)
+    live.mkdirs()
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      val dst = new java.io.File(live, f.getName)
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.setLastModified(f.lastModified())
+    }
+    copyIn(all.take(4))
+    CdcPipeline.start(s, live.getAbsolutePath, ckpt, out).awaitTermination()
+
+    // Phase 2: the rest of the stream arrives; resume from the checkpoint.
+    copyIn(all.drop(4))
+    CdcPipeline.start(s, live.getAbsolutePath, ckpt, out).awaitTermination()
+
+    val resumed = s.read.parquet(out)
+      .select(col("k"), col("last_seq"), col("v"), col("etype"))
+      .orderBy(col("k")).collect().toSeq
+    assert(resumed == expected().collect().toSeq)
+
+    // Phase 3: replay with no new data is a no-op (idempotent sink).
+    CdcPipeline.start(s, live.getAbsolutePath, ckpt, out).awaitTermination()
+    val replayed = s.read.parquet(out)
+      .select(col("k"), col("last_seq"), col("v"), col("etype"))
+      .orderBy(col("k")).collect().toSeq
+    assert(replayed == resumed)
+  }
+
+  test("rolled-back and still-open transactions never materialize") {
+    val s = TestSpark.spark
+    val result = CdcPipeline.sCdcPipeline(s, sf)
+    val rolledBackKeys = Tables.events(s, sf)
+      .select(col("user_id"), (col("event_id") / 20).cast("int").as("txid"))
+      .filter(col("txid") % 13 === 5)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val committedKeys = Tables.events(s, sf)
+      .select(col("user_id"), (col("event_id") / 20).cast("int").as("txid"))
+      .filter(col("txid") % 13 =!= 5)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val gotKeys = result.select("k").collect().map(_.getLong(0)).toSet
+    // every key with at least one committed change appears; none that only
+    // ever changed in rolled-back transactions do
+    assert(gotKeys == committedKeys)
+    assert((rolledBackKeys -- committedKeys).intersect(gotKeys).isEmpty)
+  }
+}
