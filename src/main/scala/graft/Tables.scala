@@ -42,4 +42,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Redistribute a scan before a CPU-heavy per-row stage (hashing, codec,
+    * per-token transforms). The driver's test files are single-row-group
+    * parquet, so the scan yields ONE partition regardless of
+    * `maxPartitionBytes` — without this, a 32-core box runs the hot stage
+    * on one core. On production multi-row-group/multi-file data the scan
+    * is already parallel and AQE's coalescing keeps the round-trip cheap;
+    * the shuffle payload here is only the narrow input projection, never
+    * the expanded intermediate. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 }

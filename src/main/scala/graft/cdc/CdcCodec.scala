@@ -1,6 +1,5 @@
 package graft.cdc
 
-import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
@@ -123,10 +122,15 @@ object CdcCodec {
         if (value != null) {
           val ldt = localDateTimeOf(value)
           out(0) = 1
-          val digits = f"${ldt.getYear}%04d${ldt.getMonthValue}%02d${ldt.getDayOfMonth}%02d" +
-            f"${ldt.getHour}%02d${ldt.getMinute}%02d${ldt.getSecond}%02d" +
-            f"${ldt.getNano / 1000}%06d"
-          packDigits(digits, 20, out, 1)
+          // Digit pairs packed directly (no string formatting — hot path).
+          def bcd(v: Int): Byte = (((v / 10) << 4) | (v % 10)).toByte
+          val y = ldt.getYear
+          out(1) = bcd(y / 100); out(2) = bcd(y % 100)
+          out(3) = bcd(ldt.getMonthValue); out(4) = bcd(ldt.getDayOfMonth)
+          out(5) = bcd(ldt.getHour); out(6) = bcd(ldt.getMinute)
+          out(7) = bcd(ldt.getSecond)
+          val us = ldt.getNano / 1000
+          out(8) = bcd(us / 10000); out(9) = bcd(us / 100 % 100); out(10) = bcd(us % 100)
         }
         (out, None)
     }
@@ -155,15 +159,19 @@ object CdcCodec {
     (new Array[Byte](prefix) ++ data, Some(prefix + data.length))
   }
 
-  /** Pack a digit string right-aligned into `width` BCD digits at `off`. */
+  /** Pack a digit string right-aligned (zero-filled) into `width` BCD
+    * digits at `off`, without building a padded copy. */
   private def packDigits(digits: String, width: Int, out: Array[Byte], off: Int): Unit = {
     require(digits.length <= width, s"decimal overflow: $digits > $width digits")
-    val padded = "0" * (width - digits.length + (width & 1)) + digits
-    var i = 0
-    while (i < padded.length / 2) {
-      out(off + i) = (((padded.charAt(2 * i) - '0') << 4) |
-        (padded.charAt(2 * i + 1) - '0')).toByte
-      i += 1
+    val total = width + (width & 1) // whole bytes
+    val pad = total - digits.length
+    var d = 0
+    while (d < digits.length) {
+      val pos = pad + d
+      val digit = digits.charAt(d) - '0'
+      if ((pos & 1) == 0) out(off + pos / 2) = (digit << 4).toByte
+      else out(off + pos / 2) = (out(off + pos / 2) | digit).toByte
+      d += 1
     }
   }
 
@@ -229,11 +237,10 @@ object CdcCodec {
         (v, 1 + nBytes, 0)
       case ColType.DTime =>
         val v = if (bytes(off) == 0) null else {
-          val d = unpackDigits(bytes, off + 1, 10)
+          def un(i: Int): Int = { val b = bytes(off + i) & 0xff; (b >> 4) * 10 + (b & 0xf) }
           val ldt = LocalDateTime.of(
-            d.substring(0, 4).toInt, d.substring(4, 6).toInt, d.substring(6, 8).toInt,
-            d.substring(8, 10).toInt, d.substring(10, 12).toInt, d.substring(12, 14).toInt,
-            d.substring(14, 20).toInt * 1000)
+            un(1) * 100 + un(2), un(3), un(4), un(5), un(6), un(7),
+            (un(8) * 10000 + un(9) * 100 + un(10)) * 1000)
           java.sql.Timestamp.from(ldt.toInstant(ZoneOffset.UTC))
         }
         (v, 11, 0)
@@ -258,13 +265,12 @@ object CdcCodec {
       s"${schema.tabname}: ${values.length} values for ${schema.cols.length} columns")
     val encoded = schema.cols.zip(values).map { case (c, v) => encodeColumn(c, v) }
     val varLens = encoded.flatMap(_._2)
-    val out = new ByteArrayOutputStream()
-    val head = ByteBuffer.allocate(ChangeHeaderSz + 4 * varLens.length)
-    head.putLong(seq).putInt(txid).putInt(schema.tabid).putInt(flags)
-    varLens.foreach(head.putInt)
-    out.write(head.array())
-    encoded.foreach { case (b, _) => out.write(b) }
-    out.toByteArray
+    val bb = ByteBuffer.allocate(ChangeHeaderSz + 4 * varLens.length +
+      encoded.iterator.map(_._1.length).sum)
+    bb.putLong(seq).putInt(txid).putInt(schema.tabid).putInt(flags)
+    varLens.foreach(bb.putInt)
+    encoded.foreach { case (b, _) => bb.put(b) }
+    bb.array()
   }
 
   /** Decode a row image payload with the registered schema
@@ -360,6 +366,19 @@ object CdcCodec {
       case n =>
         throw new IllegalArgumentException(s"unknown CDC record number $n")
     }
+  }
+
+  /** Decode exactly one frame (hot path for one-frame-per-message sources;
+    * [[FrameBuffer]] handles multi-frame chunked streams). */
+  def decodeFrame(bytes: Array[Byte], registry: SchemaRegistry): CdcRecord = {
+    val bb = ByteBuffer.wrap(bytes)
+    val headerSz = bb.getInt(0)
+    val payloadSz = bb.getInt(4)
+    require(bb.getInt(8) == PacketScheme, s"invalid packet scheme ${bb.getInt(8)}")
+    require(headerSz + payloadSz == bytes.length,
+      s"frame size mismatch: header says ${headerSz + payloadSz}, got ${bytes.length}")
+    decodeRecord(bb.getInt(12),
+      java.util.Arrays.copyOfRange(bytes, headerSz, headerSz + payloadSz), registry)
   }
 
   /** Decode every complete frame in a buffer, threading registry updates on

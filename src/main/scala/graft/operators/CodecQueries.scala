@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.cdc._
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-checked queries for the CDC binary codec (SURVEY.md §2.a rows
@@ -77,20 +77,17 @@ object CodecQueries {
       when(col("l_linenumber") === 7, lit(null))
         .otherwise(col("l_returnflag") === "R").as("v_bool"))
 
-    // Executor-side encode: row → complete wire frame.
-    val frames = src.map { row =>
-      val values: IndexedSeq[Any] =
-        (3 until row.length).map(i => if (row.isNullAt(i)) null else row.get(i))
-      CdcCodec.encodeRowFrame(CdcRecords.INSERT + row.getInt(2), schema,
-        row.getLong(0), row.getInt(1), 0, values)
-    }(Encoders.BINARY)
-
-    // Executor-side decode: frame → typed envelope row.
+    // Executor-side encode→decode in one pipelined map: row → complete wire
+    // frame → decoded envelope (a single mapelements stage inside
+    // whole-stage codegen; no intermediate dataset serialization).
     val registry = SchemaRegistry(Map(7 -> "informixcdc_test"),
       Map(7 -> schema))
-    val decoded = frames.map { bytes =>
-      val (recs, _) = CdcCodec.decodeAll(bytes, registry)
-      val r = recs.head.asInstanceOf[RowImage]
+    val decoded = Tables.spread(s, src).map { row =>
+      val values: IndexedSeq[Any] =
+        (3 until row.length).map(i => if (row.isNullAt(i)) null else row.get(i))
+      val bytes = CdcCodec.encodeRowFrame(CdcRecords.INSERT + row.getInt(2),
+        schema, row.getLong(0), row.getInt(1), 0, values)
+      val r = CdcCodec.decodeFrame(bytes, registry).asInstanceOf[RowImage]
       def v[T](i: Int): Option[T] = Option(r.columns(i).value.asInstanceOf[T])
       DecodedRow(r.seqNumber, r.transactionId, r.recordType,
         v[Long](0), v[Long](1), v[Long](2), v[Int](3), v[Short](4),
@@ -103,9 +100,13 @@ object CodecQueries {
     // Decimal → double at the output edge only (oracle-parity convention,
     // RelationalQueries header); the BCD wire path above ran at full
     // (32,16) precision.
+    // (seq, v_bigint, v_float) ⇔ (orderkey, linenumber, partkey,
+    // extendedprice) is verified unique at every SF — a TOTAL order, so the
+    // hash compare cannot depend on partitioning (seq alone ties: the
+    // synthetic lineitem repeats (orderkey, linenumber) pairs).
     decoded.toDF()
       .withColumn("v_decimal", col("v_decimal").cast("double"))
-      .orderBy(col("seq_number"))
+      .orderBy(col("seq_number"), col("v_bigint"), col("v_float"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,6 +140,6 @@ object CodecQueries {
         |       CAST(l_discount AS REAL) AS v_smallfloat,
         |       CASE WHEN l_linenumber = 7 THEN NULL
         |            ELSE l_returnflag = 'R' END AS v_bool
-        |FROM lineitem ORDER BY seq_number""".stripMargin
+        |FROM lineitem ORDER BY seq_number, v_bigint, v_float""".stripMargin
   )
 }

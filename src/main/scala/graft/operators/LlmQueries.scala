@@ -83,7 +83,7 @@ object LlmQueries {
     * (on the shingle-hash sets) >= 0.7 verifies. Fully deterministic, so
     * the DuckDB oracle replicates the pipeline exactly. */
   private def qNearDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val hsx = Tables.documents(s, d)
+    val hsx = Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), i -> array_join(slice(toks, i, 3), ' '))) AS shingles")
@@ -124,7 +124,7 @@ object LlmQueries {
     val bits = (0 until 32).map { j =>
       s"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
     }.mkString(" + ")
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", "size(toks) AS n_tokens",
         s"transform(toks, t -> ${h60Spark("t")}) AS hs")
@@ -137,7 +137,7 @@ object LlmQueries {
     * data-derived) buckets vectors; pairs are generated only within a
     * bucket (equi-join on the sketch), then verified at cosine >= 0.35. */
   private def qEmbNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.spread(s, Tables.embeddings(s, d))
     val planes = e.filter(col("vec_id") < 4)
       .selectExpr("vec_id AS pid", "embedding AS pv")
     // Norms are hoisted to one sqrt per VECTOR before the pair join (the
@@ -213,7 +213,7 @@ object LlmQueries {
     * single exact division, and distinct-token cardinality (explode +
     * two-level aggregate — the shuffle carries (lang, token) partials). */
   private def qTextStats(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.spread(s, Tables.documents(s, d))
       .selectExpr("lang", "n_chars", "split(text, ' ') AS toks")
     val stats = docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
@@ -234,7 +234,7 @@ object LlmQueries {
   /** Token counting per document: whitespace tokens, distinct tokens, a
     * BPE-ish regex token count, and mean token length — all map-side. */
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "n_chars", "text", "split(text, ' ') AS toks")
       .selectExpr(
         "doc_id", "n_chars",
@@ -248,7 +248,7 @@ object LlmQueries {
     * ratio, and a length credit, combined with fixed weights. The exact
     * arithmetic (same ops, same order) is reproduced by the oracle. */
   private def qQualityScore(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr(
         "doc_id",
@@ -277,7 +277,7 @@ object LlmQueries {
     val caseChain = profiles.map { case (l, _) =>
       s"WHEN s_$l >= greatest($all) THEN '$l'"
     }.mkString(" ")
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .selectExpr(Seq("doc_id", "lang", "split(text, ' ') AS toks") : _*)
       .selectExpr(Seq("doc_id", "lang") ++ scoreCols: _*)
       .withColumn("predicted",
@@ -291,7 +291,7 @@ object LlmQueries {
     * 4-gram shingles (MinHash with one permutation — a winnowing-style
     * content fingerprint), plus the count of documents sharing it. */
   private def qDocFingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)), i -> array_join(slice(toks, i, 4), ' '))) AS shingles")
