@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every entry in `queries` with a matching `oracleSql` key is hash-checked
-  * by the driver against DuckDB on the same parquet tables; entries without
-  * oracle SQL get a weaker rows-only check. The streaming CDC pipeline
-  * (SURVEY.md §2.b `s_cdc_pipeline`) lives in graft.streaming and is
-  * verified by its golden-replay specs, not through this map.
+  * Every entry in `queries` has a matching `oracleSql` key and is
+  * hash-checked by the driver against DuckDB on the same parquet tables —
+  * including the streaming CDC pipeline (`s_cdc_pipeline` runs its
+  * Structured Streaming query to completion and returns the materialized
+  * table) and the binary codec (`q_cdc_roundtrip` encodes and decodes every
+  * row on the executors). Non-SQL-expressible invariants (codec round-trip
+  * over random schemas, MinHash bounds, exactly-once restart) are covered
+  * by the ScalaTest/ScalaCheck specs under src/test.
   */
 object SparkEntry {
 
@@ -24,7 +27,8 @@ object SparkEntry {
       operators.CdcQueries.queries ++
       operators.LlmQueries.queries ++
       operators.CodecQueries.queries ++
-      streaming.CdcPipeline.queries
+      streaming.CdcPipeline.queries ++
+      multimodal.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +37,6 @@ object SparkEntry {
       operators.CdcQueries.oracle ++
       operators.LlmQueries.oracle ++
       operators.CodecQueries.oracle ++
-      streaming.CdcPipeline.oracle
+      streaming.CdcPipeline.oracle ++
+      multimodal.MultimodalOps.oracle
 }

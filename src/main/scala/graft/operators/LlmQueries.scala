@@ -40,9 +40,9 @@ object LlmQueries {
 
   /** 60-bit deterministic string hash shared with the DuckDB oracle:
     * first 15 hex chars of md5, as a positive long. */
-  private def h60Spark(e: String) =
+  private[graft] def h60Spark(e: String) =
     s"cast(conv(substring(md5($e), 1, 15), 16, 10) AS bigint)"
-  private def h60Duck(e: String) =
+  private[graft] def h60Duck(e: String) =
     s"('0x' || substring(md5($e), 1, 15))::UBIGINT::BIGINT"
 
   /** MinHash hash family h_i(x) = (a_i*x + b_i) mod P over x < P=2^31-1;
@@ -301,6 +301,31 @@ object LlmQueries {
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .orderBy(col("doc_id"))
 
+  /** N-gram Jaccard near-dedup: candidate pairs are generated by an
+    * inverted-index style equi-join on the min-shingle fingerprint (two
+    * docs sharing their rarest 4-gram hash — the single-permutation MinHash
+    * block), then verified with EXACT Jaccard over the full 4-gram hash
+    * sets. Complements MinHash banding: one cheap blocking key instead of
+    * 16 signatures, higher recall bar (J >= 0.8). Never all-pairs — the
+    * join key bounds each block. */
+  private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.spread(s, Tables.documents(s, d))
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)), i -> array_join(slice(toks, i, 4), ' '))) AS shingles")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(shingles, s -> ${h60Spark("s")})) AS hs")
+      .selectExpr("doc_id", "hs", "array_min(hs) AS fp")
+    val a = sh.selectExpr("doc_id AS doc_a", "hs AS hs_a", "fp")
+    val b = sh.selectExpr("doc_id AS doc_b", "hs AS hs_b", "fp")
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "round(size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)), 6) AS jaccard")
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column plumbing: documents as opaque `binary`
@@ -334,6 +359,7 @@ object LlmQueries {
     "q_quality_score" -> qQualityScore _,
     "q_lang_id" -> qLangId _,
     "q_doc_fingerprint" -> qDocFingerprint _,
+    "q_ngram_jaccard" -> qNgramJaccard _,
     "q_multimodal_meta" -> qMultimodalMeta _
   )
 
@@ -392,6 +418,23 @@ object LlmQueries {
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_near_dedup_minhash" -> minhashOracle,
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles4 AS shingles FROM t),
+         |h AS (SELECT doc_id,
+         |             list_distinct(list_transform(shingles, s -> ${h60Duck("s")})) AS hs
+         |      FROM sh),
+         |f AS (SELECT doc_id, hs, list_min(hs) AS fp FROM h),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS hs_a, b.hs AS hs_b
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       round(len(list_intersect(hs_a, hs_b)) /
+         |             len(list_distinct(list_concat(hs_a, hs_b))), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(len(list_intersect(hs_a, hs_b)) /
+         |            len(list_distinct(list_concat(hs_a, hs_b))), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_emb_near_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing tests: the batched kernel path must agree with the
+  * oracle-checked expression path, batches must have the declared shape,
+  * and empty payloads must short-circuit. */
+class MultimodalSuite extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("batched kernel path equals the expression path (feature parity)") {
+    val s = TestSpark.spark
+    val kernel = MultimodalOps.decodeFeatures(s, sf)
+      .collect().map(m => m.doc_id -> (m.kind, m.n_bytes, m.features.toSeq)).toMap
+    val expr = MultimodalOps.queries("q_media_features")(s, sf).collect()
+    assert(expr.nonEmpty && expr.length == kernel.size)
+    expr.foreach { row =>
+      val (kind, nBytes, feats) = kernel(row.getLong(0))
+      assert(row.getString(1) == kind)
+      assert(row.getLong(2) == nBytes)
+      (0 until MultimodalOps.FeatureDim).foreach { j =>
+        assert(math.abs(row.getDouble(3 + j) - feats(j)) < 1e-12,
+          s"doc ${row.getLong(0)} feature $j")
+      }
+    }
+  }
+
+  test("kernel receives batches of the declared shape") {
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val payloads = (0 until 150).map(i => s"payload-$i".getBytes("UTF-8"))
+    payloads.grouped(MultimodalOps.BatchSize).foreach { g =>
+      sizes += g.length
+      val out = MultimodalOps.decodeKernelStub(g)
+      assert(out.length == g.length)
+      assert(out.forall(_.length == MultimodalOps.FeatureDim))
+    }
+    assert(sizes.toSeq == Seq(64, 64, 22))
+  }
+
+  test("kernel is deterministic and features are in [0, 1)") {
+    val batch = Seq("a".getBytes, "b".getBytes, "a".getBytes)
+    val out1 = MultimodalOps.decodeKernelStub(batch)
+    val out2 = MultimodalOps.decodeKernelStub(batch)
+    assert(out1.map(_.toSeq) == out2.map(_.toSeq))
+    assert(out1(0).toSeq == out1(2).toSeq) // same payload → same features
+    assert(out1(0).toSeq != out1(1).toSeq)
+    assert(out1.flatten.forall(f => f >= 0.0 && f < 1.0))
+  }
+
+  test("empty payloads short-circuit to zero vectors without hitting the kernel") {
+    val rows = Iterator(
+      MultimodalOps.MediaRow(1L, "hello".getBytes, "img"),
+      MultimodalOps.MediaRow(2L, Array.emptyByteArray, "img"),
+      MultimodalOps.MediaRow(3L, null, "aud"))
+    val got = MultimodalOps.decodeBatches(rows).map(m => m.doc_id -> m).toMap
+    assert(got(2L).n_bytes == 0L && got(2L).features.forall(_ == 0.0))
+    assert(got(3L).n_bytes == 0L && got(3L).features.forall(_ == 0.0))
+    assert(got(1L).features.exists(_ != 0.0))
+  }
+
+  test("media table schema: opaque binary payload + typed metadata") {
+    val s = TestSpark.spark
+    val sch = MultimodalOps.mediaTable(s, sf).schema
+    assert(sch("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(sch("kind").dataType == org.apache.spark.sql.types.StringType)
+    assert(MultimodalOps.mediaTable(s, sf).filter(col("payload").isNull).count() == 0)
+  }
+}
