@@ -308,6 +308,7 @@ object LlmQueries {
     * sets. Complements MinHash banding: one cheap blocking key instead of
     * 16 signatures, higher recall bar (J >= 0.8). Never all-pairs — the
     * join key bounds each block. */
+  private[graft] val MaxBlock = 100
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -316,6 +317,14 @@ object LlmQueries {
       .selectExpr("doc_id",
         s"array_distinct(transform(shingles, s -> ${h60Spark("s")})) AS hs")
       .selectExpr("doc_id", "hs", "array_min(hs) AS fp")
+      // Blocks larger than MaxBlock are boilerplate markers: pairing inside
+      // them is quadratic work for near-zero dedup signal (standard
+      // blocking-cap trade — at the test SFs the largest block is 5, so
+      // this changes nothing while bounding worst-case cost at scale).
+      // The window shuffles on fp, the same key the join needs.
+      .withColumn("block_sz", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("block_sz") <= MaxBlock)
+      .drop("block_sz")
     val a = sh.selectExpr("doc_id AS doc_a", "hs AS hs_a", "fp")
     val b = sh.selectExpr("doc_id AS doc_b", "hs AS hs_b", "fp")
     a.join(b, Seq("fp"))
@@ -424,7 +433,9 @@ object LlmQueries {
          |h AS (SELECT doc_id,
          |             list_distinct(list_transform(shingles, s -> ${h60Duck("s")})) AS hs
          |      FROM sh),
-         |f AS (SELECT doc_id, hs, list_min(hs) AS fp FROM h),
+         |f0 AS (SELECT doc_id, hs, list_min(hs) AS fp FROM h),
+         |f AS (SELECT doc_id, hs, fp FROM f0
+         |      QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS hs_a, b.hs AS hs_b
          |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup semantics on a corpus with KNOWN duplicates — the driver's
+  * synthetic documents are all distinct (q_exact_dedup groups 500/500), so
+  * the oracle never exercises the collapse paths. This fixture plants an
+  * exact duplicate pair, a near-duplicate pair (one word changed), and
+  * unrelated documents, and asserts each operator finds exactly what it
+  * should. The real query functions run unmodified against a temp dir
+  * shaped like the driver's. */
+class DedupSemanticsSuite extends AnyFunSuite {
+
+  private lazy val dir: String = {
+    val s = TestSpark.spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest where tall trees hide the winding river path"
+    val near = base.replace("winding", "ancient") // one token differs
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length),
+      (1L, base, "en", "src1", base.length),                  // exact dup of 0
+      (2L, near, "en", "src2", near.length),                  // near dup of 0/1
+      (3L, "completely different text about spark query engines and " +
+        "columnar execution with vectorized operators running fast", "en", "src3", 100),
+      (4L, "short unrelated words", "en", "src4", 21))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("dedup_fix").toString
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_exact_dedup collapses byte-identical documents, keeps lowest id") {
+    val r = LlmQueries.queries("q_exact_dedup")(TestSpark.spark, dir).collect()
+    assert(r.length == 4) // 5 docs, one exact-dup pair
+    val dupGroup = r.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 0L) // keep_id = min(doc_id)
+    assert(r.count(_.getLong(2) == 1L) == 3)
+  }
+
+  test("q_near_dedup_minhash finds the exact AND the near pair, nothing else") {
+    val r = LlmQueries.queries("q_near_dedup_minhash")(TestSpark.spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val pairs = r.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)), s"exact pair missing from $r")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"near pair missing from $r")
+    assert(r.collectFirst { case (0L, 1L, j) => j }.get == 1.0)
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) },
+      s"false positive in $r")
+  }
+
+  test("q_ngram_jaccard blocks on the min-shingle and verifies at 0.8") {
+    val r = LlmQueries.queries("q_ngram_jaccard")(TestSpark.spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(r.map(p => (p._1, p._2)).contains((0L, 1L)))
+    assert(r.forall(_._3 >= 0.8))
+    assert(r.forall { case (a, b, _) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
+  }
+
+  test("q_simhash gives identical fingerprints to identical documents") {
+    val r = LlmQueries.queries("q_simhash")(TestSpark.spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(0L) == r(1L))
+    // near-dup differs in at most a few bits
+    val hamming = java.lang.Long.bitCount(r(0L) ^ r(2L))
+    assert(hamming <= 6, s"near-dup hamming distance $hamming")
+    assert(java.lang.Long.bitCount(r(0L) ^ r(3L)) > hamming)
+  }
+
+  test("q_doc_fingerprint shares fingerprints exactly within the dup cluster") {
+    val r = LlmQueries.queries("q_doc_fingerprint")(TestSpark.spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L)._1 == r(1L)._1) // same content → same fingerprint
+    assert(r(0L)._2 >= 2)        // n_same_fp counts the cluster
+    assert(r(0L)._1 != r(3L)._1)
+  }
+}
