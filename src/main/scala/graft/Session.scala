@@ -15,6 +15,7 @@ object Session {
   def build(master: String, shufflePartitions: String): SparkSession =
     SparkSession.builder()
       .master(master)
+      .withExtensions(graft.functions.DotF32.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -57,9 +57,16 @@ object LlmQueries {
   private[graft] val JaccardThreshold = 0.7
 
   /** Exact cosine similarity of two float arrays, computed in double and
-    * rounded to 6 dp (see oracle-parity note above). */
+    * rounded to 6 dp (see oracle-parity note above).
+    *
+    * `dot_f32` is the custom codegen'd Catalyst expression
+    * ([[graft.functions.DotF32]]) — bit-identical to the built-in
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, +)`
+    * composition (same pairing, widening, and accumulation order), but a
+    * primitive loop inside whole-stage codegen instead of interpreted
+    * per-element lambdas with an intermediate array per row. */
   private def dotSpark(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, v) -> acc + v)"
+    s"dot_f32($a, $b)"
   private def cosSpark(a: String, b: String) =
     s"round(${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)})), 6)"
   private def cosDuck(a: String, b: String) =
@@ -137,6 +144,7 @@ object LlmQueries {
     * data-derived) buckets vectors; pairs are generated only within a
     * bucket (equi-join on the sketch), then verified at cosine >= 0.35. */
   private def qEmbNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.spread(s, Tables.embeddings(s, d))
     val planes = e.filter(col("vec_id") < 4)
       .selectExpr("vec_id AS pid", "embedding AS pv")
@@ -167,6 +175,7 @@ object LlmQueries {
     * TakeOrderedAndProject — the baseline ANN path that scales linearly
     * with the table and never shuffles the embeddings. */
   private def qCosineTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0)
       .selectExpr("embedding AS qv",
@@ -184,6 +193,7 @@ object LlmQueries {
     * the query searches only its own centroid's bucket — the scale path
     * that turns a full scan into a 1/k partition probe. */
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
     val cents = e.filter(col("vec_id") < 8)
