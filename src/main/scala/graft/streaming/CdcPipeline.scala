@@ -208,18 +208,10 @@ object CdcPipeline {
     fs.rename(tmp, out)
   }
 
-  /** Build and start the streaming query; caller awaits termination. */
-  def start(spark: SparkSession, chunkDir: String, checkpointDir: String,
-            outDir: String, maxFilesPerTrigger: Option[Int] = Some(3)) = {
-    import spark.implicits._
-    val reader = spark.readStream.format("binaryFile")
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(
-        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
-      .option("pathGlobFilter", "*.bin")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val envelopes = reader.load(chunkDir)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap(decodeChunk _)
+  /** The shared downstream: txn assembly + idempotent merge sink. */
+  private def runPipeline(envelopes: Dataset[Envelope], checkpointDir: String,
+                          outDir: String) = {
+    import envelopes.sparkSession.implicits._
     val committed = envelopes
       .groupByKey(_.txid)
       .flatMapGroupsWithState[TxnBuf, Committed](
@@ -231,6 +223,37 @@ object CdcPipeline {
       .foreachBatch((batch: Dataset[Committed], _: Long) =>
         mergeLatest(batch.toDF(), outDir))
       .start()
+  }
+
+  /** Build and start the streaming query (binaryFile source path: whole
+    * chunk files decoded in a flatMap); caller awaits termination. */
+  def start(spark: SparkSession, chunkDir: String, checkpointDir: String,
+            outDir: String, maxFilesPerTrigger: Option[Int] = Some(3)) = {
+    import spark.implicits._
+    val reader = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.bin")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val envelopes = reader.load(chunkDir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(decodeChunk _)
+    runPipeline(envelopes, checkpointDir, outDir)
+  }
+
+  /** Same pipeline over the DataSource V2 source
+    * ([[graft.sources.CdcChunkSource]]): LSN-aware offsets, admission
+    * control, and source-side discard of pre-`startingSeq` history. */
+  def startV2(spark: SparkSession, chunkDir: String, checkpointDir: String,
+              outDir: String, maxFilesPerTrigger: Option[Int] = Some(3),
+              startingSeq: Long = 0L) = {
+    import spark.implicits._
+    val reader = spark.readStream
+      .format("graft.sources.CdcChunkSource")
+      .option("path", chunkDir)
+      .option("startingSeq", startingSeq.toString)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    runPipeline(reader.load().as[Envelope], checkpointDir, outDir)
   }
 
   /** The driver-checked entry: record the fixture, run the pipeline to
@@ -250,7 +273,9 @@ object CdcPipeline {
     }
     rm(root)
     recordFixture(s, d, chunkDir.getAbsolutePath)
-    val q = start(s, chunkDir.getAbsolutePath, checkpoint.getAbsolutePath,
+    // The V2 source path (custom DataSource V2 with offset log + admission
+    // control); the binaryFile path is spec-checked equal to it.
+    val q = startV2(s, chunkDir.getAbsolutePath, checkpoint.getAbsolutePath,
       outDir.getAbsolutePath)
     q.awaitTermination()
     s.read.parquet(outDir.getAbsolutePath)
