@@ -58,15 +58,19 @@ object CdcPipeline {
                             key: Option[Long], v: Option[Double],
                             etype: Option[String])
 
-  /** One buffered row image in open-txn state. */
-  final case class Image(seq: Long, key: Long, v: Double, etype: String)
+  /** One buffered row image in open-txn state; `kind` is the record type
+    * tag so before-images can be paired at commit time. */
+  final case class Image(seq: Long, key: Long, v: Double, etype: String,
+                         kind: String)
 
   /** Open-transaction state: buffered images + terminal markers seen. */
   final case class TxnBuf(images: List[Image], commitSeq: Option[Long],
                           rolledBack: Boolean, discardAfter: Option[Long])
 
-  /** A committed change ready for materialization. */
-  final case class Committed(k: Long, last_seq: Long, v: Double, etype: String)
+  /** A committed change ready for materialization; `old_v` is the paired
+    * before-image value for updates (null for inserts). */
+  final case class Committed(k: Long, last_seq: Long, v: Double,
+                             old_v: Option[Double], etype: String)
 
   // ------------------------------------------------------------- fixture
 
@@ -79,7 +83,10 @@ object CdcPipeline {
     * Mapping (also encoded in the DuckDB oracle for `s_cdc_pipeline`):
     *  - txid = event_id / 20 (integer division) — 20-change transactions;
     *  - each event becomes an INSERT image with seq = event_id * 4 + 2,
-    *    key = user_id, v = value, etype = event_type;
+    *    key = user_id, v = value, etype = event_type — EXCEPT 'purchase'
+    *    events, which become an UPDBEF (v - 1.0) at seq - 1 followed by an
+    *    UPDAFT (v) at seq: separate adjacent records, exactly how the
+    *    reference delivers updates (rec 42/43, ec:1848-1856);
     *  - BEGIN at min(image seq) - 1; txns with txid % 13 == 5 ROLL BACK at
     *    max + 1, all others COMMIT at max + 1;
     *  - a txn lives in chunk (txid % numChunks), except every third txn's
@@ -108,9 +115,17 @@ object CdcPipeline {
         chunks(chunk).write(CdcCodec.encodeFrame(
           BeginTx(seqs.min - 1, txid, startTime = seqs.min, userId = 0)))
         rows.foreach { r =>
-          chunks(chunk).write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, schema,
-            r.getLong(0) * 4 + 2, txid, 0,
-            IndexedSeq(r.getLong(1), r.getDouble(2), r.getString(3))))
+          val seq = r.getLong(0) * 4 + 2
+          val (k, v, et) = (r.getLong(1), r.getDouble(2), r.getString(3))
+          if (et == "purchase") {
+            chunks(chunk).write(CdcCodec.encodeRowFrame(CdcRecords.UPDBEF,
+              schema, seq - 1, txid, 0, IndexedSeq(k, v - 1.0, et)))
+            chunks(chunk).write(CdcCodec.encodeRowFrame(CdcRecords.UPDAFT,
+              schema, seq, txid, 0, IndexedSeq(k, v, et)))
+          } else {
+            chunks(chunk).write(CdcCodec.encodeRowFrame(CdcRecords.INSERT,
+              schema, seq, txid, 0, IndexedSeq(k, v, et)))
+          }
         }
         val terminal =
           if (txid % 13 == 5) CdcCodec.encodeFrame(RollbackTx(seqs.max + 1, txid))
@@ -157,15 +172,21 @@ object CdcPipeline {
     * group state): buffer row images per txid; COMMIT releases them
     * downstream in seq order; ROLLBACK drops them; DISCARD trims the tail
     * after its seq. Emits nothing for still-open transactions — their
-    * state persists into the next micro-batch (exactly the opntxns rows). */
+    * state persists into the next micro-batch (exactly the opntxns rows).
+    *
+    * UPDBEF/UPDAFT arrive as SEPARATE records (ec:1848-1856); they pair
+    * here, inside the per-transaction state, by (txid, seq) adjacency —
+    * SURVEY §7.4.5: pairing with windows downstream would be fragile under
+    * reordering, in state it's exact. */
   private def assemble(txid: Int, records: Iterator[Envelope],
                        state: GroupState[TxnBuf]): Iterator[Committed] = {
     var buf = state.getOption.getOrElse(TxnBuf(Nil, None, rolledBack = false, None))
     records.foreach { r =>
       r.recordType match {
-        case "CDC_REC_INSERT" | "CDC_REC_UPDAFT" =>
-          buf = buf.copy(images = Image(r.seq, r.key.get, r.v.get, r.etype.get) :: buf.images)
-        case "CDC_REC_DELETE" | "CDC_REC_UPDBEF" => // before-images don't materialize
+        case t @ ("CDC_REC_INSERT" | "CDC_REC_UPDAFT" | "CDC_REC_UPDBEF") =>
+          buf = buf.copy(images =
+            Image(r.seq, r.key.get, r.v.get, r.etype.get, t) :: buf.images)
+        case "CDC_REC_DELETE" => // full before-image; nothing to materialize
         case "CDC_REC_COMMTX" => buf = buf.copy(commitSeq = Some(r.seq))
         case "CDC_REC_RBTX" => buf = buf.copy(rolledBack = true)
         case "CDC_REC_DISCARD" => buf = buf.copy(discardAfter = Some(r.seq))
@@ -178,8 +199,13 @@ object CdcPipeline {
     } else if (buf.commitSeq.isDefined) {
       state.remove() // delete_opntxns + upsert_lsttxn on COMMIT (ec:2269-2299)
       val kept = buf.discardAfter.fold(buf.images)(d => buf.images.filter(_.seq <= d))
-      kept.sortBy(_.seq).iterator
-        .map(i => Committed(i.key, i.seq, i.v, i.etype))
+      val bySeq = kept.sortBy(_.seq)
+      val befores = bySeq.iterator
+        .filter(_.kind == "CDC_REC_UPDBEF").map(i => (i.seq, i.key) -> i.v).toMap
+      bySeq.iterator
+        .filter(_.kind != "CDC_REC_UPDBEF")
+        .map(i => Committed(i.key, i.seq, i.v,
+          befores.get((i.seq - 1, i.key)), i.etype))
     } else {
       state.update(buf) // upsert_opntxns: still open (ec:663-700)
       Iterator.empty
@@ -279,7 +305,7 @@ object CdcPipeline {
       outDir.getAbsolutePath)
     q.awaitTermination()
     s.read.parquet(outDir.getAbsolutePath)
-      .select(col("k"), col("last_seq"), col("v"), col("etype"))
+      .select(col("k"), col("last_seq"), col("v"), col("old_v"), col("etype"))
       .orderBy(col("k"))
   }
 
@@ -295,6 +321,7 @@ object CdcPipeline {
         |  FROM events),
         |keep AS (SELECT * FROM ev WHERE txid % 13 != 5)
         |SELECT user_id AS k, event_id * 4 + 2 AS last_seq, value AS v,
+        |       CASE WHEN event_type = 'purchase' THEN value - 1.0 END AS old_v,
         |       event_type AS etype
         |FROM keep
         |QUALIFY row_number() OVER (PARTITION BY user_id

@@ -17,7 +17,7 @@ class CdcChunkSourceSuite extends AnyFunSuite {
   private def readOut(out: String) = {
     val s = TestSpark.spark
     s.read.parquet(out)
-      .select(col("k"), col("last_seq"), col("v"), col("etype"))
+      .select(col("k"), col("last_seq"), col("v"), col("old_v"), col("etype"))
       .orderBy(col("k")).collect().toSeq
   }
 

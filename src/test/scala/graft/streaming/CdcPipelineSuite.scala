@@ -35,7 +35,9 @@ class CdcPipelineSuite extends AnyFunSuite {
         Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
       .filter(col("rn") === 1)
       .select(col("user_id").as("k"), (col("event_id") * 4 + 2).as("last_seq"),
-        col("v"), col("etype"))
+        col("v"),
+        when(col("etype") === "purchase", col("v") - 1.0).as("old_v"),
+        col("etype"))
       .orderBy(col("k"))
   }
 
@@ -79,14 +81,14 @@ class CdcPipelineSuite extends AnyFunSuite {
     CdcPipeline.start(s, live.getAbsolutePath, ckpt, out).awaitTermination()
 
     val resumed = s.read.parquet(out)
-      .select(col("k"), col("last_seq"), col("v"), col("etype"))
+      .select(col("k"), col("last_seq"), col("v"), col("old_v"), col("etype"))
       .orderBy(col("k")).collect().toSeq
     assert(resumed == expected().collect().toSeq)
 
     // Phase 3: replay with no new data is a no-op (idempotent sink).
     CdcPipeline.start(s, live.getAbsolutePath, ckpt, out).awaitTermination()
     val replayed = s.read.parquet(out)
-      .select(col("k"), col("last_seq"), col("v"), col("etype"))
+      .select(col("k"), col("last_seq"), col("v"), col("old_v"), col("etype"))
       .orderBy(col("k")).collect().toSeq
     assert(replayed == resumed)
   }
