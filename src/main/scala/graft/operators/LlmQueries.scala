@@ -67,8 +67,6 @@ object LlmQueries {
     * per-element lambdas with an intermediate array per row. */
   private def dotSpark(a: String, b: String) =
     s"dot_f32($a, $b)"
-  private def cosSpark(a: String, b: String) =
-    s"round(${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)})), 6)"
   private def cosDuck(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
