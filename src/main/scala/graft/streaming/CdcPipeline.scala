@@ -92,9 +92,14 @@ object CdcPipeline {
     *  - a txn lives in chunk (txid % numChunks), except every third txn's
     *    terminal record lands one chunk later — transactions spanning
     *    micro-batches, exercising cross-batch state.
+    *
+    * `ordered = true` instead assigns contiguous txid ranges to chunks (and
+    * keeps terminals in-chunk), making the stream globally LSN-ordered
+    * across chunk files like a real transaction log — the precondition for
+    * savepoint-style restart ([[startFromSavepoint]]).
     */
   def recordFixture(spark: SparkSession, sfDir: String, outDir: String,
-                    numChunks: Int = 8): Unit = {
+                    numChunks: Int = 8, ordered: Boolean = false): Unit = {
     val schema = streamSchema
     val events = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
@@ -106,11 +111,13 @@ object CdcPipeline {
       out.write(CdcCodec.encodeFrame(TabSchema(StreamTabid, 0,
         8 + 8, 2, 1, StreamDdl)))
     }
-    events.groupBy(r => (r.getLong(0) / 20).toInt).toSeq.sortBy(_._1)
-      .foreach { case (txid, rows) =>
+    val byTxid = events.groupBy(r => (r.getLong(0) / 20).toInt).toSeq.sortBy(_._1)
+    val nTx = byTxid.length
+    byTxid.zipWithIndex
+      .foreach { case ((txid, rows), txIdx) =>
         val seqs = rows.map(_.getLong(0) * 4 + 2)
-        val chunk = txid % numChunks
-        val lateTerminal = txid % 3 == 0
+        val chunk = if (ordered) txIdx * numChunks / nTx else txid % numChunks
+        val lateTerminal = !ordered && txid % 3 == 0
         val terminalChunk = math.min(chunk + (if (lateTerminal) 1 else 0), numChunks - 1)
         chunks(chunk).write(CdcCodec.encodeFrame(
           BeginTx(seqs.min - 1, txid, startTime = seqs.min, userId = 0)))
@@ -265,6 +272,34 @@ object CdcPipeline {
       .select(col("content")).as[Array[Byte]]
       .flatMap(decodeChunk _)
     runPipeline(envelopes, checkpointDir, outDir)
+  }
+
+  /** The `informixcdc_lsttxn` savepoint analog: the highest committed LSN
+    * present in the materialized table (0 when nothing is materialized —
+    * the NOTFOUND → 0 rule, ec:642-644). */
+  def lastCommittedSeq(spark: SparkSession, outDir: String): Long = {
+    val p = new Path(outDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
+    else spark.read.parquet(outDir)
+      .agg(coalesce(max(col("last_seq")), lit(0L))).head().getLong(0)
+  }
+
+  /** Restart WITHOUT a checkpoint — the reference's savepoint path: resolve
+    * the activation LSN from persisted state via the ec:2172-2194 decision
+    * table ([[Restart.resolveStartSeq]]) and let the source discard
+    * already-committed history. With no open-txn record (the sink only
+    * stores committed rows), the rule resolves to `last committed + 1`;
+    * changes already in the table survive because the merge is monotonic.
+    *
+    * Precondition (as for the reference's log): the stream is globally
+    * LSN-ordered across chunk files — otherwise an unprocessed transaction
+    * with seqs below the high-water mark would be skipped. */
+  def startFromSavepoint(spark: SparkSession, chunkDir: String,
+                         freshCheckpointDir: String, outDir: String) = {
+    val startSeq = Restart.resolveStartSeq(
+      requested = -1L, useSavepoints = true, minOpenTxn = None,
+      lastCommitted = lastCommittedSeq(spark, outDir))
+    startV2(spark, chunkDir, freshCheckpointDir, outDir, startingSeq = startSeq)
   }
 
   /** Same pipeline over the DataSource V2 source

@@ -82,6 +82,40 @@ class CdcChunkSourceSuite extends AnyFunSuite {
     assert(rows.isEmpty)
   }
 
+  test("savepoint restart: fresh checkpoint resumes from last committed + 1") {
+    val s = TestSpark.spark
+    val root = freshRoot("savepoint")
+    val staged = new java.io.File(root, "all")
+    // LSN-ordered stream (contiguous txid ranges per chunk) — the
+    // precondition for high-water-mark restart, as for the reference's log.
+    CdcPipeline.recordFixture(s, sf, staged.getAbsolutePath, ordered = true)
+    val all = staged.listFiles().sortBy(_.getName)
+    val live = new java.io.File(root, "chunks")
+    live.mkdirs()
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(live, f.getName).toPath)
+    }
+    val out = new java.io.File(root, "out").getAbsolutePath
+
+    // Phase 1 materializes the first half of the log.
+    copyIn(all.take(4))
+    CdcPipeline.startV2(s, live.getAbsolutePath,
+      new java.io.File(root, "ck1").getAbsolutePath, out).awaitTermination()
+    val highWater = CdcPipeline.lastCommittedSeq(s, out)
+    assert(highWater > 0)
+
+    // Phase 2: checkpoint LOST; resume purely from the savepoint table.
+    copyIn(all.drop(4))
+    CdcPipeline.startFromSavepoint(s, live.getAbsolutePath,
+      new java.io.File(root, "ck2").getAbsolutePath, out).awaitTermination()
+
+    // Reference: one uninterrupted run over the ordered fixture.
+    CdcPipeline.startV2(s, staged.getAbsolutePath,
+      new java.io.File(root, "ckRef").getAbsolutePath,
+      new java.io.File(root, "outRef").getAbsolutePath).awaitTermination()
+    assert(readOut(out) == readOut(new java.io.File(root, "outRef").getAbsolutePath))
+  }
+
   test("chunk listing is deterministic name order; offsets round-trip JSON") {
     val root = freshRoot("list")
     Seq("chunk-002.bin", "chunk-000.bin", "chunk-001.bin", "ignore.txt").foreach { n =>
