@@ -87,7 +87,8 @@ class CdcChunkScan(path: String, options: CaseInsensitiveStringMap) extends Scan
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcChunkMicroBatchStream(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("startingSeq")).map(_.toLong).getOrElse(0L))
+      Option(options.get("startingSeq")).map(_.toLong).getOrElse(0L),
+      Option(options.get("tabnames")))
 }
 
 /** Offset = number of chunk files consumed, in name order. JSON is the
@@ -97,7 +98,8 @@ case class ChunkOffset(filesConsumed: Int) extends Offset {
 }
 
 class CdcChunkMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int],
-                               startingSeq: Long)
+                               startingSeq: Long,
+                               tabnames: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -145,23 +147,35 @@ class CdcChunkMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChunkReaderFactory(startingSeq)
+    new ChunkReaderFactory(startingSeq, tabnames)
 }
 
 case class ChunkInputPartition(file: String) extends InputPartition
 
-class ChunkReaderFactory(startingSeq: Long) extends PartitionReaderFactory {
+class ChunkReaderFactory(startingSeq: Long, tabnames: Option[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ChunkPartitionReader(partition.asInstanceOf[ChunkInputPartition].file,
-      startingSeq)
+      startingSeq, tabnames)
 }
 
 /** Reads one chunk file, walks its frames through [[FrameBuffer]] (in-band
   * TABSCHEM first, the reference's segment layout), and emits envelope
   * rows. Frames below `startingSeq` are dropped here — the source-side
   * discard of already-consumed history (ec:1459-1461). */
-class ChunkPartitionReader(file: String, startingSeq: Long)
+class ChunkPartitionReader(file: String, startingSeq: Long,
+                           tabnames: Option[String] = None)
     extends PartitionReader[InternalRow] {
+
+  /** tabid → tabname from the `tabnames` option ("1:a,2:b"; the enable()
+    * registrations, ec:2061-2062), defaulting to the fixture stream table. */
+  private def names: Map[Int, String] = tabnames match {
+    case Some(txt) => txt.split(',').iterator.map { kv =>
+      val Array(id, name) = kv.split(":", 2)
+      id.trim.toInt -> name.trim
+    }.toMap
+    case None => Map(CdcPipeline.StreamTabid -> CdcPipeline.StreamTabname)
+  }
 
   private val records: Iterator[CdcRecord] = {
     val p = new Path(file)
@@ -173,8 +187,7 @@ class ChunkPartitionReader(file: String, startingSeq: Long)
       in.readFully(0, buf)
       buf
     } finally in.close()
-    val fb = new FrameBuffer(SchemaRegistry(
-      Map(CdcPipeline.StreamTabid -> CdcPipeline.StreamTabname)))
+    val fb = new FrameBuffer(SchemaRegistry(names))
     val recs = fb.append(bytes)
     require(fb.pendingBytes == 0, s"$file ends mid-frame")
     recs.iterator
