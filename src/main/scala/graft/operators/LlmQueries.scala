@@ -215,6 +215,62 @@ object LlmQueries {
       .limit(10)
   }
 
+  /** K-means centroid refinement for the IVF index (the production path
+    * `q_ann_ivf`'s scaladoc promises): two unrolled Lloyd's iterations —
+    * assign each vector to its max-cosine centroid, recompute centroids as
+    * element-wise means, repeat — emitted as (cid, pos, quantized element,
+    * cluster size). Deterministic cross-engine arithmetic:
+    *  - element sums are exact integers (each value quantized to 1e-6 via
+    *    round(val·10⁶) in double — identical IEEE ops in both engines),
+    *    so the mean is one double division regardless of partitioning;
+    *  - each new centroid element is cast to FLOAT before the next
+    *    iteration's dot products (dot_f32 takes float arrays); the oracle
+    *    mirrors with CAST(... AS REAL);
+    *  - assignment ties break on cid after rounding cosine to 6 dp.
+    * Scale: each iteration is one broadcast of K centroids + one shuffle
+    * keyed by (cid, pos) with exact integer partial sums — the canonical
+    * distributed Lloyd's step; iterations unroll into a single DAG with no
+    * driver-side loop state. */
+  private def qIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val e = Tables.spread(s, Tables.embeddings(s, d))
+      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(expr("cast(round(cast(val AS double) * 1000000.0) AS bigint)"))
+          .cast("double") / (count(lit(1)) * 1000000.0)).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m AS float))").as("cv"))
+        .withColumn("cnorm", expr(s"sqrt(${dotSpark("cv", "cv")})"))
+
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cnorm"))
+    val a1 = assign(cents0)
+    val c1 = recompute(a1)
+    val a2 = assign(c1)
+    val c2 = recompute(a2)
+    val sizes = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+    c2.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "cval")))
+      .withColumn("c_q", expr("cast(round(cast(cval AS double) * 1000000.0) AS bigint)"))
+      .join(sizes, "cid")
+      .select(col("cid"), col("pos"), col("c_q"), col("n_assigned"))
+      .orderBy(col("cid"), col("pos"))
+  }
+
   // ----------------------------------------------------------- text analysis
 
   /** Corpus statistics per language: doc/token/char counts, averages as a
@@ -371,6 +427,7 @@ object LlmQueries {
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_ivf_kmeans" -> qIvfKmeans _,
     "q_text_stats" -> qTextStats _,
     "q_token_count" -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
@@ -487,6 +544,46 @@ object LlmQueries {
          |SELECT vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
          |FROM assigned, q WHERE cluster = qcluster
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT CAST(vec_id AS integer) AS cid, v AS cv, nrm AS cnorm
+        |       FROM en WHERE vec_id < 8),
+        |s1 AS (SELECT en.vec_id, en.v, cid,
+        |              row_number() OVER (PARTITION BY en.vec_id
+        |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
+        |                         cid) AS rn
+        |       FROM en, c0),
+        |a1 AS (SELECT vec_id, v, cid FROM s1 WHERE rn = 1),
+        |x1 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i,
+        |              unnest(v) AS val FROM a1),
+        |u1 AS (SELECT cid, i - 1 AS pos,
+        |              CAST(sum(CAST(round(val * 1000000.0) AS bigint)) AS double)
+        |                / (count(*) * 1000000.0) AS m
+        |       FROM x1 GROUP BY cid, i),
+        |c1 AS (SELECT cid,
+        |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
+        |       FROM u1 GROUP BY cid),
+        |c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c1),
+        |s2 AS (SELECT en.vec_id, en.v, cid,
+        |              row_number() OVER (PARTITION BY en.vec_id
+        |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
+        |                         cid) AS rn
+        |       FROM en, c1n),
+        |a2 AS (SELECT vec_id, v, cid FROM s2 WHERE rn = 1),
+        |x2 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i,
+        |              unnest(v) AS val FROM a2),
+        |u2 AS (SELECT cid, i - 1 AS pos,
+        |              CAST(sum(CAST(round(val * 1000000.0) AS bigint)) AS double)
+        |                / (count(*) * 1000000.0) AS m
+        |       FROM x2 GROUP BY cid, i),
+        |f AS (SELECT cid, pos,
+        |             CAST(round(CAST(CAST(m AS real) AS double) * 1000000.0) AS bigint) AS c_q
+        |      FROM u2),
+        |n2 AS (SELECT cid, count(*) AS n_assigned FROM a2 GROUP BY cid)
+        |SELECT f.cid, f.pos, c_q, n_assigned
+        |FROM f JOIN n2 ON f.cid = n2.cid
+        |ORDER BY f.cid, f.pos""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks FROM documents),
         |stats AS (
