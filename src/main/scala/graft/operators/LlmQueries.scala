@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * + IVF-bucketed ANN), text analysis (language-ID, quality score, token
   * counting, fingerprinting), and multimodal binary-column plumbing.
   *
-  * Everything is built from codegen'd Catalyst expressions — higher-order
-  * array functions (`transform`/`aggregate`/`zip_with`/`filter`), no UDFs,
-  * no `.collect()` — so every per-document computation is map-side and the
-  * only shuffles are the semantic ones (group-bys and the LSH bucket join).
+  * Everything is built from Catalyst expressions — higher-order array
+  * functions (`transform`/`aggregate`/`filter`) for per-token work, and the
+  * custom codegen'd [[graft.functions.DotF32]] for the similarity kernel —
+  * no UDFs, no `.collect()` — so every per-document computation is
+  * map-side and the only shuffles are the semantic ones (group-bys and the
+  * LSH bucket join).
   *
   * Oracle-parity strategy: all hashing is built on md5 (identical hex in
   * Spark and DuckDB). `h60` maps any string to a 60-bit integer (first 15
