@@ -425,6 +425,13 @@ final class FrameBuffer(initial: SchemaRegistry) {
     while (buf.length - start >= RecordHeaderOffset && {
       val headerSz = bb.getInt(start)
       val payloadSz = bb.getInt(start + 4)
+      // Corrupt sizes must fail loudly, not mis-walk: a negative payload_sz
+      // would move the cursor backwards (infinite loop), an undersized
+      // header would overlap payloads. The reference trusts the server; a
+      // decoder over arbitrary files cannot.
+      require(headerSz == RecordHeaderOffset,
+        s"invalid header_sz $headerSz (scheme-66 headers are $RecordHeaderOffset bytes)")
+      require(payloadSz >= 0, s"invalid negative payload_sz $payloadSz")
       buf.length - start >= headerSz + payloadSz
     }) {
       val headerSz = bb.getInt(start)

@@ -118,6 +118,21 @@ class CodecSuite extends AnyFunSuite {
     }
   }
 
+  test("corrupt frame sizes fail loudly instead of mis-walking the buffer") {
+    // negative payload_sz would move the cursor backwards (infinite loop)
+    val neg = CdcCodec.encodeFrame(TimeoutBeat(1L))
+    java.nio.ByteBuffer.wrap(neg).putInt(4, -8)
+    intercept[IllegalArgumentException] {
+      new FrameBuffer(SchemaRegistry(Map.empty)).append(neg)
+    }
+    // undersized header_sz would overlap header and payload bytes
+    val shortHdr = CdcCodec.encodeFrame(TimeoutBeat(1L))
+    java.nio.ByteBuffer.wrap(shortHdr).putInt(0, 8)
+    intercept[IllegalArgumentException] {
+      new FrameBuffer(SchemaRegistry(Map.empty)).append(shortHdr)
+    }
+  }
+
   test("row image without a registered TABSCHEM raises") {
     val frame = CdcCodec.encodeRowFrame(CdcRecords.INSERT, schema, 1L, 1, 0,
       IndexedSeq.fill(schema.cols.length)(null))
