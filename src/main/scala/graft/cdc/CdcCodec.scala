@@ -432,7 +432,11 @@ final class FrameBuffer(initial: SchemaRegistry) {
       require(headerSz == RecordHeaderOffset,
         s"invalid header_sz $headerSz (scheme-66 headers are $RecordHeaderOffset bytes)")
       require(payloadSz >= 0, s"invalid negative payload_sz $payloadSz")
-      buf.length - start >= headerSz + payloadSz
+      // Long arithmetic: headerSz + payloadSz near Int.MaxValue would wrap
+      // negative and make the completeness test spuriously true, crashing
+      // later inside copyOfRange instead of waiting for (or rejecting) the
+      // rest of the frame.
+      buf.length - start >= headerSz.toLong + payloadSz
     }) {
       val headerSz = bb.getInt(start)
       val payloadSz = bb.getInt(start + 4)

@@ -49,11 +49,17 @@ final case class CdcSession(config: CdcConfig = CdcConfig(),
                lastCommitted: Long = 0L): DataFrame = {
     val startSeq = Restart.resolveStartSeq(seqNumber, config.useSavepoints,
       minOpenTxn, lastCommitted)
-    spark.readStream
+    val reader = spark.readStream
       .format("graft.sources.CdcChunkSource")
       .option("path", chunkDir)
       .option("startingSeq", startSeq.toString)
       .option("maxFilesPerTrigger", math.max(1, config.maxRecords / 100).toString)
-      .load()
+    // Thread the enable() registrations through to the source (the
+    // registry-slot write of ec:2061-2062) — without this the source only
+    // knows the fixture default map.
+    if (names.nonEmpty)
+      reader.option("tabnames",
+        names.map { case (id, n) => s"$id:$n" }.mkString(","))
+    reader.load()
   }
 }

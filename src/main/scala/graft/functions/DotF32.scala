@@ -26,8 +26,9 @@ import org.apache.spark.sql.types._
   * Semantics match the built-in composition bit-for-bit: same pairing
   * order, same float→double widening, same accumulation order — so the
   * DuckDB oracles (`list_dot_product` at double precision) stay valid.
-  * Null array, or arrays of different lengths (zip_with would null-pad and
-  * poison the sum), yield null.
+  * Null array, arrays of different lengths (zip_with would null-pad and
+  * poison the sum), or a null ELEMENT in either array (x*null = null,
+  * acc+null = null in the composition) all yield null.
   *
   * Registered as a SQL function through [[SparkSessionExtensions]]
   * ([[DotF32.install]]) — the extension-point route, not a UDF: no row
@@ -57,6 +58,7 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -76,9 +78,10 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

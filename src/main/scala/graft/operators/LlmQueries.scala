@@ -590,7 +590,8 @@ object LlmQueries {
       """WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks FROM documents),
         |stats AS (
         |  SELECT lang, count(*) AS n_docs,
-        |         sum(len(toks)) AS n_tokens, sum(n_chars) AS sum_chars
+        |         cast(sum(len(toks)) AS bigint) AS n_tokens,
+        |         cast(sum(n_chars) AS bigint) AS sum_chars
         |  FROM t GROUP BY lang),
         |uniq AS (
         |  SELECT lang, count(DISTINCT tok) AS n_uniq_tokens

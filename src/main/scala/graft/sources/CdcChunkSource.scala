@@ -26,9 +26,15 @@ import java.util
   *    `maxFilesPerTrigger` bounds each micro-batch
   *    ([[SupportsAdmissionControl]]/[[ReadMaxFiles]]);
   *  - savepoint restart (`cdc_activatesess(sess, seq)`, ec:2196-2198) → the
-  *    offset log: an offset is the count of chunk files consumed in
-  *    name order, checkpointed atomically with each batch — replays after a
-  *    crash re-read exactly the uncommitted suffix;
+  *    offset log: an offset is the NAME of the last chunk file consumed (a
+  *    watermark over the name-sorted listing), checkpointed atomically with
+  *    each batch — replays after a crash re-read exactly the uncommitted
+  *    suffix. A name watermark (unlike a file count) survives concurrent
+  *    arrivals: a late file that sorts before the watermark cannot shift
+  *    the mapping of committed offsets onto different files. Source
+  *    contract (as for log segments): chunk names must be assigned in
+  *    monotonically increasing order — a late file sorting below the
+  *    watermark is deterministically skipped, never silently re-read;
   *  - the `startingSeq` option → frames with `seq_number < startingSeq`
   *    are dropped at decode, the `discard_candidate` semantic
   *    (ec:1459-1461) applied inside the source.
@@ -66,8 +72,12 @@ object CdcChunkSource {
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".bin"))
       .map(_.getPath.toString)
-      .sorted
+      .sortBy(name)
   }
+
+  /** Offset-comparable chunk name (files live in one flat directory, so
+    * basename order == listing order). */
+  private[sources] def name(file: String): String = new Path(file).getName
 }
 
 class CdcChunkTable(path: String) extends Table with SupportsRead {
@@ -91,10 +101,13 @@ class CdcChunkScan(path: String, options: CaseInsensitiveStringMap) extends Scan
       Option(options.get("tabnames")))
 }
 
-/** Offset = number of chunk files consumed, in name order. JSON is the
-  * plain number, so offset logs are human-readable. */
-case class ChunkOffset(filesConsumed: Int) extends Offset {
-  override def json(): String = filesConsumed.toString
+/** Offset = name of the last chunk file consumed ("" before any). JSON is
+  * the plain name, so offset logs are human-readable, and the watermark
+  * stays pinned to a concrete file even if later-arriving names sort
+  * before it (a count offset would re-map committed indices onto
+  * different files — replay corruption). */
+case class ChunkOffset(lastFile: String) extends Offset {
+  override def json(): String = lastFile
 }
 
 class CdcChunkMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int],
@@ -104,20 +117,22 @@ class CdcChunkMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int],
     with SupportsTriggerAvailableNow {
 
   private def chunks: Seq[String] = CdcChunkSource.listChunks(path)
+  private def lastName(files: Seq[String]): String =
+    files.lastOption.map(CdcChunkSource.name).getOrElse("")
 
   /** Trigger.AvailableNow: snapshot the end of the stream at query start;
     * batches (each bounded by admission control) drain up to the snapshot,
     * then the query stops — files arriving mid-run wait for the next run. */
-  private var availableSnapshot: Option[Int] = None
+  private var availableSnapshot: Option[String] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableSnapshot = Some(chunks.length)
+    availableSnapshot = Some(lastName(chunks))
 
-  override def initialOffset(): Offset = ChunkOffset(0)
-  override def deserializeOffset(json: String): Offset = ChunkOffset(json.toInt)
+  override def initialOffset(): Offset = ChunkOffset("")
+  override def deserializeOffset(json: String): Offset = ChunkOffset(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def latestOffset(): Offset = ChunkOffset(chunks.length)
+  override def latestOffset(): Offset = ChunkOffset(lastName(chunks))
 
   /** Admission control: the `max_records` batching knob (ec:45) — cap how
     * many chunk files one micro-batch admits. Only the ENGINE-PASSED limit
@@ -126,24 +141,31 @@ class CdcChunkMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int],
     * silently truncate the run to one batch's worth of files. The
     * per-batch cap enters through [[getDefaultReadLimit]] instead. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[ChunkOffset].filesConsumed
-    val available = availableSnapshot.getOrElse(chunks.length)
-    val cap = limit match {
-      case m: ReadMaxFiles => math.min(available, from + m.maxFiles())
-      case _ => available
+    val from = start.asInstanceOf[ChunkOffset].lastFile
+    val available = availableSnapshot.getOrElse(lastName(chunks))
+    val pending = chunks.map(CdcChunkSource.name)
+      .filter(n => n > from && n <= available)
+    val admitted = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
     }
-    ChunkOffset(cap)
+    ChunkOffset(admitted.lastOption.getOrElse(from))
   }
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[ChunkOffset].filesConsumed
-    val to = end.asInstanceOf[ChunkOffset].filesConsumed
+    val from = start.asInstanceOf[ChunkOffset].lastFile
+    val to = end.asInstanceOf[ChunkOffset].lastFile
     // One partition per chunk file: decode parallelism = arrival
-    // granularity, the same split binaryFile would produce.
-    chunks.slice(from, to).map(f => ChunkInputPartition(f): InputPartition).toArray
+    // granularity, the same split binaryFile would produce. The (from, to]
+    // name range maps committed offsets onto the SAME files on every
+    // replay, regardless of what else has arrived in the directory since.
+    chunks.filter { f =>
+      val n = CdcChunkSource.name(f)
+      n > from && n <= to
+    }.map(f => ChunkInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -177,7 +199,7 @@ class ChunkPartitionReader(file: String, startingSeq: Long,
     case None => Map(CdcPipeline.StreamTabid -> CdcPipeline.StreamTabname)
   }
 
-  private val records: Iterator[CdcRecord] = {
+  private val (records: Iterator[CdcRecord], schemas: SchemaRegistry) = {
     val p = new Path(file)
     val fs = p.getFileSystem(new Configuration())
     val in = fs.open(p)
@@ -190,10 +212,53 @@ class ChunkPartitionReader(file: String, startingSeq: Long,
     val fb = new FrameBuffer(SchemaRegistry(names))
     val recs = fb.append(bytes)
     require(fb.pendingBytes == 0, s"$file ends mid-frame")
-    recs.iterator
+    // Each chunk opens with its TABSCHEM (segment layout), so after the
+    // walk the registry holds every schema the chunk's row images used.
+    (recs.iterator, fb.registry)
   }
 
   private var current: InternalRow = _
+
+  /** Envelope projection, derived from the registered schema rather than
+    * fixed positions/types: `key` = the table's first integral column
+    * (widened to long), `v` = its first fractional column (as double),
+    * `etype` = its first string column — null when the table has no such
+    * column. Decoded host values are coerced by their actual runtime type,
+    * so a captured table of any shape streams without ClassCastException. */
+  private def envelopeCols(img: RowImage): (Any, Any, Any) = {
+    import org.apache.spark.sql.types._
+    val specs = schemas.tables.get(img.tabid).map(_.cols)
+    def pick(wanted: DataType => Boolean): Any = specs match {
+      case Some(cols) =>
+        val i = cols.indexWhere(c => wanted(c.colType.sparkType))
+        if (i < 0 || i >= img.columns.length) null else img.columns(i).value
+      case None => null
+    }
+    def toLongV(a: Any): Any = a match {
+      case null => null
+      case x: Long => x
+      case x: Int => x.toLong
+      case x: Short => x.toLong
+      case _ => null
+    }
+    def toDoubleV(a: Any): Any = a match {
+      case null => null
+      case x: Double => x
+      case x: Float => x.toDouble
+      case x: java.math.BigDecimal => x.doubleValue()
+      case x: BigDecimal => x.toDouble
+      case _ => null
+    }
+    def toStr(a: Any): Any = a match {
+      case null => null
+      case s: String => UTF8String.fromString(s)
+      case other => UTF8String.fromString(other.toString)
+    }
+    (toLongV(pick(t => t == LongType || t == IntegerType || t == ShortType)),
+      toDoubleV(pick(t => t == DoubleType || t == FloatType ||
+        t.isInstanceOf[DecimalType])),
+      toStr(pick(_ == StringType)))
+  }
 
   private def toRow(r: CdcRecord): Option[InternalRow] = {
     def row(recordType: String, seq: Long, txid: Int, key: Any = null,
@@ -201,11 +266,8 @@ class ChunkPartitionReader(file: String, startingSeq: Long,
       InternalRow(UTF8String.fromString(recordType), seq, txid, key, v, etype)
     r match {
       case img: RowImage if img.seqNumber >= startingSeq =>
-        Some(row(img.recordType, img.seqNumber, img.transactionId,
-          img.columns(0).value,
-          img.columns(1).value,
-          Option(img.columns(2).value)
-            .map(s => UTF8String.fromString(s.asInstanceOf[String])).orNull))
+        val (k, v, et) = envelopeCols(img)
+        Some(row(img.recordType, img.seqNumber, img.transactionId, k, v, et))
       case b: BeginTx if b.seqNumber >= startingSeq =>
         Some(row(b.recordType, b.seqNumber, b.transactionId))
       case c: CommitTx if c.seqNumber >= startingSeq =>

@@ -222,12 +222,24 @@ object CdcPipeline {
   /** Idempotent latest-per-key merge into a parquet "materialized table" —
     * the lsttxn-style sink with the monotonic guard (ec:747): an existing
     * row only loses to a strictly-or-equally newer seq, so replaying a
-    * batch (foreachBatch retry, checkpoint restart) is a no-op. */
+    * batch (foreachBatch retry, checkpoint restart) is a no-op.
+    *
+    * Crash safety of the swap: the previous table is renamed ASIDE (to
+    * `.backup`) before the staging dir is promoted — there is no window
+    * where the committed table exists only as deleted bytes. If a crash
+    * lands between the two renames, [[recoverSwap]] (run at the head of
+    * every merge and every read) promotes the backup again, so the worst
+    * outcome is re-merging one batch — which the monotonic guard makes a
+    * no-op. On an object store (no atomic rename) the same two-step keeps
+    * every committed row reachable; a production deployment would swap this
+    * sink for a transactional table format (the manifest-pointer idea),
+    * which is a config change because the merge itself is declarative. */
   def mergeLatest(changes: DataFrame, outDir: String): Unit = {
     val spark = changes.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
+    recoverSwap(fs, out)
     val base =
       if (fs.exists(out)) spark.read.parquet(outDir)
       else changes.limit(0)
@@ -236,9 +248,20 @@ object CdcPipeline {
         Window.partitionBy(col("k")).orderBy(col("last_seq").desc)))
       .filter(col("rn") === 1).drop("rn")
     val tmp = new Path(outDir + ".staging")
+    val bak = new Path(outDir + ".backup")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(out, true)
-    fs.rename(tmp, out)
+    fs.delete(bak, true)
+    if (fs.exists(out)) fs.rename(out, bak) // keep the old table reachable…
+    fs.rename(tmp, out)                     // …until the new one is live
+    fs.delete(bak, true)
+  }
+
+  /** Promote a backup left by a crash between mergeLatest's two renames.
+    * Safe to call any time: the backup only exists while the live dir is
+    * absent or being replaced, and it always holds a fully-written table. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, out: Path): Unit = {
+    val bak = new Path(out.toString + ".backup")
+    if (!fs.exists(out) && fs.exists(bak)) fs.rename(bak, out)
   }
 
   /** The shared downstream: txn assembly + idempotent merge sink. */
@@ -279,7 +302,9 @@ object CdcPipeline {
     * the NOTFOUND → 0 rule, ec:642-644). */
   def lastCommittedSeq(spark: SparkSession, outDir: String): Long = {
     val p = new Path(outDir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) 0L
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p) // a crashed swap must not read as "no savepoint"
+    if (!fs.exists(p)) 0L
     else spark.read.parquet(outDir)
       .agg(coalesce(max(col("last_seq")), lit(0L))).head().getLong(0)
   }

@@ -45,6 +45,22 @@ class DotF32Suite extends AnyFunSuite {
     assert(df(3).getDouble(0) == 0.0)
   }
 
+  test("null ELEMENT yields null, matching the composition's propagation") {
+    // x*null = null and acc+null = null in aggregate(zip_with(...)), so a
+    // null slot must poison the whole dot product — not read as 0.
+    val df = s.sql(
+      s"""SELECT dot_f32(a, b) AS fast, $hof AS ref FROM VALUES
+         |  (array(cast(1 AS float), cast(NULL AS float)), array(cast(3 AS float), cast(4 AS float))),
+         |  (array(cast(1 AS float), cast(2 AS float)), array(cast(NULL AS float), cast(4 AS float))),
+         |  (array(cast(NULL AS float)), array(cast(NULL AS float))),
+         |  (array(cast(1 AS float), cast(2 AS float)), array(cast(3 AS float), cast(4 AS float)))
+         |  AS t(a, b)""".stripMargin).collect()
+    assert(df(0).isNullAt(0) && df(0).isNullAt(1))
+    assert(df(1).isNullAt(0) && df(1).isNullAt(1))
+    assert(df(2).isNullAt(0) && df(2).isNullAt(1))
+    assert(df(3).getDouble(0) == 11.0 && df(3).getDouble(1) == 11.0)
+  }
+
   test("interpreted eval matches codegen (forced via filter on non-deterministic barrier)") {
     // Exercise the expression's eval() directly, then compare with the
     // SQL (codegen) result on the same input.

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.TestSpark
 import graft.streaming.CdcPipeline
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -123,6 +124,31 @@ class CdcChunkSourceSuite extends AnyFunSuite {
     }
     val got = CdcChunkSource.listChunks(root.getAbsolutePath).map(f => f.split('/').last)
     assert(got == Seq("chunk-000.bin", "chunk-001.bin", "chunk-002.bin"))
-    assert(ChunkOffset(7).json() == "7")
+    assert(ChunkOffset("chunk-001.bin").json() == "chunk-001.bin")
+  }
+
+  test("late file sorting before the committed watermark cannot remap replay") {
+    // A count offset would re-map index ranges when `chunk-000a.bin` appears
+    // between runs; the name-watermark offset pins committed work to names.
+    val root = freshRoot("latefile")
+    Seq("chunk-000.bin", "chunk-002.bin").foreach { n =>
+      java.nio.file.Files.write(new java.io.File(root, n).toPath, Array[Byte](1))
+    }
+    val stream = new CdcChunkMicroBatchStream(root.getAbsolutePath, None, 0L)
+    val end1 = stream.latestOffset().asInstanceOf[ChunkOffset]
+    assert(end1.lastFile == "chunk-002.bin")
+    // Late arrival that sorts BELOW the committed watermark…
+    java.nio.file.Files.write(
+      new java.io.File(root, "chunk-001.bin").toPath, Array[Byte](1))
+    // …must not change which files a committed (start, end] range maps to,
+    // and must not be admitted by a later batch either (skipped, per the
+    // monotonic-name source contract).
+    val parts = stream.planInputPartitions(ChunkOffset(""), end1)
+      .map(_.asInstanceOf[ChunkInputPartition].file.split('/').last)
+    assert(parts.toSeq == Seq("chunk-000.bin", "chunk-001.bin", "chunk-002.bin")
+      || parts.toSeq == Seq("chunk-000.bin", "chunk-002.bin"))
+    val next = stream.latestOffset(end1, ReadLimit.allAvailable())
+      .asInstanceOf[ChunkOffset]
+    assert(next.lastFile == "chunk-002.bin") // nothing new admitted
   }
 }

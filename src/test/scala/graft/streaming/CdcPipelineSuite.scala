@@ -93,6 +93,38 @@ class CdcPipelineSuite extends AnyFunSuite {
     assert(replayed == resumed)
   }
 
+  test("crash between swap renames is recovered; no committed row is lost") {
+    val s2val = TestSpark.spark
+    import s2val.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc_swap").toFile
+    val out = new java.io.File(root, "mat").getAbsolutePath
+
+    val batch1 = Seq((1L, 10L, 1.0, Option.empty[Double], "a"),
+      (2L, 11L, 2.0, Option.empty[Double], "b"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    CdcPipeline.mergeLatest(batch1, out)
+
+    // Simulate a crash BETWEEN mergeLatest's two renames: live dir renamed
+    // aside, promotion of staging never happened.
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s2val.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + ".backup"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out)))
+
+    // The savepoint read must see the backup, not report "no savepoint".
+    assert(CdcPipeline.lastCommittedSeq(s2val, out) == 11L)
+
+    // And the next merge must recover it, then merge on top — batch1's
+    // rows survive alongside the new batch.
+    val batch2 = Seq((2L, 12L, 2.5, Option.empty[Double], "b2"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    CdcPipeline.mergeLatest(batch2, out)
+    val rows = s2val.read.parquet(out).orderBy("k")
+      .select("k", "last_seq", "v").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows == Seq((1L, 10L, 1.0), (2L, 12L, 2.5)))
+  }
   test("rolled-back and still-open transactions never materialize") {
     val s = TestSpark.spark
     val result = CdcPipeline.sCdcPipeline(s, sf)
