@@ -27,6 +27,7 @@ object SparkEntry {
       operators.CdcQueries.queries ++
       operators.LlmQueries.queries ++
       operators.CodecQueries.queries ++
+      operators.TemporalJoins.queries ++
       streaming.CdcPipeline.queries ++
       multimodal.MultimodalOps.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
       operators.CdcQueries.oracle ++
       operators.LlmQueries.oracle ++
       operators.CodecQueries.oracle ++
+      operators.TemporalJoins.oracle ++
       streaming.CdcPipeline.oracle ++
       multimodal.MultimodalOps.oracle
 }

@@ -58,83 +58,102 @@ object CdcCodec {
 
   // ------------------------------------------------------------ column codec
 
-  /** Encode one column value; returns (wire bytes, var-len array entry if
-    * the type is variable-length). */
-  private[cdc] def encodeColumn(spec: ColSpec, value: Any): (Array[Byte], Option[Int]) = {
-    val t = spec.colType
-    t match {
+  /** Write one FIXED-WIDTH column value into `bb` at its current position
+    * (var-length text goes through [[encodeRowPayload]]'s pre-encoded
+    * bytes). Hot path: no per-column allocation — one shared buffer per
+    * row, exactly the reference's write-into-the-frame discipline. */
+  private def writeFixedColumn(spec: ColSpec, value: Any, bb: ByteBuffer): Unit = {
+    spec.colType match {
       case ColType.Int2 =>
-        val v = if (value == null) NullInt2 else value.asInstanceOf[Short]
-        (ByteBuffer.allocate(2).putShort(v).array(), None)
+        bb.putShort(if (value == null) NullInt2 else value.asInstanceOf[Short])
       case ColType.Int4 =>
-        val v = if (value == null) NullInt4 else value.asInstanceOf[Int]
-        (ByteBuffer.allocate(4).putInt(v).array(), None)
+        bb.putInt(if (value == null) NullInt4 else value.asInstanceOf[Int])
       case ColType.Bigint =>
-        val v = if (value == null) NullInt8 else value.asInstanceOf[Long]
-        (ByteBuffer.allocate(8).putLong(v).array(), None)
+        bb.putLong(if (value == null) NullInt8 else value.asInstanceOf[Long])
       case ColType.Int8 =>
-        val b = ByteBuffer.allocate(10)
-        if (value == null) { b.putShort(NullSign); b.putInt(0); b.putInt(0) }
+        if (value == null) { bb.putShort(NullSign); bb.putInt(0); bb.putInt(0) }
         else {
           val v = value.asInstanceOf[Long]
           val mag = math.abs(v)
-          b.putShort(if (v < 0) -1 else 1)
-          b.putInt((mag & 0xffffffffL).toInt)         // lo at +2 (ec:820)
-          b.putInt((mag >>> 32).toInt)                // hi at +6 (ec:821)
+          bb.putShort(if (v < 0) -1 else 1)
+          bb.putInt((mag & 0xffffffffL).toInt)         // lo at +2 (ec:820)
+          bb.putInt((mag >>> 32).toInt)                // hi at +6 (ec:821)
         }
-        (b.array(), None)
       case ColType.DateDay =>
-        val v = if (value == null) NullInt4
-          else (localDateOf(value).toEpochDay - DateEpoch).toInt
-        (ByteBuffer.allocate(4).putInt(v).array(), None)
+        bb.putInt(if (value == null) NullInt4
+          else (localDateOf(value).toEpochDay - DateEpoch).toInt)
       case ColType.Bool =>
-        val b = new Array[Byte](2)
-        if (value == null) b(0) = 1
-        else b(1) = if (value.asInstanceOf[Boolean]) 1 else 0
-        (b, None)
+        if (value == null) { bb.put(1.toByte); bb.put(0.toByte) }
+        else { bb.put(0.toByte)
+          bb.put(if (value.asInstanceOf[Boolean]) 1.toByte else 0.toByte) }
       case ColType.Float8 =>
-        if (value == null) (Array.fill[Byte](8)(-1), None)
-        else (ByteBuffer.allocate(8).putDouble(value.asInstanceOf[Double]).array(), None)
+        if (value == null) bb.putLong(-1L)
+        else bb.putDouble(value.asInstanceOf[Double])
       case ColType.Float4 =>
-        if (value == null) (Array.fill[Byte](4)(-1), None)
-        else (ByteBuffer.allocate(4).putFloat(value.asInstanceOf[Float]).array(), None)
+        if (value == null) bb.putInt(-1)
+        else bb.putFloat(value.asInstanceOf[Float])
       case ColType.Char(n) =>
-        val b = Array.fill[Byte](n)(' ')
-        if (value == null) b(0) = 0
-        else {
+        val start = bb.position()
+        if (value == null) {
+          bb.put(0.toByte)
+          var i = 1
+          while (i < n) { bb.put(' '.toByte); i += 1 }
+        } else {
           val raw = value.asInstanceOf[String].getBytes(UTF_8)
           require(raw.length <= n, s"CHAR($n) overflow for ${spec.name}")
-          System.arraycopy(raw, 0, b, 0, raw.length)
+          bb.put(raw)
+          var i = raw.length
+          while (i < n) { bb.put(' '.toByte); i += 1 }
         }
-        (b, None)
-      case v: ColType.Varchar.type => encodeVarText(value, v.prefix)
-      case v: ColType.Lvarchar.type => encodeVarText(value, v.prefix)
+        assert(bb.position() == start + n)
       case ColType.Dec(p, s) =>
-        val out = new Array[Byte](1 + (p + 1) / 2)
-        if (value != null) {
+        val start = bb.position()
+        val nBytes = (p + 1) / 2
+        if (value == null) {
+          var i = 0
+          while (i <= nBytes) { bb.put(0.toByte); i += 1 }
+        } else {
           val bd = value.asInstanceOf[java.math.BigDecimal].setScale(s)
-          out(0) = if (bd.signum() < 0) 2 else 1
-          packDigits(bd.abs.unscaledValue().toString, p, out, 1)
+          bb.put(if (bd.signum() < 0) 2.toByte else 1.toByte)
+          packDigits(bd.abs.unscaledValue().toString, p, bb.array(),
+            bb.arrayOffset() + bb.position())
+          bb.position(bb.position() + nBytes)
         }
-        (out, None)
+        assert(bb.position() == start + 1 + nBytes)
       case ColType.DTime =>
-        val out = new Array[Byte](11)
-        if (value != null) {
+        if (value == null) {
+          var i = 0
+          while (i < 11) { bb.put(0.toByte); i += 1 }
+        } else {
           val ldt = localDateTimeOf(value)
-          out(0) = 1
+          bb.put(1.toByte)
           // Digit pairs packed directly (no string formatting — hot path).
           def bcd(v: Int): Byte = (((v / 10) << 4) | (v % 10)).toByte
           val y = ldt.getYear
-          out(1) = bcd(y / 100); out(2) = bcd(y % 100)
-          out(3) = bcd(ldt.getMonthValue); out(4) = bcd(ldt.getDayOfMonth)
-          out(5) = bcd(ldt.getHour); out(6) = bcd(ldt.getMinute)
-          out(7) = bcd(ldt.getSecond)
+          bb.put(bcd(y / 100)); bb.put(bcd(y % 100))
+          bb.put(bcd(ldt.getMonthValue)); bb.put(bcd(ldt.getDayOfMonth))
+          bb.put(bcd(ldt.getHour)); bb.put(bcd(ldt.getMinute))
+          bb.put(bcd(ldt.getSecond))
           val us = ldt.getNano / 1000
-          out(8) = bcd(us / 10000); out(9) = bcd(us / 100 % 100); out(10) = bcd(us % 100)
+          bb.put(bcd(us / 10000)); bb.put(bcd(us / 100 % 100)); bb.put(bcd(us % 100))
         }
-        (out, None)
+      case _: ColType.Varchar.type | _: ColType.Lvarchar.type =>
+        throw new IllegalStateException("var-length columns are pre-encoded")
     }
   }
+
+  /** Encode one column value; returns (wire bytes, var-len array entry if
+    * the type is variable-length). Spec-test surface — the row hot path
+    * writes into a shared buffer via [[writeFixedColumn]] instead. */
+  private[cdc] def encodeColumn(spec: ColSpec, value: Any): (Array[Byte], Option[Int]) =
+    spec.colType match {
+      case v: ColType.Varchar.type => encodeVarText(value, v.prefix)
+      case v: ColType.Lvarchar.type => encodeVarText(value, v.prefix)
+      case t =>
+        val bb = ByteBuffer.allocate(t.wireSize)
+        writeFixedColumn(spec, value, bb)
+        (bb.array(), None)
+    }
 
   /** Accept every host representation Spark hands out for DATE — the
     * decoded value is always `java.sql.Date` (UTC wall-clock). */
@@ -187,10 +206,18 @@ object CdcCodec {
   }
 
   /** Decode one column (extract_column_to_dict, ec:783-1161); returns
-    * (value-or-null, bytes consumed from the column area, var entries used). */
+    * (value-or-null, bytes consumed from the column area, var entries used).
+    * Spec-test surface — the row hot path shares one wrapped buffer. */
   private[cdc] def decodeColumn(spec: ColSpec, bytes: Array[Byte], off: Int,
-                                varLens: IndexedSeq[Int], varIdx: Int): (Any, Int, Int) = {
-    val buf = ByteBuffer.wrap(bytes)
+                                varLens: IndexedSeq[Int], varIdx: Int): (Any, Int, Int) =
+    decodeColumnBuf(spec, bytes, ByteBuffer.wrap(bytes), off,
+      if (varLens.isEmpty) EmptyVarLens else varLens.toArray, varIdx)
+
+  private val EmptyVarLens = Array.emptyIntArray
+
+  private def decodeColumnBuf(spec: ColSpec, bytes: Array[Byte], buf: ByteBuffer,
+                              off: Int, varLens: Array[Int],
+                              varIdx: Int): (Any, Int, Int) = {
     spec.colType match {
       case ColType.Int2 =>
         val v = buf.getShort(off)
@@ -258,23 +285,64 @@ object CdcCodec {
   // --------------------------------------------------------------- row codec
 
   /** Encode a row image payload: change header + var-len array + columns
-    * (layout per ec:1183-1207). `values` in declared column order. */
+    * (layout per ec:1183-1207). `values` in declared column order.
+    *
+    * Hot path (the streaming fixture recorder and `q_cdc_roundtrip` run
+    * this once per change): one size pass, one allocation, direct writes —
+    * only var-length text pre-encodes its UTF-8 bytes (needed for the
+    * length array that precedes the column area). */
   def encodeRowPayload(schema: TableSchema, seq: Long, txid: Int, flags: Int,
                        values: IndexedSeq[Any]): Array[Byte] = {
-    require(values.length == schema.cols.length,
-      s"${schema.tabname}: ${values.length} values for ${schema.cols.length} columns")
-    val encoded = schema.cols.zip(values).map { case (c, v) => encodeColumn(c, v) }
-    val varLens = encoded.flatMap(_._2)
-    val bb = ByteBuffer.allocate(ChangeHeaderSz + 4 * varLens.length +
-      encoded.iterator.map(_._1.length).sum)
+    val n = schema.cols.length
+    require(values.length == n,
+      s"${schema.tabname}: ${values.length} values for $n columns")
+    val varData = new Array[Array[Byte]](n)   // null ⇒ fixed-width column
+    val varPrefix = new Array[Int](n)
+    var colBytes = 0
+    var nVar = 0
+    var i = 0
+    while (i < n) {
+      schema.cols(i).colType match {
+        case v: ColType.Varchar.type =>
+          val d = varTextBytes(values(i))
+          varData(i) = d; varPrefix(i) = v.prefix; nVar += 1
+          colBytes += v.prefix + d.length
+        case v: ColType.Lvarchar.type =>
+          val d = varTextBytes(values(i))
+          varData(i) = d; varPrefix(i) = v.prefix; nVar += 1
+          colBytes += v.prefix + d.length
+        case t => colBytes += t.wireSize
+      }
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(ChangeHeaderSz + 4 * nVar + colBytes)
     bb.putLong(seq).putInt(txid).putInt(schema.tabid).putInt(flags)
-    varLens.foreach(bb.putInt)
-    encoded.foreach { case (b, _) => bb.put(b) }
+    i = 0
+    while (i < n) {                            // var-len length array
+      if (varData(i) != null) bb.putInt(varPrefix(i) + varData(i).length)
+      i += 1
+    }
+    i = 0
+    while (i < n) {                            // column area
+      if (varData(i) != null) {
+        var p = 0
+        while (p < varPrefix(i)) { bb.put(0.toByte); p += 1 }
+        bb.put(varData(i))
+      } else writeFixedColumn(schema.cols(i), values(i), bb)
+      i += 1
+    }
     bb.array()
   }
 
+  /** Var-length text data bytes; null encodes as one 0x00 sentinel byte. */
+  private def varTextBytes(value: Any): Array[Byte] =
+    if (value == null) NullVarText
+    else value.asInstanceOf[String].getBytes(UTF_8)
+  private val NullVarText = Array[Byte](0)
+
   /** Decode a row image payload with the registered schema
-    * (extract_columns_to_list + extract_iud, ec:1163-1304). */
+    * (extract_columns_to_list + extract_iud, ec:1163-1304). One buffer
+    * wrap per row; the column walk reads at absolute offsets. */
   def decodeRowPayload(recordNumber: Int, payload: Array[Byte],
                        registry: SchemaRegistry): RowImage = {
     val buf = ByteBuffer.wrap(payload)
@@ -283,17 +351,28 @@ object CdcCodec {
     val tabid = buf.getInt(12)
     val flags = buf.getInt(16)
     val schema = registry(tabid)
-    val varLens = (0 until schema.numVarCols)
-      .map(i => buf.getInt(ChangeHeaderSz + 4 * i))
-    var off = ChangeHeaderSz + 4 * schema.numVarCols
+    val nVar = schema.numVarCols
+    val varLens = if (nVar == 0) EmptyVarLens else {
+      val a = new Array[Int](nVar)
+      var i = 0
+      while (i < nVar) { a(i) = buf.getInt(ChangeHeaderSz + 4 * i); i += 1 }
+      a
+    }
+    var off = ChangeHeaderSz + 4 * nVar
     var varIdx = 0
-    val cols = schema.cols.map { spec =>
-      val (v, adv, varUsed) = decodeColumn(spec, payload, off, varLens, varIdx)
+    val n = schema.cols.length
+    val cols = new Array[ColValue](n)
+    var c = 0
+    while (c < n) {
+      val spec = schema.cols(c)
+      val (v, adv, varUsed) = decodeColumnBuf(spec, payload, buf, off, varLens, varIdx)
       off += adv
       varIdx += varUsed
-      ColValue(spec.name, v)
+      cols(c) = ColValue(spec.name, v)
+      c += 1
     }
-    RowImage(recordNumber, seq, txid, tabid, flags, cols)
+    RowImage(recordNumber, seq, txid, tabid, flags,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cols))
   }
 
   // ------------------------------------------------------------ record codec

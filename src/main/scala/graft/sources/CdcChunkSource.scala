@@ -276,8 +276,13 @@ class ChunkPartitionReader(file: String, startingSeq: Long,
         Some(row(rb.recordType, rb.seqNumber, rb.transactionId))
       case d: DiscardTx if d.seqNumber >= startingSeq =>
         Some(row(d.recordType, d.seqNumber, d.transactionId))
-      case _ => None // TABSCHEM consumed by the registry; TIMEOUT advances
-                     // progress by the batch itself; below-start dropped
+      case t: TimeoutBeat =>
+        // Heartbeats surface as envelope rows (txid 0, no image): they
+        // carry the stream position (ec:1403-1428) so an event-time
+        // watermark can advance without data. Never start-seq-filtered —
+        // a heartbeat is progress, not history.
+        Some(row(t.recordType, t.seqNumber, 0))
+      case _ => None // TABSCHEM consumed by the registry; below-start dropped
     }
   }
 

@@ -107,6 +107,7 @@ object CdcPipeline {
       .collect()
 
     val chunks = Array.fill(numChunks)(new java.io.ByteArrayOutputStream())
+    val chunkMaxSeq = new Array[Long](numChunks)
     chunks.foreach { out =>
       out.write(CdcCodec.encodeFrame(TabSchema(StreamTabid, 0,
         8 + 8, 2, 1, StreamDdl)))
@@ -138,10 +139,18 @@ object CdcPipeline {
           if (txid % 13 == 5) CdcCodec.encodeFrame(RollbackTx(seqs.max + 1, txid))
           else CdcCodec.encodeFrame(CommitTx(seqs.max + 1, txid, commitTime = seqs.max))
         chunks(terminalChunk).write(terminal)
+        chunkMaxSeq(chunk) = math.max(chunkMaxSeq(chunk), seqs.max + 1)
+        chunkMaxSeq(terminalChunk) = math.max(chunkMaxSeq(terminalChunk), seqs.max + 1)
       }
+    // Per-chunk TIMEOUT heartbeat carrying the chunk's high-water LSN —
+    // the reference's semantics (seq = current stream position,
+    // ec:1403-1428), which lets a watermark advance without data. The last
+    // chunk closes with a beat well past the log tail so every pending
+    // event-time window can flush at end of stream.
     chunks.zipWithIndex.foreach { case (out, i) =>
-      out.write(CdcCodec.encodeFrame(TimeoutBeat(Long.MaxValue)))
+      out.write(CdcCodec.encodeFrame(TimeoutBeat(chunkMaxSeq(i))))
     }
+    chunks.last.write(CdcCodec.encodeFrame(TimeoutBeat(chunkMaxSeq.max + 10000000L)))
 
     val dir = new java.io.File(outDir)
     dir.mkdirs()
@@ -264,11 +273,14 @@ object CdcPipeline {
     if (!fs.exists(out) && fs.exists(bak)) fs.rename(bak, out)
   }
 
-  /** The shared downstream: txn assembly + idempotent merge sink. */
+  /** The shared downstream: txn assembly + idempotent merge sink.
+    * Heartbeats (V2 source) advance source progress but carry no change —
+    * drop them before keying state, or txid 0 accrues an empty buffer. */
   private def runPipeline(envelopes: Dataset[Envelope], checkpointDir: String,
                           outDir: String) = {
     import envelopes.sparkSession.implicits._
     val committed = envelopes
+      .filter(_.recordType != "CDC_REC_TIMEOUT")
       .groupByKey(_.txid)
       .flatMapGroupsWithState[TxnBuf, Committed](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(assemble)
@@ -342,6 +354,74 @@ object CdcPipeline {
     runPipeline(reader.load().as[Envelope], checkpointDir, outDir)
   }
 
+  /** Streaming windowed aggregation with a watermark over the CDC stream
+    * (`s_commit_windows`): commits per 1 ms event-time window, event time
+    * derived from the LSN (`timestamp_micros(seq)` — the log's total order
+    * IS the stream's clock). The watermark advances on every envelope
+    * INCLUDING heartbeats — the reference's TIMEOUT semantic (progress
+    * without data, ec:1403-1428): each chunk's closing beat carries its
+    * high-water LSN, and the fixture's final beat sits past the log tail,
+    * flushing every pending window in the eviction batch. Append mode +
+    * the file sink give exactly-once window emission under restart (same
+    * checkpoint machinery as the merge pipeline).
+    *
+    * Scale: one shuffle on the window key with partial aggregation
+    * upstream; state holds only open windows (bounded by watermark lag),
+    * not the stream. */
+  def commitWindows(spark: SparkSession, chunkDir: String,
+                    checkpointDir: String, outDir: String) = {
+    val env = spark.readStream
+      .format("graft.sources.CdcChunkSource")
+      .option("path", chunkDir)
+      .option("maxFilesPerTrigger", "3")
+      .load()
+    // Conditional aggregates instead of a pre-filter: a `filter(recordType
+    // = COMMTX)` above the watermark gets PUSHED BELOW EventTimeWatermark
+    // by Catalyst (the predicate doesn't touch the event-time column), and
+    // then heartbeats never reach the max-event-time tracker — exactly the
+    // progress signal they exist to provide. Aggregating every envelope
+    // row and dropping empty windows AFTER the agg keeps the plan
+    // un-pushable and the watermark heartbeat-driven.
+    val isCommit = col("recordType") === "CDC_REC_COMMTX"
+    env
+      .select(col("recordType"), col("seq"),
+        timestamp_micros(col("seq")).as("ts"))
+      .withWatermark("ts", "1 millisecond")
+      .groupBy(window(col("ts"), "1 millisecond"))
+      .agg(sum(when(isCommit, 1L).otherwise(0L)).as("n_commits"),
+        min(when(isCommit, col("seq"))).as("min_seq"),
+        max(when(isCommit, col("seq"))).as("max_seq"))
+      .filter(col("n_commits") > 0)
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_commits"), col("min_seq"), col("max_seq"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Driver-checked: run [[commitWindows]] over a globally LSN-ordered
+    * fixture (the real transaction-log shape — the monotonic-watermark
+    * precondition) and return the emitted windows. */
+  def sCommitWindows(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"/tmp/graft_stream_win/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val chunkDir = new java.io.File(root, "chunks")
+    recordFixture(s, d, chunkDir.getAbsolutePath, ordered = true)
+    val ck = new java.io.File(root, "checkpoint").getAbsolutePath
+    val out = new java.io.File(root, "windows").getAbsolutePath
+    commitWindows(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    s.read.parquet(out).orderBy(col("win_start_us"))
+  }
+
   /** The driver-checked entry: record the fixture, run the pipeline to
     * completion from a clean checkpoint, return the materialized table.
     * The DuckDB oracle recomputes the same result relationally from
@@ -370,7 +450,8 @@ object CdcPipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_cdc_pipeline" -> (sCdcPipeline _)
+    "s_cdc_pipeline" -> (sCdcPipeline _),
+    "s_commit_windows" -> (sCommitWindows _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +467,17 @@ object CdcPipeline {
         |FROM keep
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |                           ORDER BY event_id DESC) = 1
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+    "s_commit_windows" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(event_id // 20 AS integer) AS txid FROM events),
+        |tx AS (
+        |  SELECT txid, max(event_id * 4 + 2) + 1 AS commit_seq
+        |  FROM ev GROUP BY txid),
+        |c AS (SELECT commit_seq FROM tx WHERE txid % 13 != 5)
+        |SELECT (commit_seq // 1000) * 1000 AS win_start_us,
+        |       count(*) AS n_commits,
+        |       min(commit_seq) AS min_seq, max(commit_seq) AS max_seq
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.{Session, Tables}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc phase profiler for the bench outliers (not driver-run): times
+  * isolated slices of a query so optimization targets the real cost, not
+  * the first guess. Usage: `runMain graft.tools.Profile <sfDir>`. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.build(s"local[$cpus]", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"PROFILE $name%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warm-up
+    noop(Tables.lineitem(spark, sf).limit(1000))
+
+    time("scan_only") { noop(Tables.lineitem(spark, sf)) }
+    time("scan_spread") { noop(Tables.spread(spark, Tables.lineitem(spark, sf))) }
+
+    val q = graft.SparkEntry.queries("q_cdc_roundtrip")
+    time("roundtrip_full_1") { noop(q(spark, sf)) }
+    time("roundtrip_full_2") { noop(q(spark, sf)) }
+
+    // The same query minus the final sort:
+    time("roundtrip_nosort") {
+      noop(q(spark, sf).sortWithinPartitions("seq_number"))
+    }
+    spark.stop()
+  }
+}

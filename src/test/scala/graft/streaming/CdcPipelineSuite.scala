@@ -125,6 +125,40 @@ class CdcPipelineSuite extends AnyFunSuite {
         (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows == Seq((1L, 10L, 1.0), (2L, 12L, 2.5)))
   }
+  test("commit windows: watermark flushes every window via heartbeats; " +
+      "late commits in a non-monotonic stream are dropped, not corrupted") {
+    val s = TestSpark.spark
+    // Ordered stream (the real log shape): every commit lands in a window
+    // and the closing heartbeat — event-time progress with NO data past
+    // the tail — flushes the final windows. Totals must equal the batch
+    // count of committed transactions.
+    val ordered = CdcPipeline.sCommitWindows(s, sf).collect()
+    val committedTxns = Tables.events(s, sf)
+      .select((col("event_id") / 20).cast("int").as("txid"))
+      .filter(col("txid") % 13 =!= 5).distinct().count()
+    assert(ordered.map(_.getLong(1)).sum == committedTxns)
+    assert(ordered.nonEmpty)
+
+    // Non-monotonic stream: chunk k+1 can carry seqs BELOW chunk k's
+    // heartbeat, so some commits arrive behind the watermark. Append-mode
+    // semantics: those are dropped — emitted windows stay a subset of the
+    // ordered run's, never double-counted or corrupted.
+    val root = java.nio.file.Files.createTempDirectory("cdc_win_unord").toFile
+    val chunks = new java.io.File(root, "chunks").getAbsolutePath
+    CdcPipeline.recordFixture(s, sf, chunks, ordered = false)
+    CdcPipeline.commitWindows(s, chunks,
+      new java.io.File(root, "ck").getAbsolutePath,
+      new java.io.File(root, "win").getAbsolutePath).awaitTermination()
+    val unordered = s.read.parquet(new java.io.File(root, "win").getAbsolutePath)
+      .collect()
+    val byStart = ordered.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    unordered.foreach { r =>
+      assert(byStart.contains(r.getLong(0)))
+      assert(r.getLong(1) <= byStart(r.getLong(0)))
+    }
+    assert(unordered.map(_.getLong(1)).sum <= committedTxns)
+  }
+
   test("rolled-back and still-open transactions never materialize") {
     val s = TestSpark.spark
     val result = CdcPipeline.sCdcPipeline(s, sf)
