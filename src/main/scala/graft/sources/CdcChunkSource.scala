@@ -276,6 +276,8 @@ class ChunkPartitionReader(file: String, startingSeq: Long,
         Some(row(rb.recordType, rb.seqNumber, rb.transactionId))
       case d: DiscardTx if d.seqNumber >= startingSeq =>
         Some(row(d.recordType, d.seqNumber, d.transactionId))
+      case t: TruncateTab if t.seqNumber >= startingSeq =>
+        Some(row(t.recordType, t.seqNumber, t.transactionId))
       case t: TimeoutBeat =>
         // Heartbeats surface as envelope rows (txid 0, no image): they
         // carry the stream position (ec:1403-1428) so an event-time

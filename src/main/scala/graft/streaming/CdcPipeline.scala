@@ -63,14 +63,31 @@ object CdcPipeline {
   final case class Image(seq: Long, key: Long, v: Double, etype: String,
                          kind: String)
 
-  /** Open-transaction state: buffered images + terminal markers seen. */
+  /** Open-transaction state: buffered images + terminal markers seen.
+    * `truncSeq` is the highest in-transaction TRUNCATE position
+    * (ec:1657-1720) — applied only if the transaction commits. */
   final case class TxnBuf(images: List[Image], commitSeq: Option[Long],
-                          rolledBack: Boolean, discardAfter: Option[Long])
+                          rolledBack: Boolean, discardAfter: Option[Long],
+                          truncSeq: Option[Long] = None)
 
   /** A committed change ready for materialization; `old_v` is the paired
-    * before-image value for updates (null for inserts). */
+    * before-image value for updates (null for inserts). `op` is the
+    * materialization verb:
+    *  - `upsert` — INSERT/UPDAFT image; latest per key wins;
+    *  - `delete` — DELETE image (full before-image, rec 41): a TOMBSTONE.
+    *    Kept in the table (not physically dropped) so a lower-LSN upsert
+    *    arriving in a later batch of a non-monotonic stream cannot
+    *    resurrect the key; reads filter tombstones out;
+    *  - `truncate` — table-level wipe at `last_seq` (rec 119): stored on
+    *    the [[TruncateKey]] sentinel as the truncate high-water mark, so
+    *    later batches keep dropping rows at or below it. */
   final case class Committed(k: Long, last_seq: Long, v: Double,
-                             old_v: Option[Double], etype: String)
+                             old_v: Option[Double], etype: String,
+                             op: String = "upsert")
+
+  /** Sentinel key holding the truncate high-water row in the materialized
+    * table (real keys are non-negative in every fixture and capture). */
+  val TruncateKey: Long = Long.MinValue
 
   // ------------------------------------------------------------- fixture
 
@@ -181,6 +198,7 @@ object CdcPipeline {
       case r: CommitTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
       case r: RollbackTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
       case r: DiscardTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
+      case r: TruncateTab => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
     }
   }
 
@@ -199,13 +217,15 @@ object CdcPipeline {
     var buf = state.getOption.getOrElse(TxnBuf(Nil, None, rolledBack = false, None))
     records.foreach { r =>
       r.recordType match {
-        case t @ ("CDC_REC_INSERT" | "CDC_REC_UPDAFT" | "CDC_REC_UPDBEF") =>
+        case t @ ("CDC_REC_INSERT" | "CDC_REC_UPDAFT" | "CDC_REC_UPDBEF" |
+                  "CDC_REC_DELETE") =>
           buf = buf.copy(images =
             Image(r.seq, r.key.get, r.v.get, r.etype.get, t) :: buf.images)
-        case "CDC_REC_DELETE" => // full before-image; nothing to materialize
         case "CDC_REC_COMMTX" => buf = buf.copy(commitSeq = Some(r.seq))
         case "CDC_REC_RBTX" => buf = buf.copy(rolledBack = true)
         case "CDC_REC_DISCARD" => buf = buf.copy(discardAfter = Some(r.seq))
+        case "CDC_REC_TRUNCATE" =>
+          buf = buf.copy(truncSeq = Some(buf.truncSeq.fold(r.seq)(math.max(_, r.seq))))
         case _ => // BEGIN opens the buffer; nothing to record beyond its existence
       }
     }
@@ -215,13 +235,18 @@ object CdcPipeline {
     } else if (buf.commitSeq.isDefined) {
       state.remove() // delete_opntxns + upsert_lsttxn on COMMIT (ec:2269-2299)
       val kept = buf.discardAfter.fold(buf.images)(d => buf.images.filter(_.seq <= d))
-      val bySeq = kept.sortBy(_.seq)
+      // An in-transaction TRUNCATE wipes the txn's own earlier images too.
+      val surviving = buf.truncSeq.fold(kept)(t => kept.filter(_.seq > t))
+      val bySeq = surviving.sortBy(_.seq)
       val befores = bySeq.iterator
         .filter(_.kind == "CDC_REC_UPDBEF").map(i => (i.seq, i.key) -> i.v).toMap
-      bySeq.iterator
+      val marker = buf.truncSeq.iterator
+        .map(t => Committed(TruncateKey, t, 0.0, None, "", op = "truncate"))
+      marker ++ bySeq.iterator
         .filter(_.kind != "CDC_REC_UPDBEF")
         .map(i => Committed(i.key, i.seq, i.v,
-          befores.get((i.seq - 1, i.key)), i.etype))
+          befores.get((i.seq - 1, i.key)), i.etype,
+          op = if (i.kind == "CDC_REC_DELETE") "delete" else "upsert"))
     } else {
       state.update(buf) // upsert_opntxns: still open (ec:663-700)
       Iterator.empty
@@ -249,10 +274,27 @@ object CdcPipeline {
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
     recoverSwap(fs, out)
+    // Accept op-less frames (plain upsert streams) for compatibility.
+    val withOp =
+      if (changes.columns.contains("op")) changes
+      else changes.withColumn("op", lit("upsert"))
     val base =
       if (fs.exists(out)) spark.read.parquet(outDir)
-      else changes.limit(0)
-    val merged = base.unionByName(changes)
+      else withOp.limit(0)
+    val all = base.unionByName(withOp)
+    // Truncate high-water: every non-marker row at or below the highest
+    // TRUNCATE position is wiped — including rows from earlier batches
+    // (the persisted marker row on TruncateKey carries T forward) and
+    // lower-LSN rows that arrive in LATER batches of a non-monotonic
+    // stream. Delete tombstones stay in the table for the same reason:
+    // a stale upsert must lose to them in the window, not resurrect.
+    val truncT = all.filter(col("op") === "truncate")
+      .agg(max(col("last_seq"))).head().get(0)
+    val current = truncT match {
+      case null => all
+      case t => all.filter(col("op") === "truncate" || col("last_seq") > t.asInstanceOf[Long])
+    }
+    val merged = current
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("k")).orderBy(col("last_seq").desc)))
       .filter(col("rn") === 1).drop("rn")
@@ -271,6 +313,15 @@ object CdcPipeline {
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, out: Path): Unit = {
     val bak = new Path(out.toString + ".backup")
     if (!fs.exists(out) && fs.exists(bak)) fs.rename(bak, out)
+  }
+
+  /** Read the materialized table as its USERS see it: live rows only —
+    * delete tombstones and the truncate high-water marker are sink
+    * bookkeeping ([[Committed]] docs), not data. */
+  def readMaterialized(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(outDir)
+    if (df.columns.contains("op")) df.filter(col("op") === "upsert").drop("op")
+    else df
   }
 
   /** The shared downstream: txn assembly + idempotent merge sink.
@@ -444,7 +495,7 @@ object CdcPipeline {
     val q = startV2(s, chunkDir.getAbsolutePath, checkpoint.getAbsolutePath,
       outDir.getAbsolutePath)
     q.awaitTermination()
-    s.read.parquet(outDir.getAbsolutePath)
+    readMaterialized(s, outDir.getAbsolutePath)
       .select(col("k"), col("last_seq"), col("v"), col("old_v"), col("etype"))
       .orderBy(col("k"))
   }
