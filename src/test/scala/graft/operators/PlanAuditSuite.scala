@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit as executable assertions (SURVEY §7.1a): the scale
+  * properties the engine is designed around — projection/predicate
+  * pushdown reaching the parquet scan, broadcast joins only on bounded
+  * dims, TakeOrderedAndProject for top-k instead of a global sort — must
+  * survive refactors, so they are pinned here rather than only checked by
+  * eye via `graft.tools.Explain`. */
+class PlanAuditSuite extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_project prunes the scan to the projected columns") {
+    val p = plan("q_scan_project")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("event_id") && read.contains("user_id")
+      && read.contains("event_type"), read)
+    // value/props/ts must NOT be read — a scan of all 6 columns for a
+    // 3-column projection is the anti-pattern the audit exists to catch.
+    assert(!read.contains("value") && !read.contains("props")
+      && !read.contains("ts"), read)
+  }
+
+  test("q_filter_seq pushes the seq predicate into the scan") {
+    val p = plan("q_filter_seq")
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("event_id"), s"no pushed filter on event_id: $pushed")
+  }
+
+  test("q_lookup_join broadcasts the bounded dimension") {
+    assert(plan("q_lookup_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk_seq is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_seq")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q_cosine_topk scores with the native dot_f32 kernel, not " +
+      "interpreted higher-order lambdas") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("dot_f32"))
+    // aggregate(zip_with(...)) would appear as ArrayAggregate/ZipWith and
+    // break whole-stage codegen around the scoring projection.
+    assert(!p.contains("aggregate(") && !p.contains("zip_with"), p)
+    // top-k over the scored stream, never a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

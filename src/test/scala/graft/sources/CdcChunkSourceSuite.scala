@@ -46,7 +46,7 @@ class CdcChunkSourceSuite extends AnyFunSuite {
     val root = freshRoot("restart")
     val staged = new java.io.File(root, "all")
     CdcPipeline.recordFixture(s, sf, staged.getAbsolutePath)
-    val all = staged.listFiles().sortBy(_.getName)
+    val all = staged.listFiles().filter(_.getName.endsWith(".bin")).sortBy(_.getName)
     val live = new java.io.File(root, "chunks")
     live.mkdirs()
     def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
@@ -90,7 +90,7 @@ class CdcChunkSourceSuite extends AnyFunSuite {
     // LSN-ordered stream (contiguous txid ranges per chunk) — the
     // precondition for high-water-mark restart, as for the reference's log.
     CdcPipeline.recordFixture(s, sf, staged.getAbsolutePath, ordered = true)
-    val all = staged.listFiles().sortBy(_.getName)
+    val all = staged.listFiles().filter(_.getName.endsWith(".bin")).sortBy(_.getName)
     val live = new java.io.File(root, "chunks")
     live.mkdirs()
     def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>

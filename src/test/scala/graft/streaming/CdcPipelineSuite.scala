@@ -61,7 +61,7 @@ class CdcPipelineSuite extends AnyFunSuite {
     val (chunks, ckpt, out) = freshDirs("restart")
     val staged = new java.io.File(chunks + ".all")
     CdcPipeline.recordFixture(s, sf, staged.getAbsolutePath)
-    val all = staged.listFiles().sortBy(_.getName)
+    val all = staged.listFiles().filter(_.getName.endsWith(".bin")).sortBy(_.getName)
     assert(all.length == 8)
 
     // Phase 1: only the first half of the stream exists; run to completion
