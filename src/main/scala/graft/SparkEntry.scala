@@ -28,6 +28,7 @@ object SparkEntry {
       operators.LlmQueries.queries ++
       operators.CodecQueries.queries ++
       operators.TemporalJoins.queries ++
+      operators.CorpusOps.queries ++
       streaming.CdcPipeline.queries ++
       multimodal.MultimodalOps.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.LlmQueries.oracle ++
       operators.CodecQueries.oracle ++
       operators.TemporalJoins.oracle ++
+      operators.CorpusOps.oracle ++
       streaming.CdcPipeline.oracle ++
       multimodal.MultimodalOps.oracle
 }

@@ -50,4 +50,53 @@ class CdcSessionSuite extends AnyFunSuite {
     // invalid explicit seq rejected by the decision table
     intercept[IllegalArgumentException](countRows(seqNumber = -2L))
   }
+
+  test("a non-fixture table shape streams through the facade: tabnames " +
+      "threaded to the source, envelope derived from the in-band schema") {
+    val s = TestSpark.spark
+    val root = java.nio.file.Files.createTempDirectory("cdcsess_shape").toFile
+    val chunkDir = new java.io.File(root, "chunks")
+    chunkDir.mkdirs()
+
+    // Different column order AND types from the fixture: the string comes
+    // FIRST, the integral key is an int (not bigint), the value a double,
+    // plus an extra CHAR column the envelope has no slot for.
+    val tabid = 42
+    val ddl = "name varchar(16), id integer, extra char(4), score float"
+    val schema = DdlParser.parse(tabid, "app.scores", ddl)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(CdcCodec.encodeFrame(TabSchema(tabid, 0, 0, 3, 1, ddl)))
+    out.write(CdcCodec.encodeFrame(BeginTx(9, 1, 9, 0)))
+    out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, schema, 10, 1, 0,
+      IndexedSeq("alpha", 7, "xx", 2.5)))
+    out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, schema, 11, 1, 0,
+      IndexedSeq("beta", null, "yy", null)))
+    out.write(CdcCodec.encodeFrame(CommitTx(12, 1, 12)))
+    java.nio.file.Files.write(
+      new java.io.File(chunkDir, "chunk-000.bin").toPath, out.toByteArray)
+
+    val cdc = CdcSession(CdcConfig()).enable(tabid, "app.scores")
+    val df = cdc.activate(s, chunkDir.getAbsolutePath)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Any, Any, Any)]
+    val q = df.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck_shape").toString)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.collect().foreach { r =>
+          got += ((r.getString(0), r.getLong(1),
+            if (r.isNullAt(3)) null else r.getLong(3),
+            if (r.isNullAt(4)) null else r.getDouble(4),
+            if (r.isNullAt(5)) null else r.getString(5)))
+        }
+        ()
+      }).start()
+    q.awaitTermination()
+
+    val images = got.filter(_._1 == "CDC_REC_INSERT").sortBy(_._2)
+    // key ← first integral column (id, widened int→long), v ← first
+    // fractional (score, float wire→double), etype ← first string (name).
+    assert(images.toSeq == Seq(
+      ("CDC_REC_INSERT", 10L, 7L, 2.5, "alpha"),
+      ("CDC_REC_INSERT", 11L, null, null, "beta")))
+  }
 }
