@@ -16,6 +16,7 @@ object Session {
     SparkSession.builder()
       .master(master)
       .withExtensions(graft.functions.DotF32.install)
+      .withExtensions(graft.functions.TextHash.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

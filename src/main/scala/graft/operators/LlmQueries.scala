@@ -50,12 +50,13 @@ object LlmQueries {
   /** MinHash hash family h_i(x) = (a_i*x + b_i) mod P over x < P=2^31-1;
     * a_i*x < 2^62 so the arithmetic stays exact in signed 64-bit in both
     * engines. Seeds are fixed constants — determinism per SURVEY §7.4.7. */
-  private val P = 2147483647L
-  private[graft] val NumPerms = 16
+  // Shared with the native one-pass kernel ([[graft.functions.MinHashSig]])
+  // so the Spark plan and the DuckDB oracle can never drift apart.
+  private val P = graft.functions.MinHashFamily.P
+  private[graft] val NumPerms = graft.functions.MinHashFamily.NumPerms
   private[graft] val Bands = 4
   private[graft] val RowsPerBand = NumPerms / Bands
-  private[graft] val perms: Seq[(Long, Long)] =
-    (0 until NumPerms).map(i => ((1000003L * (i + 1)) % P, (999983L * i + 12345L) % P))
+  private[graft] val perms: Seq[(Long, Long)] = graft.functions.MinHashFamily.perms
   private[graft] val JaccardThreshold = 0.7
 
   /** Exact cosine similarity of two float arrays, computed in double and
@@ -95,14 +96,15 @@ object LlmQueries {
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), i -> array_join(slice(toks, i, 3), ' '))) AS shingles")
       .selectExpr("doc_id",
-        s"array_distinct(transform(shingles, s -> ${h60Spark("s")} % $P)) AS hs")
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      s"array_min(transform(hs, x -> ($a * x + $b) % $P)) AS m$i"
-    }
-    val sig = hsx.selectExpr(Seq("doc_id") ++ sigCols: _*)
+        s"array_distinct(transform(h60_array(shingles), h -> h % $P)) AS hs")
+    // All 16 permutation minima in ONE native pass over hs
+    // ([[graft.functions.MinHashSig]]) — same constants and arithmetic as
+    // the 16 array_min(transform(...)) projections the oracle replicates.
+    val sig = hsx.selectExpr("doc_id", "minhash_sig(hs) AS sig")
     val bandStructs = (0 until Bands).map { j =>
       val ms = (0 until RowsPerBand)
-        .map(r => s"cast(m${j * RowsPerBand + r} AS string)").mkString(", ")
+        .map(r => s"cast(element_at(sig, ${j * RowsPerBand + r + 1}) AS string)")
+        .mkString(", ")
       s"struct($j AS band, md5(concat_ws(',', $ms)) AS bkey)"
     }.mkString(", ")
     val bands = sig
@@ -133,8 +135,7 @@ object LlmQueries {
     }.mkString(" + ")
     Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", "size(toks) AS n_tokens",
-        s"transform(toks, t -> ${h60Spark("t")}) AS hs")
+      .selectExpr("doc_id", "size(toks) AS n_tokens", "h60_array(toks) AS hs")
       .selectExpr("doc_id", "n_tokens", s"cast($bits AS bigint) AS simhash")
       .orderBy(col("doc_id"))
   }
@@ -362,7 +363,7 @@ object LlmQueries {
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)), i -> array_join(slice(toks, i, 4), ' '))) AS shingles")
       .selectExpr("doc_id", "size(shingles) AS n_shingles",
-        s"array_min(transform(shingles, s -> ${h60Spark("s")})) AS fingerprint")
+        "array_min(h60_array(shingles)) AS fingerprint")
       .withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
       .orderBy(col("doc_id"))
@@ -380,8 +381,7 @@ object LlmQueries {
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)), i -> array_join(slice(toks, i, 4), ' '))) AS shingles")
-      .selectExpr("doc_id",
-        s"array_distinct(transform(shingles, s -> ${h60Spark("s")})) AS hs")
+      .selectExpr("doc_id", "array_distinct(h60_array(shingles)) AS hs")
       .selectExpr("doc_id", "hs", "array_min(hs) AS fp")
       // Blocks larger than MaxBlock are boilerplate markers: pairing inside
       // them is quadratic work for near-zero dedup signal (standard

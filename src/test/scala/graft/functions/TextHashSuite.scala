@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native token-hash kernels must be bit-identical to the interpreted
+  * compositions they replaced — the same compositions the DuckDB oracles
+  * replicate, so equality here is what keeps the oracles valid. */
+class TextHashSuite extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  private val h60Comp =
+    "transform(a, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))"
+
+  test("h60_array equals the conv(substring(md5)) composition") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { _ =>
+      Tuple1(Array.fill(1 + rnd.nextInt(30))(rnd.alphanumeric.take(rnd.nextInt(12)).mkString))
+    }
+    val bad = rows.toDF("a")
+      .selectExpr(s"h60_array(a) AS fast", s"$h60Comp AS ref")
+      .filter("fast <> ref").count()
+    assert(bad == 0)
+  }
+
+  test("h60_array: null elements stay null, empty array stays empty") {
+    val r = s.sql(
+      "SELECT h60_array(array('x', cast(NULL AS string))) AS a, " +
+        "h60_array(cast(array() AS array<string>)) AS e").head()
+    val a = r.getSeq[Any](0)
+    assert(a.length == 2 && a(0) != null && a(1) == null)
+    assert(r.getSeq[Any](1).isEmpty)
+  }
+
+  test("minhash_sig equals the per-permutation array_min compositions") {
+    val P = MinHashFamily.P
+    val mins = MinHashFamily.perms.zipWithIndex.map { case ((a, b), i) =>
+      s"array_min(transform(hs, x -> ($a * x + $b) % $P)) AS r$i"
+    }
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { _ =>
+      Tuple1(Array.fill(1 + rnd.nextInt(50))(rnd.nextLong(P)))
+    }
+    val df = rows.toDF("hs")
+      .selectExpr("minhash_sig(hs) AS sig" +: mins: _*)
+      .collect()
+    df.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      (0 until MinHashFamily.NumPerms).foreach { i =>
+        assert(sig(i) == r.getLong(i + 1))
+      }
+    }
+  }
+
+  test("minhash_sig on an empty set is all null (array_min semantics)") {
+    val sig = s.sql("SELECT minhash_sig(cast(array() AS array<bigint>))")
+      .head().getSeq[Any](0)
+    assert(sig.length == MinHashFamily.NumPerms && sig.forall(_ == null))
+  }
+}
