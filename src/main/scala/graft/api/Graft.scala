@@ -1,0 +1,100 @@
+package graft.api
+
+import graft.cdc.{CdcConfig, CdcSession}
+import graft.operators.{AsOfJoin, LlmQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The library's public, parameterized operator surface.
+  *
+  * The driver-checked queries in `graft.operators` bind these operations
+  * to the test corpus with fixed columns; real users bring their own
+  * tables and column names. Everything here is a plain DataFrame
+  * transformation — no collect, no UDFs — so Catalyst keeps pushdown,
+  * AQE, and whole-stage codegen, and the 100 TB plan shapes documented in
+  * SURVEY §7.1a (single-shuffle aggs, LSH equi-joins instead of
+  * all-pairs, broadcast-bounded dims) carry over unchanged.
+  *
+  * The CDC lifecycle (connect → enable → activate → stream) lives on
+  * [[graft.cdc.CdcSession]]; streaming materialization on
+  * [[graft.streaming.CdcPipeline]]. This object is the batch/corpus API.
+  */
+object Graft {
+
+  /** Exact dedup groups: one row per distinct text, with the keeper id
+    * (minimum) and the duplicate count. Single hash aggregation. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate pairs via seeded MinHash + LSH banding: word 3-gram
+    * shingles → 60-bit hashes → 16-perm signature (one native pass) → 4
+    * bands → candidate pairs share a band key (equi-join, never
+    * all-pairs) → exact Jaccard over the hash sets verifies. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    LlmQueries.minhashNearDupPairs(docs, idCol, textCol, threshold)
+  }
+
+  /** Brute-force cosine top-k against one query vector: a linear scan
+    * scored by the codegen'd `dot_f32` kernel, TakeOrderedAndProject —
+    * the exact baseline; see q_ann_ivf for the IVF scale path. */
+  def cosineTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                 query: Array[Float], k: Int): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    vectors
+      .withColumn("_q", typedlit(query))
+      .withColumn("sim", expr(
+        s"dot_f32($vecCol, _q) / (sqrt(dot_f32($vecCol, $vecCol)) * $qNorm)"))
+      .drop("_q")
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** As-of join: latest `right` row at-or-before each `left` timestamp
+    * per key — union + one window pass, no range-join explosion. See
+    * [[graft.operators.AsOfJoin.asOf]] for semantics. */
+  def asOf(left: DataFrame, right: DataFrame, key: Seq[String],
+           leftTs: String, rightTs: String,
+           rightPayload: Seq[String]): DataFrame =
+    AsOfJoin.asOf(left, right, key, leftTs, rightTs, rightPayload)
+
+  /** Reproducible 1-in-`keepOneIn` sample stratified by an integral key:
+    * a map-side integer-exact filter (no shuffle, no rand()) any engine
+    * recomputes identically. */
+  def stratifiedSample(df: DataFrame, keyCol: String, keepOneIn: Int): DataFrame =
+    df.filter((col(keyCol) * 2654435761L % 4294967296L) % keepOneIn === 0)
+
+  /** Decontamination: drop rows of `train` whose exact `textCol` content
+    * appears in `evalSet` — fingerprint left-anti join (catches
+    * duplicates of eval texts under different ids). */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    textCol: String): DataFrame = {
+    val evalFps = evalSet.select(md5(col(textCol).cast("binary")).as("_fp")).distinct()
+    train.withColumn("_fp", md5(col(textCol).cast("binary")))
+      .join(evalFps, Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
+  /** Batch MERGE (SURVEY M3, the change-apply the streaming sink performs
+    * incrementally): latest change per key wins by `seqCol`; rows whose
+    * winner is a delete drop out. `base` rows participate with their own
+    * `seqCol` value, and `changes` may carry an `op` column with
+    * `upsert`/`delete` verbs (absent ⇒ all upserts). */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: Seq[String],
+                   seqCol: String): DataFrame = {
+    def withOp(df: DataFrame) =
+      if (df.columns.contains("op")) df else df.withColumn("op", lit("upsert"))
+    val merged = withOp(base).unionByName(withOp(changes))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(key.map(col): _*).orderBy(col(seqCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    merged.filter(col("op") === "upsert").drop("op")
+  }
+
+  /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
+  def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
+}

@@ -90,9 +90,18 @@ object LlmQueries {
     * pairs share a band key (equi-join, never all-pairs) → exact Jaccard
     * (on the shingle-hash sets) >= 0.7 verifies. Fully deterministic, so
     * the DuckDB oracle replicates the pipeline exactly. */
-  private def qNearDedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val hsx = Tables.spread(s, Tables.documents(s, d))
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
+  private def qNearDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashNearDupPairs(Tables.spread(s, Tables.documents(s, d)),
+      "doc_id", "text", JaccardThreshold)
+
+  /** Parameterized core of the MinHash+LSH near-dup pipeline, exposed to
+    * library users through [[graft.api.Graft.nearDupPairs]]; the driver
+    * query above binds it to the test corpus. Output: (doc_a, doc_b,
+    * jaccard) pairs above `threshold`, totally ordered. */
+  private[graft] def minhashNearDupPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val hsx = docs
+      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), i -> array_join(slice(toks, i, 3), ' '))) AS shingles")
       .selectExpr("doc_id",
@@ -122,7 +131,7 @@ object LlmQueries {
     pairs.join(x, "doc_a").join(y, "doc_b")
       .selectExpr("doc_a", "doc_b",
         "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

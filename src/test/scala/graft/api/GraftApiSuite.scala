@@ -1,0 +1,68 @@
+package graft.api
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public API surface on user-shaped frames (custom column names,
+  * planted duplicates/deletes) — the "switch to this library" contract. */
+class GraftApiSuite extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  test("exactDedup groups planted duplicates and keeps the minimum id") {
+    val docs = Seq((10L, "same text"), (3L, "same text"), (7L, "unique"))
+      .toDF("my_id", "body")
+    val got = Graft.exactDedup(docs, "my_id", "body")
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("nearDupPairs finds a planted near-duplicate, not unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "content")
+    val pairs = Graft.nearDupPairs(docs, "id", "content", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("cosineTopK ranks by cosine against the query vector") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("vid", "emb")
+    val top = Graft.cosineTopK(vecs, "vid", "emb", Array(1f, 0f), k = 2)
+      .select("vid").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("stratifiedSample is deterministic and key-stable") {
+    val df = (0L until 1000L).toDF("k")
+    val a = Graft.stratifiedSample(df, "k", 5).collect().map(_.getLong(0)).toSet
+    val b = Graft.stratifiedSample(df, "k", 5).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 1000)
+  }
+
+  test("decontaminate removes eval texts under any id") {
+    val train = Seq((1L, "clean"), (2L, "leaked"), (3L, "leaked")).toDF("id", "txt")
+    val evalSet = Seq((99L, "leaked")).toDF("eid", "txt")
+    val kept = Graft.decontaminate(train, evalSet, "txt")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("applyChanges: latest change wins, deletes drop the key") {
+    val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
+    val changes = Seq(
+      (1L, 20L, "a2", "upsert"),   // newer upsert wins
+      (2L, 21L, "b", "delete"),    // delete drops key 2
+      (3L, 22L, "c", "upsert"),    // new key
+      (3L, 5L, "stale", "upsert")) // stale change loses
+      .toDF("k", "seq", "v", "op")
+    val got = Graft.applyChanges(base, changes, Seq("k"), "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((1L, "a2"), (3L, "c")))
+  }
+}
