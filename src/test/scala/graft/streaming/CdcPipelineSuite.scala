@@ -159,6 +159,33 @@ class CdcPipelineSuite extends AnyFunSuite {
     assert(unordered.map(_.getLong(1)).sum <= committedTxns)
   }
 
+  test("commit windows resume exactly-once from the checkpoint: " +
+      "interrupted run equals single run") {
+    val s = TestSpark.spark
+    val root = java.nio.file.Files.createTempDirectory("cdc_win_restart").toFile
+    val staged = new java.io.File(root, "all")
+    CdcPipeline.recordFixture(s, sf, staged.getAbsolutePath, ordered = true)
+    val all = staged.listFiles().filter(_.getName.endsWith(".bin")).sortBy(_.getName)
+    val live = new java.io.File(root, "chunks")
+    live.mkdirs()
+    def copyIn(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(live, f.getName).toPath)
+    }
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+    val win = new java.io.File(root, "win").getAbsolutePath
+
+    copyIn(all.take(4))
+    CdcPipeline.commitWindows(s, live.getAbsolutePath, ck, win).awaitTermination()
+    copyIn(all.drop(4))
+    CdcPipeline.commitWindows(s, live.getAbsolutePath, ck, win).awaitTermination()
+    val resumed = s.read.parquet(win).orderBy("win_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val single = CdcPipeline.sCommitWindows(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(resumed == single)
+  }
+
   test("rolled-back and still-open transactions never materialize") {
     val s = TestSpark.spark
     val result = CdcPipeline.sCdcPipeline(s, sf)

@@ -96,6 +96,23 @@ class TruncateDeleteSuite extends AnyFunSuite {
     assert(runStream("del", chunks) == Seq((2L, 12L, 2.0)))
   }
 
+  test("duplicate chunk delivery (at-least-once transport) leaves the " +
+      "materialization unchanged") {
+    val s = TestSpark.spark
+    val begin = (seq: Long, tx: Int) =>
+      CdcCodec.encodeFrame(BeginTx(seq, tx, seq, 0))
+    val commit = (seq: Long, tx: Int) =>
+      CdcCodec.encodeFrame(CommitTx(seq, tx, seq))
+    val tx1 = Seq(tabschem, begin(9, 1), ins(10, 1, 1, 1.0),
+      ins(12, 1, 2, 2.0), commit(13, 1))
+    val tx2 = Seq(tabschem, begin(19, 2), ins(20, 2, 3, 3.0), commit(21, 2))
+    // chunk 2 re-delivers tx2's ENTIRE chunk (same frames, later name):
+    // the re-assembled transaction re-commits the same (k, seq) images,
+    // which the idempotent merge must absorb.
+    val got = runStream("dup", Seq(tx1, tx2, tx2))
+    assert(got == Seq((1L, 10L, 1.0), (2L, 12L, 2.0), (3L, 20L, 3.0)))
+  }
+
   test("rolled-back truncate and delete change nothing") {
     val begin = (seq: Long, tx: Int) =>
       CdcCodec.encodeFrame(BeginTx(seq, tx, seq, 0))
