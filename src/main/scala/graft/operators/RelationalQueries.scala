@@ -193,7 +193,34 @@ object RelationalQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_bucket"))
 
+  /** PIVOT: per-user event-type counts as columns. Spark's `pivot` with an
+    * explicit value list compiles to one hash aggregation with conditional
+    * partials (no extra shuffle, no value-discovery pass) — same plan the
+    * oracle's manual conditional aggregation describes. */
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Quantiles per group: exact `percentile` (sort-based, linear
+    * interpolation — the same definition as DuckDB's quantile_cont),
+    * rounded to 6 dp at the output edge (oracle-parity note above). */
+  private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot _,
+    "q_percentiles" -> qPercentiles _,
     "q_scan_project" -> qScanProject _,
     "q_filter_seq" -> qFilterSeq _,
     "q_decode_types" -> qDecodeTypes _,
@@ -210,6 +237,20 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'view') AS view,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_scan_project" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q_filter_seq" ->
