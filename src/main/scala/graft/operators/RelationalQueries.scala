@@ -218,7 +218,27 @@ object RelationalQueries {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Frame-bounded rolling aggregates per key: 3-row moving sum and a
+    * running (cumulative) sum over the LSN order. Decimal-exact inside the
+    * frames (doubles summed by a window can associate differently across
+    * engines), double at the output edge. One shuffle on the key. */
+  private def qMovingAgg(s: SparkSession, d: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val vDec = col("value").cast("decimal(18,6)")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), vDec.as("v_dec"))
+      .withColumn("mov_sum_3",
+        sum(col("v_dec")).over(byKey.rowsBetween(-2, 0)).cast("double"))
+      .withColumn("run_sum",
+        sum(col("v_dec")).over(byKey.rowsBetween(Long.MinValue, 0)).cast("double"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("mov_sum_3"), col("run_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_agg" -> qMovingAgg _,
     "q_pivot" -> qPivot _,
     "q_percentiles" -> qPercentiles _,
     "q_scan_project" -> qScanProject _,
@@ -237,6 +257,16 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_moving_agg" ->
+      """SELECT user_id, event_id, value,
+        |       cast(sum(cast(value AS decimal(18,6))) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS double) AS mov_sum_3,
+        |       cast(sum(cast(value AS decimal(18,6))) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS run_sum
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |       count(*) FILTER (event_type = 'click') AS click,
