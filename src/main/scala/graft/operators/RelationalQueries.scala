@@ -207,7 +207,10 @@ object RelationalQueries {
 
   /** Quantiles per group: exact `percentile` (sort-based, linear
     * interpolation — the same definition as DuckDB's quantile_cont),
-    * rounded to 6 dp at the output edge (oracle-parity note above). */
+    * rounded to 6 dp at the output edge (oracle-parity note above).
+    * Exact quantiles buffer each group's values; at 100 TB the scale path
+    * is `approx_percentile` (bounded-memory KLL-style sketch, mergeable
+    * map-side) — same query shape, swapped aggregate, no exact oracle. */
   private def qPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
