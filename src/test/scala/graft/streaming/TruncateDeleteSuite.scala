@@ -113,6 +113,18 @@ class TruncateDeleteSuite extends AnyFunSuite {
     assert(got == Seq((1L, 10L, 1.0), (2L, 12L, 2.0), (3L, 20L, 3.0)))
   }
 
+  test("DISCARD trims the transaction tail after its seq (ec:1617-1655)") {
+    val begin = (seq: Long, tx: Int) =>
+      CdcCodec.encodeFrame(BeginTx(seq, tx, seq, 0))
+    val commit = (seq: Long, tx: Int) =>
+      CdcCodec.encodeFrame(CommitTx(seq, tx, seq))
+    val chunks = Seq(Seq(tabschem, begin(9, 1),
+      ins(10, 1, 1, 1.0), ins(12, 1, 2, 2.0), ins(14, 1, 3, 3.0),
+      CdcCodec.encodeFrame(DiscardTx(12, 1)), // server drops the tail > 12
+      commit(15, 1)))
+    assert(runStream("discard", chunks) == Seq((1L, 10L, 1.0), (2L, 12L, 2.0)))
+  }
+
   test("rolled-back truncate and delete change nothing") {
     val begin = (seq: Long, tx: Int) =>
       CdcCodec.encodeFrame(BeginTx(seq, tx, seq, 0))
