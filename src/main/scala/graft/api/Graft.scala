@@ -81,14 +81,24 @@ object Graft {
 
   /** Batch MERGE (SURVEY M3, the change-apply the streaming sink performs
     * incrementally): latest change per key wins by `seqCol`; rows whose
-    * winner is a delete drop out. `base` rows participate with their own
-    * `seqCol` value, and `changes` may carry an `op` column with
-    * `upsert`/`delete` verbs (absent ⇒ all upserts). */
+    * winner is a delete drop out; a `truncate` verb wipes every row at or
+    * below its `seqCol` position (table-level, like CDC_REC_TRUNCATE).
+    * `base` rows participate with their own `seqCol` value, and `changes`
+    * may carry an `op` column with `upsert`/`delete`/`truncate` verbs
+    * (absent ⇒ all upserts). */
   def applyChanges(base: DataFrame, changes: DataFrame, key: Seq[String],
                    seqCol: String): DataFrame = {
     def withOp(df: DataFrame) =
       if (df.columns.contains("op")) df else df.withColumn("op", lit("upsert"))
-    val merged = withOp(base).unionByName(withOp(changes))
+    val all = withOp(base).unionByName(withOp(changes))
+    val truncT = all.filter(col("op") === "truncate")
+      .agg(max(col(seqCol))).head().get(0)
+    val current = truncT match {
+      case null => all
+      case t => all.filter(col("op") =!= "truncate" &&
+        col(seqCol) > t.asInstanceOf[Long])
+    }
+    val merged = current
       .withColumn("_rn", row_number().over(
         Window.partitionBy(key.map(col): _*).orderBy(col(seqCol).desc)))
       .filter(col("_rn") === 1).drop("_rn")

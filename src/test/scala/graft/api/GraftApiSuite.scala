@@ -53,6 +53,18 @@ class GraftApiSuite extends AnyFunSuite {
     assert(kept == Seq(1L))
   }
 
+  test("applyChanges: truncate wipes rows at or below its position") {
+    val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
+    val changes = Seq(
+      (0L, 15L, "", "truncate"),   // wipes base rows (10, 11 <= 15)
+      (3L, 16L, "c", "upsert"),    // survives (16 > 15)
+      (4L, 12L, "stale", "upsert")) // wiped (12 <= 15)
+      .toDF("k", "seq", "v", "op")
+    val got = Graft.applyChanges(base, changes, Seq("k"), "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((3L, "c")))
+  }
+
   test("applyChanges: latest change wins, deletes drop the key") {
     val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
     val changes = Seq(
