@@ -42,6 +42,20 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q_range_join is a bucketed equi-join, not a nested-loop theta join") {
+    val p = plan("q_range_join")
+    assert(!p.contains("NestedLoop"), p.linesIterator.take(8).mkString("\n"))
+    // the band predicate must ride an equi-join (hash or sort-merge)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_near_dedup_minhash signatures use the one-pass native kernel") {
+    val p = plan("q_near_dedup_minhash")
+    assert(p.contains("minhash_sig") && p.contains("h60_array"))
+    assert(!p.contains("NestedLoop")) // banding keeps it an equi-join
+  }
+
   test("q_cosine_topk scores with the native dot_f32 kernel, not " +
       "interpreted higher-order lambdas") {
     val p = plan("q_cosine_topk")
