@@ -29,6 +29,8 @@ object SparkEntry {
       operators.CodecQueries.queries ++
       operators.TemporalJoins.queries ++
       operators.CorpusOps.queries ++
+      operators.DedupClusters.queries ++
+      operators.ScaleOps.queries ++
       streaming.CdcPipeline.queries ++
       multimodal.MultimodalOps.queries
 
@@ -41,6 +43,8 @@ object SparkEntry {
       operators.CodecQueries.oracle ++
       operators.TemporalJoins.oracle ++
       operators.CorpusOps.oracle ++
+      operators.DedupClusters.oracle ++
+      operators.ScaleOps.oracle ++
       streaming.CdcPipeline.oracle ++
       multimodal.MultimodalOps.oracle
 }

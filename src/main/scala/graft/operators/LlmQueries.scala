@@ -99,6 +99,14 @@ object LlmQueries {
     * query above binds it to the test corpus. Output: (doc_a, doc_b,
     * jaccard) pairs above `threshold`, totally ordered. */
   private[graft] def minhashNearDupPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame =
+    minhashPairsUnordered(docs, idCol, textCol, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Same pipeline without the final total sort — for consumers that feed
+    * the pairs into further operators (e.g. [[DedupClusters]]), where a
+    * mid-pipeline range-partition exchange would be wasted work. */
+  private[graft] def minhashPairsUnordered(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     val hsx = docs
       .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
@@ -132,7 +140,6 @@ object LlmQueries {
       .selectExpr("doc_a", "doc_b",
         "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 32-bit SimHash per document: token hashes vote ±1 per bit, weighted by
@@ -455,7 +462,11 @@ object LlmQueries {
   private val duckShingles4 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1) + 1), i -> array_to_string(toks[i:i+3], ' ')))"
 
-  private def minhashOracle: String = {
+  /** The CTE chain (no leading WITH, no final SELECT) replicating the
+    * MinHash+LSH pipeline in DuckDB up to `j(doc_a, doc_b, jaccard)` —
+    * shared between the pair oracle here and the cluster oracle in
+    * [[DedupClusters]]. */
+  private[graft] def minhashPairsCte: String = {
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, x -> ($a * x + $b) % $P)) AS m$i"
     }.mkString(",\n       ")
@@ -464,7 +475,7 @@ object LlmQueries {
         .map(r => s"m${j * RowsPerBand + r}::VARCHAR").mkString(", ")
       s"SELECT doc_id, $j AS band, md5(concat_ws(',', $ms)) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (SELECT doc_id, $duckShingles3 AS shingles FROM t),
        |hsx AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Duck("s")} % $P)) AS hs FROM sh),
        |sig AS (SELECT doc_id, hs,
@@ -479,10 +490,13 @@ object LlmQueries {
        |j AS (
        |  SELECT doc_a, doc_b,
        |         len(list_intersect(x.hs, y.hs)) / len(list_distinct(list_concat(x.hs, y.hs))) AS jaccard
-       |  FROM pairs JOIN hsx x ON x.doc_id = doc_a JOIN hsx y ON y.doc_id = doc_b)
+       |  FROM pairs JOIN hsx x ON x.doc_id = doc_a JOIN hsx y ON y.doc_id = doc_b)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""WITH ${minhashPairsCte}
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   private def simhashOracle: String = {
     val bits = (0 until 32).map { j =>
