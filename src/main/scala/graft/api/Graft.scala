@@ -1,8 +1,8 @@
 package graft.api
 
 import graft.cdc.{CdcConfig, CdcSession}
-import graft.operators.{AsOfJoin, LlmQueries}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{AsOfJoin, ConnectedComponents, LlmQueries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,59 @@ object Graft {
            leftTs: String, rightTs: String,
            rightPayload: Seq[String]): DataFrame =
     AsOfJoin.asOf(left, right, key, leftTs, rightTs, rightPayload)
+
+  /** Duplicate clustering: near-dup pair discovery (the MinHash+LSH
+    * pipeline of [[nearDupPairs]]) closed under transitive connectivity —
+    * every document labeled with its cluster's canonical id (the minimum
+    * id in its connected component), the cluster size, and a `keep` flag
+    * on the one representative to retain. Distributed min-label
+    * propagation with pointer jumping ([[ConnectedComponents]]); the edge
+    * list is only the LSH candidate pairs, never all-pairs. */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.7): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    val pairs = LlmQueries.minhashPairsUnordered(docs, idCol, textCol, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = docs.select(col(idCol))
+    ConnectedComponents.components(nodes, idCol, pairs, "doc_a", "doc_b")
+      .select(col("id").as(idCol), col("comp").as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
+  /** Sketch-only distinct count per group (HyperLogLog++,
+    * `approx_count_distinct`): ONE pass, fixed-size mergeable state,
+    * map-side combine — the only viable distinct count at 100 TB for
+    * high-cardinality keys. Relative error ~`rsd`. The driver query
+    * `q_approx_distinct` is the oracle-checked form carrying an exact
+    * ride-along; this is the production form. */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     rsd: Double = 0.02): DataFrame = {
+    val agg = approx_count_distinct(col(valueCol), rsd).as(s"approx_distinct_$valueCol")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Sketch-only quantiles per group (Greenwald-Khanna,
+    * `approx_percentile`): ONE pass, mergeable per-partition state, rank
+    * error ≤ n/`accuracy` — vs the exact percentile's per-group full value
+    * buffer, which is the OOM at scale. One output column per requested
+    * percentile (`p50`, `p90`, … by percentage). The driver query
+    * `q_approx_quantiles` is the oracle-checked form with exact
+    * ride-alongs; this is the production form. */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      percentages: Seq[Double],
+                      accuracy: Int = 10000): DataFrame = {
+    require(percentages.nonEmpty, "at least one percentage")
+    val aggs: Seq[Column] = percentages.map { p =>
+      val nm = "p" + BigDecimal(p * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+      expr(s"approx_percentile($valueCol, $p, $accuracy)").as(nm)
+    }
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Reproducible 1-in-`keepOneIn` sample stratified by an integral key:
     * a map-side integer-exact filter (no shuffle, no rand()) any engine

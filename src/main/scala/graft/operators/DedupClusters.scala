@@ -43,15 +43,29 @@ object ConnectedComponents {
   /** Label every node of `nodes(idCol)` with the minimum node id reachable
     * through `edges(srcCol, dstCol)` (undirected; symmetrized internally).
     * Returns (id, component). `maxRounds` is a safety bound — the loop
-    * requires convergence before it and fails loudly otherwise. */
+    * requires convergence before it and fails loudly otherwise.
+    *
+    * One action per round: a full-scan count over the new label table both
+    * materializes its cache COMPLETELY before the previous round's cache is
+    * dropped (a limit-style probe could leave it partial) and returns the
+    * changed-row count that decides termination — the convergence check
+    * costs no extra job. Labels are `localCheckpoint`ed every
+    * `checkpointEvery` rounds so a pathological graph near `maxRounds`
+    * cannot nest 50 join plans. The RESULT is a localCheckpoint too:
+    * lineage-free, nothing left in the cache manager — its blocks are
+    * released by the ContextCleaner once the caller drops the reference,
+    * so no unpersist contract leaks across the API. */
   def components(nodes: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
-                 maxRounds: Int = 50): DataFrame = {
+                 maxRounds: Int = 50, checkpointEvery: Int = 10): DataFrame = {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = e0.union(e0.select(col("b"), col("a")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // `pinned` is always the DataFrame holding the current round's cache
+    // (or checkpoint); `labels` the (id, comp) view the next round reads.
+    var pinned = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = pinned
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -59,26 +73,40 @@ object ConnectedComponents {
       val nbrMin = e.join(labels, e("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min(col("comp")).as("nbr_min"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
       // Pointer jump: l(x) ← min(l(x), l(l(x))) — follow the label's own
       // label so long chains halve every round.
       val byId = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
       val next = stepped.join(byId, stepped("comp") === byId("jid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), stepped("prev"),
           least(stepped("comp"), coalesce(col("jcomp"), stepped("comp"))).as("comp"))
+        .select(col("id"), col("comp"),
+          (col("comp") =!= col("prev")).as("changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-      converged = changed.isEmpty
-      labels.unpersist()
-      labels = next
+      val nChanged =
+        next.agg(count(when(col("changed"), lit(1)))).head().getLong(0)
+      converged = nChanged == 0L
+      pinned.unpersist()
+      pinned = next
+      labels = next.select(col("id"), col("comp"))
       round += 1
+      if (!converged && round % checkpointEvery == 0) {
+        val cp = labels.localCheckpoint() // eager: truncates lineage
+        pinned.unpersist()
+        pinned = cp
+        labels = cp
+      }
     }
     e.unpersist()
-    require(converged,
-      s"connected components did not converge within $maxRounds rounds")
-    labels
+    if (!converged) {
+      pinned.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds")
+    }
+    val out = labels.localCheckpoint()
+    pinned.unpersist()
+    out
   }
 }
 

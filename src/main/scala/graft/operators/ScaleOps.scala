@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   *    with mergeable per-partition state, vs the exact percentile's
   *    per-group full sort. Checked the same way: exact quantiles (which
   *    DuckDB reproduces, same interpolation as q_percentiles) plus
-  *    in-rank-bounds flags for the sketch values.
+  *    rank-counted in-bounds flags for the sketch values (see the method
+  *    doc — the check lives in rank space, where the GK guarantee does).
   */
 object ScaleOps {
 
@@ -84,34 +85,60 @@ object ScaleOps {
   /** GK-sketch accuracy: rank error ≤ n/Accuracy per group. */
   private[graft] val Accuracy = 10000
 
+  /** The sketch's error contract, checked in RANK space (round-4 fix: the
+    * old value-space bounds interpolated exact quantiles at p ± 2/Accuracy
+    * — at test scale that interval spans < 1 rank, i.e. both endpoints sit
+    * between the SAME two adjacent order statistics, while
+    * `approx_percentile` returns an actual data value that legitimately
+    * lies at/outside them).
+    *
+    * Rank check: pass 1 computes the per-group sketch values (the
+    * production aggregation — one scan, one hash agg, fixed-size GK state);
+    * pass 2 broadcast-joins the tiny sketch table back and counts
+    * `value <= approx` (the returned value's maximum rank) and
+    * `value < approx` (its minimum rank − 1). A correct sketch satisfies
+    *   cnt_le ≥ p·n − tol  and  cnt_lt ≤ p·n + tol,
+    * tol = max(2n/Accuracy, 2) ranks — twice the GK guarantee plus slack
+    * for the ceil(p·n) target-rank rounding — at ANY n, so the flags are
+    * scale-stable where the old bounds were not. Ties are handled: the
+    * le/lt pair brackets every rank the returned value occupies.
+    *
+    * The exact `percentile` ride-alongs (per-group full value buffers) and
+    * the second scan are ORACLE SCAFFOLDING ONLY — they exist so DuckDB can
+    * hash-check the contract. The production form is the sketch-only
+    * single-pass [[graft.api.Graft.approxQuantiles]]. */
   private def qApproxQuantiles(s: SparkSession, d: String): DataFrame = {
-    val ps = Seq(0.5, 0.9, 0.99)
-    val exact = ps.zipWithIndex.map { case (p, i) =>
-      expr(s"round(percentile(value, $p), 6)").as(s"exact_p$i")
-    }
-    val approx = ps.zipWithIndex.map { case (p, i) =>
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    // Pass 1 (the production pass): per-group GK sketches, one hash agg.
+    val sketchAggs = ps.zipWithIndex.map { case ((p, _), i) =>
       expr(s"approx_percentile(value, $p, $Accuracy)").as(s"approx_p$i")
     }
-    // Rank-space bound: the sketch value must lie between the exact
-    // quantiles at p ± eps (eps = 2/Accuracy, twice the guarantee for
-    // boundary slack). All bound quantiles ride in the SAME aggregate pass
-    // as the sketch — one scan, one shuffle.
-    val eps = 2.0 / Accuracy
-    Tables.events(s, d)
+    val sketch = ev.groupBy(col("event_type"))
+      .agg(sketchAggs.head, sketchAggs.tail: _*)
+    // Pass 2 (oracle scaffolding): rank-count the sketch values against the
+    // contract; the sketch table is one row per group — always broadcast.
+    val exactAggs = ps.zipWithIndex.map { case ((p, _), i) =>
+      expr(s"round(percentile(value, $p), 6)").as(s"exact_p$i")
+    }
+    val rankAggs = ps.indices.flatMap { i => Seq(
+      count(when(col("value") <= col(s"approx_p$i"), lit(1))).as(s"le$i"),
+      count(when(col("value") < col(s"approx_p$i"), lit(1))).as(s"lt$i"))
+    }
+    val aggs = count(lit(1)).as("n") +: (exactAggs ++ rankAggs)
+    def inBounds(i: Int, p: Double) = {
+      val tol = greatest(col("n") * (2.0 / Accuracy), lit(2.0))
+      (col(s"le$i") >= col("n") * p - tol) &&
+        (col(s"lt$i") <= col("n") * p + tol)
+    }
+    ev.join(broadcast(sketch), Seq("event_type"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        (exact ++ approx ++ Seq(
-          expr(s"percentile(value, ${math.max(0.5 - eps, 0.0)})").as("lo0"),
-          expr(s"percentile(value, ${math.min(0.5 + eps, 1.0)})").as("hi0"),
-          expr(s"percentile(value, ${math.max(0.9 - eps, 0.0)})").as("lo1"),
-          expr(s"percentile(value, ${math.min(0.9 + eps, 1.0)})").as("hi1"),
-          expr(s"percentile(value, ${math.max(0.99 - eps, 0.0)})").as("lo2"),
-          expr(s"percentile(value, ${math.min(0.99 + eps, 1.0)})").as("hi2"))): _*)
-      .select(col("event_type"), col("n"),
-        col("exact_p0"), col("exact_p1"), col("exact_p2"),
-        (col("approx_p0") >= col("lo0") && col("approx_p0") <= col("hi0")).as("p50_in_bounds"),
-        (col("approx_p1") >= col("lo1") && col("approx_p1") <= col("hi1")).as("p90_in_bounds"),
-        (col("approx_p2") >= col("lo2") && col("approx_p2") <= col("hi2")).as("p99_in_bounds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("event_type"), col("n"),
+        col("exact_p0"), col("exact_p1"), col("exact_p2")) ++
+        ps.zipWithIndex.map { case ((p, nm), i) =>
+          inBounds(i, p).as(s"${nm}_in_bounds")
+        }: _*)
       .orderBy(col("event_type"))
   }
 

@@ -65,6 +65,29 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Seq((3L, "c")))
   }
 
+  test("dupClusters groups planted near-dups transitively and keeps one") {
+    // A-B and B-C are near-dups (1 token apart, J≈0.85); A-C differ by 2
+    // tokens (J≈0.73 < threshold 0.8) so the A-C edge fails verification —
+    // only transitive closure can land all three in one cluster.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def mut(at: Int*) =
+      (1 to 40).map(i => if (at.contains(i)) s"CHANGED$i" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val otherDup = (1 to 40).map(i => if (i == 7) "X" else s"zzz$i").mkString(" ")
+    val docs = Seq(
+      (1L, mut(5)), (2L, base), (3L, mut(35)),   // chain: 1-2, 2-3
+      (10L, other), (11L, otherDup),             // pair
+      (20L, (100 to 140).map(i => s"qqq$i").mkString(" "))) // singleton
+      .toDF("my_id", "body")
+    val got = Graft.dupClusters(docs, "my_id", "body", threshold = 0.8)
+      .orderBy("my_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (10L, 10L, 2L, true), (11L, 10L, 2L, false),
+      (20L, 20L, 1L, true)))
+  }
+
   test("applyChanges: latest change wins, deletes drop the key") {
     val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
     val changes = Seq(

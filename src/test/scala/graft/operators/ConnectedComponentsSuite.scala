@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ConnectedComponents.components]] vs a brute-force union-find oracle.
+  *
+  * Spark-backed property testing: each case costs several distributed jobs,
+  * so instead of ScalaCheck's default 100 generated cases this drives a
+  * seeded-random batch of small graphs (deterministic across runs) plus the
+  * adversarial shapes that break naive propagation — long chains (need
+  * pointer jumping to converge inside maxRounds), isolated nodes, self
+  * loops, duplicate and reversed edges, and the maxRounds failure path.
+  */
+class ConnectedComponentsSuite extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  /** Brute-force oracle: union-find over the edge list. */
+  private def ufComponents(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min node id in the component
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                  maxRounds: Int = 50, checkpointEvery: Int = 10): Map[Long, Long] = {
+    val nodesDf = nodes.toDF("nid")
+    val edgesDf =
+      if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+    ConnectedComponents.components(nodesDf, "nid", edgesDf, "src", "dst",
+        maxRounds, checkpointEvery)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val n = 5 + rnd.nextInt(12)
+      val nodes = (0L until n.toLong).toSeq
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val want = ufComponents(nodes, edges)
+      val got = run(nodes, edges)
+      assert(got == want, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
+  test("collapses a long chain (pointer jumping) within log-bounded rounds") {
+    val nodes = (0L to 20L).toSeq
+    val edges = (0L until 20L).map(i => (i, i + 1))
+    // 21-node chain: naive propagation needs 20 rounds; pointer jumping
+    // must land it within ~log2(21)+slack. maxRounds=8 proves the jump.
+    val got = run(nodes, edges, maxRounds = 8)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("isolated nodes label themselves; self-loops and dup edges are inert") {
+    val nodes = Seq(3L, 7L, 9L)
+    val edges = Seq((3L, 3L), (7L, 9L), (9L, 7L), (7L, 9L))
+    assert(run(nodes, edges) == Map(3L -> 3L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("checkpointEvery=1 path converges to the same labels") {
+    val nodes = (0L to 12L).toSeq
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    assert(run(nodes, edges, checkpointEvery = 1).values.toSet == Set(0L))
+  }
+
+  test("fails loudly when maxRounds is too small to converge") {
+    val nodes = (0L to 20L).toSeq
+    val edges = (0L until 20L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](run(nodes, edges, maxRounds = 1))
+  }
+}

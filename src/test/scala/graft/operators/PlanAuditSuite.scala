@@ -66,4 +66,36 @@ class PlanAuditSuite extends AnyFunSuite {
     // top-k over the scored stream, never a global sort
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q_skew_salted_join pins the shuffled-hash strategy, no broadcast") {
+    // The salt only redistributes work if the join actually shuffles; a
+    // broadcast of the salted dim would measure nothing (and hide a skew
+    // regression). The hint must survive optimization.
+    val p = plan("q_skew_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sketch-only approxQuantiles is a single-pass, single-shuffle agg") {
+    val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
+    val p = graft.api.Graft
+      .approxQuantiles(ev, Seq("event_type"), "value", Seq(0.5, 0.99))
+      .queryExecution.executedPlan.toString
+    // one partial + one final aggregate over ONE exchange — the GK state
+    // merges map-side; no exact-percentile value buffers anywhere
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("approx_percentile"), p)
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
+    val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
+    val p = graft.api.Graft
+      .approxDistinct(ev, Seq("event_type"), "user_id")
+      .queryExecution.executedPlan.toString
+    // HLL++ sketches merge map-side: one exchange, and no Expand — the
+    // two-phase exact countDistinct shape this form exists to avoid
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Expand"), p)
+  }
 }

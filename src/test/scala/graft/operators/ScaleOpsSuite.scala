@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import graft.api.Graft
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sketch queries' error contracts, exercised where the driver oracle
+  * cannot reach: tie-heavy distributions (the le/lt rank bracket must
+  * handle massive duplicate runs) and the sketch-only production API
+  * forms. The driver's DuckDB hash check covers the testdata path; these
+  * pin the contract itself so a bounds regression (round 4's failure mode)
+  * is caught before any driver run. */
+class ScaleOpsSuite extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_approx_quantiles: every in-bounds flag holds on testdata") {
+    val rows = SparkEntry.queries("q_approx_quantiles")(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n")) > 0)
+      Seq("p50_in_bounds", "p90_in_bounds", "p99_in_bounds").foreach { c =>
+        assert(r.getBoolean(r.fieldIndex(c)), s"$c false in $r")
+      }
+    }
+  }
+
+  test("q_approx_distinct: sketch_ok holds on testdata") {
+    val rows = SparkEntry.queries("q_approx_distinct")(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(r.fieldIndex("sketch_ok")), r.toString))
+  }
+
+  test("approxQuantiles returns data values at the right ranks under heavy ties") {
+    // 2000 rows over 10 distinct values: the sketch must return an actual
+    // data value whose rank matches — the case interpolated value-space
+    // bounds (round-4 bug) can never check correctly.
+    val df = (0 until 2000).map(i => (i % 10).toDouble).toDF("v")
+    val r = Graft.approxQuantiles(df, Nil, "v", Seq(0.5, 0.99)).head()
+    assert(Set(4.0, 5.0).contains(r.getDouble(0)), r.toString)
+    assert(r.getDouble(1) == 9.0, r.toString)
+  }
+
+  test("approxQuantiles groups and names percentile columns") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("g", "v")
+    val out = Graft.approxQuantiles(df, Seq("g"), "v", Seq(0.5, 0.999))
+    assert(out.columns.toSeq == Seq("g", "p50", "p99_9"))
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") == 2.0 && m("b") == 10.0)
+  }
+
+  test("approxDistinct estimate lands within the rsd contract") {
+    val df = (0L until 5000L).map(i => i % 1000).toDF("k")
+    val est = Graft.approxDistinct(df, Nil, "k", rsd = 0.02)
+      .head().getLong(0)
+    assert(math.abs(est - 1000L) <= 1000 * 3 * 0.02, s"est=$est")
+    val grouped = Graft.approxDistinct(df.withColumn("g", $"k" % 2), Seq("g"), "k")
+    assert(grouped.count() == 2)
+  }
+}
