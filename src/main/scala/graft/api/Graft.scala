@@ -158,6 +158,41 @@ object Graft {
     merged.filter(col("op") === "upsert").drop("op")
   }
 
+  /** Fuzzy (n-gram overlap) contamination report: for each (train doc,
+    * eval doc) pair, the fraction of the train doc's distinct word
+    * `n`-grams that appear in the eval doc, kept above `threshold` —
+    * catches the near-verbatim leakage (whitespace/punctuation variants,
+    * partial copies) an exact [[decontaminate]] fingerprint misses.
+    * Both frames are addressed by the same `idCol`/`textCol` names; output
+    * is (`idCol`, eval_id, n_common, n_grams, overlap). Inverted-index
+    * equi-join on the gram hash (never doc × doc); grams present in more
+    * than `evalGramMax` eval docs are dropped as boilerplate, which also
+    * caps the per-gram join fan-out. Drop flagged ids with a left-anti
+    * join to complete the decontamination. */
+  def ngramOverlapPairs(train: DataFrame, evalSet: DataFrame,
+                        idCol: String, textCol: String, n: Int = 13,
+                        threshold: Double = 0.5,
+                        evalGramMax: Int = 10): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(train.sparkSession)
+    def grams(df: DataFrame) = df
+      .selectExpr(idCol, s"split($textCol, ' ') AS _toks")
+      .selectExpr(idCol,
+        s"array_distinct(transform(sequence(1, greatest(size(_toks) - ${n - 1}, 1)), i -> array_join(slice(_toks, i, $n), ' '))) AS _sh")
+      .selectExpr(idCol, "array_distinct(h60_array(_sh)) AS _hs")
+    val tg = grams(train).select(col(idCol), explode(col("_hs")).as("_g"),
+      size(col("_hs")).cast("bigint").as("n_grams"))
+    val eg = grams(evalSet)
+      .select(col(idCol).as("eval_id"), explode(col("_hs")).as("_g"))
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_g"))))
+      .filter(col("_df") <= evalGramMax).drop("_df")
+    tg.join(eg, Seq("_g"))
+      .groupBy(col(idCol), col("eval_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col(idCol), col("eval_id"), col("n_common"), col("n_grams"),
+        (col("n_common") / col("n_grams")).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

@@ -62,10 +62,54 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy decontamination parameters: 13-gram overlap is the published
+    * standard for near-verbatim eval contamination (whitespace/punctuation
+    * variants and partial copies that beat an exact-fingerprint match);
+    * eval stand-in = every 7th doc_id; a train doc is flagged when ≥ half
+    * its distinct 13-grams appear in one eval doc. Grams present in more
+    * than [[EvalGramMax]] eval docs are boilerplate, not contamination
+    * signal — dropping them also caps the join fan-out per gram, which is
+    * what keeps the shuffle bounded when an eval suite carries a hot
+    * header line across thousands of docs. */
+  private[graft] val NgramSize = 13
+  private[graft] val EvalMod = 7
+  private[graft] val OverlapThreshold = 0.5
+  private[graft] val EvalGramMax = 10
+
+  /** N-gram-overlap decontamination: for each (train doc, eval doc) pair,
+    * the fraction of the train doc's distinct 13-grams that appear in the
+    * eval doc, flagged above [[OverlapThreshold]]. Inverted-index shape:
+    * explode grams on both sides, equi-join on the gram hash (never doc ×
+    * doc), count matches per pair. The eval-side frequency window shuffles
+    * on the gram hash — the same key the join needs. */
+  private def qDecontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.spread(s, Tables.documents(s, d))
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(sequence(1, greatest(size(toks) - ${NgramSize - 1}, 1)), i -> array_join(slice(toks, i, $NgramSize), ' '))) AS shingles")
+      .selectExpr("doc_id", "array_distinct(h60_array(shingles)) AS hs")
+    val train = grams.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("g"),
+        size(col("hs")).cast("bigint").as("n_grams"))
+    val ev = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("g"))
+      .withColumn("gram_df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("gram_df") <= EvalGramMax)
+      .drop("gram_df")
+    train.join(ev, Seq("g"))
+      .groupBy(col("doc_id"), col("eval_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_id"), col("eval_id"), col("n_common"), col("n_grams"),
+        round(col("n_common") / col("n_grams"), 6).as("overlap"))
+      .filter(col("overlap") >= OverlapThreshold)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> qStratifiedSample _,
     "q_group_topk" -> qGroupTopk _,
-    "q_decontaminate" -> qDecontaminate _
+    "q_decontaminate" -> qDecontaminate _,
+    "q_decontaminate_ngram" -> qDecontaminateNgram _
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,6 +129,23 @@ object CorpusOps {
         |ev AS (SELECT DISTINCT h FROM fp WHERE doc_id % 97 = 0)
         |SELECT doc_id, lang FROM fp
         |WHERE h NOT IN (SELECT h FROM ev)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_ngram" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - ${NgramSize - 1}, 1) + 1), i -> array_to_string(toks[i:i+${NgramSize - 1}], ' '))) AS shingles FROM t),
+         |h AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${LlmQueries.h60Duck("s")})) AS hs FROM sh),
+         |tr AS (SELECT doc_id, unnest(hs) AS g, len(hs) AS n_grams FROM h
+         |       WHERE doc_id % $EvalMod <> 0),
+         |ev0 AS (SELECT doc_id AS eval_id, unnest(hs) AS g FROM h
+         |        WHERE doc_id % $EvalMod = 0),
+         |ev AS (SELECT eval_id, g FROM ev0
+         |       QUALIFY count(*) OVER (PARTITION BY g) <= $EvalGramMax),
+         |ov AS (SELECT tr.doc_id, ev.eval_id, tr.n_grams, count(*) AS n_common
+         |       FROM tr JOIN ev ON tr.g = ev.g GROUP BY 1, 2, 3)
+         |SELECT doc_id, eval_id, n_common, n_grams,
+         |       round(n_common / n_grams, 6) AS overlap
+         |FROM ov
+         |WHERE round(n_common / n_grams, 6) >= $OverlapThreshold
+         |ORDER BY doc_id, eval_id""".stripMargin
   )
 }

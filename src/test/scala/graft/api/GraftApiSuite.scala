@@ -53,6 +53,20 @@ class GraftApiSuite extends AnyFunSuite {
     assert(kept == Seq(1L))
   }
 
+  test("ngramOverlapPairs flags near-verbatim leakage, ignores small overlap") {
+    val evalDoc = (1 to 40).map(i => s"ev$i").mkString(" ")
+    // near-verbatim: last token changed → 27 of 28 distinct 13-grams match
+    val leaked = ((1 to 39).map(i => s"ev$i") :+ "DIFF").mkString(" ")
+    // shares only the first 14 tokens → 2 of 28 grams ≈ 0.07 < 0.5
+    val brushed = ((1 to 14).map(i => s"ev$i") ++ (1 to 26).map(i => s"own$i")).mkString(" ")
+    val clean = (1 to 40).map(i => s"tr$i").mkString(" ")
+    val train = Seq((1L, leaked), (2L, brushed), (3L, clean)).toDF("id", "txt")
+    val evalSet = Seq((100L, evalDoc)).toDF("id", "txt")
+    val got = Graft.ngramOverlapPairs(train, evalSet, "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 100L)))
+  }
+
   test("applyChanges: truncate wipes rows at or below its position") {
     val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
     val changes = Seq(
