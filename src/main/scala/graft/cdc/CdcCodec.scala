@@ -156,7 +156,7 @@ object CdcCodec {
     }
 
   /** Accept every host representation Spark hands out for DATE — the
-    * decoded value is always `java.sql.Date` (UTC wall-clock). */
+    * decoded value is always `java.time.LocalDate` (UTC wall-clock). */
   private def localDateOf(value: Any): LocalDate = value match {
     case d: java.sql.Date => d.toLocalDate
     case d: LocalDate => d
@@ -238,8 +238,10 @@ object CdcCodec {
         (v, 10, 0)
       case ColType.DateDay =>
         val v = buf.getInt(off)
-        (if (v == NullInt4) null
-         else java.sql.Date.valueOf(LocalDate.ofEpochDay(v + DateEpoch)), 4, 0)
+        // java.time.LocalDate, not java.sql.Date: epoch-day arithmetic with
+        // no calendar/timezone round-trip, and Spark encoders map it to
+        // DateType directly — the envelope stays primitive-friendly.
+        (if (v == NullInt4) null else LocalDate.ofEpochDay(v + DateEpoch), 4, 0)
       case ColType.Bool =>
         (if (bytes(off) == 1) null else bytes(off + 1) != 0, 2, 0)
       case ColType.Char(n) =>
@@ -268,7 +270,9 @@ object CdcCodec {
           val ldt = LocalDateTime.of(
             un(1) * 100 + un(2), un(3), un(4), un(5), un(6), un(7),
             (un(8) * 10000 + un(9) * 100 + un(10)) * 1000)
-          java.sql.Timestamp.from(ldt.toInstant(ZoneOffset.UTC))
+          // java.time.Instant (UTC wall clock), not java.sql.Timestamp —
+          // see the DateDay note.
+          ldt.toInstant(ZoneOffset.UTC)
         }
         (v, 11, 0)
     }

@@ -37,15 +37,25 @@ object CodecQueries {
 
   val AllTypesSchema: TableSchema = DdlParser.parse(7, "informixcdc_test", AllTypesDdl)
 
-  /** Decoded row envelope (seq/txid/type tag + the 14 typed columns). */
+  /** Decoded row envelope (seq/txid/type tag + the 14 typed columns).
+    *
+    * Nullable fields are java boxed / java.time values, NOT Options or
+    * java.sql dates: the encoder then writes each field with a single
+    * null-check and no wrapper allocation, keeps the map inside the
+    * codegen'd serializer, and skips java.sql.Date/Timestamp's
+    * calendar-based conversions (LocalDate is epoch-day arithmetic,
+    * Instant is epoch-micros). v_decimal is converted to double inside
+    * the map — the oracle compares doubles anyway, and it avoids a
+    * Decimal(38,18) encode + downstream cast entirely. */
   final case class DecodedRow(
       seq_number: Long, transaction_id: Int, record_type: String,
-      v_serial8: Option[Long], v_int8: Option[Long], v_bigint: Option[Long],
-      v_int: Option[Int], v_smallint: Option[Short], v_char: Option[String],
-      v_varchar: Option[String], v_lvarchar: Option[String],
-      v_date: Option[java.sql.Date], v_datetime: Option[java.sql.Timestamp],
-      v_decimal: Option[BigDecimal], v_float: Option[Double],
-      v_smallfloat: Option[Float], v_bool: Option[Boolean])
+      v_serial8: java.lang.Long, v_int8: java.lang.Long,
+      v_bigint: java.lang.Long, v_int: java.lang.Integer,
+      v_smallint: java.lang.Short, v_char: String,
+      v_varchar: String, v_lvarchar: String,
+      v_date: java.time.LocalDate, v_datetime: java.time.Instant,
+      v_decimal: java.lang.Double, v_float: java.lang.Double,
+      v_smallfloat: java.lang.Float, v_bool: java.lang.Boolean)
 
   private def qCdcRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -88,24 +98,24 @@ object CodecQueries {
       val bytes = CdcCodec.encodeRowFrame(CdcRecords.INSERT + row.getInt(2),
         schema, row.getLong(0), row.getInt(1), 0, values)
       val r = CdcCodec.decodeFrame(bytes, registry).asInstanceOf[RowImage]
-      def v[T](i: Int): Option[T] = Option(r.columns(i).value.asInstanceOf[T])
+      def v[T](i: Int): T = r.columns(i).value.asInstanceOf[T]
+      val dec = v[java.math.BigDecimal](10)
       DecodedRow(r.seqNumber, r.transactionId, r.recordType,
-        v[Long](0), v[Long](1), v[Long](2), v[Int](3), v[Short](4),
-        v[String](5), v[String](6), v[String](7), v[java.sql.Date](8),
-        v[java.sql.Timestamp](9),
-        v[java.math.BigDecimal](10).map(BigDecimal(_)), v[Double](11),
-        v[Float](12), v[Boolean](13))
+        v(0), v(1), v(2), v(3), v(4),
+        v(5), v(6), v(7), v(8), v(9),
+        if (dec == null) null else java.lang.Double.valueOf(dec.doubleValue),
+        v(11), v(12), v(13))
     }
 
     // Decimal → double at the output edge only (oracle-parity convention,
     // RelationalQueries header); the BCD wire path above ran at full
-    // (32,16) precision.
+    // (32,16) precision — doubleValue on the exact decoded value equals
+    // the former Decimal(32,16)→double cast bit for bit.
     // (seq, v_bigint, v_float) ⇔ (orderkey, linenumber, partkey,
     // extendedprice) is verified unique at every SF — a TOTAL order, so the
     // hash compare cannot depend on partitioning (seq alone ties: the
     // synthetic lineitem repeats (orderkey, linenumber) pairs).
     decoded.toDF()
-      .withColumn("v_decimal", col("v_decimal").cast("double"))
       .orderBy(col("seq_number"), col("v_bigint"), col("v_float"))
   }
 

@@ -194,19 +194,55 @@ object CdcPipeline {
 
   // -------------------------------------------------------------- pipeline
 
+  /** Envelope projection, derived from the chunk's in-band TABSCHEM
+    * registry rather than fixed positions/types (mirrors the V2 source,
+    * [[graft.sources.CdcChunkSource]]): `key` = the table's first integral
+    * column (widened to long), `v` = its first fractional column (as
+    * double), `etype` = its first string column — None when the table has
+    * no such column. Decoded host values are coerced by their actual
+    * runtime type, so a captured table of ANY shape streams through the
+    * binaryFile path without ClassCastException. */
+  private[streaming] def envelopeCols(img: RowImage, schemas: SchemaRegistry)
+      : (Option[Long], Option[Double], Option[String]) = {
+    import org.apache.spark.sql.types._
+    val specs = schemas.tables.get(img.tabid).map(_.cols)
+    def pick(wanted: DataType => Boolean): Option[Any] = specs.flatMap { cols =>
+      val i = cols.indexWhere(c => wanted(c.colType.sparkType))
+      if (i < 0 || i >= img.columns.length) None
+      else Option(img.columns(i).value)
+    }
+    val k = pick(t => t == LongType || t == IntegerType || t == ShortType)
+      .collect {
+        case x: Long => x
+        case x: Int => x.toLong
+        case x: Short => x.toLong
+      }
+    val v = pick(t => t == DoubleType || t == FloatType ||
+        t.isInstanceOf[DecimalType])
+      .collect {
+        case x: Double => x
+        case x: Float => x.toDouble
+        case x: java.math.BigDecimal => x.doubleValue
+        case x: BigDecimal => x.toDouble
+      }
+    val e = pick(_ == StringType).map {
+      case s: String => s
+      case other => other.toString
+    }
+    (k, v, e)
+  }
+
   /** Decode a chunk's bytes into envelope records (the frame walk of
     * fetchone, ec:2246-2254, via [[FrameBuffer]]; TABSCHEM consumed in-band,
     * control records dropped after use). */
-  private def decodeChunk(bytes: Array[Byte]): Iterator[Envelope] = {
+  private[streaming] def decodeChunk(bytes: Array[Byte]): Iterator[Envelope] = {
     val fb = new FrameBuffer(emptyRegistry)
     val recs = fb.append(bytes)
     require(fb.pendingBytes == 0, "fixture chunk ends mid-frame")
     recs.iterator.collect {
       case r: RowImage =>
-        Envelope(r.recordType, r.seqNumber, r.transactionId,
-          Some(r.columns(0).value.asInstanceOf[Long]),
-          Some(r.columns(1).value.asInstanceOf[Double]),
-          Some(r.columns(2).value.asInstanceOf[String]))
+        val (k, v, e) = envelopeCols(r, fb.registry)
+        Envelope(r.recordType, r.seqNumber, r.transactionId, k, v, e)
       case r: BeginTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
       case r: CommitTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)
       case r: RollbackTx => Envelope(r.recordType, r.seqNumber, r.transactionId, None, None, None)

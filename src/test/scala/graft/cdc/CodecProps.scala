@@ -35,7 +35,7 @@ object CodecProps extends Properties("CdcCodec") {
       case ColType.Int8 => Arbitrary.arbitrary[Long]
         .suchThat(_ != Long.MinValue).map(x => x: Any)
       case ColType.DateDay => Gen.choose(-100000L, 100000L)
-        .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)): Any)
+        .map(d => java.time.LocalDate.ofEpochDay(d): Any)
       case ColType.Bool => Arbitrary.arbitrary[Boolean].map(x => x: Any)
       case ColType.Char(n) =>
         Gen.chooseNum(0, n).flatMap(k =>
@@ -51,8 +51,8 @@ object CodecProps extends Properties("CdcCodec") {
           .map(n => new java.math.BigDecimal(n).setScale(s): Any)
       case ColType.DTime =>
         Gen.choose(0L, 4102444800000000L) // micros up to year 2100
-          .map(us => java.sql.Timestamp.from(
-            java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)): Any)
+          .map(us => java.time.Instant.EPOCH
+            .plus(us, java.time.temporal.ChronoUnit.MICROS): Any)
     }
     Gen.frequency(4 -> nonNull, 1 -> Gen.const(null: Any))
   }

@@ -28,8 +28,9 @@ class CodecSuite extends AnyFunSuite {
     -9223372036854775807L, 9223372036854775807L,  // int8 extremes
     -9223372036854775807L, 9223372036854775807L,  // bigint extremes
     "I heart CDC",                            // char(16)
-    java.sql.Date.valueOf("2026-08-12"),      // date
-    java.sql.Timestamp.valueOf("2026-08-12 06:30:59.123456"), // datetime
+    java.time.LocalDate.parse("2026-08-12"),  // date
+    java.time.LocalDateTime.parse("2026-08-12T06:30:59.123456")
+      .toInstant(java.time.ZoneOffset.UTC),   // datetime
     new java.math.BigDecimal("-1234567890123456.1234567890123456"),
     new java.math.BigDecimal("1234567890123456.1234567890123456"),
     -99.99999999999999, 99.99999999999999,    // float extremes
@@ -72,11 +73,13 @@ class CodecSuite extends AnyFunSuite {
     // ec:1075-1084 disables datetime decode; digit-group layout per the
     // dead path (ec:1140-1146).
     val dt = ColSpec("t", ColType.DTime)
+    // encode still accepts java.sql.Timestamp (what Spark Rows hand out);
+    // decode returns the java.time.Instant of the same wall-clock micros
     val ts = java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999")
     val (bytes, _) = CdcCodec.encodeColumn(dt, ts)
     assert(bytes.length == 11)
     val (got, _, _) = CdcCodec.decodeColumn(dt, bytes, 0, IndexedSeq.empty, 0)
-    assert(got == ts)
+    assert(got == ts.toInstant)
   }
 
   test("Informix DATE day numbers anchor at 1900-01-01 = day 1 (rjulmdy)") {

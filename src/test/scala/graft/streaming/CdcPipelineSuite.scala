@@ -203,4 +203,43 @@ class CdcPipelineSuite extends AnyFunSuite {
     assert(gotKeys == committedKeys)
     assert((rolledBackKeys -- committedKeys).intersect(gotKeys).isEmpty)
   }
+
+  test("decodeChunk derives the envelope from the in-band schema, not " +
+      "fixed positions") {
+    import graft.cdc._
+    // A captured table whose layout inverts the fixture's: string first,
+    // integral LAST — the old positional casts (col 0 as long, col 2 as
+    // string) would ClassCastException here.
+    val ddl = "label varchar(16), metric float, ident bigint"
+    val schema = DdlParser.parse(
+      CdcPipeline.StreamTabid, CdcPipeline.StreamTabname, ddl)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(CdcCodec.encodeFrame(
+      TabSchema(CdcPipeline.StreamTabid, 0, 16, 2, 1, ddl)))
+    out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, schema, 10L, 1, 0,
+      IndexedSeq("hello", 2.5, 42L)))
+    out.write(CdcCodec.encodeFrame(CommitTx(11L, 1, commitTime = 10L)))
+    val envs = CdcPipeline.decodeChunk(out.toByteArray).toList
+    val row = envs.find(_.recordType == "CDC_REC_INSERT").get
+    assert(row.key.contains(42L))
+    assert(row.v.contains(2.5))
+    assert(row.etype.contains("hello"))
+    assert(envs.exists(_.recordType == "CDC_REC_COMMTX"))
+  }
+
+  test("decodeChunk yields None envelope fields for a table lacking them") {
+    import graft.cdc._
+    val ddl = "only_text varchar(24)"
+    val schema = DdlParser.parse(
+      CdcPipeline.StreamTabid, CdcPipeline.StreamTabname, ddl)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(CdcCodec.encodeFrame(
+      TabSchema(CdcPipeline.StreamTabid, 0, 0, 0, 1, ddl)))
+    out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, schema, 20L, 2, 0,
+      IndexedSeq("solo")))
+    val envs = CdcPipeline.decodeChunk(out.toByteArray).toList
+    val row = envs.find(_.recordType == "CDC_REC_INSERT").get
+    assert(row.key.isEmpty && row.v.isEmpty)
+    assert(row.etype.contains("solo"))
+  }
 }
