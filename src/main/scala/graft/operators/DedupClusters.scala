@@ -50,14 +50,18 @@ object ConnectedComponents {
     * dropped (a limit-style probe could leave it partial) and returns the
     * changed-row count that decides termination — the convergence check
     * costs no extra job. Labels are `localCheckpoint`ed every
-    * `checkpointEvery` rounds so a pathological graph near `maxRounds`
-    * cannot nest 50 join plans. The RESULT is a localCheckpoint too:
+    * `checkpointEvery` rounds: the pointer-jump self-join references the
+    * previous round's plan TWICE, so the logical plan doubles per round —
+    * 2^checkpointEvery nodes between checkpoints — and the checkpoint is
+    * what keeps analysis and plan-string costs bounded (the label table is
+    * one row per node and already cache-materialized, so the checkpoint
+    * itself is cheap). The RESULT is a localCheckpoint too:
     * lineage-free, nothing left in the cache manager — its blocks are
     * released by the ContextCleaner once the caller drops the reference,
     * so no unpersist contract leaks across the API. */
   def components(nodes: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
-                 maxRounds: Int = 50, checkpointEvery: Int = 10): DataFrame = {
+                 maxRounds: Int = 50, checkpointEvery: Int = 4): DataFrame = {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = e0.union(e0.select(col("b"), col("a")))
       .persist(StorageLevel.MEMORY_AND_DISK)
