@@ -105,11 +105,42 @@ object CorpusOps {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** Gopher/C4-style intra-document repetition thresholds (tuned to the
+    * synthetic corpus so both keep outcomes occur): drop a doc when its
+    * token stream is mostly repeats, its 2-gram stream repeats, or one
+    * 2-gram dominates. Compared on the 6-dp ROUNDED metrics in both
+    * engines, so the flag can never flip on float noise at the boundary. */
+  private[graft] val MaxDupTokenRatio = 0.6
+  private[graft] val MaxDup2gramRatio = 0.06
+  private[graft] val Max2gramFrac = 0.09
+
+  /** Repetition-based quality filter: the within-document repetition
+    * signals every large-scale curation pipeline computes (duplicate-token
+    * ratio, duplicate-2-gram ratio, most-common-2-gram share) plus the
+    * keep decision. Entirely map-side — higher-order array expressions per
+    * row, no shuffle, no explode; the per-row O(grams²) count is bounded
+    * by document length, not corpus size. */
+  private def qRepetitionFilter(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d))
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks",
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> array_join(slice(toks, i, 2), ' ')) AS g2")
+      .selectExpr("doc_id",
+        "cast(size(toks) AS bigint) AS n_tokens",
+        "round(1.0 - size(array_distinct(toks)) / size(toks), 6) AS dup_token_ratio",
+        "round(1.0 - size(array_distinct(g2)) / size(g2), 6) AS dup_2gram_ratio",
+        "round(array_max(transform(array_distinct(g2), u -> size(filter(g2, x -> x = u)))) / size(g2), 6) AS max_2gram_frac")
+      .selectExpr("doc_id", "n_tokens", "dup_token_ratio", "dup_2gram_ratio",
+        "max_2gram_frac",
+        s"(dup_token_ratio <= $MaxDupTokenRatio AND dup_2gram_ratio <= $MaxDup2gramRatio AND max_2gram_frac <= $Max2gramFrac) AS keep")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> qStratifiedSample _,
     "q_group_topk" -> qGroupTopk _,
     "q_decontaminate" -> qDecontaminate _,
-    "q_decontaminate_ngram" -> qDecontaminateNgram _
+    "q_decontaminate_ngram" -> qDecontaminateNgram _,
+    "q_repetition_filter" -> qRepetitionFilter _
   )
 
   val oracle: Map[String, String] = Map(
@@ -146,6 +177,23 @@ object CorpusOps {
          |       round(n_common / n_grams, 6) AS overlap
          |FROM ov
          |WHERE round(n_common / n_grams, 6) >= $OverlapThreshold
-         |ORDER BY doc_id, eval_id""".stripMargin
+         |ORDER BY doc_id, eval_id""".stripMargin,
+    "q_repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, toks,
+         |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1), i -> array_to_string(toks[i:i+1], ' ')) AS g2
+         |FROM t),
+         |r AS (SELECT doc_id,
+         |  cast(len(toks) AS bigint) AS n_tokens,
+         |  round(1.0 - len(list_distinct(toks)) / len(toks), 6) AS dup_token_ratio,
+         |  round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio,
+         |  round(list_max(list_transform(list_distinct(g2), u -> len(list_filter(g2, x -> x = u)))) / len(g2), 6) AS max_2gram_frac
+         |FROM m)
+         |SELECT doc_id, n_tokens, dup_token_ratio, dup_2gram_ratio,
+         |       max_2gram_frac,
+         |       (dup_token_ratio <= $MaxDupTokenRatio AND
+         |        dup_2gram_ratio <= $MaxDup2gramRatio AND
+         |        max_2gram_frac <= $Max2gramFrac) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -234,6 +234,44 @@ object LlmQueries {
       .limit(10)
   }
 
+  /** Batched ANN over the IVF index: the first 5 vectors act as a QUERY
+    * BATCH, each probing only its own centroid's bucket, top-3 per query —
+    * the realistic serving shape (queries arrive in batches; running the
+    * single-query path K times would rescan the table K times). One plan:
+    * the query batch rides one broadcast, the probe is one equi-join on
+    * the bucket id, and the per-query top-k is a window row_number that
+    * WindowGroupLimit prunes per partition — never a global sort, and the
+    * probe cost stays |batch| × bucket, not |batch| × table. */
+  private def qAnnBatch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+    val cents = e.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
+        col("cid").as("cluster"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .selectExpr("vec_id AS qid", "cluster AS qcluster",
+        "embedding AS qv", "norm AS qnorm")
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(q), col("cluster") === col("qcluster"))
+      .withColumn("sim",
+        expr(s"round(${dotSpark("embedding", "qv")} / (norm * qnorm), 6)"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("vec_id"), col("label"),
+        col("cluster"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** K-means centroid refinement for the IVF index (the production path
     * `q_ann_ivf`'s scaladoc promises): two unrolled Lloyd's iterations —
     * assign each vector to its max-cosine centroid, recompute centroids as
@@ -445,6 +483,7 @@ object LlmQueries {
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_ann_batch" -> qAnnBatch _,
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_text_stats" -> qTextStats _,
     "q_token_count" -> qTokenCount _,
@@ -569,6 +608,24 @@ object LlmQueries {
          |SELECT vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
          |FROM assigned, q WHERE cluster = qcluster
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_batch" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.v, cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+         |  FROM e, cents),
+         |assigned AS (SELECT vec_id, label, v, cid AS cluster FROM scored WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, cluster AS qcluster, v AS qv
+         |      FROM assigned WHERE vec_id < 5)
+         |SELECT qid,
+         |       cast(row_number() OVER (PARTITION BY qid
+         |                               ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
+         |       vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
+         |FROM assigned, q WHERE cluster = qcluster
+         |QUALIFY rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
     "q_ivf_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -76,6 +76,23 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_repetition_filter is map-side: no shuffle before the output sort") {
+    val p = plan("q_repetition_filter")
+    // higher-order array exprs per row — the only exchange is the final
+    // ORDER BY's range partitioning; an explode+groupBy shape would add
+    // a hash-partitioned exchange and shuffle every token
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Generate"), p) // no explode
+  }
+
+  test("q_ann_batch probes buckets via broadcast equi-join, top-k via window") {
+    val p = plan("q_ann_batch")
+    // the probe must be a hash join on the bucket id (the batch rides a
+    // broadcast), never a nested-loop over batch × table
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("sketch-only approxQuantiles is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
