@@ -158,6 +158,67 @@ object Graft {
     merged.filter(col("op") === "upsert").drop("op")
   }
 
+  /** Intra-document repetition signals (Gopher/C4-style quality rules):
+    * duplicate-token ratio, duplicate-2-gram ratio, and the most common
+    * 2-gram's share, per document. Entirely map-side — higher-order array
+    * expressions, no shuffle, no explode. Thresholding is policy, so the
+    * caller filters; the driver query `q_repetition_filter` shows one
+    * threshold set. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .selectExpr(idCol, s"split($textCol, ' ') AS _toks")
+      .selectExpr(idCol, "_toks",
+        "transform(sequence(1, greatest(size(_toks) - 1, 1)), i -> array_join(slice(_toks, i, 2), ' ')) AS _g2")
+      .selectExpr(idCol,
+        "cast(size(_toks) AS bigint) AS n_tokens",
+        "round(1.0 - size(array_distinct(_toks)) / size(_toks), 6) AS dup_token_ratio",
+        "round(1.0 - size(array_distinct(_g2)) / size(_g2), 6) AS dup_2gram_ratio",
+        "round(array_max(transform(array_distinct(_g2), u -> size(filter(_g2, x -> x = u)))) / size(_g2), 6) AS max_2gram_frac")
+
+  /** IVF bucket assignment: label every vector (unique `idCol`) with the
+    * id of its max-cosine centroid as a `cluster` column. Centroids are a
+    * bounded set — they ride one broadcast; scoring is the codegen'd
+    * `dot_f32` kernel; ties break on the lower centroid id. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String,
+                cvecCol: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val cents = centroids
+      .select(col(cidCol).as("_cid"), col(cvecCol).as("_cv"))
+      .withColumn("_cnorm", expr("sqrt(dot_f32(_cv, _cv))"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_csim").desc, col("_cid"))
+    vectors
+      .withColumn("_norm", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", expr(s"dot_f32($vecCol, _cv) / (_norm * _cnorm)"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumn("cluster", col("_cid"))
+      .drop("_cid", "_cv", "_cnorm", "_csim", "_rn", "_norm")
+  }
+
+  /** Batched ANN probe over [[ivfAssign]] output: each query searches ONLY
+    * its own cluster's bucket (equi-join on `cluster`, query batch on one
+    * broadcast), top-`k` by cosine per query — one plan for the whole
+    * batch instead of per-query table rescans. Both inputs carry the
+    * `cluster` column ivfAssign added. Returns (qid, rank, id, sim). */
+  def ivfProbe(assigned: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, k: Int): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(assigned.sparkSession)
+    val q = queries
+      .select(col(qidCol), col("cluster").as("_qcluster"), col(vecCol).as("_qv"))
+      .withColumn("_qnorm", expr("sqrt(dot_f32(_qv, _qv))"))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol))
+    assigned.join(broadcast(q), col("cluster") === col("_qcluster"))
+      .withColumn("sim", expr(
+        s"dot_f32($vecCol, _qv) / (sqrt(dot_f32($vecCol, $vecCol)) * _qnorm)"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("sim"))
+  }
+
   /** Fuzzy (n-gram overlap) contamination report: for each (train doc,
     * eval doc) pair, the fraction of the train doc's distinct word
     * `n`-grams that appear in the eval doc, kept above `threshold` —

@@ -67,6 +67,35 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Seq((1L, 100L)))
   }
 
+  test("repetitionStats measures planted repetition, near-zero for clean text") {
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ")
+    val loop = Seq.fill(15)("spam ham").mkString(" ") // one dominating 2-gram
+    val docs = Seq((1L, clean), (2L, loop)).toDF("id", "body")
+    val m = Graft.repetitionStats(docs, "id", "body").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDouble(2) == 0.0) // dup_token_ratio: all distinct
+    assert(m(2L).getDouble(2) > 0.9)  // 30 tokens, 2 distinct
+    assert(m(2L).getDouble(4) > 0.4)  // "ham spam"/"spam ham" dominate
+    assert(m(1L).getDouble(4) < 0.1)
+  }
+
+  test("ivfAssign buckets by nearest centroid; ivfProbe searches the bucket") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.95f, 0.05f)), (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.1f, 0.9f)))
+      .toDF("vid", "emb")
+    val cents = Seq((10, Array(1f, 0f)), (20, Array(0f, 1f))).toDF("cid", "cv")
+    val assigned = Graft.ivfAssign(vecs, "vid", "emb", cents, "cid", "cv")
+    val clusters = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(clusters == Map(1L -> 10, 2L -> 10, 3L -> 10, 4L -> 20, 5L -> 20))
+    val queries = assigned.filter($"vid" === 1L || $"vid" === 4L)
+      .withColumnRenamed("vid", "qid")
+    val hits = Graft.ivfProbe(assigned, "vid", "emb", queries, "qid", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // query 1 probes cluster 10 only: itself then vec 2; query 4 cluster 20
+    assert(hits == Set((1L, 1, 1L), (1L, 2, 2L), (4L, 1, 4L), (4L, 2, 5L)))
+  }
+
   test("applyChanges: truncate wipes rows at or below its position") {
     val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
     val changes = Seq(
