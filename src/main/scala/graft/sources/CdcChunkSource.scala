@@ -220,44 +220,15 @@ class ChunkPartitionReader(file: String, startingSeq: Long,
   private var current: InternalRow = _
 
   /** Envelope projection, derived from the registered schema rather than
-    * fixed positions/types: `key` = the table's first integral column
-    * (widened to long), `v` = its first fractional column (as double),
-    * `etype` = its first string column — null when the table has no such
-    * column. Decoded host values are coerced by their actual runtime type,
-    * so a captured table of any shape streams without ClassCastException. */
+    * fixed positions/types — delegates to the ONE shared implementation
+    * ([[graft.streaming.CdcPipeline.envelopeCols]]) so the V2 source and
+    * the binaryFile fixture path can never drift apart; this wrapper only
+    * converts to InternalRow-friendly values (UTF8String, boxed-or-null). */
   private def envelopeCols(img: RowImage): (Any, Any, Any) = {
-    import org.apache.spark.sql.types._
-    val specs = schemas.tables.get(img.tabid).map(_.cols)
-    def pick(wanted: DataType => Boolean): Any = specs match {
-      case Some(cols) =>
-        val i = cols.indexWhere(c => wanted(c.colType.sparkType))
-        if (i < 0 || i >= img.columns.length) null else img.columns(i).value
-      case None => null
-    }
-    def toLongV(a: Any): Any = a match {
-      case null => null
-      case x: Long => x
-      case x: Int => x.toLong
-      case x: Short => x.toLong
-      case _ => null
-    }
-    def toDoubleV(a: Any): Any = a match {
-      case null => null
-      case x: Double => x
-      case x: Float => x.toDouble
-      case x: java.math.BigDecimal => x.doubleValue()
-      case x: BigDecimal => x.toDouble
-      case _ => null
-    }
-    def toStr(a: Any): Any = a match {
-      case null => null
-      case s: String => UTF8String.fromString(s)
-      case other => UTF8String.fromString(other.toString)
-    }
-    (toLongV(pick(t => t == LongType || t == IntegerType || t == ShortType)),
-      toDoubleV(pick(t => t == DoubleType || t == FloatType ||
-        t.isInstanceOf[DecimalType])),
-      toStr(pick(_ == StringType)))
+    val (k, v, e) = graft.streaming.CdcPipeline.envelopeCols(img, schemas)
+    (k.map(java.lang.Long.valueOf).orNull,
+      v.map(java.lang.Double.valueOf).orNull,
+      e.map(UTF8String.fromString).orNull)
   }
 
   private def toRow(r: CdcRecord): Option[InternalRow] = {

@@ -202,7 +202,7 @@ object CdcPipeline {
     * no such column. Decoded host values are coerced by their actual
     * runtime type, so a captured table of ANY shape streams through the
     * binaryFile path without ClassCastException. */
-  private[streaming] def envelopeCols(img: RowImage, schemas: SchemaRegistry)
+  private[graft] def envelopeCols(img: RowImage, schemas: SchemaRegistry)
       : (Option[Long], Option[Double], Option[String]) = {
     import org.apache.spark.sql.types._
     val specs = schemas.tables.get(img.tabid).map(_.cols)
