@@ -62,6 +62,20 @@ object Graft {
            rightPayload: Seq[String]): DataFrame =
     AsOfJoin.asOf(left, right, key, leftTs, rightTs, rightPayload)
 
+  /** Incremental near-dup discovery: near-dup pairs TOUCHING `newIds` (a
+    * one-column frame of the incoming batch's ids) — batch×corpus and
+    * batch×batch, never corpus×corpus. The probe side of the LSH band
+    * join is the batch's bands alone, so an incoming crawl batch
+    * deduplicates against an accumulated corpus at |batch| × bucket cost
+    * instead of re-pairing everything ingested so far. */
+  def nearDupPairsIncremental(docs: DataFrame, idCol: String, textCol: String,
+                              newIds: DataFrame,
+                              threshold: Double = 0.7): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    LlmQueries.minhashPairsTouching(docs, idCol, textCol, newIds, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Duplicate clustering: near-dup pair discovery (the MinHash+LSH
     * pipeline of [[nearDupPairs]]) closed under transitive connectivity —
     * every document labeled with its cluster's canonical id (the minimum

@@ -103,20 +103,22 @@ object LlmQueries {
     minhashPairsUnordered(docs, idCol, textCol, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Same pipeline without the final total sort — for consumers that feed
-    * the pairs into further operators (e.g. [[DedupClusters]]), where a
-    * mid-pipeline range-partition exchange would be wasted work. */
-  private[graft] def minhashPairsUnordered(docs: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
-    val hsx = docs
+  /** Word-3-gram shingle hash sets per doc: (doc_id, hs). Stage 1 of the
+    * MinHash pipeline, shared by the all-pairs and incremental forms. */
+  private[graft] def shingleHashSets(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), i -> array_join(slice(toks, i, 3), ' '))) AS shingles")
       .selectExpr("doc_id",
         s"array_distinct(transform(h60_array(shingles), h -> h % $P)) AS hs")
-    // All 16 permutation minima in ONE native pass over hs
-    // ([[graft.functions.MinHashSig]]) — same constants and arithmetic as
-    // the 16 array_min(transform(...)) projections the oracle replicates.
+
+  /** LSH band keys per doc: (doc_id, band, bkey). All 16 permutation
+    * minima in ONE native pass over hs ([[graft.functions.MinHashSig]]) —
+    * same constants and arithmetic as the 16 array_min(transform(...))
+    * projections the oracle replicates. */
+  private[graft] def lshBands(hsx: DataFrame): DataFrame = {
     val sig = hsx.selectExpr("doc_id", "minhash_sig(hs) AS sig")
     val bandStructs = (0 until Bands).map { j =>
       val ms = (0 until RowsPerBand)
@@ -124,9 +126,30 @@ object LlmQueries {
         .mkString(", ")
       s"struct($j AS band, md5(concat_ws(',', $ms)) AS bkey)"
     }.mkString(", ")
-    val bands = sig
+    sig
       .selectExpr("doc_id", s"explode(array($bandStructs)) AS bb")
       .selectExpr("doc_id", "bb.band AS band", "bb.bkey AS bkey")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full hash
+    * sets; keeps pairs at/above `threshold`. */
+  private def verifyJaccard(pairs: DataFrame, hsx: DataFrame,
+      threshold: Double): DataFrame = {
+    val x = hsx.selectExpr("doc_id AS doc_a", "hs AS hs_a")
+    val y = hsx.selectExpr("doc_id AS doc_b", "hs AS hs_b")
+    pairs.join(x, "doc_a").join(y, "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Same pipeline without the final total sort — for consumers that feed
+    * the pairs into further operators (e.g. [[DedupClusters]]), where a
+    * mid-pipeline range-partition exchange would be wasted work. */
+  private[graft] def minhashPairsUnordered(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val hsx = shingleHashSets(docs, idCol, textCol)
+    val bands = lshBands(hsx)
     val a = bands.alias("a")
     val b = bands.alias("b")
     val pairs = a.join(b,
@@ -134,12 +157,43 @@ object LlmQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val x = hsx.selectExpr("doc_id AS doc_a", "hs AS hs_a")
-    val y = hsx.selectExpr("doc_id AS doc_b", "hs AS hs_b")
-    pairs.join(x, "doc_a").join(y, "doc_b")
-      .selectExpr("doc_a", "doc_b",
-        "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(pairs, hsx, threshold)
+  }
+
+  /** Incremental near-dup discovery (the streaming-set-similarity-join
+    * shape, batched): only pairs TOUCHING the new batch are generated —
+    * the probe side of the band join is the new docs' bands alone, so the
+    * cost is |new| × bucket, never |corpus|². This is how a growing corpus
+    * deduplicates an incoming crawl batch without re-pairing everything
+    * already ingested; corpus-side signatures are recomputed here for the
+    * demo but would be the persisted index in production. Within-batch
+    * duplicates are found too (the new side also sits in the build side). */
+  private[graft] def minhashPairsTouching(docs: DataFrame, idCol: String,
+      textCol: String, newIds: DataFrame, threshold: Double): DataFrame = {
+    val hsx = shingleHashSets(docs, idCol, textCol)
+    val bands = lshBands(hsx)
+    val newBands = bands.join(
+      newIds.select(col(newIds.columns.head).as("doc_id")), "doc_id")
+    val a = newBands.alias("a")
+    val b = bands.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, hsx, threshold)
+  }
+
+  /** Incremental dedup driver query: docs with `doc_id % 5 == 4` stand in
+    * for the incoming batch; output = every near-dup pair touching the
+    * batch (batch×corpus and batch×batch, never corpus×corpus). See
+    * [[minhashPairsTouching]] for the scale argument. */
+  private def qDedupIncrement(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    val newIds = docs.filter(col("doc_id") % 5 === 4).select(col("doc_id"))
+    minhashPairsTouching(docs, "doc_id", "text", newIds, JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 32-bit SimHash per document: token hashes vote ±1 per bit, weighted by
@@ -479,6 +533,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> qExactDedup _,
     "q_near_dedup_minhash" -> qNearDedupMinhash _,
+    "q_dedup_increment" -> qDedupIncrement _,
     "q_simhash" -> qSimhash _,
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
@@ -556,6 +611,15 @@ object LlmQueries {
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_near_dedup_minhash" -> minhashOracle,
+    // The incremental form must agree with the FULL pair set restricted to
+    // pairs touching the batch — asserting the probe-side restriction loses
+    // no pair the all-pairs join would have found.
+    "q_dedup_increment" ->
+      s"""WITH ${minhashPairsCte}
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= $JaccardThreshold
+         |  AND (doc_a % 5 = 4 OR doc_b % 5 = 4)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id, $duckShingles4 AS shingles FROM t),

@@ -29,6 +29,27 @@ class GraftApiSuite extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("nearDupPairsIncremental finds batch-touching pairs only") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val baseDup = (1 to 40).map(i => if (i == 20) "X" else s"tok$i").mkString(" ")
+    val old1 = (1 to 40).map(i => s"aaa$i").mkString(" ")
+    val old1Dup = (1 to 40).map(i => if (i == 7) "Y" else s"aaa$i").mkString(" ")
+    // corpus: 1 (base), 2/3 (a near-dup pair ALREADY in the corpus);
+    // batch: 9 (near-dup of corpus doc 1), 10 (unrelated)
+    val docs = Seq(
+      (1L, base), (2L, old1), (3L, old1Dup),
+      (9L, baseDup), (10L, (1 to 40).map(i => s"zzz$i").mkString(" ")))
+      .toDF("id", "content")
+    val s2 = docs.sparkSession
+    import s2.implicits._
+    val got = Graft.nearDupPairsIncremental(
+        docs, "id", "content", Seq(9L, 10L).toDF("id"), threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // (2,3) is corpus-internal and must NOT be re-discovered
+    assert(got == Seq((1L, 9L)))
+  }
+
   test("cosineTopK ranks by cosine against the query vector") {
     val vecs = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
