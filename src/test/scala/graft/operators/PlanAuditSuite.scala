@@ -93,6 +93,37 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bucketed tables co-locate the join: zero exchanges") {
+    // The SURVEY §7.1a co-location strategy as an executable claim: two
+    // tables bucketed on the join key sort-merge-join with NO shuffle on
+    // either side — the shape that lets a 100 TB fact⋈fact join skip both
+    // exchanges entirely. (A per-bucket Sort remains: Spark only trusts
+    // sortBy order when a bucket is a single file, and it is pipelined —
+    // no exchange — so the scale-relevant property is the zero-Exchange
+    // plan, which is what this pins.)
+    val s = TestSpark.spark
+    val ev = s.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("bkt_a", "bkt_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        ev.write.bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"/tmp/graft_bucket_audit/$t")
+          .mode("overwrite").saveAsTable(t)
+      }
+      val p = s.table("bkt_a").join(s.table("bkt_b"), "user_id")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.linesIterator.take(6).mkString("\n"))
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("bkt_a", "bkt_b").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("sketch-only approxQuantiles is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
