@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.cdc.{CdcConfig, CdcSession}
-import graft.operators.{AsOfJoin, ConnectedComponents, LlmQueries}
+import graft.operators.{AsOfJoin, CorpusOps, DedupClusters, LlmQueries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -84,17 +84,8 @@ object Graft {
     * propagation with pointer jumping ([[ConnectedComponents]]); the edge
     * list is only the LSH candidate pairs, never all-pairs. */
   def dupClusters(docs: DataFrame, idCol: String, textCol: String,
-                  threshold: Double = 0.7): DataFrame = {
-    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
-    val pairs = LlmQueries.minhashPairsUnordered(docs, idCol, textCol, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val nodes = docs.select(col(idCol))
-    ConnectedComponents.components(nodes, idCol, pairs, "doc_a", "doc_b")
-      .select(col("id").as(idCol), col("comp").as("component"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("component"))))
-      .withColumn("keep", col(idCol) === col("component"))
-  }
+                  threshold: Double = 0.7): DataFrame =
+    DedupClusters.clusters(docs, idCol, textCol, threshold)
 
   /** Sketch-only distinct count per group (HyperLogLog++,
     * `approx_count_distinct`): ONE pass, fixed-size mergeable state,
@@ -121,8 +112,10 @@ object Graft {
                       accuracy: Int = 10000): DataFrame = {
     require(percentages.nonEmpty, "at least one percentage")
     val aggs: Seq[Column] = percentages.map { p =>
-      val nm = "p" + BigDecimal(p * 100).underlying.stripTrailingZeros
-        .toPlainString.replace(".", "_")
+      // decimal-string construction BEFORE scaling: BigDecimal(0.07 * 100)
+      // would bake the double artifact 7.000000000000001 into the name
+      val nm = "p" + (BigDecimal(p.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_")
       expr(s"approx_percentile($valueCol, $p, $accuracy)").as(nm)
     }
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
@@ -179,15 +172,7 @@ object Graft {
     * caller filters; the driver query `q_repetition_filter` shows one
     * threshold set. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .selectExpr(idCol, s"split($textCol, ' ') AS _toks")
-      .selectExpr(idCol, "_toks",
-        "transform(sequence(1, greatest(size(_toks) - 1, 1)), i -> array_join(slice(_toks, i, 2), ' ')) AS _g2")
-      .selectExpr(idCol,
-        "cast(size(_toks) AS bigint) AS n_tokens",
-        "round(1.0 - size(array_distinct(_toks)) / size(_toks), 6) AS dup_token_ratio",
-        "round(1.0 - size(array_distinct(_g2)) / size(_g2), 6) AS dup_2gram_ratio",
-        "round(array_max(transform(array_distinct(_g2), u -> size(filter(_g2, x -> x = u)))) / size(_g2), 6) AS max_2gram_frac")
+    CorpusOps.repetitionStats(docs, idCol, textCol)
 
   /** IVF bucket assignment: label every vector (unique `idCol`) with the
     * id of its max-cosine centroid as a `cluster` column. Centroids are a
@@ -219,18 +204,25 @@ object Graft {
     * `cluster` column ivfAssign added. Returns (qid, rank, id, sim). */
   def ivfProbe(assigned: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, qidCol: String, k: Int): DataFrame = {
+    require(qidCol != idCol,
+      s"qidCol and idCol are both '$idCol' — rename the query id column " +
+        "so the output can carry both")
     graft.functions.DotF32.ensureRegistered(assigned.sparkSession)
+    // The query frame keeps ONLY aliased internal columns, so a queries
+    // frame sharing the corpus schema (the natural case) can never make
+    // the join output ambiguous.
     val q = queries
-      .select(col(qidCol), col("cluster").as("_qcluster"), col(vecCol).as("_qv"))
+      .select(col(qidCol).as("_qid"), col("cluster").as("_qcluster"),
+        col(vecCol).as("_qv"))
       .withColumn("_qnorm", expr("sqrt(dot_f32(_qv, _qv))"))
-    val wq = Window.partitionBy(col(qidCol))
+    val wq = Window.partitionBy(col("_qid"))
       .orderBy(col("sim").desc, col(idCol))
     assigned.join(broadcast(q), col("cluster") === col("_qcluster"))
       .withColumn("sim", expr(
         s"dot_f32($vecCol, _qv) / (sqrt(dot_f32($vecCol, $vecCol)) * _qnorm)"))
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("sim"))
+      .select(col("_qid").as(qidCol), col("rank"), col(idCol), col("sim"))
   }
 
   /** Fuzzy (n-gram overlap) contamination report: for each (train doc,
@@ -247,26 +239,9 @@ object Graft {
   def ngramOverlapPairs(train: DataFrame, evalSet: DataFrame,
                         idCol: String, textCol: String, n: Int = 13,
                         threshold: Double = 0.5,
-                        evalGramMax: Int = 10): DataFrame = {
-    graft.functions.TextHash.ensureRegistered(train.sparkSession)
-    def grams(df: DataFrame) = df
-      .selectExpr(idCol, s"split($textCol, ' ') AS _toks")
-      .selectExpr(idCol,
-        s"array_distinct(transform(sequence(1, greatest(size(_toks) - ${n - 1}, 1)), i -> array_join(slice(_toks, i, $n), ' '))) AS _sh")
-      .selectExpr(idCol, "array_distinct(h60_array(_sh)) AS _hs")
-    val tg = grams(train).select(col(idCol), explode(col("_hs")).as("_g"),
-      size(col("_hs")).cast("bigint").as("n_grams"))
-    val eg = grams(evalSet)
-      .select(col(idCol).as("eval_id"), explode(col("_hs")).as("_g"))
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_g"))))
-      .filter(col("_df") <= evalGramMax).drop("_df")
-    tg.join(eg, Seq("_g"))
-      .groupBy(col(idCol), col("eval_id"), col("n_grams"))
-      .agg(count(lit(1)).as("n_common"))
-      .select(col(idCol), col("eval_id"), col("n_common"), col("n_grams"),
-        (col("n_common") / col("n_grams")).as("overlap"))
+                        evalGramMax: Int = 10): DataFrame =
+    CorpusOps.ngramOverlap(train, evalSet, idCol, textCol, n, evalGramMax)
       .filter(col("overlap") >= threshold)
-  }
 
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)

@@ -76,31 +76,50 @@ object CorpusOps {
   private[graft] val OverlapThreshold = 0.5
   private[graft] val EvalGramMax = 10
 
-  /** N-gram-overlap decontamination: for each (train doc, eval doc) pair,
-    * the fraction of the train doc's distinct 13-grams that appear in the
-    * eval doc, flagged above [[OverlapThreshold]]. Inverted-index shape:
-    * explode grams on both sides, equi-join on the gram hash (never doc ×
-    * doc), count matches per pair. The eval-side frequency window shuffles
-    * on the gram hash — the same key the join needs. */
-  private def qDecontaminateNgram(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.spread(s, Tables.documents(s, d))
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id",
-        s"array_distinct(transform(sequence(1, greatest(size(toks) - ${NgramSize - 1}, 1)), i -> array_join(slice(toks, i, $NgramSize), ' '))) AS shingles")
-      .selectExpr("doc_id", "array_distinct(h60_array(shingles)) AS hs")
-    val train = grams.filter(col("doc_id") % EvalMod =!= 0)
-      .select(col("doc_id"), explode(col("hs")).as("g"),
+  /** Distinct word n-gram hashes per doc: (idCol, hs). */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.selectExpr(idCol, s"split($textCol, ' ') AS _toks")
+      .selectExpr(idCol,
+        s"array_distinct(transform(sequence(1, greatest(size(_toks) - ${n - 1}, 1)), i -> array_join(slice(_toks, i, $n), ' '))) AS _sh")
+      .selectExpr(idCol, "array_distinct(h60_array(_sh)) AS hs")
+
+  /** N-gram-overlap core, the ONE implementation behind both the driver
+    * query and [[graft.api.Graft.ngramOverlapPairs]]: for each (train doc,
+    * eval doc) pair, the fraction of the train doc's distinct `n`-grams
+    * appearing in the eval doc — (idCol, eval_id, n_common, n_grams,
+    * overlap), un-thresholded. Inverted-index shape: explode grams on both
+    * sides, equi-join on the gram hash (never doc × doc), count matches
+    * per pair. Grams in more than `evalGramMax` eval docs are dropped as
+    * boilerplate — no contamination signal, and the cap bounds the
+    * per-gram join fan-out; the eval-side frequency window shuffles on the
+    * gram hash, the same key the join needs. */
+  private[graft] def ngramOverlap(trainDocs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int, evalGramMax: Int): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(trainDocs.sparkSession)
+    val train = gramHashes(trainDocs, idCol, textCol, n)
+      .select(col(idCol), explode(col("hs")).as("g"),
         size(col("hs")).cast("bigint").as("n_grams"))
-    val ev = grams.filter(col("doc_id") % EvalMod === 0)
-      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("g"))
+    val ev = gramHashes(evalDocs, idCol, textCol, n)
+      .select(col(idCol).as("eval_id"), explode(col("hs")).as("g"))
       .withColumn("gram_df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("gram_df") <= EvalGramMax)
+      .filter(col("gram_df") <= evalGramMax)
       .drop("gram_df")
     train.join(ev, Seq("g"))
-      .groupBy(col("doc_id"), col("eval_id"), col("n_grams"))
+      .groupBy(col(idCol), col("eval_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_common"))
-      .select(col("doc_id"), col("eval_id"), col("n_common"), col("n_grams"),
+      .select(col(idCol), col("eval_id"), col("n_common"), col("n_grams"),
         round(col("n_common") / col("n_grams"), 6).as("overlap"))
+  }
+
+  /** Driver binding of [[ngramOverlap]]: eval stand-in = every
+    * [[EvalMod]]-th doc_id, flagged at [[OverlapThreshold]]. */
+  private def qDecontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    ngramOverlap(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0),
+        "doc_id", "text", NgramSize, EvalGramMax)
       .filter(col("overlap") >= OverlapThreshold)
       .orderBy(col("doc_id"), col("eval_id"))
   }
@@ -114,22 +133,29 @@ object CorpusOps {
   private[graft] val MaxDup2gramRatio = 0.06
   private[graft] val Max2gramFrac = 0.09
 
-  /** Repetition-based quality filter: the within-document repetition
-    * signals every large-scale curation pipeline computes (duplicate-token
-    * ratio, duplicate-2-gram ratio, most-common-2-gram share) plus the
-    * keep decision. Entirely map-side — higher-order array expressions per
-    * row, no shuffle, no explode; the per-row O(grams²) count is bounded
-    * by document length, not corpus size. */
+  /** Repetition-signal core, the ONE implementation behind both the driver
+    * query and [[graft.api.Graft.repetitionStats]]: the within-document
+    * repetition signals every large-scale curation pipeline computes
+    * (duplicate-token ratio, duplicate-2-gram ratio, most-common-2-gram
+    * share). Entirely map-side — higher-order array expressions per row,
+    * no shuffle, no explode; the per-row O(grams²) count is bounded by
+    * document length, not corpus size. */
+  private[graft] def repetitionStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .selectExpr(idCol, s"split($textCol, ' ') AS _toks")
+      .selectExpr(idCol, "_toks",
+        "transform(sequence(1, greatest(size(_toks) - 1, 1)), i -> array_join(slice(_toks, i, 2), ' ')) AS _g2")
+      .selectExpr(idCol,
+        "cast(size(_toks) AS bigint) AS n_tokens",
+        "round(1.0 - size(array_distinct(_toks)) / size(_toks), 6) AS dup_token_ratio",
+        "round(1.0 - size(array_distinct(_g2)) / size(_g2), 6) AS dup_2gram_ratio",
+        "round(array_max(transform(array_distinct(_g2), u -> size(filter(_g2, x -> x = u)))) / size(_g2), 6) AS max_2gram_frac")
+
+  /** Driver binding of [[repetitionStats]] plus the keep decision at the
+    * documented thresholds. */
   private def qRepetitionFilter(s: SparkSession, d: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, d))
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", "toks",
-        "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> array_join(slice(toks, i, 2), ' ')) AS g2")
-      .selectExpr("doc_id",
-        "cast(size(toks) AS bigint) AS n_tokens",
-        "round(1.0 - size(array_distinct(toks)) / size(toks), 6) AS dup_token_ratio",
-        "round(1.0 - size(array_distinct(g2)) / size(g2), 6) AS dup_2gram_ratio",
-        "round(array_max(transform(array_distinct(g2), u -> size(filter(g2, x -> x = u)))) / size(g2), 6) AS max_2gram_frac")
+    repetitionStats(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
       .selectExpr("doc_id", "n_tokens", "dup_token_ratio", "dup_2gram_ratio",
         "max_2gram_frac",
         s"(dup_token_ratio <= $MaxDupTokenRatio AND dup_2gram_ratio <= $MaxDup2gramRatio AND max_2gram_frac <= $Max2gramFrac) AS keep")

@@ -45,31 +45,27 @@ object ConnectedComponents {
     * Returns (id, component). `maxRounds` is a safety bound — the loop
     * requires convergence before it and fails loudly otherwise.
     *
-    * One action per round: a full-scan count over the new label table both
-    * materializes its cache COMPLETELY before the previous round's cache is
-    * dropped (a limit-style probe could leave it partial) and returns the
-    * changed-row count that decides termination — the convergence check
-    * costs no extra job. Labels are `localCheckpoint`ed every
-    * `checkpointEvery` rounds: the pointer-jump self-join references the
-    * previous round's plan TWICE, so the logical plan doubles per round —
-    * 2^checkpointEvery nodes between checkpoints — and the checkpoint is
-    * what keeps analysis and plan-string costs bounded (the label table is
-    * one row per node and already cache-materialized, so the checkpoint
-    * itself is cheap). The RESULT is a localCheckpoint too:
-    * lineage-free, nothing left in the cache manager — its blocks are
-    * released by the ContextCleaner once the caller drops the reference,
-    * so no unpersist contract leaks across the API. */
+    * Every round's label table is an EAGER `localCheckpoint`: the round's
+    * plan references the previous labels four times (twice around the
+    * neighbor-min step, twice more in the pointer jump), so carrying
+    * lineage would compound the logical plan ~4× per round — exponential
+    * analysis and explain-string cost long before execution itself hurts
+    * (AQE stringifies the plan on every stage update). Checkpointing per
+    * round keeps the plan constant-size; the label table is one row per
+    * node, so the materialization IS the round's join work, and the
+    * convergence count then reads the checkpointed blocks. Checkpoint
+    * blocks are freed by the ContextCleaner as each round's DataFrame
+    * becomes unreachable — nothing registers in the cache manager and no
+    * unpersist contract leaks across the API. */
   def components(nodes: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
-                 maxRounds: Int = 50, checkpointEvery: Int = 4): DataFrame = {
+                 maxRounds: Int = 50): DataFrame = {
+    require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = e0.union(e0.select(col("b"), col("a")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // `pinned` is always the DataFrame holding the current round's cache
-    // (or checkpoint); `labels` the (id, comp) view the next round reads.
-    var pinned = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = pinned
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -87,30 +83,18 @@ object ConnectedComponents {
           least(stepped("comp"), coalesce(col("jcomp"), stepped("comp"))).as("comp"))
         .select(col("id"), col("comp"),
           (col("comp") =!= col("prev")).as("changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager: materializes the round, truncates lineage
       val nChanged =
         next.agg(count(when(col("changed"), lit(1)))).head().getLong(0)
       converged = nChanged == 0L
-      pinned.unpersist()
-      pinned = next
       labels = next.select(col("id"), col("comp"))
       round += 1
-      if (!converged && round % checkpointEvery == 0) {
-        val cp = labels.localCheckpoint() // eager: truncates lineage
-        pinned.unpersist()
-        pinned = cp
-        labels = cp
-      }
     }
     e.unpersist()
-    if (!converged) {
-      pinned.unpersist()
+    if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxRounds rounds")
-    }
-    val out = labels.localCheckpoint()
-    pinned.unpersist()
-    out
+    labels
   }
 }
 
@@ -120,23 +104,29 @@ object ConnectedComponents {
   * hash). */
 object DedupClusters {
 
-  /** Cluster documents by MinHash near-duplicate connectivity: every
-    * document gets its cluster's canonical id (the minimum doc_id in its
-    * component — singletons are their own cluster), the cluster size, and
-    * a `keep` flag marking the one representative to retain. */
-  private def qDupClusters(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, d))
-    val pairs = LlmQueries.minhashPairsUnordered(
-        docs, "doc_id", "text", LlmQueries.JaccardThreshold)
+  /** Clustering core, the ONE implementation behind both the driver query
+    * and [[graft.api.Graft.dupClusters]]: cluster documents by MinHash
+    * near-duplicate connectivity — every document gets its cluster's
+    * canonical id (the minimum id in its component; singletons are their
+    * own cluster), the cluster size, and a `keep` flag marking the one
+    * representative to retain. */
+  private[graft] def clusters(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    val pairs = LlmQueries.minhashPairsUnordered(docs, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val nodes = docs.select(col("doc_id"))
-    ConnectedComponents.components(nodes, "doc_id", pairs, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("comp").as("component"))
+    val nodes = docs.select(col(idCol))
+    ConnectedComponents.components(nodes, idCol, pairs, "doc_a", "doc_b")
+      .select(col("id").as(idCol), col("comp").as("component"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("component"))))
-      .withColumn("keep", col("doc_id") === col("component"))
-      .orderBy(col("doc_id"))
+      .withColumn("keep", col(idCol) === col("component"))
   }
+
+  private def qDupClusters(s: SparkSession, d: String): DataFrame =
+    clusters(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+        LlmQueries.JaccardThreshold)
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> qDupClusters _

@@ -259,11 +259,13 @@ object LlmQueries {
       .limit(100)
   }
 
-  /** IVF-style ANN: vectors are assigned to their nearest of 8 centroids
-    * (here: the first 8 embeddings; k-means centroids in production), and
-    * the query searches only its own centroid's bucket — the scale path
-    * that turns a full scan into a 1/k partition probe. */
-  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** The IVF assignment stage shared by the single-query and batched
+    * probes: every vector labeled with its max-cosine centroid (first 8
+    * embeddings as centroids; k-means centroids in production) —
+    * (vec_id, label, embedding, norm, cluster). One shared implementation
+    * so the two probes' assignment conventions (6-dp csim rounding, cid
+    * tie-break) can never drift apart. */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
@@ -271,13 +273,20 @@ object LlmQueries {
       .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("csim",
         expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
         col("cid").as("cluster"))
+  }
+
+  /** IVF-style ANN: vectors are assigned to their nearest of 8 centroids,
+    * and the query searches only its own centroid's bucket — the scale
+    * path that turns a full scan into a 1/k partition probe. */
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(s, d)
     val q = assigned.filter(col("vec_id") === 0)
       .selectExpr("cluster AS qcluster", "embedding AS qv", "norm AS qnorm")
     assigned.join(broadcast(q), col("cluster") === col("qcluster"))
@@ -297,20 +306,7 @@ object LlmQueries {
     * WindowGroupLimit prunes per partition — never a global sort, and the
     * probe cost stays |batch| × bucket, not |batch| × table. */
   private def qAnnBatch(s: SparkSession, d: String): DataFrame = {
-    graft.functions.DotF32.ensureRegistered(s)
-    val e = Tables.embeddings(s, d)
-      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
-    val cents = e.filter(col("vec_id") < 8)
-      .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("norm"),
-        col("cid").as("cluster"))
+    val assigned = ivfAssigned(s, d)
     val q = assigned.filter(col("vec_id") < 5)
       .selectExpr("vec_id AS qid", "cluster AS qcluster",
         "embedding AS qv", "norm AS qnorm")

@@ -34,13 +34,13 @@ class ConnectedComponentsSuite extends AnyFunSuite {
   }
 
   private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
-                  maxRounds: Int = 50, checkpointEvery: Int = 10): Map[Long, Long] = {
+                  maxRounds: Int = 50): Map[Long, Long] = {
     val nodesDf = nodes.toDF("nid")
     val edgesDf =
       if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
       else edges.toDF("src", "dst")
     ConnectedComponents.components(nodesDf, "nid", edgesDf, "src", "dst",
-        maxRounds, checkpointEvery)
+        maxRounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -73,10 +73,14 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     assert(run(nodes, edges) == Map(3L -> 3L, 7L -> 7L, 9L -> 7L))
   }
 
-  test("checkpointEvery=1 path converges to the same labels") {
+  test("a two-component graph labels each side with its own minimum") {
     val nodes = (0L to 12L).toSeq
-    val edges = (0L until 12L).map(i => (i, i + 1))
-    assert(run(nodes, edges, checkpointEvery = 1).values.toSet == Set(0L))
+    val edges = (0L until 5L).map(i => (i, i + 1)) ++
+      (7L until 12L).map(i => (i, i + 1))
+    val got = run(nodes, edges)
+    assert((0L to 5L).forall(got(_) == 0L))
+    assert(got(6L) == 6L)
+    assert((7L to 12L).forall(got(_) == 7L))
   }
 
   test("fails loudly when maxRounds is too small to converge") {
