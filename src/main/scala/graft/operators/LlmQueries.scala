@@ -402,6 +402,37 @@ object LlmQueries {
       .orderBy(col("lang"))
   }
 
+  /** Salient terms per language by a TF-IDF-style score. The score is the
+    * RATIONAL form tf·N/df (term frequency × total docs / docs containing
+    * the term) rather than tf·ln(N/df): the ranking it induces per term
+    * set is the same monotone family, but the arithmetic is exact-integer
+    * products with one double division — bit-identical across engines —
+    * where ln() could differ in the last ulp between libm implementations
+    * and break the oracle hash. Shape: one explode + two hash aggregates
+    * keyed by (lang, token) and lang, a broadcast of the per-lang doc
+    * counts, and a per-lang top-10 window — the shuffle carries (lang,
+    * token) partials, never raw text. */
+  private def qTfidfTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d))
+      .selectExpr("lang", "doc_id", "split(text, ' ') AS toks")
+    val toks = docs.select(col("lang"), col("doc_id"),
+      explode(col("toks")).as("token"))
+    val tf = toks.groupBy(col("lang"), col("token")).agg(
+      count(lit(1)).as("tf"),
+      countDistinct(col("doc_id")).as("df"))
+    val langN = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(langN), "lang")
+      .withColumn("score", round(col("tf") * col("n_docs") / col("df"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Token counting per document: whitespace tokens, distinct tokens, a
     * BPE-ish regex token count, and mean token length — all map-side. */
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -537,6 +568,7 @@ object LlmQueries {
     "q_ann_batch" -> qAnnBatch _,
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_text_stats" -> qTextStats _,
+    "q_tfidf_terms" -> qTfidfTerms _,
     "q_token_count" -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id" -> qLangId _,
@@ -636,6 +668,22 @@ object LlmQueries {
          |            len(list_distinct(list_concat(hs_a, hs_b))), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" -> simhashOracle,
+    "q_tfidf_terms" ->
+      """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |tf AS (SELECT lang, token, count(*) AS tf,
+        |              count(DISTINCT doc_id) AS df
+        |       FROM t GROUP BY lang, token),
+        |ln_ AS (SELECT lang, count(DISTINCT doc_id) AS n_docs
+        |        FROM documents GROUP BY lang)
+        |SELECT tf.lang,
+        |       cast(row_number() OVER (PARTITION BY tf.lang
+        |                               ORDER BY round(tf * n_docs / df, 6) DESC,
+        |                                        token) AS int) AS rk,
+        |       token, tf, df, round(tf * n_docs / df, 6) AS score
+        |FROM tf JOIN ln_ ON tf.lang = ln_.lang
+        |QUALIFY rk <= 10
+        |ORDER BY tf.lang, rk""".stripMargin,
     "q_emb_near_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
