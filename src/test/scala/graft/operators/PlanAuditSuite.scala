@@ -93,6 +93,22 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_tfidf_terms broadcasts the per-lang doc counts, top-k via window") {
+    val p = plan("q_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_decontaminate_ngram and q_dedup_increment stay equi-joins") {
+    // inverted-index / LSH-banded shapes: the candidate generation must be
+    // a hash or sort-merge equi-join — a nested loop would be the doc×doc
+    // blowup these operators exist to avoid
+    Seq("q_decontaminate_ngram", "q_dedup_increment").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("NestedLoop"), s"$q: ${p.linesIterator.take(8).mkString("\n")}")
+    }
+  }
+
   test("bucketed tables co-locate the join: zero exchanges") {
     // The SURVEY §7.1a co-location strategy as an executable claim: two
     // tables bucketed on the join key sort-merge-join with NO shuffle on
