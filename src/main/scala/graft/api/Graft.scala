@@ -165,6 +165,17 @@ object Graft {
     merged.filter(col("op") === "upsert").drop("op")
   }
 
+  /** Salient terms per group by a TF-IDF-style score — the rational form
+    * tf·N/df (same monotone ranking family as tf·ln(N/df), but
+    * exact-integer products with one double division, engine-portable).
+    * One explode + two hash aggregates + a broadcast of per-group doc
+    * counts + a per-group top-`k` window; the shuffle carries
+    * (group, token) partials, never raw text. Returns
+    * (groupCol, rk, token, tf, df, score). */
+  def salientTerms(docs: DataFrame, groupCol: String, idCol: String,
+                   textCol: String, k: Int = 10): DataFrame =
+    LlmQueries.salientTerms(docs, groupCol, idCol, textCol, k)
+
   /** Intra-document repetition signals (Gopher/C4-style quality rules):
     * duplicate-token ratio, duplicate-2-gram ratio, and the most common
     * 2-gram's share, per document. Entirely map-side — higher-order array

@@ -412,26 +412,30 @@ object LlmQueries {
     * keyed by (lang, token) and lang, a broadcast of the per-lang doc
     * counts, and a per-lang top-10 window — the shuffle carries (lang,
     * token) partials, never raw text. */
-  private def qTfidfTerms(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, d))
-      .selectExpr("lang", "doc_id", "split(text, ' ') AS toks")
-    val toks = docs.select(col("lang"), col("doc_id"),
-      explode(col("toks")).as("token"))
-    val tf = toks.groupBy(col("lang"), col("token")).agg(
+  private[graft] def salientTerms(docs: DataFrame, groupCol: String,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val base = docs.selectExpr(groupCol, idCol, s"split($textCol, ' ') AS _toks")
+    val toks = base.select(col(groupCol), col(idCol),
+      explode(col("_toks")).as("token"))
+    val tf = toks.groupBy(col(groupCol), col("token")).agg(
       count(lit(1)).as("tf"),
-      countDistinct(col("doc_id")).as("df"))
-    val langN = docs.groupBy(col("lang"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val w = Window.partitionBy(col("lang"))
+      countDistinct(col(idCol)).as("df"))
+    val groupN = base.groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(groupCol))
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(langN), "lang")
+    tf.join(broadcast(groupN), groupCol)
       .withColumn("score", round(col("tf") * col("n_docs") / col("df"), 6))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("lang"), col("rk"), col("token"), col("tf"), col("df"),
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("rk"), col("token"), col("tf"), col("df"),
         col("score"))
-      .orderBy(col("lang"), col("rk"))
   }
+
+  private def qTfidfTerms(s: SparkSession, d: String): DataFrame =
+    salientTerms(Tables.spread(s, Tables.documents(s, d)),
+        "lang", "doc_id", "text", k = 10)
+      .orderBy(col("lang"), col("rk"))
 
   /** Token counting per document: whitespace tokens, distinct tokens, a
     * BPE-ish regex token count, and mean token length — all map-side. */

@@ -88,6 +88,18 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Seq((1L, 100L)))
   }
 
+  test("salientTerms ranks a group-specific term above ubiquitous ones") {
+    // "common" appears in every doc of both groups (df = n_docs, score =
+    // tf); "rare" appears 3x in ONE doc of group a (df=1, score = 3*2=6)
+    val docs = Seq(
+      (1L, "a", "common rare rare rare"), (2L, "a", "common x"),
+      (3L, "b", "common y"), (4L, "b", "common z"))
+      .toDF("id", "grp", "body")
+    val top = Graft.salientTerms(docs, "grp", "id", "body", k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(top("a") == "rare")
+  }
+
   test("repetitionStats measures planted repetition, near-zero for clean text") {
     val clean = (1 to 30).map(i => s"w$i").mkString(" ")
     val loop = Seq.fill(15)("spam ham").mkString(" ") // one dominating 2-gram
