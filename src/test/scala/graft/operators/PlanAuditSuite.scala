@@ -109,6 +109,20 @@ class PlanAuditSuite extends AnyFunSuite {
     }
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    // The export-side layout contract: a corpus written partitionBy(lang)
+    // must answer a single-language query by reading ONLY that partition —
+    // at 100 TB the difference between a directory listing and a full scan.
+    val s = TestSpark.spark
+    val dir = "/tmp/graft_part_audit"
+    s.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val p = s.read.parquet(dir).filter("lang = 'en'").selectExpr("doc_id")
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("lang") && pf.contains("en"), s"not pruned: $pf")
+  }
+
   test("bucketed tables co-locate the join: zero exchanges") {
     // The SURVEY §7.1a co-location strategy as an executable claim: two
     // tables bucketed on the join key sort-merge-join with NO shuffle on
