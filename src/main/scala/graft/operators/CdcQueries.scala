@@ -146,6 +146,26 @@ object CdcQueries {
       .select(col("w.start").as("hour"), col("n_events"), col("sum_value"))
       .orderBy(col("hour"))
 
+  /** Hopping (sliding) windows: 1-hour windows advancing every 30 minutes,
+    * per event type — the batch analog of streaming sliding-window
+    * aggregation. Each event lands in exactly size/slide = 2 overlapping
+    * windows; Spark's window() expands each row to its containing windows
+    * BEFORE the hash aggregate, so the shuffle carries (window, type)
+    * partials at 2× row count — never a window × event join. Both engines
+    * bucket on epoch-aligned 30-minute boundaries (DuckDB's time_bucket
+    * origin 2000-01-03 is itself 30-minute-aligned to the epoch, so the
+    * grids coincide). */
+  private def qHoppingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** Transaction grouping by activity gap: 30-minute session windows per
     * key. Uses Spark's session_window; the oracle reproduces the semantics
     * with gaps-and-islands SQL (SURVEY.md §7.4.6). */
@@ -171,6 +191,7 @@ object CdcQueries {
     "q_upsert_merge" -> qUpsertMerge _,
     "q_truncate_apply" -> qTruncateApply _,
     "q_tumbling_window" -> qTumblingWindow _,
+    "q_hopping_window" -> qHoppingWindow _,
     "q_session_window" -> qSessionWindow _
   )
 
@@ -235,6 +256,21 @@ object CdcQueries {
         |       count(*) AS n_events,
         |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    // Hopping windows: each event belongs to windows starting at its
+    // 30-minute bucket and the bucket before it (start <= t < start+1h,
+    // start on the 30-minute grid) — materialized via a 2-row expansion.
+    "q_hopping_window" ->
+      """WITH evts AS (
+        |  SELECT cast(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |x AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |           - u.k * (INTERVAL '30 minutes') AS w_start,
+        |         event_type, value
+        |  FROM evts CROSS JOIN (SELECT unnest([0, 1]) AS k) u)
+        |SELECT w_start, event_type, count(*) AS n_events,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM x GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     // Gaps-and-islands: a new session starts when the gap from the previous
     // event of the same key is >= 30 min (Spark's session window is
     // half-open [start, last+gap), so an event exactly at the boundary
