@@ -97,6 +97,92 @@ object H60Array {
   }
 }
 
+/** Fused shingling kernel: raw text → the DISTINCT h60 hashes of its word
+  * `n`-grams, in one native pass. Bit-identical to the composition
+  * `array_distinct(h60_array(array_distinct(transform(sequence(1,
+  * greatest(size(toks)-n+1, 1)), i -> array_join(slice(toks, i, n),
+  * ' ')))))` over `toks = split(text, ' ')` (same split semantics, same
+  * clipping for short docs, same md5-based h60) — deduping before or after
+  * hashing yields the same set, so the DuckDB oracles that replicate the
+  * composed pipeline stay valid. `modP` additionally reduces each hash mod
+  * [[MinHashFamily.P]] (the MinHash domain) before deduping, matching
+  * `array_distinct(transform(h60_array(shingles), h -> h % P))`.
+  *
+  * Why fused: the composed form materializes a token array, a shingle
+  * STRING per position, and three intermediate arrays per document, with
+  * interpreted lambdas splitting the codegen stage; this kernel hashes
+  * each shingle incrementally (md5 update per token + separator) without
+  * ever building the joined string — shingle hashing is the dominant
+  * per-row cost of the whole dedup family at the 100 TB design point. */
+case class ShingleH60(child: Expression, n: Int, modP: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${prettyName} expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleH60.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, modP)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleH60.compute($c, $n, $modP)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleH60 =
+    copy(child = newChild)
+  override def prettyName: String = if (modP) "shingle_h60p" else "shingle_h60"
+}
+
+object ShingleH60 {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+              modP: Boolean): ArrayData = {
+    // split(text, ' ') semantics: literal single-space separator, empty
+    // tokens (incl. trailing) kept — java's split(regex, -1) matches.
+    val toks = text.toString.split(" ", -1)
+    val m = toks.length
+    val tokBytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      tokBytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val count = math.max(m - n + 1, 1) // short docs yield one clipped shingle
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = digest.get()
+    i = 0
+    while (i < count) {
+      md.reset()
+      val end = math.min(i + n, m)
+      var k = i
+      while (k < end) {
+        if (k > i) md.update(' '.toByte)
+        md.update(tokBytes(k))
+        k += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = v >>> 4 // first 60 bits = 15 hex digits, as h60_array
+      if (modP) v = v % MinHashFamily.P
+      seen.add(v)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
@@ -157,18 +243,37 @@ object TextHash {
     (new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
   }
 
-  /** Register both kernels with a session builder's extensions. */
-  def install(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(unary("h60_array", classOf[H60Array], H60Array(_)))
-    ext.injectFunction(unary("minhash_sig", classOf[MinHashSig], MinHashSig(_)))
+  /** shingle_h60(text, n) / shingle_h60p(text, n): the n argument must be
+    * a positive integer literal — it's baked into the generated code. */
+  private def shingle(name: String, modP: Boolean) = {
+    val builder = (children: Seq[Expression]) => {
+      require(children.length == 2, s"$name takes exactly 2 arguments")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType)
+          if v > 0 => v
+        case other => throw new IllegalArgumentException(
+          s"$name: n must be a positive integer literal, got $other")
+      }
+      ShingleH60(children.head, n, modP)
+    }
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[ShingleH60].getName, name), builder)
   }
+
+  private def all = Seq(
+    unary("h60_array", classOf[H60Array], H60Array(_)),
+    unary("minhash_sig", classOf[MinHashSig], MinHashSig(_)),
+    shingle("shingle_h60", modP = false),
+    shingle("shingle_h60p", modP = true))
+
+  /** Register the kernels with a session builder's extensions. */
+  def install(ext: SparkSessionExtensions): Unit =
+    all.foreach(ext.injectFunction)
 
   /** Idempotent per-session registration (sessions not built through
     * [[graft.Session.build]]). */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id1, info1, b1) = unary("h60_array", classOf[H60Array], H60Array(_))
-    spark.sessionState.functionRegistry.registerFunction(id1, info1, b1)
-    val (id2, info2, b2) = unary("minhash_sig", classOf[MinHashSig], MinHashSig(_))
-    spark.sessionState.functionRegistry.registerFunction(id2, info2, b2)
-  }
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
 }

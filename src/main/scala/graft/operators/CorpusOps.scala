@@ -76,13 +76,11 @@ object CorpusOps {
   private[graft] val OverlapThreshold = 0.5
   private[graft] val EvalGramMax = 10
 
-  /** Distinct word n-gram hashes per doc: (idCol, hs). */
+  /** Distinct word n-gram hashes per doc: (idCol, hs), via the fused
+    * native kernel ([[graft.functions.ShingleH60]]). */
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.selectExpr(idCol, s"split($textCol, ' ') AS _toks")
-      .selectExpr(idCol,
-        s"array_distinct(transform(sequence(1, greatest(size(_toks) - ${n - 1}, 1)), i -> array_join(slice(_toks, i, $n), ' '))) AS _sh")
-      .selectExpr(idCol, "array_distinct(h60_array(_sh)) AS hs")
+    df.selectExpr(idCol, s"shingle_h60($textCol, $n) AS hs")
 
   /** N-gram-overlap core, the ONE implementation behind both the driver
     * query and [[graft.api.Graft.ngramOverlapPairs]]: for each (train doc,

@@ -104,15 +104,14 @@ object LlmQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Word-3-gram shingle hash sets per doc: (doc_id, hs). Stage 1 of the
-    * MinHash pipeline, shared by the all-pairs and incremental forms. */
+    * MinHash pipeline, shared by the all-pairs and incremental forms.
+    * `shingle_h60p` is the fused native kernel
+    * ([[graft.functions.ShingleH60]]) — set-identical to the composed
+    * split→shingle→h60→%P→distinct pipeline the DuckDB oracle replicates,
+    * without materializing token/shingle/hash intermediate arrays. */
   private[graft] def shingleHashSets(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs
-      .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), i -> array_join(slice(toks, i, 3), ' '))) AS shingles")
-      .selectExpr("doc_id",
-        s"array_distinct(transform(h60_array(shingles), h -> h % $P)) AS hs")
+    docs.selectExpr(s"$idCol AS doc_id", s"shingle_h60p($textCol, 3) AS hs")
 
   /** LSH band keys per doc: (doc_id, band, bkey). All 16 permutation
     * minima in ONE native pass over hs ([[graft.functions.MinHashSig]]) —
@@ -517,10 +516,7 @@ object LlmQueries {
   private[graft] val MaxBlock = 100
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.spread(s, Tables.documents(s, d))
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)), i -> array_join(slice(toks, i, 4), ' '))) AS shingles")
-      .selectExpr("doc_id", "array_distinct(h60_array(shingles)) AS hs")
+      .selectExpr("doc_id", "shingle_h60(text, 4) AS hs")
       .selectExpr("doc_id", "hs", "array_min(hs) AS fp")
       // Blocks larger than MaxBlock are boilerplate markers: pairing inside
       // them is quadratic work for near-zero dedup signal (standard

@@ -33,6 +33,42 @@ class TextHashSuite extends AnyFunSuite {
     assert(r.getSeq[Any](1).isEmpty)
   }
 
+  test("shingle_h60 / shingle_h60p equal the composed shingling pipeline") {
+    val rnd = new scala.util.Random(17)
+    val planted = Seq(
+      "", "a", "a b", "a b c", "a b c d e",
+      "a  b", " leading", "trailing ", "dup dup dup dup",
+      "unicode héllo wörld ünïts ünïts héllo again",
+      (1 to 30).map(i => s"tok${i % 7}").mkString(" "))
+    val fuzz = (0 until 200).map(_ =>
+      Seq.fill(rnd.nextInt(20))(rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+        .mkString(" "))
+    val df = (planted ++ fuzz).toDF("t")
+    for (n <- Seq(3, 4, 13)) {
+      val composed =
+        s"""sort_array(array_distinct(h60_array(
+           |  array_distinct(transform(sequence(1, greatest(size(split(t, ' ')) - ${n - 1}, 1)),
+           |    i -> array_join(slice(split(t, ' '), i, $n), ' ')))))) AS ref""".stripMargin
+      val bad = df.selectExpr(s"sort_array(shingle_h60(t, $n)) AS fast", composed)
+        .filter("fast <> ref").count()
+      assert(bad == 0, s"n=$n")
+    }
+    val P = MinHashFamily.P
+    val composedP =
+      s"""sort_array(array_distinct(transform(h60_array(
+         |  array_distinct(transform(sequence(1, greatest(size(split(t, ' ')) - 2, 1)),
+         |    i -> array_join(slice(split(t, ' '), i, 3), ' ')))), h -> h % $P))) AS ref""".stripMargin
+    val badP = df.selectExpr("sort_array(shingle_h60p(t, 3)) AS fast", composedP)
+      .filter("fast <> ref").count()
+    assert(badP == 0)
+  }
+
+  test("shingle_h60 rejects a non-literal or non-positive n") {
+    assertThrows[Exception](s.sql("SELECT shingle_h60('a b c', 0)").head())
+    assertThrows[Exception](
+      s.sql("SELECT shingle_h60('a b c', cast(id AS int)) FROM range(1)").head())
+  }
+
   test("minhash_sig equals the per-permutation array_min compositions") {
     val P = MinHashFamily.P
     val mins = MinHashFamily.perms.zipWithIndex.map { case ((a, b), i) =>

@@ -50,9 +50,12 @@ class PlanAuditSuite extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"))
   }
 
-  test("q_near_dedup_minhash signatures use the one-pass native kernel") {
+  test("q_near_dedup_minhash signatures use the one-pass native kernels") {
     val p = plan("q_near_dedup_minhash")
-    assert(p.contains("minhash_sig") && p.contains("h60_array"))
+    assert(p.contains("minhash_sig") && p.contains("shingle_h60p"))
+    // the fused kernel replaced the interpreted split/transform/array_join
+    // shingling; none of those lambdas should reappear around the scan
+    assert(!p.contains("array_join"), p)
     assert(!p.contains("NestedLoop")) // banding keeps it an equi-join
   }
 
