@@ -68,20 +68,28 @@ case class H60Array(child: Expression) extends UnaryExpression {
 }
 
 object H60Array {
-  private val digest = new ThreadLocal[MessageDigest] {
+  /** One MD5 instance per thread, shared by every kernel in this file so
+    * the oracle-critical hash plumbing exists exactly once. */
+  private[functions] val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** First 60 bits of md5(s): 15 hex digits == first 7.5 bytes. */
-  def h60(bytes: Array[Byte]): Long = {
-    val md = digest.get()
-    md.reset()
-    val d = md.digest(bytes)
-    // big-endian first 8 bytes, then drop the low nibble (16th hex digit)
+  /** Fold an md5 digest to its first 60 bits: 15 hex digits == first 7.5
+    * bytes == big-endian first 8 bytes with the low nibble dropped. The
+    * ONE definition of the h60 bit layout — [[ShingleH60]] folds through
+    * here too, so the composed and fused pipelines cannot desynchronize. */
+  private[functions] def fold60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     v >>> 4
+  }
+
+  /** First 60 bits of md5(s). */
+  def h60(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    fold60(md.digest(bytes))
   }
 
   def compute(arr: ArrayData): ArrayData = {
@@ -137,40 +145,40 @@ case class ShingleH60(child: Expression, n: Int, modP: Boolean)
 }
 
 object ShingleH60 {
-  private val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
               modP: Boolean): ArrayData = {
-    // split(text, ' ') semantics: literal single-space separator, empty
-    // tokens (incl. trailing) kept — java's split(regex, -1) matches.
-    val toks = text.toString.split(" ", -1)
-    val m = toks.length
-    val tokBytes = new Array[Array[Byte]](m)
+    // Tokenize the raw UTF-8 bytes on 0x20 — the space byte can never
+    // occur inside a multi-byte UTF-8 sequence, so byte boundaries equal
+    // the character boundaries `split(text, ' ')` sees, with no
+    // UTF-16 decode / re-encode round-trip. split(" ", -1) semantics:
+    // empty tokens (incl. trailing) kept, so #tokens = #spaces + 1.
+    val bytes = text.getBytes
+    var m = 1
     var i = 0
-    while (i < m) {
-      tokBytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    while (i < bytes.length) { if (bytes(i) == ' ') m += 1; i += 1 }
+    val tokStart = new Array[Int](m)
+    val tokEnd = new Array[Int](m)
+    var t = 0
+    var s = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        tokStart(t) = s; tokEnd(t) = i; t += 1; s = i + 1
+      }
       i += 1
     }
+    // Adjacent tokens are separated by EXACTLY the single space the
+    // shingle join would re-insert, so every shingle is one contiguous
+    // slice of the original bytes — one md.update, no string building.
     val count = math.max(m - n + 1, 1) // short docs yield one clipped shingle
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    val md = digest.get()
+    val md = H60Array.digest.get()
     i = 0
     while (i < count) {
       md.reset()
-      val end = math.min(i + n, m)
-      var k = i
-      while (k < end) {
-        if (k > i) md.update(' '.toByte)
-        md.update(tokBytes(k))
-        k += 1
-      }
-      val d = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = v >>> 4 // first 60 bits = 15 hex digits, as h60_array
+      val last = math.min(i + n, m) - 1
+      md.update(bytes, tokStart(i), tokEnd(last) - tokStart(i))
+      var v = H60Array.fold60(md.digest())
       if (modP) v = v % MinHashFamily.P
       seen.add(v)
       i += 1

@@ -423,8 +423,13 @@ object LlmQueries {
       .agg(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("score").desc, col("token"))
+    // tf is widened to double BEFORE the product: a long×long product
+    // overflows (silently, with ANSI off) once tf·N passes 2^63 — easily
+    // reached by a stopword at corpus scale — while the double product is
+    // exact below 2^53 and IEEE-identical across engines above it.
     tf.join(broadcast(groupN), groupCol)
-      .withColumn("score", round(col("tf") * col("n_docs") / col("df"), 6))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(groupCol), col("rk"), col("token"), col("tf"), col("df"),
@@ -678,9 +683,9 @@ object LlmQueries {
         |        FROM documents GROUP BY lang)
         |SELECT tf.lang,
         |       cast(row_number() OVER (PARTITION BY tf.lang
-        |                               ORDER BY round(tf * n_docs / df, 6) DESC,
+        |                               ORDER BY round(cast(tf AS double) * n_docs / df, 6) DESC,
         |                                        token) AS int) AS rk,
-        |       token, tf, df, round(tf * n_docs / df, 6) AS score
+        |       token, tf, df, round(cast(tf AS double) * n_docs / df, 6) AS score
         |FROM tf JOIN ln_ ON tf.lang = ln_.lang
         |QUALIFY rk <= 10
         |ORDER BY tf.lang, rk""".stripMargin,
