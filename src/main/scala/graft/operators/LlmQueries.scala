@@ -499,7 +499,13 @@ object LlmQueries {
 
   /** Document fingerprinting: minimum 60-bit rolling hash over word
     * 4-gram shingles (MinHash with one permutation — a winnowing-style
-    * content fingerprint), plus the count of documents sharing it. */
+    * content fingerprint), plus the count of documents sharing it.
+    *
+    * Deliberately NOT on the fused shingle_h60 kernel: `n_shingles` is
+    * the count of distinct shingle STRINGS (the oracle's semantic), and
+    * size(shingle_h60(...)) would count distinct HASHES — equal only
+    * assuming no h60 collision. The string shingles must exist here
+    * anyway for that count, so fusing would buy nothing. */
   private def qDocFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")

@@ -63,6 +63,13 @@ class TextHashSuite extends AnyFunSuite {
     assert(badP == 0)
   }
 
+  test("shingle_h60: null text yields null, empty text one clipped shingle") {
+    val r = s.sql(
+      "SELECT shingle_h60(cast(NULL AS string), 3) AS a, shingle_h60('', 3) AS b").head()
+    assert(r.isNullAt(0))
+    assert(r.getSeq[Long](1).length == 1) // split('') = [''] → one shingle
+  }
+
   test("shingle_h60 rejects a non-literal or non-positive n") {
     assertThrows[Exception](s.sql("SELECT shingle_h60('a b c', 0)").head())
     assertThrows[Exception](
