@@ -12,7 +12,12 @@ import org.apache.spark.sql.DataFrame
   *    count() lets Catalyst eliminate the final sort and skip column
   *    materialization, under-measuring the real work;
   *  - a failing query is recorded as -1 and the process exits non-zero, so
-  *    a regression can never *improve* the bench total.
+  *    a regression can never *improve* the bench total;
+  *  - each query runs THREE timed repetitions and reports the per-query
+  *    MEDIAN (VERDICT r5 #7): single-shot timings on a shared box swing
+  *    ±30% round-over-round, which repeatedly muddied the perf trend; the
+  *    median of 3 drops the one-off GC/scheduling outlier while staying
+  *    cheap. The reported total is the sum of medians.
   */
 object Bench {
   private def run(df: DataFrame): Unit =
@@ -30,16 +35,19 @@ object Bench {
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     var failed = List.empty[String]
+    val Reps = 3
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { run(fn(spark, sfDir)); true }
+      val times = (1 to Reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          false
+          None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.length < Reps) failed ::= name
+      // median of 3 (or -1 if any rep failed — a flaky query is a failure)
+      name -> (if (times.length == Reps) times.sorted.apply(Reps / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

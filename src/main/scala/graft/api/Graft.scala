@@ -151,13 +151,16 @@ object Graft {
     def withOp(df: DataFrame) =
       if (df.columns.contains("op")) df else df.withColumn("op", lit("upsert"))
     val all = withOp(base).unionByName(withOp(changes))
-    val truncT = all.filter(col("op") === "truncate")
-      .agg(max(col(seqCol))).head().get(0)
-    val current = truncT match {
-      case null => all
-      case t => all.filter(col("op") =!= "truncate" &&
-        col(seqCol) > t.asInstanceOf[Long])
-    }
+    // Truncate high-water computed IN-PLAN: a 1-row aggregate broadcast
+    // onto every row (one extra scan of the union, both lazy — no eager
+    // driver action inside a pure-API function). When no truncate verb is
+    // present the watermark is null and every row survives this stage.
+    val truncT = all
+      .agg(max(when(col("op") === "truncate", col(seqCol))).as("_trunc_t"))
+    val current = all.crossJoin(broadcast(truncT))
+      .filter(col("_trunc_t").isNull ||
+        (col("op") =!= "truncate" && col(seqCol) > col("_trunc_t")))
+      .drop("_trunc_t")
     val merged = current
       .withColumn("_rn", row_number().over(
         Window.partitionBy(key.map(col): _*).orderBy(col(seqCol).desc)))

@@ -164,6 +164,20 @@ class GraftApiSuite extends AnyFunSuite {
       (20L, 20L, 1L, true)))
   }
 
+  test("applyChanges is lazy: plan builds without running any job") {
+    val base = Seq((1L, 10L, "a")).toDF("k", "seq", "v")
+    // Poison seqCol: the old implementation's eager `.head()` aggregated
+    // max(seq) over base+changes at BUILD time and would trip this; the
+    // in-plan watermark must defer every evaluation to the first action.
+    val changes = Seq((2L, "b", "upsert")).toDF("k", "v", "op")
+      .withColumn("seq", when(col("k") < lit(0L), lit(0L))
+        .otherwise(expr("cast(raise_error('eager action in applyChanges') AS bigint)")))
+    val plan = Graft.applyChanges(base, changes, Seq("k"), "seq") // must not throw
+    // Sanity: the poison is real — evaluation still trips it.
+    val e = intercept[Exception] { plan.collect() }
+    assert(e.getMessage.contains("eager action in applyChanges"))
+  }
+
   test("applyChanges: latest change wins, deletes drop the key") {
     val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
     val changes = Seq(
