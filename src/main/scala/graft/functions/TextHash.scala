@@ -191,6 +191,153 @@ object ShingleH60 {
   }
 }
 
+/** One-pass repetition-signal kernel: raw text → the five counts behind
+  * the Gopher/C4-style intra-document repetition ratios, in a SINGLE
+  * traversal with open-addressing hash tables — replacing the composed
+  * `array_max(transform(array_distinct(g2), u -> size(filter(g2, …))))`
+  * form whose per-row cost is O(distinct × total) in the 2-gram count:
+  * quadratic in document length, which turns one pathological long web
+  * document into a never-finishing task at the 100 TB design point
+  * (stragglers, not throughput, are how that kills a job).
+  *
+  * Returns `struct<n_tokens, n_distinct_tokens, n_2grams,
+  * n_distinct_2grams, max_2gram_count>` (all int); the ratio/rounding
+  * arithmetic stays in Catalyst expressions with the exact shape the
+  * DuckDB oracle replicates, so swapping the counting engine cannot move
+  * a rounded value. Tokenization is byte-identical to [[ShingleH60]]
+  * (split on 0x20, `split(text,' ',-1)` semantics, `max(m-1,1)` clipped
+  * 2-grams), and distinctness keys on the FULL 128-bit md5 of each
+  * token/2-gram byte slice — not a 60-bit fold — so hash-collision
+  * divergence from the string-keyed oracle is ~2⁻¹²⁸ per pair. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStats.Schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct_tokens", IntegerType, nullable = false),
+    StructField("n_2grams", IntegerType, nullable = false),
+    StructField("n_distinct_2grams", IntegerType, nullable = false),
+    StructField("max_2gram_count", IntegerType, nullable = false)))
+
+  private def nextPow2(n: Int): Int = {
+    var c = 8
+    while (c < n) c <<= 1
+    c
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // Tokenize raw UTF-8 bytes on 0x20 — identical to ShingleH60.compute
+    // (split(" ", -1) semantics: empty tokens kept, #tokens = #spaces + 1).
+    val bytes = text.getBytes
+    var m = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') m += 1; i += 1 }
+    val tokStart = new Array[Int](m)
+    val tokEnd = new Array[Int](m)
+    var t = 0
+    var s = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        tokStart(t) = s; tokEnd(t) = i; t += 1; s = i + 1
+      }
+      i += 1
+    }
+    val md = H60Array.digest.get()
+    val d16 = new Array[Byte](16)
+    // ---- distinct tokens: open-addressing set keyed on full md5 (2 longs)
+    val capT = nextPow2(m * 2)
+    val maskT = capT - 1
+    val tLo = new Array[Long](capT)
+    val tHi = new Array[Long](capT)
+    val tUsed = new Array[Boolean](capT)
+    var nDistinctTok = 0
+    i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, tokStart(i), tokEnd(i) - tokStart(i))
+      md.digest(d16, 0, 16)
+      var kl = 0L; var kh = 0L; var j = 0
+      while (j < 8) {
+        kl = (kl << 8) | (d16(j) & 0xffL)
+        kh = (kh << 8) | (d16(j + 8) & 0xffL)
+        j += 1
+      }
+      var idx = kl.toInt & maskT // md5 is uniform — no remix needed
+      var done = false
+      while (!done) {
+        if (!tUsed(idx)) {
+          tUsed(idx) = true; tLo(idx) = kl; tHi(idx) = kh
+          nDistinctTok += 1; done = true
+        } else if (tLo(idx) == kl && tHi(idx) == kh) done = true
+        else idx = (idx + 1) & maskT
+      }
+      i += 1
+    }
+    // ---- 2-gram counts: open-addressing map (count == 0 marks empty).
+    // Adjacent tokens are separated by exactly one space, so each 2-gram
+    // is one contiguous byte slice; g clips to 1 for single-token docs
+    // (slice(toks, 1, 2) = the lone token), mirroring the composed form.
+    val g = math.max(m - 1, 1)
+    val capG = nextPow2(g * 2)
+    val maskG = capG - 1
+    val gLo = new Array[Long](capG)
+    val gHi = new Array[Long](capG)
+    val gCnt = new Array[Int](capG)
+    var nDistinctG2 = 0
+    var maxCnt = 0
+    i = 0
+    while (i < g) {
+      val last = math.min(i + 1, m - 1)
+      md.reset()
+      md.update(bytes, tokStart(i), tokEnd(last) - tokStart(i))
+      md.digest(d16, 0, 16)
+      var kl = 0L; var kh = 0L; var j = 0
+      while (j < 8) {
+        kl = (kl << 8) | (d16(j) & 0xffL)
+        kh = (kh << 8) | (d16(j + 8) & 0xffL)
+        j += 1
+      }
+      var idx = kl.toInt & maskG
+      var done = false
+      while (!done) {
+        if (gCnt(idx) == 0) {
+          gLo(idx) = kl; gHi(idx) = kh; gCnt(idx) = 1
+          nDistinctG2 += 1
+          if (maxCnt < 1) maxCnt = 1
+          done = true
+        } else if (gLo(idx) == kl && gHi(idx) == kh) {
+          gCnt(idx) += 1
+          if (gCnt(idx) > maxCnt) maxCnt = gCnt(idx)
+          done = true
+        } else idx = (idx + 1) & maskG
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, nDistinctTok, g, nDistinctG2, maxCnt))
+  }
+}
+
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
@@ -271,6 +418,7 @@ object TextHash {
   private def all = Seq(
     unary("h60_array", classOf[H60Array], H60Array(_)),
     unary("minhash_sig", classOf[MinHashSig], MinHashSig(_)),
+    unary("repetition_stats", classOf[RepetitionStats], RepetitionStats(_)),
     shingle("shingle_h60", modP = false),
     shingle("shingle_h60p", modP = true))
 

@@ -135,20 +135,24 @@ object CorpusOps {
     * query and [[graft.api.Graft.repetitionStats]]: the within-document
     * repetition signals every large-scale curation pipeline computes
     * (duplicate-token ratio, duplicate-2-gram ratio, most-common-2-gram
-    * share). Entirely map-side — higher-order array expressions per row,
-    * no shuffle, no explode; the per-row O(grams²) count is bounded by
-    * document length, not corpus size. */
+    * share). Entirely map-side — no shuffle, no explode — and LINEAR in
+    * document length: the counting runs in the one-pass native kernel
+    * [[graft.functions.RepetitionStats]] (open-addressing 2-gram counts),
+    * replacing a composed `filter`-inside-`transform` whose O(distinct ×
+    * total) per-row cost made one pathological long document a straggler.
+    * The ratio/rounding expressions keep the exact composed shape (int
+    * division → double, 6-dp round) the DuckDB oracle replicates. */
   private[graft] def repetitionStats(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
     docs
-      .selectExpr(idCol, s"split($textCol, ' ') AS _toks")
-      .selectExpr(idCol, "_toks",
-        "transform(sequence(1, greatest(size(_toks) - 1, 1)), i -> array_join(slice(_toks, i, 2), ' ')) AS _g2")
+      .selectExpr(idCol, s"repetition_stats($textCol) AS _r")
       .selectExpr(idCol,
-        "cast(size(_toks) AS bigint) AS n_tokens",
-        "round(1.0 - size(array_distinct(_toks)) / size(_toks), 6) AS dup_token_ratio",
-        "round(1.0 - size(array_distinct(_g2)) / size(_g2), 6) AS dup_2gram_ratio",
-        "round(array_max(transform(array_distinct(_g2), u -> size(filter(_g2, x -> x = u)))) / size(_g2), 6) AS max_2gram_frac")
+        "cast(_r.n_tokens AS bigint) AS n_tokens",
+        "round(1.0 - _r.n_distinct_tokens / _r.n_tokens, 6) AS dup_token_ratio",
+        "round(1.0 - _r.n_distinct_2grams / _r.n_2grams, 6) AS dup_2gram_ratio",
+        "round(_r.max_2gram_count / _r.n_2grams, 6) AS max_2gram_frac")
+  }
 
   /** Driver binding of [[repetitionStats]] plus the keep decision at the
     * documented thresholds. */

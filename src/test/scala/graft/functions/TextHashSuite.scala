@@ -76,6 +76,37 @@ class TextHashSuite extends AnyFunSuite {
       s.sql("SELECT shingle_h60('a b c', cast(id AS int)) FROM range(1)").head())
   }
 
+  test("repetition_stats equals the composed distinct/count pipeline") {
+    val rnd = new scala.util.Random(23)
+    val planted = Seq(
+      "", "a", "a b", "a a", "a b c", "a b a b a b", "dup dup dup dup",
+      "a  b", " leading", "trailing ", "x y x y x z x y",
+      "unicode héllo wörld héllo wörld héllo",
+      (1 to 40).map(i => s"tok${i % 5}").mkString(" "))
+    val fuzz = (0 until 200).map(_ =>
+      Seq.fill(rnd.nextInt(30))(rnd.alphanumeric.take(1 + rnd.nextInt(3)).mkString)
+        .mkString(" "))
+    val composed =
+      """named_struct(
+        |  'n_tokens', size(_toks),
+        |  'n_distinct_tokens', size(array_distinct(_toks)),
+        |  'n_2grams', size(_g2),
+        |  'n_distinct_2grams', size(array_distinct(_g2)),
+        |  'max_2gram_count', array_max(transform(array_distinct(_g2), u -> size(filter(_g2, x -> x = u))))
+        |) AS ref""".stripMargin
+    val bad = (planted ++ fuzz).toDF("t")
+      .selectExpr("t", "split(t, ' ') AS _toks")
+      .selectExpr("t", "_toks",
+        "transform(sequence(1, greatest(size(_toks) - 1, 1)), i -> array_join(slice(_toks, i, 2), ' ')) AS _g2")
+      .selectExpr("repetition_stats(t) AS fast", composed)
+      .filter("fast <> ref").count()
+    assert(bad == 0)
+  }
+
+  test("repetition_stats: null text yields null") {
+    assert(s.sql("SELECT repetition_stats(cast(NULL AS string))").head().isNullAt(0))
+  }
+
   test("minhash_sig equals the per-permutation array_min compositions") {
     val P = MinHashFamily.P
     val mins = MinHashFamily.perms.zipWithIndex.map { case ((a, b), i) =>

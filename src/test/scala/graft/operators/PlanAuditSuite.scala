@@ -81,11 +81,14 @@ class PlanAuditSuite extends AnyFunSuite {
 
   test("q_repetition_filter is map-side: no shuffle before the output sort") {
     val p = plan("q_repetition_filter")
-    // higher-order array exprs per row — the only exchange is the final
+    // one native kernel call per row — the only exchange is the final
     // ORDER BY's range partitioning; an explode+groupBy shape would add
     // a hash-partitioned exchange and shuffle every token
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
     assert(!p.contains("Generate"), p) // no explode
+    // the linear-time kernel, not the quadratic filter-inside-transform
+    assert(p.contains("repetition_stats"), p)
+    assert(!p.contains("array_distinct"), p)
   }
 
   test("q_ann_batch probes buckets via broadcast equi-join, top-k via window") {
