@@ -76,6 +76,49 @@ object Graft {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The persistable near-dup signature index for continuous ingestion:
+    * one row per (doc, band) — (`idCol`, hs, band, bkey). Write this once
+    * (and append each accepted batch's rows), then deduplicate every
+    * incoming crawl batch with the index overload of
+    * [[nearDupPairsIncremental]] — the corpus TEXT is scanned exactly
+    * once, at index-build time, never again per batch. */
+  def signatureIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    LlmQueries.signatureIndexCore(docs, idCol, textCol)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Incremental near-dup discovery against a PERSISTED [[signatureIndex]]
+    * (typically read back from parquet): shingles/signatures are computed
+    * only for `batch`; the index contributes its stored bands and hash
+    * sets, so a crawl batch deduplicates against 100 TB of accumulated
+    * corpus at |batch| × bucket cost with zero corpus text scanned.
+    * Finds batch×corpus and batch×batch pairs (never corpus×corpus); a
+    * batch id already present in the index supersedes its index rows.
+    * `idCol`/`textCol` address the batch frame; the index must carry the
+    * same `idCol` name (as [[signatureIndex]] emits). */
+  def nearDupPairsIncremental(index: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(batch.sparkSession)
+    LlmQueries.minhashPairsAgainstIndex(index, batch, idCol, textCol, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-space near-duplicate pairs via a sign-sketch LSH bucket
+    * join: vectors are bucketed by an `planes`-bit hyperplane sign
+    * sketch (planes = the `planes` lowest-`idCol` embeddings), pairs are
+    * generated only within a bucket — an equi-join, never all-pairs —
+    * and verified at cosine >= `threshold`. Returns (vec_a, vec_b, sim).
+    * Widen `planes` as the corpus grows: expected bucket size scales as
+    * n / 2^planes for near-orthogonal data, and the sketch only buckets —
+    * the cosine check keeps precision, so extra planes trade recall for
+    * join fan-out. 4 planes suit the test SF; 16+ a production corpus. */
+  def embNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                      planes: Int = 16, threshold: Double = 0.9): DataFrame =
+    LlmQueries.embNearDupPairsCore(vectors, idCol, vecCol, planes, threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   /** Duplicate clustering: near-dup pair discovery (the MinHash+LSH
     * pipeline of [[nearDupPairs]]) closed under transitive connectivity —
     * every document labeled with its cluster's canonical id (the minimum

@@ -113,21 +113,66 @@ object LlmQueries {
       textCol: String): DataFrame =
     docs.selectExpr(s"$idCol AS doc_id", s"shingle_h60p($textCol, 3) AS hs")
 
+  /** The 4 LSH band structs from a `sig` column — shared by [[lshBands]]
+    * and [[signatureIndexCore]] so the persisted index and the in-plan
+    * query path can never compute different band keys. */
+  private def bandStructsExpr: String = (0 until Bands).map { j =>
+    val ms = (0 until RowsPerBand)
+      .map(r => s"cast(element_at(sig, ${j * RowsPerBand + r + 1}) AS string)")
+      .mkString(", ")
+    s"struct($j AS band, md5(concat_ws(',', $ms)) AS bkey)"
+  }.mkString(", ")
+
   /** LSH band keys per doc: (doc_id, band, bkey). All 16 permutation
     * minima in ONE native pass over hs ([[graft.functions.MinHashSig]]) —
     * same constants and arithmetic as the 16 array_min(transform(...))
     * projections the oracle replicates. */
-  private[graft] def lshBands(hsx: DataFrame): DataFrame = {
-    val sig = hsx.selectExpr("doc_id", "minhash_sig(hs) AS sig")
-    val bandStructs = (0 until Bands).map { j =>
-      val ms = (0 until RowsPerBand)
-        .map(r => s"cast(element_at(sig, ${j * RowsPerBand + r + 1}) AS string)")
-        .mkString(", ")
-      s"struct($j AS band, md5(concat_ws(',', $ms)) AS bkey)"
-    }.mkString(", ")
-    sig
-      .selectExpr("doc_id", s"explode(array($bandStructs)) AS bb")
+  private[graft] def lshBands(hsx: DataFrame): DataFrame =
+    hsx.selectExpr("doc_id", "minhash_sig(hs) AS sig")
+      .selectExpr("doc_id", s"explode(array($bandStructsExpr)) AS bb")
       .selectExpr("doc_id", "bb.band AS band", "bb.bkey AS bkey")
+
+  /** The persistable near-dup signature index: one row per (doc, band) —
+    * (doc_id, hs, band, bkey) — everything the incremental probe needs,
+    * so a crawl batch never touches corpus TEXT again (the analog of the
+    * reference resuming from saved state instead of re-reading the log —
+    * savepoints, ec:2104-2194). `hs` rides every band row for a
+    * single-output-table shape; the probe reads it back from one band. */
+  private[graft] def signatureIndexCore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    shingleHashSets(docs, idCol, textCol)
+      .selectExpr("doc_id", "hs", "minhash_sig(hs) AS sig")
+      .selectExpr("doc_id", "hs", s"explode(array($bandStructsExpr)) AS bb")
+      .selectExpr("doc_id", "hs", "bb.band AS band", "bb.bkey AS bkey")
+
+  /** Incremental near-dup probe against a PRE-COMPUTED signature index
+    * ([[signatureIndexCore]] output, typically read back from parquet):
+    * shingles and signatures are computed ONLY for the batch; the corpus
+    * contributes its persisted (hs, band, bkey) rows. Finds batch×corpus
+    * and batch×batch pairs — never corpus×corpus — at |batch| × bucket
+    * cost with zero corpus text scanned. A batch doc_id already present
+    * in the index supersedes its index rows (the re-crawl case). */
+  private[graft] def minhashPairsAgainstIndex(index: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val batchHsx = shingleHashSets(batch, idCol, textCol)
+    val batchIds = batchHsx.select("doc_id")
+    val idx = index.selectExpr(s"$idCol AS doc_id", "hs", "band", "bkey")
+      .join(batchIds, Seq("doc_id"), "left_anti")
+    val batchBands = lshBands(batchHsx)
+    val a = batchBands.alias("a")
+    val b = idx.select("doc_id", "band", "bkey").unionByName(batchBands).alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    // one hs row per doc: the index stores hs on every band row — read
+    // band 0 — and the batch side carries its freshly computed sets
+    val hsAll = idx.filter(col("band") === 0).select("doc_id", "hs")
+      .unionByName(batchHsx)
+    verifyJaccard(pairs, hsAll, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full hash
@@ -209,34 +254,53 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-duplicates with LSH bucketing: a 4-plane
-    * sign sketch (planes = the first 4 embeddings — deterministic and
-    * data-derived) buckets vectors; pairs are generated only within a
-    * bucket (equi-join on the sketch), then verified at cosine >= 0.35. */
-  private def qEmbNearDup(s: SparkSession, d: String): DataFrame = {
-    graft.functions.DotF32.ensureRegistered(s)
-    val e = Tables.spread(s, Tables.embeddings(s, d))
-    val planes = e.filter(col("vec_id") < 4)
-      .selectExpr("vec_id AS pid", "embedding AS pv")
-    // Norms are hoisted to one sqrt per VECTOR before the pair join (the
-    // join would otherwise recompute them per PAIR — 3× the flops). Bitwise
-    // identical to inline computation, so oracle parity is unaffected.
+  /** Parameterized embedding near-dup core behind both the driver query
+    * and [[graft.api.Graft.embNearDupPairs]]: an `nPlanes`-bit sign
+    * sketch (planes = the `nPlanes` lowest-id embeddings — deterministic
+    * and data-derived) buckets vectors; pairs are generated only within a
+    * bucket (equi-join on the sketch), then verified at cosine >=
+    * `threshold`.
+    *
+    * Scale shape: the plane set is bounded (≤62 rows) — it rides ONE
+    * broadcast as a collected struct array, and the whole sketch is a
+    * per-row fold over it (map-side, no groupBy/join of the vector
+    * table; the only vector-table shuffle is the bucket equi-join
+    * itself). Norms are hoisted to one sqrt per VECTOR before the pair
+    * join (it would otherwise recompute them per PAIR — 3× the flops).
+    * Bit-identical to the per-plane crossJoin+sum form the DuckDB oracle
+    * replicates: each plane carries its own bit position, and bit-sum
+    * addition commutes, so plane order cannot move the bucket. */
+  private[graft] def embNearDupPairsCore(vectors: DataFrame, idCol: String,
+      vecCol: String, nPlanes: Int, threshold: Double): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"nPlanes must be in [1, 62] (sketch is one long), got $nPlanes")
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val e = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val planes = e.orderBy(col("vec_id")).limit(nPlanes)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("int").as("pid"), col("embedding").as("pv"))
+      .agg(collect_list(struct(col("pid"), col("pv"))).as("_planes"))
     val sketch = e.crossJoin(broadcast(planes))
-      .withColumn("bit",
-        expr(s"CASE WHEN ${dotSpark("embedding", "pv")} > 0 THEN cast(pow(2, pid) AS bigint) ELSE 0L END"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).cast("bigint").as("sketch"))
-      .join(e, "vec_id")
+      .withColumn("sketch", expr(
+        s"aggregate(_planes, 0L, (acc, p) -> acc + (CASE WHEN ${dotSpark("embedding", "p.pv")} > 0 THEN shiftleft(1L, p.pid) ELSE 0L END))"))
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+      .drop("_planes")
     val a = sketch.selectExpr("vec_id AS vec_a", "sketch", "embedding AS va", "norm AS norm_a")
     val b = sketch.selectExpr("vec_id AS vec_b", "sketch", "embedding AS vb", "norm AS norm_b")
     a.join(b, Seq("sketch"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", expr(s"round(${dotSpark("va", "vb")} / (norm_a * norm_b), 6)"))
-      .filter(col("sim") >= 0.35)
+      .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Embedding-cosine near-duplicates with LSH bucketing: the driver
+    * binding of [[embNearDupPairsCore]] — 4 planes at this test SF
+    * (wider sketches at real scale), cosine >= 0.35. */
+  private def qEmbNearDup(s: SparkSession, d: String): DataFrame =
+    embNearDupPairsCore(Tables.spread(s, Tables.embeddings(s, d)),
+      "vec_id", "embedding", 4, 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
 
   // ------------------------------------------------------ similarity search
 

@@ -50,6 +50,60 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Seq((1L, 9L)))
   }
 
+  test("signatureIndex probe equals the recompute form and never scans corpus text") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def mut(at: Int) =
+      (1 to 40).map(i => if (i == at) "CHANGED" else s"tok$i").mkString(" ")
+    val old1 = (1 to 40).map(i => s"aaa$i").mkString(" ")
+    val old1Dup = (1 to 40).map(i => if (i == 7) "Y" else s"aaa$i").mkString(" ")
+    // corpus: 1 (base), 2/3 (a corpus-internal near-dup pair);
+    // batch: 9 (near-dup of corpus doc 1), 11 (near-dup of 9 — a
+    // WITHIN-batch pair), 10 (unrelated)
+    val corpus = Seq((1L, base), (2L, old1), (3L, old1Dup)).toDF("id", "corpus_text")
+    val batch = Seq((9L, mut(20)), (11L, mut(21)),
+      (10L, (1 to 40).map(i => s"zzz$i").mkString(" "))).toDF("id", "body")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toFile
+    try {
+      Graft.signatureIndex(corpus, "id", "corpus_text")
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val index = s.read.parquet(dir.getAbsolutePath)
+      val probe = Graft.nearDupPairsIncremental(index, batch, "id", "body", 0.5)
+      val got = probe.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // recompute form over corpus ∪ batch must agree pair-for-pair
+      val all = corpus.withColumnRenamed("corpus_text", "body").unionByName(batch)
+      val want = Graft.nearDupPairsIncremental(
+          all, "id", "body", Seq(9L, 10L, 11L).toDF("id"), threshold = 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      // batch×corpus AND batch×batch found; corpus-internal (2,3) is not
+      assert(got.contains((1L, 9L)) && got.contains((9L, 11L)))
+      assert(!got.contains((2L, 3L)))
+      // the production claim: the incremental plan never reads corpus text
+      assert(!probe.queryExecution.executedPlan.toString.contains("corpus_text"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("embNearDupPairs finds the planted near-identical vector pair only") {
+    val vecs = Seq(
+      (1L, Array(1f, 0.04f, 0.01f)),
+      (2L, Array(0.98f, 0.05f, 0.01f)), // near-dup of 1 (cos ≈ 0.999)
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(0f, 0f, 1f)),
+      (5L, Array(-1f, 0.2f, 0f)),
+      (6L, Array(0.5f, 0.5f, 0.5f))).toDF("vid", "emb")
+    val got = Graft.embNearDupPairs(vecs, "vid", "emb", planes = 3, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("cosineTopK ranks by cosine against the query vector") {
     val vecs = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
