@@ -272,14 +272,18 @@ object Graft {
       .select(col(qidCol).as("_qid"), col("cluster").as("_qcluster"),
         col(vecCol).as("_qv"))
       .withColumn("_qnorm", expr("sqrt(dot_f32(_qv, _qv))"))
+    // underscore-prefixed internals throughout (as on the query side), so
+    // an assigned frame already carrying sim/rank columns is never
+    // silently overwritten mid-computation
     val wq = Window.partitionBy(col("_qid"))
-      .orderBy(col("sim").desc, col(idCol))
+      .orderBy(col("_sim").desc, col(idCol))
     assigned.join(broadcast(q), col("cluster") === col("_qcluster"))
-      .withColumn("sim", expr(
+      .withColumn("_sim", expr(
         s"dot_f32($vecCol, _qv) / (sqrt(dot_f32($vecCol, $vecCol)) * _qnorm)"))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= k)
-      .select(col("_qid").as(qidCol), col("rank"), col(idCol), col("sim"))
+      .withColumn("_rank", row_number().over(wq))
+      .filter(col("_rank") <= k)
+      .select(col("_qid").as(qidCol), col("_rank").as("rank"),
+        col(idCol), col("_sim").as("sim"))
   }
 
   /** Fuzzy (n-gram overlap) contamination report: for each (train doc,

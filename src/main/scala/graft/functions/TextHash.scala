@@ -85,11 +85,27 @@ object H60Array {
     v >>> 4
   }
 
+  /** Per-thread 16-byte digest output buffer: `md.digest(buf, 0, 16)`
+    * instead of the allocating `md.digest()`, keeping the per-token hot
+    * path allocation-free across every kernel in this file. */
+  private[functions] val buf16 = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  private[functions] def nextPow2(n: Int): Int = {
+    var c = 8
+    while (c < n) c <<= 1
+    c
+  }
+
   /** First 60 bits of md5(s). */
   def h60(bytes: Array[Byte]): Long = {
     val md = digest.get()
+    val out = buf16.get()
     md.reset()
-    fold60(md.digest(bytes))
+    md.update(bytes)
+    md.digest(out, 0, 16)
+    fold60(out)
   }
 
   def compute(arr: ArrayData): ArrayData = {
@@ -170,24 +186,40 @@ object ShingleH60 {
     // Adjacent tokens are separated by EXACTLY the single space the
     // shingle join would re-insert, so every shingle is one contiguous
     // slice of the original bytes — one md.update, no string building.
+    // Dedup is a primitive open-addressing long set plus an
+    // insertion-order output buffer (LinkedHashSet semantics without the
+    // per-hash box/node allocations this kernel exists to avoid).
     val count = math.max(m - n + 1, 1) // short docs yield one clipped shingle
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val cap = H60Array.nextPow2(count * 2)
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val order = new Array[Long](count)
+    var sz = 0
     val md = H60Array.digest.get()
+    val d16 = H60Array.buf16.get()
     i = 0
     while (i < count) {
       md.reset()
       val last = math.min(i + n, m) - 1
       md.update(bytes, tokStart(i), tokEnd(last) - tokStart(i))
-      var v = H60Array.fold60(md.digest())
+      md.digest(d16, 0, 16)
+      var v = H60Array.fold60(d16)
       if (modP) v = v % MinHashFamily.P
-      seen.add(v)
+      var idx = v.toInt & mask // md5-derived — low bits already uniform
+      var done = false
+      while (!done) {
+        if (!used(idx)) {
+          used(idx) = true; keys(idx) = v
+          order(sz) = v; sz += 1
+          done = true
+        } else if (keys(idx) == v) done = true
+        else idx = (idx + 1) & mask
+      }
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(order, sz))
   }
 }
 
@@ -238,13 +270,8 @@ object RepetitionStats {
     StructField("n_distinct_2grams", IntegerType, nullable = false),
     StructField("max_2gram_count", IntegerType, nullable = false)))
 
-  private def nextPow2(n: Int): Int = {
-    var c = 8
-    while (c < n) c <<= 1
-    c
-  }
-
   def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    import H60Array.nextPow2
     // Tokenize raw UTF-8 bytes on 0x20 — identical to ShingleH60.compute
     // (split(" ", -1) semantics: empty tokens kept, #tokens = #spaces + 1).
     val bytes = text.getBytes
@@ -263,7 +290,7 @@ object RepetitionStats {
       i += 1
     }
     val md = H60Array.digest.get()
-    val d16 = new Array[Byte](16)
+    val d16 = H60Array.buf16.get()
     // ---- distinct tokens: open-addressing set keyed on full md5 (2 longs)
     val capT = nextPow2(m * 2)
     val maskT = capT - 1
@@ -399,17 +426,26 @@ object TextHash {
   }
 
   /** shingle_h60(text, n) / shingle_h60p(text, n): the n argument must be
-    * a positive integer literal — it's baked into the generated code. */
+    * a positive integral COMPILE-TIME CONSTANT (any foldable expression —
+    * a literal of any integral width, `2+1`, a cast — is evaluated here
+    * and baked into the generated code). */
   private def shingle(name: String, modP: Boolean) = {
     val builder = (children: Seq[Expression]) => {
       require(children.length == 2, s"$name takes exactly 2 arguments")
-      val n = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType)
-          if v > 0 => v
+      val ne = children(1)
+      if (!ne.foldable) throw new IllegalArgumentException(
+        s"$name: n must be a constant (foldable) expression, got $ne")
+      val n: Long = ne.eval(null) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case sh: Short => sh.toLong
+        case b: Byte => b.toLong
         case other => throw new IllegalArgumentException(
-          s"$name: n must be a positive integer literal, got $other")
+          s"$name: n must be an integral constant, got $other")
       }
-      ShingleH60(children.head, n, modP)
+      if (n <= 0 || n > Int.MaxValue) throw new IllegalArgumentException(
+        s"$name: n must be a positive int, got $n")
+      ShingleH60(children.head, n.toInt, modP)
     }
     (new FunctionIdentifier(name),
       new ExpressionInfo(classOf[ShingleH60].getName, name), builder)

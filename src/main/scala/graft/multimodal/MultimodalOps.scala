@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   *     (JPEG, PCM, H.264) and feature models consume BATCHES of byte
   *     buffers, often on accelerators — the Scala analog of PySpark's
   *     `mapInPandas`. Rows stream through `mapPartitions` in fixed
-  *     [[BatchSize]] groups, one kernel call per group. The kernel body is
-  *     a clearly-marked STUB ([[decodeKernelStub]]) because this
-  *     environment ships no media libraries; its SIGNATURE (batch in, one
-  *     feature vector per payload out) and the surrounding plumbing —
-  *     schema, null/empty handling, batch shape, partition parallelism —
-  *     are the real, tested contract.
+  *     [[BatchSize]] groups, one kernel call per group. The kernel
+  *     ([[decodeKernel]]) is a codec dispatch: PPM (P6) payloads are
+  *     really decoded (header + pixel statistics, [[decodePpm]] — no
+  *     external library needed); unrecognized codecs fall back to the
+  *     deterministic byte-hash features the oracle replicates. Adding a
+  *     production codec (JPEG, PCM) extends the dispatch; the batch
+  *     seam, schema, null/empty handling, and partition parallelism are
+  *     unchanged, tested contract.
   *
   *  2. '''Expression path''' ([[queries]]): the same deterministic fake
   *     features as codegen'd SQL expressions, giving the driver's DuckDB
@@ -42,18 +44,84 @@ object MultimodalOps {
   final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
                                  features: Array[Double])
 
-  /** STUB — deterministic fake decode kernel (no media libs in this
-    * container). A production deployment replaces ONLY this body with the
-    * real library call (e.g. decode + model forward pass on the batch);
-    * everything around it stays. Fake feature j of a payload =
-    * `(h60(payload ⧺ "#j") mod 1000) / 1000` — reproducible in SQL, which
-    * is what lets the oracle check the plumbing end-to-end. */
-  def decodeKernelStub(batch: Seq[Array[Byte]]): Seq[Array[Double]] =
-    batch.map { payload =>
-      Array.tabulate(FeatureDim) { j =>
-        (h60(payload ++ s"#$j".getBytes("UTF-8")) % 1000L) / 1000.0
+  /** The decode kernel: a codec DISPATCH over the payload bytes. Binary
+    * PPM (P6) payloads are REALLY decoded — header parse + per-pixel
+    * channel/luminance statistics ([[decodePpm]]); any other codec falls
+    * through to [[fallbackFeatures]], the deterministic byte-hash twin
+    * the DuckDB oracle replicates (the test corpus is text payloads, so
+    * the oracle checks the fallback path end-to-end while the PPM path
+    * is pinned by exact-arithmetic unit tests). A production deployment
+    * extends the dispatch with more codecs (JPEG, PCM, …) — the batch
+    * seam, schema, and null handling around it stay. */
+  def decodeKernel(batch: Seq[Array[Byte]]): Seq[Array[Double]] =
+    batch.map(p => decodePpm(p).getOrElse(fallbackFeatures(p)))
+
+  /** Deterministic fallback features for payloads with no recognized
+    * codec: feature j = `(h60(payload ⧺ "#j") mod 1000) / 1000` —
+    * reproducible in SQL, which is what lets the oracle check the
+    * batched plumbing end-to-end on the text-payload test corpus. */
+  def fallbackFeatures(payload: Array[Byte]): Array[Double] =
+    Array.tabulate(FeatureDim) { j =>
+      (h60(payload ++ s"#$j".getBytes("UTF-8")) % 1000L) / 1000.0
+    }
+
+  /** Decode a binary PPM (P6) image: `P6 <w> <h> <maxval>` header
+    * (with `#` comments, per the netpbm spec), one whitespace byte, then
+    * exactly w·h·3 single-byte RGB samples (maxval ≤ 255). Returns None
+    * unless the payload is STRUCTURALLY valid — magic, three bounded
+    * positive ints, and an exact pixel-buffer length — so a text payload
+    * can never false-positive into the image path (it would need the P6
+    * magic AND a byte length matching its own declared dimensions).
+    *
+    * Features (real pixel statistics, [[FeatureDim]] = 8):
+    * `[width, height, meanR, meanG, meanB, meanLuma, rmsContrast,
+    * fracBright]` — channel means normalized by maxval, luminance by
+    * Rec. 709 weights, fracBright = fraction of pixels with luma > 0.5. */
+  private[multimodal] def decodePpm(p: Array[Byte]): Option[Array[Double]] = {
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < p.length) {
+        if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (isWs(p(i))) i += 1
+        else go = false
       }
     }
+    def readInt(): Long = { // -1 = absent or absurd (>9 digits)
+      skipWs()
+      val start = i
+      var v = 0L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9' && i - start < 10) {
+        v = v * 10 + (p(i) - '0'); i += 1
+      }
+      if (i == start || i - start >= 10) -1 else v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (i >= p.length || !isWs(p(i))) return None // ONE separator byte
+    i += 1
+    if (p.length.toLong - i != w * h * 3) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var sumLuma = 0.0; var sumLuma2 = 0.0; var bright = 0L
+    var k = i
+    while (k < p.length) {
+      val r = p(k) & 0xff; val g = p(k + 1) & 0xff; val b = p(k + 2) & 0xff
+      sr += r; sg += g; sb += b
+      val luma = (0.2126 * r + 0.7152 * g + 0.0722 * b) / maxv
+      sumLuma += luma; sumLuma2 += luma * luma
+      if (luma > 0.5) bright += 1
+      k += 3
+    }
+    val np = (w * h).toDouble
+    val mv = maxv.toDouble
+    val meanLuma = sumLuma / np
+    Some(Array(w.toDouble, h.toDouble,
+      sr / np / mv, sg / np / mv, sb / np / mv, meanLuma,
+      math.sqrt(math.max(sumLuma2 / np - meanLuma * meanLuma, 0.0)),
+      bright / np))
+  }
 
   /** First 15 hex chars of md5 as a long — the Scala twin of
     * [[graft.operators.LlmQueries.h60Spark]]. */
@@ -78,7 +146,7 @@ object MultimodalOps {
   def decodeBatches(it: Iterator[MediaRow]): Iterator[MediaFeatures] =
     it.grouped(BatchSize).flatMap { group =>
       val (empty, nonEmpty) = group.partition(r => r.payload == null || r.payload.isEmpty)
-      val feats = decodeKernelStub(nonEmpty.map(_.payload))
+      val feats = decodeKernel(nonEmpty.map(_.payload))
       nonEmpty.zip(feats).map { case (r, f) =>
         MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, f)
       } ++ empty.map(r => MediaFeatures(r.doc_id, r.kind, 0L,

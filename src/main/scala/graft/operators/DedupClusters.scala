@@ -45,7 +45,7 @@ object ConnectedComponents {
     * Returns (id, component). `maxRounds` is a safety bound — the loop
     * requires convergence before it and fails loudly otherwise.
     *
-    * Every round's label table is an EAGER `localCheckpoint`: the round's
+    * Every round's label table is an EAGER checkpoint: the round's
     * plan references the previous labels four times (twice around the
     * neighbor-min step, twice more in the pointer jump), so carrying
     * lineage would compound the logical plan ~4× per round — exponential
@@ -56,16 +56,33 @@ object ConnectedComponents {
     * convergence count then reads the checkpointed blocks. Checkpoint
     * blocks are freed by the ContextCleaner as each round's DataFrame
     * becomes unreachable — nothing registers in the cache manager and no
-    * unpersist contract leaks across the API. */
+    * unpersist contract leaks across the API.
+    *
+    * Fault-tolerance trade-off: the default `localCheckpoint` stores the
+    * round's blocks executor-LOCAL and UNREPLICATED with lineage
+    * truncated — losing any executor (or a dynamic-allocation
+    * decommission) mid-loop makes the labels unrecoverable and fails the
+    * job. That is the right trade on a stable cluster, but for
+    * long-running 100 TB jobs under dynamic allocation, opt into
+    * RELIABLE checkpoints by setting a checkpoint directory
+    * (`spark.sparkContext.setCheckpointDir(...)`, as GraphFrames-style CC
+    * implementations do): when one is set, every round uses
+    * `df.checkpoint()` to the (typically HDFS/object-store) directory
+    * and survives executor loss. */
   def components(nodes: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
                  maxRounds: Int = 50): DataFrame = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
+    // Reliable when the session has a checkpoint dir (survives executor
+    // loss), executor-local otherwise (no dir needed) — see scaladoc.
+    def checkpointRound(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = e0.union(e0.select(col("b"), col("a")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .localCheckpoint()
+    var labels = checkpointRound(
+      nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -78,12 +95,12 @@ object ConnectedComponents {
       // Pointer jump: l(x) ← min(l(x), l(l(x))) — follow the label's own
       // label so long chains halve every round.
       val byId = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
-      val next = stepped.join(byId, stepped("comp") === byId("jid"), "left")
-        .select(stepped("id"), stepped("prev"),
-          least(stepped("comp"), coalesce(col("jcomp"), stepped("comp"))).as("comp"))
-        .select(col("id"), col("comp"),
-          (col("comp") =!= col("prev")).as("changed"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
+      val next = checkpointRound( // eager: materializes the round, truncates lineage
+        stepped.join(byId, stepped("comp") === byId("jid"), "left")
+          .select(stepped("id"), stepped("prev"),
+            least(stepped("comp"), coalesce(col("jcomp"), stepped("comp"))).as("comp"))
+          .select(col("id"), col("comp"),
+            (col("comp") =!= col("prev")).as("changed")))
       val nChanged =
         next.agg(count(when(col("changed"), lit(1)))).head().getLong(0)
       converged = nChanged == 0L

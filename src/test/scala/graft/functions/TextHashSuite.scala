@@ -70,10 +70,19 @@ class TextHashSuite extends AnyFunSuite {
     assert(r.getSeq[Long](1).length == 1) // split('') = [''] → one shingle
   }
 
-  test("shingle_h60 rejects a non-literal or non-positive n") {
+  test("shingle_h60 rejects a non-constant or non-positive n") {
     assertThrows[Exception](s.sql("SELECT shingle_h60('a b c', 0)").head())
     assertThrows[Exception](
       s.sql("SELECT shingle_h60('a b c', cast(id AS int)) FROM range(1)").head())
+    assertThrows[Exception](s.sql("SELECT shingle_h60('a b c', 'x')").head())
+  }
+
+  test("shingle_h60 accepts any foldable integral constant for n") {
+    val lit = s.sql("SELECT shingle_h60('a b c d', 3)").head().getSeq[Long](0)
+    // a constant arithmetic expression and wider integral literals fold
+    assert(s.sql("SELECT shingle_h60('a b c d', 1 + 2)").head().getSeq[Long](0) == lit)
+    assert(s.sql("SELECT shingle_h60('a b c d', cast(3 AS bigint))").head().getSeq[Long](0) == lit)
+    assert(s.sql("SELECT shingle_h60('a b c d', cast(3 AS smallint))").head().getSeq[Long](0) == lit)
   }
 
   test("repetition_stats equals the composed distinct/count pipeline") {

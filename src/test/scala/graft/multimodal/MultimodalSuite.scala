@@ -32,17 +32,43 @@ class MultimodalSuite extends AnyFunSuite {
     val payloads = (0 until 150).map(i => s"payload-$i".getBytes("UTF-8"))
     payloads.grouped(MultimodalOps.BatchSize).foreach { g =>
       sizes += g.length
-      val out = MultimodalOps.decodeKernelStub(g)
+      val out = MultimodalOps.decodeKernel(g)
       assert(out.length == g.length)
       assert(out.forall(_.length == MultimodalOps.FeatureDim))
     }
     assert(sizes.toSeq == Seq(64, 64, 22))
   }
 
+  test("PPM (P6) payloads decode to real pixel statistics") {
+    // 2x2 image — red, green, blue, white — with a header comment
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("UTF-8")
+    val pix = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = header ++ pix
+    val f = MultimodalOps.decodePpm(ppm).get
+    assert(f(0) == 2.0 && f(1) == 2.0) // width, height
+    // each channel is full in exactly 2 of 4 pixels → mean 0.5
+    assert(math.abs(f(2) - 0.5) < 1e-9)
+    assert(math.abs(f(3) - 0.5) < 1e-9)
+    assert(math.abs(f(4) - 0.5) < 1e-9)
+    // Rec.709 lumas: .2126, .7152, .0722, 1.0 → mean 0.5; bright = 2/4
+    assert(math.abs(f(5) - 0.5) < 1e-9)
+    assert(f(6) > 0.3) // contrast of a max-spread image
+    assert(math.abs(f(7) - 0.5) < 1e-9)
+    // dispatch routes P6 through the real decoder, text through fallback
+    val viaKernel = MultimodalOps.decodeKernel(Seq(ppm, "not an image".getBytes))
+    assert(viaKernel(0).toSeq == f.toSeq)
+    assert(viaKernel(1).toSeq == MultimodalOps.fallbackFeatures("not an image".getBytes).toSeq)
+    // malformed P6 variants fall back instead of crashing or mis-parsing
+    assert(MultimodalOps.decodePpm(ppm.dropRight(1)).isEmpty)  // short buffer
+    assert(MultimodalOps.decodePpm(ppm ++ Array(0.toByte)).isEmpty) // long
+    assert(MultimodalOps.decodePpm("P6 garbage".getBytes).isEmpty)
+    assert(MultimodalOps.decodePpm("P6\n2 2\n70000\n".getBytes ++ pix).isEmpty)
+  }
+
   test("kernel is deterministic and features are in [0, 1)") {
     val batch = Seq("a".getBytes, "b".getBytes, "a".getBytes)
-    val out1 = MultimodalOps.decodeKernelStub(batch)
-    val out2 = MultimodalOps.decodeKernelStub(batch)
+    val out1 = MultimodalOps.decodeKernel(batch)
+    val out2 = MultimodalOps.decodeKernel(batch)
     assert(out1.map(_.toSeq) == out2.map(_.toSeq))
     assert(out1(0).toSeq == out1(2).toSeq) // same payload → same features
     assert(out1(0).toSeq != out1(1).toSeq)

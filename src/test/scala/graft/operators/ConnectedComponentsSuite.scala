@@ -88,4 +88,27 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     val edges = (0L until 20L).map(i => (i, i + 1))
     assertThrows[IllegalStateException](run(nodes, edges, maxRounds = 1))
   }
+
+  test("with a checkpoint dir set, rounds use reliable checkpoints and converge") {
+    // the executor-loss-safe mode for long 100 TB runs (see scaladoc):
+    // a session checkpoint dir switches the per-round localCheckpoint to
+    // df.checkpoint() against that directory
+    val sc = s.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toFile
+    try {
+      sc.setCheckpointDir(dir.getAbsolutePath)
+      val got = run((0L to 8L).toSeq, (0L until 8L).map(i => (i, i + 1)))
+      assert((0L to 8L).forall(got(_) == 0L))
+      // the reliable path really wrote round state under the dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(dir), "no checkpoint data written to the checkpoint dir")
+    } finally {
+      sc.setCheckpointDir(null)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }

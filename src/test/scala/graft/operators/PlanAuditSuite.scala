@@ -115,18 +115,25 @@ class PlanAuditSuite extends AnyFunSuite {
     }
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   test("partitioned writes prune partitions at the scan") {
     // The export-side layout contract: a corpus written partitionBy(lang)
     // must answer a single-language query by reading ONLY that partition —
     // at 100 TB the difference between a directory listing and a full scan.
     val s = TestSpark.spark
-    val dir = "/tmp/graft_part_audit"
-    s.read.parquet(s"$sf/documents.parquet")
-      .write.mode("overwrite").partitionBy("lang").parquet(dir)
-    val p = s.read.parquet(dir).filter("lang = 'en'").selectExpr("doc_id")
-      .queryExecution.executedPlan.toString
-    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
-    assert(pf.contains("lang") && pf.contains("en"), s"not pruned: $pf")
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_audit").toFile
+    try {
+      s.read.parquet(s"$sf/documents.parquet")
+        .write.mode("overwrite").partitionBy("lang").parquet(dir.getAbsolutePath)
+      val p = s.read.parquet(dir.getAbsolutePath)
+        .filter("lang = 'en'").selectExpr("doc_id")
+        .queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
+      assert(pf.contains("lang") && pf.contains("en"), s"not pruned: $pf")
+    } finally rmTree(dir)
   }
 
   test("bucketed tables co-locate the join: zero exchanges") {
@@ -142,21 +149,26 @@ class PlanAuditSuite extends AnyFunSuite {
       .select("event_id", "user_id", "event_type", "value")
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // per-run dir + table names: concurrent runs on one machine can't
+    // collide, and nothing outlives the test
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_audit").toFile
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (ta, tb) = (s"bkt_a_$tag", s"bkt_b_$tag")
     try {
-      Seq("bkt_a", "bkt_b").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
+      Seq(ta, tb).foreach { t =>
         ev.write.bucketBy(8, "user_id").sortBy("user_id")
-          .option("path", s"/tmp/graft_bucket_audit/$t")
+          .option("path", s"${dir.getAbsolutePath}/$t")
           .mode("overwrite").saveAsTable(t)
       }
-      val p = s.table("bkt_a").join(s.table("bkt_b"), "user_id")
+      val p = s.table(ta).join(s.table(tb), "user_id")
         .queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), p.linesIterator.take(6).mkString("\n"))
       assert(!p.contains("Exchange"), p)
       assert(p.contains("Bucketed: true"), p)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      Seq("bkt_a", "bkt_b").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(ta, tb).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      rmTree(dir)
     }
   }
 
