@@ -163,12 +163,51 @@ object CorpusOps {
         s"(dup_token_ratio <= $MaxDupTokenRatio AND dup_2gram_ratio <= $MaxDup2gramRatio AND max_2gram_frac <= $Max2gramFrac) AS keep")
       .orderBy(col("doc_id"))
 
+  /** Domain-mixing weights for training-data sampling: per (lang, source)
+    * stratum, the doc/token counts and a sub-linear sampling weight
+    * `sqrt(stratum_tokens / total_tokens)` — the α=0.5 temperature that
+    * up-weights small domains without letting one giant crawl dominate.
+    * All sums are exact integers; the ONLY floating ops are one division
+    * and one sqrt per stratum (both IEEE-exact and engine-identical) —
+    * deliberately NOT `pow(x, α)`/`sum(sqrt(...))`, whose libm drift and
+    * summation order would break cross-engine hashes. One hash agg over
+    * bounded strata + a broadcast 1-row total: scales. */
+  private def qDomainMix(s: SparkSession, d: String): DataFrame = {
+    val grouped = Tables.spread(s, Tables.documents(s, d))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val total = grouped.agg(sum(col("n_tokens")).as("_total"))
+    grouped.crossJoin(broadcast(total))
+      .selectExpr("lang", "source", "n_docs", "n_tokens",
+        "round(sqrt(n_tokens / _total), 6) AS weight")
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Corpus-level boilerplate detection: the 20 most document-frequent
+    * word 5-grams (the repeated header/footer/license spans C4-style
+    * pipelines strip). Shingles come pre-deduped per doc from the native
+    * kernel, so a plain count IS the document frequency; top-k rides
+    * `orderBy.limit` (TakeOrderedAndProject — never a global sort), and
+    * the shuffle carries (gram, partial count), never text. */
+  private def qCommonNgrams(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(s)
+    Tables.spread(s, Tables.documents(s, d))
+      .selectExpr("shingle_h60(text, 5) AS hs")
+      .select(explode(col("hs")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> qStratifiedSample _,
     "q_group_topk" -> qGroupTopk _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_ngram" -> qDecontaminateNgram _,
-    "q_repetition_filter" -> qRepetitionFilter _
+    "q_repetition_filter" -> qRepetitionFilter _,
+    "q_domain_mix" -> qDomainMix _,
+    "q_common_ngrams" -> qCommonNgrams _
   )
 
   val oracle: Map[String, String] = Map(
@@ -222,6 +261,23 @@ object CorpusOps {
          |       (dup_token_ratio <= $MaxDupTokenRatio AND
          |        dup_2gram_ratio <= $MaxDup2gramRatio AND
          |        max_2gram_frac <= $Max2gramFrac) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |         cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT cast(sum(n_tokens) AS bigint) AS _total FROM g)
+        |SELECT lang, source, n_docs, n_tokens,
+        |       round(sqrt(n_tokens / _total), 6) AS weight
+        |FROM g, t
+        |ORDER BY lang, source""".stripMargin,
+    "q_common_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1), i -> array_to_string(toks[i:i+4], ' '))) AS shingles FROM t),
+         |h AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${LlmQueries.h60Duck("s")})) AS hs FROM sh),
+         |g AS (SELECT unnest(hs) AS gram FROM h)
+         |SELECT gram, count(*) AS df FROM g
+         |GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""".stripMargin
   )
 }

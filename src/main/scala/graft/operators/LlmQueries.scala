@@ -240,6 +240,59 @@ object LlmQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The materialized near-dup signature index (driver-checked form of
+    * [[signatureIndexCore]] / [[graft.api.Graft.signatureIndex]]): one row
+    * per (doc, band) with the LSH band key — the table a continuous-
+    * ingestion pipeline persists so crawl batches never rescan corpus
+    * text. `hs` stays internal here (array outputs don't hash-compare);
+    * the index build itself is entirely map-side + explode — no shuffle
+    * before the output sort. */
+  private def qSigIndex(s: SparkSession, d: String): DataFrame =
+    signatureIndexCore(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .orderBy(col("doc_id"), col("band"))
+
+  /** Sketch-accuracy report for the MinHash family: every LSH candidate
+    * pair with its signature-estimated Jaccard (fraction of agreeing
+    * permutation minima — the only similarity a persisted index can
+    * offer without hash sets) next to the exact set Jaccard. Integer
+    * counts and one division per value, so both engines agree bit-for-
+    * bit; candidates come from the band join (bounded), never all-pairs. */
+  private def qMinhashEst(s: SparkSession, d: String): DataFrame = {
+    val hsx = shingleHashSets(Tables.spread(s, Tables.documents(s, d)),
+      "doc_id", "text")
+    val sig = hsx.selectExpr("doc_id", "hs", "minhash_sig(hs) AS sig")
+    val bands = lshBands(hsx)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = sig.selectExpr("doc_id AS doc_a", "hs AS hs_a", "sig AS sig_a")
+    val y = sig.selectExpr("doc_id AS doc_b", "hs AS hs_b", "sig AS sig_b")
+    pairs.join(x, "doc_a").join(y, "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        s"round(size(filter(zip_with(sig_a, sig_b, (p, q) -> p = q), v -> v)) / $NumPerms, 6) AS est_jaccard",
+        "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Character-class quality stats per document (the cheap curation
+    * signals computed before any tokenizer): char/token counts, mean
+    * token length, vowel ratio. Pure map-side string arithmetic —
+    * `translate` for class counts (identical semantics in DuckDB), no
+    * regex (engine dialects differ), ratios rounded at 6 dp. */
+  private def qCharStats(s: SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, d))
+      .selectExpr("doc_id",
+        "cast(length(text) AS bigint) AS n_chars",
+        "cast(size(split(text, ' ')) AS bigint) AS n_tokens",
+        "round((length(text) - (size(split(text, ' ')) - 1)) / size(split(text, ' ')), 6) AS avg_token_len",
+        "round((length(text) - length(translate(text, 'aeiou', ''))) / length(text), 6) AS vowel_ratio")
+      .orderBy(col("doc_id"))
+
   /** 32-bit SimHash per document: token hashes vote ±1 per bit, weighted by
     * token multiplicity. Entirely map-side (higher-order aggregates inside
     * the row) — zero shuffle; dedup then groups on the fingerprint. */
@@ -636,6 +689,9 @@ object LlmQueries {
     "q_exact_dedup" -> qExactDedup _,
     "q_near_dedup_minhash" -> qNearDedupMinhash _,
     "q_dedup_increment" -> qDedupIncrement _,
+    "q_sig_index" -> qSigIndex _,
+    "q_minhash_est" -> qMinhashEst _,
+    "q_char_stats" -> qCharStats _,
     "q_simhash" -> qSimhash _,
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
@@ -723,6 +779,31 @@ object LlmQueries {
          |WHERE jaccard >= $JaccardThreshold
          |  AND (doc_a % 5 = 4 OR doc_b % 5 = 4)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sig_index" ->
+      s"""WITH ${minhashPairsCte}
+         |SELECT doc_id, band, bkey FROM bands
+         |ORDER BY doc_id, band""".stripMargin,
+    "q_minhash_est" -> {
+      val matches = (0 until NumPerms)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${minhashPairsCte},
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         round(($matches) / $NumPerms, 6) AS est_jaccard
+         |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+         |               JOIN sig sb ON sb.doc_id = p.doc_b)
+         |SELECT e.doc_a, e.doc_b, e.est_jaccard, j.jaccard
+         |FROM est e JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin
+    },
+    "q_char_stats" ->
+      """SELECT doc_id,
+        |       length(text) AS n_chars,
+        |       cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+        |       round((length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |       round((length(text) - length(translate(text, 'aeiou', ''))) / length(text), 6) AS vowel_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id, $duckShingles4 AS shingles FROM t),

@@ -105,6 +105,34 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_sig_index build is map-side: no shuffle before the output sort") {
+    val p = plan("q_sig_index")
+    assert(p.contains("shingle_h60p") && p.contains("minhash_sig"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q_char_stats is map-side: no shuffle, no explode") {
+    val p = plan("q_char_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q_common_ngrams top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_common_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q_domain_mix total rides a broadcast; no sort-merge join") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("Broadcast"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_minhash_est candidate generation stays an equi-join") {
+    val p = plan("q_minhash_est")
+    assert(!p.contains("NestedLoop"), p.linesIterator.take(8).mkString("\n"))
+  }
+
   test("q_decontaminate_ngram and q_dedup_increment stay equi-joins") {
     // inverted-index / LSH-banded shapes: the candidate generation must be
     // a hash or sort-merge equi-join — a nested loop would be the doc×doc
