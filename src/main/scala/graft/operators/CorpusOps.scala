@@ -200,6 +200,57 @@ object CorpusOps {
       .limit(20)
   }
 
+  /** Weighted corpus sampling at the [[qDomainMix]] rates: every doc keeps
+    * a deterministic multiplicative-hash draw in [0, 10⁶) and survives
+    * when it lands under its stratum's weight — so the sampled corpus
+    * follows the α=0.5 domain mix WITHOUT rand() (reproducible across
+    * runs, partitionings, and engines; re-runnable on a grown corpus).
+    * The per-stratum thresholds are exact integers (`round(weight·10⁶)` —
+    * comparing raw `weight·10⁶` doubles against the hash would be one
+    * ulp from flipping boundary docs); weights ride the same broadcast
+    * as [[qDomainMix]]'s total. */
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    val grouped = docs.groupBy(col("lang"), col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val total = grouped.agg(sum(col("n_tokens")).as("_total"))
+    val weights = grouped.crossJoin(broadcast(total))
+      .selectExpr("lang", "source",
+        "cast(round(sqrt(n_tokens / _total) * 1000000) AS bigint) AS thresh")
+    docs.join(broadcast(weights), Seq("lang", "source"))
+      .filter((col("doc_id") * HashA % HashM) % 1000000L < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("source"), col("thresh"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The end-to-end curation pipeline, composed from this file's
+    * operators the way a production corpus build chains them — length
+    * floor → intra-doc repetition rules ([[repetitionStats]], native
+    * kernel) → exact dedup (content-hash keeper only) — reported as
+    * per-language survivor counts/tokens. One flagship query proving the
+    * stages COMPOSE: each filter is a map-side predicate or one hash
+    * agg; nothing shuffles text except the dedup fingerprint exchange
+    * (and that carries md5+id, not text). */
+  private def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    val repKeep = repetitionStats(docs, "doc_id", "text")
+      .filter(col("n_tokens") >= 20 &&
+        col("dup_token_ratio") <= MaxDupTokenRatio &&
+        col("dup_2gram_ratio") <= MaxDup2gramRatio &&
+        col("max_2gram_frac") <= Max2gramFrac)
+      .select(col("doc_id"), col("n_tokens"))
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(repKeep, "doc_id")
+      .join(keepers, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> qStratifiedSample _,
     "q_group_topk" -> qGroupTopk _,
@@ -207,7 +258,9 @@ object CorpusOps {
     "q_decontaminate_ngram" -> qDecontaminateNgram _,
     "q_repetition_filter" -> qRepetitionFilter _,
     "q_domain_mix" -> qDomainMix _,
-    "q_common_ngrams" -> qCommonNgrams _
+    "q_common_ngrams" -> qCommonNgrams _,
+    "q_weighted_sample" -> qWeightedSample _,
+    "q_curation_pipeline" -> qCurationPipeline _
   )
 
   val oracle: Map[String, String] = Map(
@@ -278,6 +331,38 @@ object CorpusOps {
          |h AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${LlmQueries.h60Duck("s")})) AS hs FROM sh),
          |g AS (SELECT unnest(hs) AS gram FROM h)
          |SELECT gram, count(*) AS df FROM g
-         |GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""".stripMargin
+         |GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH g AS (
+         |  SELECT lang, source,
+         |         cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT cast(sum(n_tokens) AS bigint) AS _total FROM g),
+         |w AS (SELECT lang, source,
+         |             cast(round(sqrt(n_tokens / _total) * 1000000) AS bigint) AS thresh
+         |      FROM g, t)
+         |SELECT d.doc_id, d.lang, d.source, w.thresh
+         |FROM documents d JOIN w USING (lang, source)
+         |WHERE (d.doc_id * $HashA % $HashM) % 1000000 < w.thresh
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, lang, text, toks,
+         |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1), i -> array_to_string(toks[i:i+1], ' ')) AS g2
+         |FROM t),
+         |r AS (SELECT doc_id, lang, text,
+         |  cast(len(toks) AS bigint) AS n_tokens,
+         |  round(1.0 - len(list_distinct(toks)) / len(toks), 6) AS dup_token_ratio,
+         |  round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio,
+         |  round(list_max(list_transform(list_distinct(g2), u -> len(list_filter(g2, x -> x = u)))) / len(g2), 6) AS max_2gram_frac
+         |FROM m),
+         |rk AS (SELECT doc_id, lang, n_tokens FROM r
+         |       WHERE n_tokens >= 20 AND dup_token_ratio <= $MaxDupTokenRatio
+         |         AND dup_2gram_ratio <= $MaxDup2gramRatio
+         |         AND max_2gram_frac <= $Max2gramFrac),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT lang, count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS n_tokens
+         |FROM rk JOIN k USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

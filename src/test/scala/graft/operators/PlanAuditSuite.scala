@@ -133,6 +133,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("q_weighted_sample joins the bounded weight table via broadcast") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_curation_pipeline runs the native repetition kernel, equi-joins only") {
+    val p = plan("q_curation_pipeline")
+    assert(p.contains("repetition_stats"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("q_decontaminate_ngram and q_dedup_increment stay equi-joins") {
     // inverted-index / LSH-banded shapes: the candidate generation must be
     // a hash or sort-merge equi-join — a nested loop would be the doc×doc
