@@ -211,6 +211,42 @@ object Graft {
     merged.filter(col("op") === "upsert").drop("op")
   }
 
+  /** Domain-mixing weights for training-data sampling: per stratum
+    * (`strata` grouping columns), the doc/token counts and a sub-linear
+    * α=0.5 sampling weight `round(sqrt(stratum_tokens / total_tokens),
+    * 6)` — up-weights small domains without letting one giant crawl
+    * dominate. Exact integer sums; one division + one sqrt per stratum
+    * (both IEEE-exact, engine-portable — deliberately not `pow`, whose
+    * libm drift breaks cross-engine reproducibility). */
+  def domainMix(docs: DataFrame, strata: Seq[String], textCol: String): DataFrame =
+    CorpusOps.domainMix(docs, strata, textCol)
+
+  /** Reproducible weighted corpus sampling at the [[domainMix]] α=0.5
+    * rates: every doc keeps a deterministic multiplicative-hash draw of
+    * its integral `idCol` and survives when it lands under its stratum's
+    * threshold — no rand(), so the sample is re-derivable across runs,
+    * partitionings, and engines, and stable under corpus growth within a
+    * stratum's weight. Map-side after one broadcast of the bounded
+    * per-stratum thresholds. */
+  def weightedSample(docs: DataFrame, strata: Seq[String], idCol: String,
+                     textCol: String): DataFrame =
+    CorpusOps.weightedSample(docs, strata, idCol, textCol).drop("_thresh")
+
+  /** Corpus-level boilerplate detection: the `k` most document-frequent
+    * word `n`-gram hashes (repeated header/footer/license spans to strip
+    * before training). Shingles come pre-deduped per doc from the fused
+    * native kernel, so a plain count IS the document frequency; top-k is
+    * `orderBy.limit` (TakeOrderedAndProject — never a global sort). */
+  def boilerplateNgrams(docs: DataFrame, textCol: String, n: Int = 5,
+                        k: Int = 20): DataFrame =
+    CorpusOps.boilerplateNgrams(docs, textCol, n, k)
+
+  /** Pre-tokenizer character-class quality signals per document:
+    * char/token counts, mean token length, vowel ratio — pure map-side
+    * string arithmetic (`translate`, no regex), ratios at 6 dp. */
+  def charStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    LlmQueries.charStats(docs, idCol, textCol)
+
   /** Salient terms per group by a TF-IDF-style score — the rational form
     * tf·N/df (same monotone ranking family as tf·ln(N/df), but
     * exact-integer products with one double division, engine-portable).

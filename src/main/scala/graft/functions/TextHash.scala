@@ -365,6 +365,64 @@ object RepetitionStats {
   }
 }
 
+/** One-pass 32-bit SimHash kernel: per input hash, every bit votes ±1
+  * (weighted by multiplicity — the input is NOT deduped); bit j of the
+  * output is set when its vote sum is positive. Replaces 32 separate
+  * interpreted `aggregate(hs, 0L, (acc, h) -> acc ± 1)` higher-order
+  * passes over the same array — one traversal, no lambdas, inside
+  * whole-stage codegen. Bit-identical to the composed form the DuckDB
+  * oracle replicates: a null element votes −1 on every bit (CASE WHEN
+  * null THEN … ELSE -1), and an empty array yields 0. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects array<long>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash32.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash32"
+}
+
+object SimHash32 {
+  def compute(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) {
+        var j = 0
+        while (j < 32) { votes(j) -= 1; j += 1 }
+      } else {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 32) {
+          votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}
+
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
@@ -455,6 +513,7 @@ object TextHash {
     unary("h60_array", classOf[H60Array], H60Array(_)),
     unary("minhash_sig", classOf[MinHashSig], MinHashSig(_)),
     unary("repetition_stats", classOf[RepetitionStats], RepetitionStats(_)),
+    unary("simhash32", classOf[SimHash32], SimHash32(_)),
     shingle("shingle_h60", modP = false),
     shingle("shingle_h60p", modP = true))
 

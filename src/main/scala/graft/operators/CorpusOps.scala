@@ -172,16 +172,40 @@ object CorpusOps {
     * deliberately NOT `pow(x, α)`/`sum(sqrt(...))`, whose libm drift and
     * summation order would break cross-engine hashes. One hash agg over
     * bounded strata + a broadcast 1-row total: scales. */
-  private def qDomainMix(s: SparkSession, d: String): DataFrame = {
-    val grouped = Tables.spread(s, Tables.documents(s, d))
-      .groupBy(col("lang"), col("source"))
+  private[graft] def domainMix(docs: DataFrame, strata: Seq[String],
+      textCol: String): DataFrame = {
+    val grouped = docs.groupBy(strata.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
     val total = grouped.agg(sum(col("n_tokens")).as("_total"))
     grouped.crossJoin(broadcast(total))
-      .selectExpr("lang", "source", "n_docs", "n_tokens",
-        "round(sqrt(n_tokens / _total), 6) AS weight")
+      .selectExpr(strata ++ Seq("n_docs", "n_tokens",
+        "round(sqrt(n_tokens / _total), 6) AS weight"): _*)
+  }
+
+  private def qDomainMix(s: SparkSession, d: String): DataFrame =
+    domainMix(Tables.spread(s, Tables.documents(s, d)),
+      Seq("lang", "source"), "text")
       .orderBy(col("lang"), col("source"))
+
+  /** Weighted-sample core behind the driver query and
+    * [[graft.api.Graft.weightedSample]]: every doc keeps a deterministic
+    * multiplicative-hash draw in [0, 10⁶) and survives when it lands
+    * under its stratum's α=0.5 mix threshold. Thresholds are exact
+    * integers computed in ONE expression (`round(sqrt(ratio)·10⁶)`), the
+    * same shape the oracle replicates — comparing raw scaled doubles
+    * would sit one ulp from flipping boundary docs. Output = the input
+    * columns + the `_thresh` internal. */
+  private[graft] def weightedSample(docs: DataFrame, strata: Seq[String],
+      idCol: String, textCol: String): DataFrame = {
+    val grouped = docs.groupBy(strata.map(col): _*)
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("_n_tokens"))
+    val total = grouped.agg(sum(col("_n_tokens")).as("_total"))
+    val weights = grouped.crossJoin(broadcast(total))
+      .selectExpr(strata :+
+        "cast(round(sqrt(_n_tokens / _total) * 1000000) AS bigint) AS _thresh": _*)
+    docs.join(broadcast(weights), strata)
+      .filter((col(idCol) * HashA % HashM) % 1000000L < col("_thresh"))
   }
 
   /** Corpus-level boilerplate detection: the 20 most document-frequent
@@ -190,15 +214,18 @@ object CorpusOps {
     * kernel, so a plain count IS the document frequency; top-k rides
     * `orderBy.limit` (TakeOrderedAndProject — never a global sort), and
     * the shuffle carries (gram, partial count), never text. */
-  private def qCommonNgrams(s: SparkSession, d: String): DataFrame = {
-    graft.functions.TextHash.ensureRegistered(s)
-    Tables.spread(s, Tables.documents(s, d))
-      .selectExpr("shingle_h60(text, 5) AS hs")
-      .select(explode(col("hs")).as("gram"))
+  private[graft] def boilerplateNgrams(docs: DataFrame, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    docs.selectExpr(s"shingle_h60($textCol, $n) AS _hs")
+      .select(explode(col("_hs")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("gram"))
-      .limit(20)
+      .limit(k)
   }
+
+  private def qCommonNgrams(s: SparkSession, d: String): DataFrame =
+    boilerplateNgrams(Tables.spread(s, Tables.documents(s, d)), "text", 5, 20)
 
   /** Weighted corpus sampling at the [[qDomainMix]] rates: every doc keeps
     * a deterministic multiplicative-hash draw in [0, 10⁶) and survives
@@ -209,19 +236,12 @@ object CorpusOps {
     * comparing raw `weight·10⁶` doubles against the hash would be one
     * ulp from flipping boundary docs); weights ride the same broadcast
     * as [[qDomainMix]]'s total. */
-  private def qWeightedSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, d))
-    val grouped = docs.groupBy(col("lang"), col("source"))
-      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-    val total = grouped.agg(sum(col("n_tokens")).as("_total"))
-    val weights = grouped.crossJoin(broadcast(total))
-      .selectExpr("lang", "source",
-        "cast(round(sqrt(n_tokens / _total) * 1000000) AS bigint) AS thresh")
-    docs.join(broadcast(weights), Seq("lang", "source"))
-      .filter((col("doc_id") * HashA % HashM) % 1000000L < col("thresh"))
-      .select(col("doc_id"), col("lang"), col("source"), col("thresh"))
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSample(Tables.spread(s, Tables.documents(s, d)),
+      Seq("lang", "source"), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("_thresh").as("thresh"))
       .orderBy(col("doc_id"))
-  }
 
   /** The end-to-end curation pipeline, composed from this file's
     * operators the way a production corpus build chains them — length

@@ -284,28 +284,30 @@ object LlmQueries {
     * token length, vowel ratio. Pure map-side string arithmetic —
     * `translate` for class counts (identical semantics in DuckDB), no
     * regex (engine dialects differ), ratios rounded at 6 dp. */
+  private[graft] def charStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.selectExpr(idCol,
+      s"cast(length($textCol) AS bigint) AS n_chars",
+      s"cast(size(split($textCol, ' ')) AS bigint) AS n_tokens",
+      s"round((length($textCol) - (size(split($textCol, ' ')) - 1)) / size(split($textCol, ' ')), 6) AS avg_token_len",
+      s"round((length($textCol) - length(translate($textCol, 'aeiou', ''))) / length($textCol), 6) AS vowel_ratio")
+
   private def qCharStats(s: SparkSession, d: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, d))
-      .selectExpr("doc_id",
-        "cast(length(text) AS bigint) AS n_chars",
-        "cast(size(split(text, ' ')) AS bigint) AS n_tokens",
-        "round((length(text) - (size(split(text, ' ')) - 1)) / size(split(text, ' ')), 6) AS avg_token_len",
-        "round((length(text) - length(translate(text, 'aeiou', ''))) / length(text), 6) AS vowel_ratio")
+    charStats(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** 32-bit SimHash per document: token hashes vote ±1 per bit, weighted by
-    * token multiplicity. Entirely map-side (higher-order aggregates inside
-    * the row) — zero shuffle; dedup then groups on the fingerprint. */
-  private def qSimhash(s: SparkSession, d: String): DataFrame = {
-    val bits = (0 until 32).map { j =>
-      s"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
-    }.mkString(" + ")
+  /** 32-bit SimHash per document: token hashes vote ±1 per bit, weighted
+    * by token multiplicity. Entirely map-side, zero shuffle; the vote
+    * tally runs in the one-pass native kernel
+    * ([[graft.functions.SimHash32]]) instead of 32 interpreted
+    * `aggregate()` passes over the same hash array — equivalence is
+    * fuzz-pinned against the composed form the DuckDB oracle replicates. */
+  private def qSimhash(s: SparkSession, d: String): DataFrame =
     Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", "size(toks) AS n_tokens", "h60_array(toks) AS hs")
-      .selectExpr("doc_id", "n_tokens", s"cast($bits AS bigint) AS simhash")
+      .selectExpr("doc_id", "size(toks) AS n_tokens",
+        "simhash32(h60_array(toks)) AS simhash")
       .orderBy(col("doc_id"))
-  }
 
   /** Parameterized embedding near-dup core behind both the driver query
     * and [[graft.api.Graft.embNearDupPairs]]: an `nPlanes`-bit sign

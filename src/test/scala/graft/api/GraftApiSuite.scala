@@ -104,6 +104,47 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("domainMix weights are sqrt(stratum/total) and weightedSample respects them") {
+    // 2 strata: 'big' has 9x the tokens of 'small'
+    val docs = ((1L to 90L).map(i => (i, "big", "a b c d e f g h i j")) ++
+      (91L to 100L).map(i => (i, "small", "a b c d e f g h i j")))
+      .toDF("id", "dom", "body")
+    val mix = Graft.domainMix(docs, Seq("dom"), "body")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(mix("big")._1 == 900L && mix("small")._1 == 100L)
+    assert(math.abs(mix("big")._2 - math.sqrt(0.9)) < 1e-6)
+    assert(math.abs(mix("small")._2 - math.sqrt(0.1)) < 1e-6)
+    val sample = Graft.weightedSample(docs, Seq("dom"), "id", "body")
+    val ids = sample.select("id").collect().map(_.getLong(0)).toSet
+    // deterministic: the same call reproduces the same sample
+    val ids2 = Graft.weightedSample(docs, Seq("dom"), "id", "body")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2 && ids.nonEmpty && ids.subsetOf((1L to 100L).toSet))
+    // the big stratum keeps a larger FRACTION (sqrt(.9) ≈ .95 vs .32)
+    val bigFrac = ids.count(_ <= 90L) / 90.0
+    val smallFrac = ids.count(_ > 90L) / 10.0
+    assert(bigFrac > smallFrac)
+  }
+
+  test("boilerplateNgrams surfaces the planted repeated span first") {
+    val boiler = "this content is licensed under creative commons attribution"
+    val docs = (1L to 30L).map { i =>
+      val body = (1 to 10).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i <= 20) s"$boiler $body" else body)
+    }.toDF("id", "body")
+    val top = Graft.boilerplateNgrams(docs, "body", n = 5, k = 3).collect()
+    // every 5-gram inside the boilerplate span appears in 20 docs
+    assert(top.forall(_.getLong(1) == 20L))
+  }
+
+  test("charStats computes exact counts and ratios") {
+    val docs = Seq((1L, "aa bb cc")).toDF("id", "body")
+    val r = Graft.charStats(docs, "id", "body").head()
+    assert(r.getLong(1) == 8L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)          // (8 - 2 spaces) / 3 tokens
+    assert(r.getDouble(4) == 0.25)         // 2 'a' of 8 chars
+  }
+
   test("cosineTopK ranks by cosine against the query vector") {
     val vecs = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))

@@ -105,6 +105,13 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_simhash tallies votes in the native kernel, map-side") {
+    val p = plan("q_simhash")
+    assert(p.contains("simhash32"), p)
+    assert(!p.contains("aggregate("), p) // no interpreted per-bit lambdas
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("q_sig_index build is map-side: no shuffle before the output sort") {
     val p = plan("q_sig_index")
     assert(p.contains("shingle_h60p") && p.contains("minhash_sig"), p)
