@@ -50,7 +50,17 @@ object Tables {
     * on one core. On production multi-row-group/multi-file data the scan
     * is already parallel and AQE's coalescing keeps the round-trip cheap;
     * the shuffle payload here is only the narrow input projection, never
-    * the expanded intermediate. */
+    * the expanded intermediate.
+    *
+    * HASH partitioning on all columns, not round-robin `repartition(n)`:
+    * round-robin routing is nondeterministic under task retry, so Spark
+    * first SORTS each input partition (`sortBeforeRepartition`, on by
+    * default) — here a serial sort of the whole single-partition table
+    * on one core. Hash routing is deterministic by construction, skips
+    * that sort, and profiles at ~half the round-robin cost on the sf0.1
+    * lineitem while spreading uniformly (md5-grade uniformity is not
+    * needed — Murmur3 over every column is plenty, and duplicate rows
+    * merely co-locate). */
   def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    df.repartition(s.sparkContext.defaultParallelism, df.columns.map(col): _*)
 }

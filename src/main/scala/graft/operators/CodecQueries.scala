@@ -57,12 +57,11 @@ object CodecQueries {
       v_decimal: java.lang.Double, v_float: java.lang.Double,
       v_smallfloat: java.lang.Float, v_bool: java.lang.Boolean)
 
-  private def qCdcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val schema = AllTypesSchema
-    // Typed source projection; l_linenumber == 7 rows go NULL in several
-    // columns to exercise every NULL sentinel path.
-    val src = Tables.lineitem(s, d).select(
+  /** Typed source projection; l_linenumber == 7 rows go NULL in several
+    * columns to exercise every NULL sentinel path. Exposed package-wide
+    * for the phase profiler (tools.Profile). */
+  private[graft] def srcProjection(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
       (col("l_orderkey") * 8 + col("l_linenumber")).as("seq"),
       (col("l_orderkey") % 1000).cast("int").as("txid"),
       (col("l_linenumber") % 4).cast("int").as("op"),
@@ -87,6 +86,10 @@ object CodecQueries {
       when(col("l_linenumber") === 7, lit(null))
         .otherwise(col("l_returnflag") === "R").as("v_bool"))
 
+  private def qCdcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = AllTypesSchema
+    val src = srcProjection(s, d)
     // Executor-side encode→decode in one pipelined map: row → complete wire
     // frame → decoded envelope (a single mapelements stage inside
     // whole-stage codegen; no intermediate dataset serialization).

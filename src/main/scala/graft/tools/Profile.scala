@@ -27,6 +27,16 @@ object Profile {
 
     time("scan_only") { noop(Tables.lineitem(spark, sf)) }
     time("scan_spread") { noop(Tables.spread(spark, Tables.lineitem(spark, sf))) }
+    time("scan_spread_2") { noop(Tables.spread(spark, Tables.lineitem(spark, sf))) }
+    val li = Tables.lineitem(spark, sf)
+    time("scan_spread_hashcols") {
+      noop(li.repartition(spark.sparkContext.defaultParallelism,
+        li.columns.map(org.apache.spark.sql.functions.col): _*))
+    }
+    time("scan_spread_hashcols_2") {
+      noop(li.repartition(spark.sparkContext.defaultParallelism,
+        li.columns.map(org.apache.spark.sql.functions.col): _*))
+    }
 
     val q = graft.SparkEntry.queries("q_cdc_roundtrip")
     time("roundtrip_full_1") { noop(q(spark, sf)) }
@@ -36,6 +46,30 @@ object Profile {
     time("roundtrip_nosort") {
       noop(q(spark, sf).sortWithinPartitions("seq_number"))
     }
+
+    // Phase slices of the encode→decode map itself:
+    import graft.operators.CodecQueries
+    import graft.cdc._
+    import spark.implicits._
+    val schema = CodecQueries.AllTypesSchema
+    val registry = SchemaRegistry(Map(7 -> "informixcdc_test"), Map(7 -> schema))
+    val src = Tables.spread(spark, CodecQueries.srcProjection(spark, sf))
+    time("src_projection_only") { noop(src) }
+    val enc = src.map { row =>
+      val values: IndexedSeq[Any] =
+        (3 until row.length).map(i => if (row.isNullAt(i)) null else row.get(i))
+      CdcCodec.encodeRowFrame(CdcRecords.INSERT + row.getInt(2),
+        schema, row.getLong(0), row.getInt(1), 0, values).length
+    }
+    time("encode_only") { noop(enc.toDF()) }
+    val encDec = src.map { row =>
+      val values: IndexedSeq[Any] =
+        (3 until row.length).map(i => if (row.isNullAt(i)) null else row.get(i))
+      val bytes = CdcCodec.encodeRowFrame(CdcRecords.INSERT + row.getInt(2),
+        schema, row.getLong(0), row.getInt(1), 0, values)
+      CdcCodec.decodeFrame(bytes, registry).asInstanceOf[RowImage].seqNumber
+    }
+    time("encode_decode_no_envelope") { noop(encDec.toDF()) }
     spark.stop()
   }
 }
