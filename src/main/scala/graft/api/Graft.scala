@@ -167,9 +167,11 @@ object Graft {
 
   /** Reproducible 1-in-`keepOneIn` sample stratified by an integral key:
     * a map-side integer-exact filter (no shuffle, no rand()) any engine
-    * recomputes identically. */
+    * recomputes identically. The draw reduces the key into [0, 2^31)
+    * before the multiply, so it stays exact for ANY long key — including
+    * negative ids and 60-bit hash fingerprints. */
   def stratifiedSample(df: DataFrame, keyCol: String, keepOneIn: Int): DataFrame =
-    df.filter((col(keyCol) * 2654435761L % 4294967296L) % keepOneIn === 0)
+    df.filter(CorpusOps.hashDraw(col(keyCol)) % keepOneIn === 0)
 
   /** Decontamination: drop rows of `train` whose exact `textCol` content
     * appears in `evalSet` — fingerprint left-anti join (catches

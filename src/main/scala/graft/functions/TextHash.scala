@@ -92,8 +92,17 @@ object H60Array {
     override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
 
-  private[functions] def nextPow2(n: Int): Int = {
+  /** Open-addressing table capacity for `count` keys: the next power of
+    * two ≥ 2·count (load factor ≤ 0.5). Guarded: past 2^29 keys the
+    * doubled capacity would overflow Int and either hang the probe loop
+    * (full table) or spin `c <<= 1` forever — a >500M-token single
+    * document is beyond any sane in-row kernel, so fail LOUDLY instead
+    * of becoming the silent straggler these kernels exist to prevent. */
+  private[functions] def tableCap(count: Int): Int = {
+    require(count <= (1 << 29),
+      s"document too large for an in-row kernel: $count keys (max ${1 << 29})")
     var c = 8
+    val n = count * 2
     while (c < n) c <<= 1
     c
   }
@@ -190,7 +199,7 @@ object ShingleH60 {
     // insertion-order output buffer (LinkedHashSet semantics without the
     // per-hash box/node allocations this kernel exists to avoid).
     val count = math.max(m - n + 1, 1) // short docs yield one clipped shingle
-    val cap = H60Array.nextPow2(count * 2)
+    val cap = H60Array.tableCap(count)
     val mask = cap - 1
     val keys = new Array[Long](cap)
     val used = new Array[Boolean](cap)
@@ -271,7 +280,7 @@ object RepetitionStats {
     StructField("max_2gram_count", IntegerType, nullable = false)))
 
   def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    import H60Array.nextPow2
+    import H60Array.tableCap
     // Tokenize raw UTF-8 bytes on 0x20 — identical to ShingleH60.compute
     // (split(" ", -1) semantics: empty tokens kept, #tokens = #spaces + 1).
     val bytes = text.getBytes
@@ -292,7 +301,7 @@ object RepetitionStats {
     val md = H60Array.digest.get()
     val d16 = H60Array.buf16.get()
     // ---- distinct tokens: open-addressing set keyed on full md5 (2 longs)
-    val capT = nextPow2(m * 2)
+    val capT = tableCap(m)
     val maskT = capT - 1
     val tLo = new Array[Long](capT)
     val tHi = new Array[Long](capT)
@@ -325,7 +334,7 @@ object RepetitionStats {
     // is one contiguous byte slice; g clips to 1 for single-token docs
     // (slice(toks, 1, 2) = the lone token), mirroring the composed form.
     val g = math.max(m - 1, 1)
-    val capG = nextPow2(g * 2)
+    val capG = tableCap(g)
     val maskG = capG - 1
     val gLo = new Array[Long](capG)
     val gHi = new Array[Long](capG)

@@ -78,9 +78,11 @@ object MultimodalOps {
     * fracBright]` — channel means normalized by maxval, luminance by
     * Rec. 709 weights, fracBright = fraction of pixels with luma > 0.5. */
   private[multimodal] def decodePpm(p: Array[Byte]): Option[Array[Double]] = {
-    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    if (p.length < 3 || p(0) != 'P' || p(1) != '6') return None
     var i = 2
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    // the netpbm spec requires whitespace (or a comment) after the magic
+    if (!isWs(p(2)) && p(2) != '#') return None
     def skipWs(): Unit = {
       var go = true
       while (go && i < p.length) {

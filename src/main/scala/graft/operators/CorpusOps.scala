@@ -26,14 +26,29 @@ object CorpusOps {
 
   /** Knuth's multiplicative constant — an integer-exact stratifier both
     * Spark and DuckDB compute identically (no float, no hex parsing). */
-  private val HashA = 2654435761L
-  private val HashM = 4294967296L // 2^32
+  private[graft] val HashA = 2654435761L
+  private[graft] val HashM = 4294967296L // 2^32
+  private[graft] val HashR = 2147483648L // 2^31 — pre-reduction domain
+
+  /** The deterministic multiplicative-hash draw in [0, 2^32) used by
+    * every sampling operator: `((id mod 2^31 + 2^31) mod 2^31) · A mod
+    * 2^32`. The id is reduced into [0, 2^31) FIRST so the product is at
+    * most (2^31−1)·A < 2^63 — exact in signed 64-bit for ANY long id in
+    * both engines; the raw `id · A` form overflows (ANSI crash in Spark,
+    * Out of Range in DuckDB, silent negative keep-everything with ANSI
+    * off) once ids pass ~3.4e9 — e.g. 60-bit hash ids. The double-mod
+    * also lands negative ids in range. */
+  private[graft] def hashDraw(id: org.apache.spark.sql.Column) =
+    ((id % HashR + HashR) % HashR) * HashA % HashM
+  /** The same draw in DuckDB SQL, token-for-token. */
+  private[graft] def hashDrawDuck(id: String): String =
+    s"(($id % $HashR + $HashR) % $HashR) * $HashA % $HashM"
 
   /** 20% reproducible sample, stratified per document key: keep doc when
-    * `(doc_id * A mod 2^32) mod 5 == 0`. */
+    * the [[hashDraw]] lands in the lowest fifth of each residue class. */
   private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter((col("doc_id") * HashA % HashM) % 5 === 0)
+      .filter(hashDraw(col("doc_id")) % 5 === 0)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -205,7 +220,7 @@ object CorpusOps {
       .selectExpr(strata :+
         "cast(round(sqrt(_n_tokens / _total) * 1000000) AS bigint) AS _thresh": _*)
     docs.join(broadcast(weights), strata)
-      .filter((col(idCol) * HashA % HashM) % 1000000L < col("_thresh"))
+      .filter(hashDraw(col(idCol)) % 1000000L < col("_thresh"))
   }
 
   /** Corpus-level boilerplate detection: the 20 most document-frequent
@@ -286,7 +301,7 @@ object CorpusOps {
   val oracle: Map[String, String] = Map(
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE (doc_id * $HashA % $HashM) % 5 = 0
+         |WHERE ${hashDrawDuck("doc_id")} % 5 = 0
          |ORDER BY doc_id""".stripMargin,
     "q_group_topk" ->
       """SELECT doc_id, lang, source, n_chars,
@@ -363,7 +378,7 @@ object CorpusOps {
          |      FROM g, t)
          |SELECT d.doc_id, d.lang, d.source, w.thresh
          |FROM documents d JOIN w USING (lang, source)
-         |WHERE (d.doc_id * $HashA % $HashM) % 1000000 < w.thresh
+         |WHERE ${hashDrawDuck("d.doc_id")} % 1000000 < w.thresh
          |ORDER BY d.doc_id""".stripMargin,
     "q_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),

@@ -68,16 +68,46 @@ object ConnectedComponents {
     * (`spark.sparkContext.setCheckpointDir(...)`, as GraphFrames-style CC
     * implementations do): when one is set, every round uses
     * `df.checkpoint()` to the (typically HDFS/object-store) directory
-    * and survives executor loss. */
+    * and survives executor loss. (The block-freeing note above applies to
+    * the localCheckpoint path; Spark's cleaner does NOT delete reliable
+    * checkpoint files by default, so in reliable mode the loop deletes
+    * each round's files itself once the next round has materialized —
+    * only the final round's files, which back the returned DataFrame,
+    * outlive the call. Reliable mode assumes the checkpoint directory is
+    * not shared with concurrently-checkpointing jobs.) */
   def components(nodes: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
                  maxRounds: Int = 50): DataFrame = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     // Reliable when the session has a checkpoint dir (survives executor
-    // loss), executor-local otherwise (no dir needed) — see scaladoc.
+    // loss), executor-local otherwise (no dir needed) — see scaladoc. In
+    // reliable mode each round's files are deleted once the NEXT round
+    // has materialized (Spark's cleaner never deletes reliable
+    // checkpoints by default — a 50-round run would otherwise leave 50
+    // full label-table copies in the checkpoint store).
+    val sc = nodes.sparkSession.sparkContext
+    // getCheckpointDir already points at this context's UUID-scoped
+    // subdirectory; its direct children are the per-RDD checkpoint dirs.
+    def listCkpt(): Set[String] = sc.getCheckpointDir.map { base =>
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty[String]
+      else fs.listStatus(p).map(_.getPath.toString).toSet
+    }.getOrElse(Set.empty)
+    var lastRoundPaths = Set.empty[String]
     def checkpointRound(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      if (sc.getCheckpointDir.isEmpty) df.localCheckpoint()
+      else {
+        val pre = listCkpt()
+        val out = df.checkpoint() // eager — prior round is now unreferenced
+        val mine = listCkpt() -- pre
+        (lastRoundPaths -- mine).foreach { s =>
+          val p = new org.apache.hadoop.fs.Path(s)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        }
+        lastRoundPaths = mine
+        out
+      }
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = e0.union(e0.select(col("b"), col("a")))
       .persist(StorageLevel.MEMORY_AND_DISK)

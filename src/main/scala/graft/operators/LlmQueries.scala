@@ -136,14 +136,18 @@ object LlmQueries {
     * (doc_id, hs, band, bkey) — everything the incremental probe needs,
     * so a crawl batch never touches corpus TEXT again (the analog of the
     * reference resuming from saved state instead of re-reading the log —
-    * savepoints, ec:2104-2194). `hs` rides every band row for a
-    * single-output-table shape; the probe reads it back from one band. */
+    * savepoints, ec:2104-2194). `hs` — by far the widest column — is
+    * stored ONCE per doc, on its band-0 row (null elsewhere): the probe
+    * reads it back from exactly that row, and duplicating it across all
+    * 4 band rows would quadruple the persisted index's dominant storage
+    * cost at 100 TB for nothing. */
   private[graft] def signatureIndexCore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     shingleHashSets(docs, idCol, textCol)
       .selectExpr("doc_id", "hs", "minhash_sig(hs) AS sig")
       .selectExpr("doc_id", "hs", s"explode(array($bandStructsExpr)) AS bb")
-      .selectExpr("doc_id", "hs", "bb.band AS band", "bb.bkey AS bkey")
+      .selectExpr("doc_id", "CASE WHEN bb.band = 0 THEN hs END AS hs",
+        "bb.band AS band", "bb.bkey AS bkey")
 
   /** Incremental near-dup probe against a PRE-COMPUTED signature index
     * ([[signatureIndexCore]] output, typically read back from parquet):
@@ -168,8 +172,8 @@ object LlmQueries {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    // one hs row per doc: the index stores hs on every band row — read
-    // band 0 — and the batch side carries its freshly computed sets
+    // one hs row per doc: the index stores hs only on the band-0 row,
+    // and the batch side carries its freshly computed sets
     val hsAll = idx.filter(col("band") === 0).select("doc_id", "hs")
       .unionByName(batchHsx)
     verifyJaccard(pairs, hsAll, threshold)

@@ -26,16 +26,16 @@ object Profile {
     noop(Tables.lineitem(spark, sf).limit(1000))
 
     time("scan_only") { noop(Tables.lineitem(spark, sf)) }
-    time("scan_spread") { noop(Tables.spread(spark, Tables.lineitem(spark, sf))) }
-    time("scan_spread_2") { noop(Tables.spread(spark, Tables.lineitem(spark, sf))) }
+    // spread = hash-on-all-columns; the round-robin leg is the baseline
+    // the hash form replaced (round-robin pays sortBeforeRepartition)
+    time("scan_spread_hash") { noop(Tables.spread(spark, Tables.lineitem(spark, sf))) }
+    time("scan_spread_hash_2") { noop(Tables.spread(spark, Tables.lineitem(spark, sf))) }
     val li = Tables.lineitem(spark, sf)
-    time("scan_spread_hashcols") {
-      noop(li.repartition(spark.sparkContext.defaultParallelism,
-        li.columns.map(org.apache.spark.sql.functions.col): _*))
+    time("scan_spread_roundrobin") {
+      noop(li.repartition(spark.sparkContext.defaultParallelism))
     }
-    time("scan_spread_hashcols_2") {
-      noop(li.repartition(spark.sparkContext.defaultParallelism,
-        li.columns.map(org.apache.spark.sql.functions.col): _*))
+    time("scan_spread_roundrobin_2") {
+      noop(li.repartition(spark.sparkContext.defaultParallelism))
     }
 
     val q = graft.SparkEntry.queries("q_cdc_roundtrip")

@@ -63,6 +63,8 @@ class MultimodalSuite extends AnyFunSuite {
     assert(MultimodalOps.decodePpm(ppm ++ Array(0.toByte)).isEmpty) // long
     assert(MultimodalOps.decodePpm("P6 garbage".getBytes).isEmpty)
     assert(MultimodalOps.decodePpm("P6\n2 2\n70000\n".getBytes ++ pix).isEmpty)
+    // no whitespace after the magic is invalid per the netpbm spec
+    assert(MultimodalOps.decodePpm("P62 2\n255\n".getBytes ++ pix).isEmpty)
   }
 
   test("kernel is deterministic and features are in [0, 1)") {

@@ -99,10 +99,17 @@ class ConnectedComponentsSuite extends AnyFunSuite {
       sc.setCheckpointDir(dir.getAbsolutePath)
       val got = run((0L to 8L).toSeq, (0L until 8L).map(i => (i, i + 1)))
       assert((0L to 8L).forall(got(_) == 0L))
-      // the reliable path really wrote round state under the dir
-      def anyFile(f: java.io.File): Boolean =
-        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
-      assert(anyFile(dir), "no checkpoint data written to the checkpoint dir")
+      // the reliable path really wrote round state under the dir, and the
+      // per-round cleanup left only the FINAL round's rdd files (a leak
+      // here means a 50-round 100 TB run keeps 50 label-table copies)
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap { c =>
+          if (c.isDirectory && c.getName.startsWith("rdd-")) Seq(c)
+          else if (c.isDirectory) rddDirs(c) else Nil
+        }
+      val left = rddDirs(dir)
+      assert(left.nonEmpty, "no checkpoint data written to the checkpoint dir")
+      assert(left.size <= 2, s"leaked round checkpoints: ${left.map(_.getName)}")
     } finally {
       sc.setCheckpointDir(null)
       def rm(f: java.io.File): Unit = {
