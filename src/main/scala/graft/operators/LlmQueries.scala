@@ -381,6 +381,37 @@ object LlmQueries {
       .limit(100)
   }
 
+  /** Scalar-quantized (int8) brute-force top-k — the memory-bandwidth
+    * path production vector search runs before any index: each vector is
+    * quantized to `round(x·127/max|x|)` (4× smaller than float32, so a
+    * 100 TB scan reads 25 TB), candidates are ranked by the cosine of
+    * the QUANTIZED vectors, and the exact float cosine rides along as
+    * the quality audit. The scale factor cancels out of the quantized
+    * cosine, so the whole ranking is integer dot products + IEEE
+    * sqrt/divide — bit-identical across engines; the quantized values
+    * are exact small integers stored as float, which keeps the scoring
+    * on the codegen'd `dot_f32` kernel. */
+  private def qQuantizedTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val e = Tables.embeddings(s, d)
+      .withColumn("_scale", expr("array_max(transform(embedding, x -> abs(double(x))))"))
+      .withColumn("qv", expr(
+        "CASE WHEN _scale = 0 THEN transform(embedding, x -> cast(0 AS float)) " +
+          "ELSE transform(embedding, x -> cast(round(double(x) * 127 / _scale) AS float)) END"))
+    val q = e.filter(col("vec_id") === 0)
+      .selectExpr("qv AS qqv", "embedding AS qev",
+        s"sqrt(${dotSpark("qv", "qv")}) AS qqnorm",
+        s"sqrt(${dotSpark("embedding", "embedding")}) AS qenorm")
+    e.crossJoin(broadcast(q))
+      .withColumn("approx_sim", expr(
+        s"round(${dotSpark("qv", "qqv")} / (sqrt(${dotSpark("qv", "qv")}) * qqnorm), 6)"))
+      .withColumn("sim", expr(
+        s"round(${dotSpark("embedding", "qev")} / (sqrt(${dotSpark("embedding", "embedding")}) * qenorm), 6)"))
+      .select(col("vec_id"), col("label"), col("approx_sim"), col("sim"))
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+      .limit(100)
+  }
+
   /** The IVF assignment stage shared by the single-query and batched
     * probes: every vector labeled with its max-cosine centroid (first 8
     * embeddings as centroids; k-means centroids in production) —
@@ -701,6 +732,7 @@ object LlmQueries {
     "q_simhash" -> qSimhash _,
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
+    "q_quantized_topk" -> qQuantizedTopk _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_batch" -> qAnnBatch _,
     "q_ivf_kmeans" -> qIvfKmeans _,
@@ -865,6 +897,20 @@ object LlmQueries {
          |SELECT vec_id, label, ${cosDuck("v", "qv")} AS sim
          |FROM e, q
          |ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin,
+    "q_quantized_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, label, v,
+         |              list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |qz AS (SELECT vec_id, label, v,
+         |              CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+         |                   ELSE list_transform(v, x -> round(x * 127 / scale)) END AS qv
+         |       FROM sc),
+         |q AS (SELECT qv AS qqv, v AS qev FROM qz WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |       ${cosDuck("qv", "qqv")} AS approx_sim,
+         |       ${cosDuck("v", "qev")} AS sim
+         |FROM qz, q
+         |ORDER BY approx_sim DESC, vec_id LIMIT 100""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -79,6 +79,12 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q_quantized_topk scores on dot_f32, top-k via TakeOrderedAndProject") {
+    val p = plan("q_quantized_topk")
+    assert(p.contains("dot_f32"), p)
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q_skew_salted_join pins the shuffled-hash strategy, no broadcast") {
     // The salt only redistributes work if the join actually shuffles; a
     // broadcast of the salted dim would measure nothing (and hide a skew
