@@ -54,6 +54,23 @@ object Graft {
       .limit(k)
   }
 
+  /** Scalar (int8) vector quantization for storage/bandwidth: each
+    * vector becomes `round(x·127/max|x|)` plus its per-vector `scale` —
+    * a quarter of float32's bytes on the 100 TB scan, which is the real
+    * bottleneck of brute-force similarity. Quantized values are exact
+    * small integers stored as float, so downstream cosine ranking stays
+    * on the codegen'd `dot_f32` kernel and the scale cancels out of the
+    * quantized cosine entirely (see q_quantized_topk). Returns
+    * (`idCol`, qvec, scale); dequantize as `qvec·scale/127`. */
+  def quantizeVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors
+      .withColumn("_scale", expr(s"array_max(transform($vecCol, x -> abs(double(x))))"))
+      .select(col(idCol),
+        expr(s"CASE WHEN _scale = 0 THEN transform($vecCol, x -> cast(0 AS float)) " +
+          s"ELSE transform($vecCol, x -> cast(round(double(x) * 127 / _scale) AS float)) END")
+          .as("qvec"),
+        col("_scale").as("scale"))
+
   /** As-of join: latest `right` row at-or-before each `left` timestamp
     * per key — union + one window pass, no range-join explosion. See
     * [[graft.operators.AsOfJoin.asOf]] for semantics. */

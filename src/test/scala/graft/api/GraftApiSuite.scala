@@ -145,6 +145,19 @@ class GraftApiSuite extends AnyFunSuite {
     assert(r.getDouble(4) == 0.25)         // 2 'a' of 8 chars
   }
 
+  test("quantizeVectors emits int8-range values that dequantize close to the input") {
+    val vecs = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("vid", "emb")
+    val rows = Graft.quantizeVectors(vecs, "vid", "emb")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getDouble(2))).toMap
+    val (q1, s1) = rows(1L)
+    assert(s1 == 1.0 && q1 == Seq(64f, -127f, 32f)) // round(.5*127)=64 (half up)
+    q1.foreach(v => assert(v >= -127f && v <= 127f && v == math.rint(v).toFloat))
+    assert(math.abs(q1(0) * s1 / 127 - 0.5) < 0.005) // dequantize error < 1/254
+    val (q2, s2) = rows(2L) // zero vector: scale 0, all-zero qvec, no NaN
+    assert(s2 == 0.0 && q2.forall(_ == 0f))
+  }
+
   test("cosineTopK ranks by cosine against the query vector") {
     val vecs = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
