@@ -49,11 +49,20 @@ object Bench {
       // median of 3 (or -1 if any rep failed — a flaky query is a failure)
       name -> (if (times.length == Reps) times.sorted.apply(Reps / 2) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings (VERDICT r6 #7): the driver captures a bounded tail
+    // of stdout, and full-precision doubles made the one JSON line long
+    // enough to truncate its head. 1 ms resolution is below box variance.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    // Print AFTER spark.stop() so the one JSON line sits as close to the
+    // tail of the captured output as possible (only sbt's [success]
+    // trailer follows it in the driver's tail window).
     spark.stop()
+    println(line)
     if (failed.nonEmpty) sys.exit(1)
   }
 }
