@@ -302,75 +302,188 @@ object CdcPipeline {
     }
   }
 
-  /** Idempotent latest-per-key merge into a parquet "materialized table" —
-    * the lsttxn-style sink with the monotonic guard (ec:747): an existing
-    * row only loses to a strictly-or-equally newer seq, so replaying a
-    * batch (foreachBatch retry, checkpoint restart) is a no-op.
+  /** Hash buckets of the materialized table (data buckets `0..n-1`, the
+    * truncate marker in dedicated bucket `n`). Fixed at table creation and
+    * persisted in [[BucketMeta]]; the test default is small, a 100 TB
+    * deployment sizes it so one bucket ≈ one executor-friendly rewrite
+    * unit (thousands). */
+  val DefaultBuckets = 8
+  private val BucketMeta = "_graft_buckets"
+
+  private def bucketExpr(nb: Int) =
+    when(col("op") === "truncate", lit(nb))
+      .otherwise(pmod(hash(col("k")), lit(nb)))
+      .cast("int").as("bucket")
+
+  /** The table's persisted bucket count, if the table exists. The count is
+    * part of the table layout — changing it would re-route keys — so the
+    * persisted value always wins over a caller's `numBuckets`. */
+  private def readBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                          out: Path): Option[Int] = {
+    val meta = new Path(out, BucketMeta)
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Create the table root + bucket-count meta on the FIRST non-empty
+    * merge (an all-empty stream must not leave a parquet-less dir that
+    * breaks schema inference for readers). */
+  private def initBucketsIfMissing(fs: org.apache.hadoop.fs.FileSystem,
+                                   out: Path, nb: Int): Unit = {
+    if (readBuckets(fs, out).isEmpty) {
+      fs.mkdirs(out)
+      val os = fs.create(new Path(out, BucketMeta), true)
+      try os.write(nb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+  }
+
+  private def hasData(fs: org.apache.hadoop.fs.FileSystem, out: Path): Boolean =
+    fs.exists(out) && fs.listStatus(out)
+      .exists(_.getPath.getName.startsWith("bucket="))
+
+  /** Idempotent latest-per-key merge into a hash-bucketed parquet
+    * "materialized table" — the lsttxn-style sink with the monotonic guard
+    * (ec:747): an existing row only loses to a strictly-or-equally newer
+    * seq, so replaying a batch (foreachBatch retry, checkpoint restart) is
+    * a no-op.
     *
-    * Crash safety of the swap: the previous table is renamed ASIDE (to
-    * `.backup`) before the staging dir is promoted — there is no window
-    * where the committed table exists only as deleted bytes. If a crash
-    * lands between the two renames, [[recoverSwap]] (run at the head of
-    * every merge and every read) promotes the backup again, so the worst
-    * outcome is re-merging one batch — which the monotonic guard makes a
-    * no-op. On an object store (no atomic rename) the same two-step keeps
-    * every committed row reachable; a production deployment would swap this
-    * sink for a transactional table format (the manifest-pointer idea),
-    * which is a config change because the merge itself is declarative. */
-  def mergeLatest(changes: DataFrame, outDir: String): Unit = {
+    * Scale shape (the point of the savepoint design, ec:2104-2194: ingest
+    * cost must be O(new work), not O(history)): the table is laid out as
+    * `bucket=pmod(hash(k), n)` partitions, and a batch rewrites ONLY the
+    * buckets its keys land in — per-batch cost is O(|batch| + touched
+    * buckets), never O(|table|). TRUNCATE is therefore lazy: committing
+    * one rewrites just the marker bucket (the high-water row on
+    * [[TruncateKey]]); rows at or below the mark linger physically in
+    * untouched buckets but are invisible to [[readMaterialized]] and are
+    * physically dropped whenever their bucket is next rewritten. Delete
+    * tombstones stay in the table so a stale lower-LSN upsert arriving in
+    * a later batch loses the per-key window instead of resurrecting the
+    * key.
+    *
+    * The truncate high-water is computed IN-PLAN (a 1-row aggregate over
+    * the marker bucket ∪ the batch's truncate verbs, broadcast onto every
+    * row — the [[graft.api.Graft.applyChanges]] template), so the sink
+    * runs exactly one job per batch.
+    *
+    * Crash safety: each touched bucket swaps individually (live renamed
+    * aside to `.backup/bucket=B`, then staging promoted), so no committed
+    * row ever exists only as deleted bytes. A crash mid-swap leaves some
+    * buckets old and some new; [[recoverSwap]] re-promotes any orphaned
+    * backup, and the streaming checkpoint replays the uncommitted batch,
+    * which the monotonic merge absorbs per bucket. On an object store the
+    * same per-bucket two-step keeps every committed row reachable; a
+    * production deployment would swap this sink for a transactional table
+    * format, a config change because the merge itself is declarative. */
+  def mergeLatest(changes: DataFrame, outDir: String,
+                  numBuckets: Int = DefaultBuckets): Unit = {
     val spark = changes.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
     recoverSwap(fs, out)
+    val nb = readBuckets(fs, out).getOrElse(numBuckets)
     // Accept op-less frames (plain upsert streams) for compatibility.
     val withOp =
       if (changes.columns.contains("op")) changes
       else changes.withColumn("op", lit("upsert"))
-    val base =
-      if (fs.exists(out)) spark.read.parquet(outDir)
-      else withOp.limit(0)
-    val all = base.unionByName(withOp)
-    // Truncate high-water: every non-marker row at or below the highest
-    // TRUNCATE position is wiped — including rows from earlier batches
-    // (the persisted marker row on TruncateKey carries T forward) and
-    // lower-LSN rows that arrive in LATER batches of a non-monotonic
-    // stream. Delete tombstones stay in the table for the same reason:
-    // a stale upsert must lose to them in the window, not resurrect.
-    val truncT = all.filter(col("op") === "truncate")
-      .agg(max(col("last_seq"))).head().get(0)
-    val current = truncT match {
-      case null => all
-      case t => all.filter(col("op") === "truncate" || col("last_seq") > t.asInstanceOf[Long])
-    }
-    val merged = current
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("k")).orderBy(col("last_seq").desc)))
-      .filter(col("rn") === 1).drop("rn")
-    val tmp = new Path(outDir + ".staging")
-    val bak = new Path(outDir + ".backup")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(bak, true)
-    if (fs.exists(out)) fs.rename(out, bak) // keep the old table reachable…
-    fs.rename(tmp, out)                     // …until the new one is live
-    fs.delete(bak, true)
+    val batch = withOp.withColumn("bucket", bucketExpr(nb)).persist()
+    try {
+      // Bounded driver metadata (≤ nb+1 ints), NOT data: which bucket
+      // directories this batch rewrites.
+      val touched = batch.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return // empty micro-batch: nothing to merge
+      initBucketsIfMissing(fs, out, nb)
+      val exists = hasData(fs, out)
+      // Base = touched buckets ONLY (partition-pruned scan).
+      val base =
+        if (exists) spark.read.parquet(outDir)
+          .filter(col("bucket").isin(touched.toSeq: _*))
+        else batch.limit(0)
+      // Truncate high-water in-plan: the persisted marker (its own tiny
+      // bucket, read pruned) ∪ any truncate verbs in this batch.
+      val markerRows =
+        if (exists) spark.read.parquet(outDir).filter(col("bucket") === nb)
+        else batch.limit(0)
+      val truncT = markerRows
+        .unionByName(batch.filter(col("op") === "truncate"))
+        .agg(max(when(col("op") === "truncate", col("last_seq")))
+          .as("_trunc_t"))
+      val current = base.unionByName(batch)
+        .crossJoin(broadcast(truncT))
+        .filter(col("_trunc_t").isNull || col("op") === "truncate" ||
+          col("last_seq") > col("_trunc_t"))
+        .drop("_trunc_t")
+      val merged = current
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("last_seq").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      val staging = new Path(out, ".staging")
+      val backup = new Path(out, ".backup")
+      fs.delete(staging, true)
+      fs.delete(backup, true)
+      merged.write.partitionBy("bucket").mode("overwrite")
+        .parquet(staging.toString)
+      fs.mkdirs(backup)
+      touched.foreach { b =>
+        val live = new Path(out, s"bucket=$b")
+        val stag = new Path(staging, s"bucket=$b")
+        if (fs.exists(live)) fs.rename(live, new Path(backup, s"bucket=$b"))
+        if (fs.exists(stag)) fs.rename(stag, live)
+        // A bucket fully wiped by truncate has no staging dir: it simply
+        // stops existing — recovery-safe because the batch replays.
+      }
+      fs.delete(backup, true)
+      fs.delete(staging, true)
+    } finally batch.unpersist()
   }
 
-  /** Promote a backup left by a crash between mergeLatest's two renames.
-    * Safe to call any time: the backup only exists while the live dir is
-    * absent or being replaced, and it always holds a fully-written table. */
+  /** Promote per-bucket backups left by a crash mid-swap: any
+    * `.backup/bucket=B` whose live dir is missing is re-promoted. The
+    * interrupted batch was never acknowledged to the checkpoint, so it
+    * replays — and the idempotent merge re-applies it per bucket. Safe to
+    * call any time. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, out: Path): Unit = {
-    val bak = new Path(out.toString + ".backup")
-    if (!fs.exists(out) && fs.exists(bak)) fs.rename(bak, out)
+    val backup = new Path(out, ".backup")
+    if (fs.exists(backup)) {
+      fs.listStatus(backup).foreach { st =>
+        val live = new Path(out, st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+    }
   }
 
   /** Read the materialized table as its USERS see it: live rows only —
-    * delete tombstones and the truncate high-water marker are sink
-    * bookkeeping ([[Committed]] docs), not data. */
+    * delete tombstones, the truncate marker, and rows at or below the
+    * truncate high-water (lazily wiped: still on disk in buckets the
+    * sink hasn't rewritten since) are sink bookkeeping ([[Committed]] and
+    * [[mergeLatest]] docs), not data. The high-water read is pruned to
+    * the one marker bucket and broadcast — O(1) overhead on the scan. */
   def readMaterialized(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p)
     val df = spark.read.parquet(outDir)
-    if (df.columns.contains("op")) df.filter(col("op") === "upsert").drop("op")
-    else df
+    if (!df.columns.contains("op")) df
+    else {
+      val marker = readBuckets(fs, p) match {
+        case Some(nb) if df.columns.contains("bucket") =>
+          df.filter(col("bucket") === nb)
+        case _ => df
+      }
+      val truncT = marker.filter(col("op") === "truncate")
+        .agg(max(col("last_seq")).as("_trunc_t"))
+      df.filter(col("op") === "upsert")
+        .crossJoin(broadcast(truncT))
+        .filter(col("_trunc_t").isNull || col("last_seq") > col("_trunc_t"))
+        .drop("_trunc_t", "op", "bucket")
+    }
   }
 
   /** The shared downstream: txn assembly + idempotent merge sink.
@@ -416,7 +529,7 @@ object CdcPipeline {
     val p = new Path(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, p) // a crashed swap must not read as "no savepoint"
-    if (!fs.exists(p)) 0L
+    if (!hasData(fs, p)) 0L
     else spark.read.parquet(outDir)
       .agg(coalesce(max(col("last_seq")), lit(0L))).head().getLong(0)
   }
@@ -540,9 +653,7 @@ object CdcPipeline {
       f.delete()
     }
     rm(checkpoint)
-    rm(outDir)
-    rm(new java.io.File(root, "materialized.staging"))
-    rm(new java.io.File(root, "materialized.backup"))
+    rm(outDir) // staging/backup live INSIDE the table root; one rm covers all
     recordFixtureCached(s, d, chunkDir.getAbsolutePath)
     // The V2 source path (custom DataSource V2 with offset log + admission
     // control); the binaryFile path is spec-checked equal to it.

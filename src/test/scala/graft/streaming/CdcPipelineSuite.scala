@@ -93,7 +93,7 @@ class CdcPipelineSuite extends AnyFunSuite {
     assert(replayed == resumed)
   }
 
-  test("crash between swap renames is recovered; no committed row is lost") {
+  test("crash between per-bucket swap renames is recovered; no committed row is lost") {
     val s2val = TestSpark.spark
     import s2val.implicits._
     val root = java.nio.file.Files.createTempDirectory("cdc_swap").toFile
@@ -104,26 +104,98 @@ class CdcPipelineSuite extends AnyFunSuite {
       .toDF("k", "last_seq", "v", "old_v", "etype")
     CdcPipeline.mergeLatest(batch1, out)
 
-    // Simulate a crash BETWEEN mergeLatest's two renames: live dir renamed
-    // aside, promotion of staging never happened.
+    // Simulate a crash BETWEEN a bucket's two renames: the live bucket dir
+    // was renamed aside to .backup/bucket=B, promotion of its staging dir
+    // never happened.
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(s2val.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(out),
-      new org.apache.hadoop.fs.Path(out + ".backup"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(out)))
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.startsWith("bucket=")).map(_.getPath)
+    assert(bucketDirs.nonEmpty)
+    val victim = bucketDirs.head
+    val backup = new org.apache.hadoop.fs.Path(out, ".backup")
+    fs.mkdirs(backup)
+    fs.rename(victim, new org.apache.hadoop.fs.Path(backup, victim.getName))
+    assert(!fs.exists(victim))
 
-    // The savepoint read must see the backup, not report "no savepoint".
+    // The savepoint read must recover the orphaned bucket, not lose it.
     assert(CdcPipeline.lastCommittedSeq(s2val, out) == 11L)
+    assert(fs.exists(victim))
 
-    // And the next merge must recover it, then merge on top — batch1's
-    // rows survive alongside the new batch.
+    // And a later merge on top keeps every committed row.
     val batch2 = Seq((2L, 12L, 2.5, Option.empty[Double], "b2"))
       .toDF("k", "last_seq", "v", "old_v", "etype")
     CdcPipeline.mergeLatest(batch2, out)
-    val rows = s2val.read.parquet(out).orderBy("k")
+    val rows = CdcPipeline.readMaterialized(s2val, out).orderBy("k")
       .select("k", "last_seq", "v").collect().toSeq.map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows == Seq((1L, 10L, 1.0), (2L, 12L, 2.5)))
+  }
+
+  /** Snapshot of a bucket dir: file name → (length, content md5). */
+  private def snapshot(dir: java.io.File): Map[String, (Long, String)] =
+    dir.listFiles().filter(_.isFile).filterNot(_.getName.startsWith("."))
+      .map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getName -> (f.length(), md5.map("%02x".format(_)).mkString)
+      }.toMap
+
+  test("merge rewrites only the buckets the batch touches; untouched " +
+      "bucket files are byte-identical (the prune, not just the answer)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc_prune").toFile
+    val out = new java.io.File(root, "mat").getAbsolutePath
+
+    // Pick keys in two DIFFERENT buckets of the default layout.
+    val nb = CdcPipeline.DefaultBuckets
+    val buckets = s.range(0, 64)
+      .select(col("id"), pmod(hash(col("id")), lit(nb)).cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kA = buckets.keys.min
+    val kB = buckets.collectFirst { case (k, b) if b != buckets(kA) => k }.get
+
+    val batch1 = Seq((kA, 10L, 1.0, Option.empty[Double], "a"),
+      (kB, 11L, 2.0, Option.empty[Double], "b"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    CdcPipeline.mergeLatest(batch1, out)
+    val dirA = new java.io.File(out, s"bucket=${buckets(kA)}")
+    val dirB = new java.io.File(out, s"bucket=${buckets(kB)}")
+    val beforeA = snapshot(dirA)
+    val beforeB = snapshot(dirB)
+    assert(beforeA.nonEmpty && beforeB.nonEmpty)
+
+    // Batch 2 touches ONLY kB's bucket.
+    val batch2 = Seq((kB, 12L, 2.5, Option.empty[Double], "b2"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    CdcPipeline.mergeLatest(batch2, out)
+    assert(snapshot(dirA) == beforeA)   // untouched bucket: byte-identical
+    assert(snapshot(dirB) != beforeB)   // touched bucket: rewritten
+
+    // A truncate-only batch rewrites just the MARKER bucket (lazy wipe):
+    // both data buckets' files stay byte-identical, yet the wiped rows
+    // are invisible to readers.
+    val afterA = snapshot(dirA)
+    val afterB = snapshot(dirB)
+    val truncBatch = Seq(
+      (CdcPipeline.TruncateKey, 11L, 0.0, Option.empty[Double], "", "truncate"))
+      .toDF("k", "last_seq", "v", "old_v", "etype", "op")
+    CdcPipeline.mergeLatest(truncBatch, out)
+    assert(snapshot(dirA) == afterA)
+    assert(snapshot(dirB) == afterB)
+    assert(new java.io.File(out, s"bucket=$nb").isDirectory)
+    val visible = CdcPipeline.readMaterialized(s, out)
+      .select("k", "last_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(visible == Seq((kB, 12L))) // kA@10 and the 11-seq wipe line: only kB@12 survives
+
+    // Touching kA's bucket next physically cleans its wiped row.
+    val batch3 = Seq((kA, 20L, 9.0, Option.empty[Double], "a2"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    CdcPipeline.mergeLatest(batch3, out)
+    val rowsA = s.read.parquet(dirA.getAbsolutePath)
+      .select("k", "last_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rowsA == Seq((kA, 20L))) // the seq-10 row is physically gone
   }
   test("commit windows: watermark flushes every window via heartbeats; " +
       "late commits in a non-monotonic stream are dropped, not corrupted") {
