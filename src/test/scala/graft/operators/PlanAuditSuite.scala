@@ -59,13 +59,23 @@ class PlanAuditSuite extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"))
   }
 
-  test("q_near_dedup_minhash signatures use the one-pass native kernels") {
+  test("q_near_dedup_minhash scans corpus text ONCE; final plan reuses the " +
+      "materialized signatures") {
     val p = plan("q_near_dedup_minhash")
-    assert(p.contains("minhash_sig") && p.contains("shingle_h60p"))
-    // the fused kernel replaced the interpreted split/transform/array_join
-    // shingling; none of those lambdas should reappear around the scan
+    // The shingle+minhash kernels run exactly once, in the eager signature
+    // materialization (minhashMaterialized) — the query's own plan must
+    // show ZERO rescans of the documents table and ZERO kernel re-runs on
+    // any of its four signature references (VERDICT r6 #3: each rescan is
+    // a full corpus text pass at 100 TB).
+    assert(!p.contains("documents.parquet"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("shingle_h60p"), p)
+    assert(!p.contains("minhash_sig"), p)
     assert(!p.contains("array_join"), p)
     assert(!p.contains("NestedLoop")) // banding keeps it an equi-join
+    // and the kernels ARE the one-pass natives in the materialization plan
+    val mat = LlmQueries.minhashMaterializedPlanForAudit(TestSpark.spark, sf)
+    assert(mat.contains("shingle_h60p") && mat.contains("minhash_sig"), mat)
+    assert("documents\\.parquet".r.findAllIn(mat).size <= 1, mat)
   }
 
   test("q_cosine_topk scores with the native dot_f32 kernel, not " +
@@ -153,6 +163,24 @@ class PlanAuditSuite extends AnyFunSuite {
   test("q_minhash_est candidate generation stays an equi-join") {
     val p = plan("q_minhash_est")
     assert(!p.contains("NestedLoop"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("q_simhash_pairs bands on an equi-join, never all-pairs; " +
+      "fingerprints are not recomputed in the final plan") {
+    val p = plan("q_simhash_pairs")
+    assert(!p.contains("NestedLoop"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("Join"), p)
+    // the simhash32 kernel ran once, in the fingerprint materialization
+    assert(!p.contains("simhash32"), p)
+    assert(!p.contains("documents.parquet"), p)
+  }
+
+  test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
+    // same pin as q_ann_batch: the bounded (cross-join) stages are the
+    // 8-row centroid broadcasts; the BUCKET probe itself must hash-join
+    val p = plan("q_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("q_weighted_sample joins the bounded weight table via broadcast") {
