@@ -85,6 +85,21 @@ object Graft {
     * join is the batch's bands alone, so an incoming crawl batch
     * deduplicates against an accumulated corpus at |batch| × bucket cost
     * instead of re-pairing everything ingested so far. */
+  /** SimHash near-duplicate pairs: 32-bit fingerprint, 4×8-bit hamming-LSH
+    * bands (equi-join, never all-pairs), verified at `bit_count(a ^ b) <=
+    * maxHamming`. `maxHamming` <= 3 is lossless by pigeonhole (<= 3 flipped
+    * bits leave >= 1 of 4 bands identical). Cheaper than MinHash (one
+    * token-hash pass, no shingle sets) and catches a different change
+    * profile: token-frequency preserving edits. See
+    * [[graft.operators.LlmQueries.simhashNearDupPairs]] for the
+    * band-width-vs-corpus-size scale note. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    LlmQueries.simhashNearDupPairs(docs, idCol, textCol, maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def nearDupPairsIncremental(docs: DataFrame, idCol: String, textCol: String,
                               newIds: DataFrame,
                               threshold: Double = 0.7): DataFrame = {
@@ -339,6 +354,36 @@ object Graft {
       .filter(col("_rank") <= k)
       .select(col("_qid").as(qidCol), col("_rank").as("rank"),
         col(idCol), col("_sim").as("sim"))
+  }
+
+  /** Multi-probe ANN over [[ivfAssign]] output: each query probes its
+    * `nprobe` nearest centroids' buckets (ranked by cosine, ties on the
+    * lower centroid id) instead of only the winner — the recall knob
+    * every production IVF exposes, because a query near a Voronoi border
+    * has true neighbors just across it. The query batch explodes to
+    * |batch| × nprobe rows BEFORE the bucket equi-join (still one
+    * broadcast), and the per-query top-`k` window in [[ivfProbe]] spans
+    * every probed bucket; a data vector lives in exactly one bucket, so
+    * candidates never duplicate. Cost: |batch| × nprobe × bucket. */
+  def ivfMultiProbe(assigned: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qidCol: String,
+                    centroids: DataFrame, cidCol: String, cvecCol: String,
+                    k: Int, nprobe: Int): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(assigned.sparkSession)
+    val cents = centroids
+      .select(col(cidCol).as("_cid"), col(cvecCol).as("_cv"))
+      .withColumn("_cnorm", expr("sqrt(dot_f32(_cv, _cv))"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("_csim").desc, col("_cid"))
+    val expanded = queries
+      .select(col(qidCol), col(vecCol))
+      .withColumn("_qn", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", expr(s"dot_f32($vecCol, _cv) / (_qn * _cnorm)"))
+      .withColumn("_prn", row_number().over(w))
+      .filter(col("_prn") <= nprobe)
+      .select(col(qidCol), col(vecCol), col("_cid").as("cluster"))
+    ivfProbe(assigned, idCol, vecCol, expanded, qidCol, k)
   }
 
   /** Fuzzy (n-gram overlap) contamination report: for each (train doc,

@@ -237,6 +237,41 @@ class GraftApiSuite extends AnyFunSuite {
     assert(hits == Set((1L, 1, 1L), (1L, 2, 2L), (4L, 1, 4L), (4L, 2, 5L)))
   }
 
+  test("ivfMultiProbe recovers the cross-border neighbor single-probe misses") {
+    // vec 3 sits at 45° — assigned (by tie-break) to cluster 10, but it is
+    // the TRUE second neighbor of query 4 (0°-pole queries aside). A
+    // border query probing only its own bucket can't see it.
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.707f, 0.707f)), (4L, Array(0f, 1f)))
+      .toDF("vid", "emb")
+    val cents = Seq((10, Array(1f, 0f)), (20, Array(0f, 1f))).toDF("cid", "cv")
+    val assigned = Graft.ivfAssign(vecs, "vid", "emb", cents, "cid", "cv")
+    val queries = assigned.filter($"vid" === 4L).withColumnRenamed("vid", "qid")
+
+    val single = Graft.ivfProbe(assigned, "vid", "emb", queries, "qid", k = 3)
+      .collect().map(_.getLong(2)).toSet
+    val multi = Graft.ivfMultiProbe(assigned, "vid", "emb",
+        queries.drop("cluster"), "qid", cents, "cid", "cv", k = 3, nprobe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // strictly more recall: the 45° vector (bucket 10) appears only with
+    // nprobe = 2, ranked by true cosine across both probed buckets
+    assert(single == Set(4L, 2L)) // own bucket only: the 45° vec is invisible
+    assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
+  }
+
+  test("simhashNearDupPairs pairs token-reordered twins at hamming 0, " +
+      "not unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // same token multiset, different order → identical fingerprint
+    val reordered = (1 to 60).reverse.map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, reordered), (3L, other)).toDF("id", "body")
+    val got = Graft.simhashNearDupPairs(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 0L)))
+  }
+
   test("applyChanges: truncate wipes rows at or below its position") {
     val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
     val changes = Seq(
