@@ -113,7 +113,10 @@ object Graft {
     * (and append each accepted batch's rows), then deduplicate every
     * incoming crawl batch with the index overload of
     * [[nearDupPairsIncremental]] — the corpus TEXT is scanned exactly
-    * once, at index-build time, never again per batch. */
+    * once, at index-build time, never again per batch. For a STREAMING
+    * ingestion pipeline, [[graft.streaming.DedupStream]] runs the whole
+    * loop (probe batch → log pairs → append accepted signatures) as a
+    * foreachBatch stage with exactly-once appends. */
   def signatureIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TextHash.ensureRegistered(docs.sparkSession)
     LlmQueries.signatureIndexCore(docs, idCol, textCol)

@@ -174,9 +174,16 @@ object LlmQueries {
     * cost at 100 TB for nothing. */
   private[graft] def signatureIndexCore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    shingleHashSets(docs, idCol, textCol)
-      .selectExpr("doc_id", "hs", "minhash_sig(hs) AS sig")
-      .selectExpr("doc_id", "hs", s"explode(array($bandStructsExpr)) AS bb")
+    indexRowsFromSig(shingleHashSets(docs, idCol, textCol)
+      .selectExpr("doc_id", "hs", "minhash_sig(hs) AS sig"))
+
+  /** Index rows from an already-computed (doc_id, hs, sig) frame — the
+    * tail of [[signatureIndexCore]], split out so the streaming
+    * maintenance path ([[graft.streaming.DedupStream]]) derives the
+    * append rows from the SAME materialized signatures it probed with,
+    * never re-tokenizing the batch. */
+  private[graft] def indexRowsFromSig(sigx: DataFrame): DataFrame =
+    sigx.selectExpr("doc_id", "hs", s"explode(array($bandStructsExpr)) AS bb")
       .selectExpr("doc_id", "CASE WHEN bb.band = 0 THEN hs END AS hs",
         "bb.band AS band", "bb.bkey AS bkey")
 
@@ -189,8 +196,15 @@ object LlmQueries {
     * in the index supersedes its index rows (the re-crawl case). */
   private[graft] def minhashPairsAgainstIndex(index: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val batchSigx = minhashMaterialized(batch, idCol, textCol)
+      threshold: Double): DataFrame =
+    minhashPairsAgainstIndexFromSig(index, idCol,
+      minhashMaterialized(batch, idCol, textCol), threshold)
+
+  /** [[minhashPairsAgainstIndex]] with the batch's (doc_id, hs, sig)
+    * already materialized — the streaming path computes it once and feeds
+    * both this probe and the index append. */
+  private[graft] def minhashPairsAgainstIndexFromSig(index: DataFrame,
+      idCol: String, batchSigx: DataFrame, threshold: Double): DataFrame = {
     val batchHsx = batchSigx.select("doc_id", "hs")
     val batchIds = batchHsx.select("doc_id")
     val idx = index.selectExpr(s"$idCol AS doc_id", "hs", "band", "bkey")
