@@ -304,6 +304,23 @@ object Graft {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     CorpusOps.repetitionStats(docs, idCol, textCol)
 
+  /** Context-window chunking: each document's token stream cut into
+    * windows of `window` tokens overlapping by `overlap` — trainer/RAG
+    * passage shaping. Map-side explode, no shuffle; returns (doc_id,
+    * chunk_id, start, chunk_tokens, chunk_text). */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 512, overlap: Int = 64): DataFrame =
+    CorpusOps.chunkDocs(docs, idCol, textCol, window, overlap)
+
+  /** Sequence packing (concat-then-split) into `windowTokens`-token
+    * training bins, packed independently per `blockDocs`-id block so the
+    * prefix sum is a block-local window (one bounded shuffle), never a
+    * global-order window. Requires numeric ids; returns (doc_id, block,
+    * bin, n_tokens, cum_tokens). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 4096, blockDocs: Int = 10000): DataFrame =
+    CorpusOps.packSequences(docs, idCol, textCol, windowTokens, blockDocs)
+
   /** IVF bucket assignment: label every vector (unique `idCol`) with the
     * id of its max-cosine centroid as a `cluster` column. Centroids are a
     * bounded set — they ride one broadcast; scoring is the codegen'd

@@ -286,7 +286,67 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * overlapping windows of `window` tokens with `overlap` tokens shared
+    * between consecutive chunks — the step that turns curated documents
+    * into trainer-shaped rows (and RAG corpora into retrievable
+    * passages). Chunk starts advance by `window - overlap`; the last
+    * chunk is short rather than padded.
+    *
+    * Scale: one `split` + `posexplode(sequence(...))` per row — entirely
+    * map-side, no shuffle; at 100 TB this runs at scan speed and the
+    * only data growth is the overlap fraction. */
+  private[graft] def chunkDocs(docs: DataFrame, idCol: String,
+      textCol: String, window: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && window > overlap,
+      s"need window > overlap >= 0, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    docs.selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .selectExpr("doc_id", "toks", "size(toks) AS n_tokens")
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        posexplode(expr(s"sequence(0, n_tokens - 1, $stride)"))
+          .as(Seq("chunk_id", "start")))
+      .selectExpr("doc_id", "cast(chunk_id AS bigint) AS chunk_id",
+        "cast(start AS bigint) AS start",
+        s"cast(least($window, n_tokens - start) AS bigint) AS chunk_tokens",
+        s"array_join(slice(toks, start + 1, $window), ' ') AS chunk_text")
+  }
+
+  private def qDocChunks(s: SparkSession, d: String): DataFrame =
+    chunkDocs(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+      window = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Sequence packing (concat-then-split): documents are concatenated in
+    * id order and cut every `windowTokens` tokens; each doc is labeled
+    * with the training bin its FIRST token lands in. Packing runs
+    * independently within fixed blocks of `blockDocs` ids — the shard-
+    * local packing production pipelines use — because a single global
+    * prefix sum would need one total-order window over the corpus (the
+    * scale anti-pattern this formulation exists to avoid: the block
+    * window shuffles once on the bounded block key and every partition
+    * cumulates independently). Requires a numeric `idCol`. */
+  private[graft] def packSequences(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, blockDocs: Int): DataFrame = {
+    val w = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.selectExpr(s"$idCol AS doc_id",
+        s"cast(size(split($textCol, ' ')) AS bigint) AS n_tokens")
+      .withColumn("block", expr(s"doc_id div $blockDocs"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum_tokens - n_tokens) div $windowTokens"))
+      .select(col("doc_id"), col("block"), col("bin"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  private def qSeqPack(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+      windowTokens = 2048, blockDocs = 100)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunks" -> qDocChunks _,
+    "q_seq_pack" -> qSeqPack _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_group_topk" -> qGroupTopk _,
     "q_decontaminate" -> qDecontaminate _,
@@ -299,6 +359,30 @@ object CorpusOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+        |c AS (SELECT doc_id, toks, n_tokens,
+        |             unnest(generate_series(0, n_tokens - 1, 48)) AS start
+        |      FROM n)
+        |SELECT doc_id, cast(start // 48 AS bigint) AS chunk_id,
+        |       cast(start AS bigint) AS start,
+        |       cast(least(64, n_tokens - start) AS bigint) AS chunk_tokens,
+        |       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |                  cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+        |                  doc_id // 100 AS block
+        |           FROM documents),
+        |c AS (SELECT doc_id, block, n_tokens,
+        |             cast(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id
+        |                                      ROWS UNBOUNDED PRECEDING) AS bigint)
+        |               AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, block, (cum_tokens - n_tokens) // 2048 AS bin,
+        |       n_tokens, cum_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${hashDrawDuck("doc_id")} % 5 = 0

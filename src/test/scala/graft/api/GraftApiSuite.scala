@@ -260,6 +260,43 @@ class GraftApiSuite extends AnyFunSuite {
     assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
   }
 
+  test("chunkDocs windows overlap by the configured amount and cover every token") {
+    val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("id", "body")
+    val chunks = Graft.chunkDocs(docs, "id", "body", window = 10, overlap = 2)
+      .orderBy("chunk_id").collect()
+    // stride 8 over 100 tokens → starts 0,8,...,96 → 13 chunks
+    assert(chunks.length == 13)
+    assert(chunks.map(_.getLong(2)).toSeq == (0L to 96L by 8L))
+    // full chunks carry `window` tokens; the tail chunk is short, not padded
+    assert(chunks.init.forall(_.getLong(3) == 10L) && chunks.last.getLong(3) == 4L)
+    // consecutive chunks share exactly `overlap` tokens
+    val first = chunks(0).getString(4).split(" ")
+    val second = chunks(1).getString(4).split(" ")
+    assert(first.takeRight(2).toSeq == second.take(2).toSeq)
+    // coverage: the concatenation of stride-prefixes + final tail = the doc
+    val rebuilt = chunks.init.flatMap(_.getString(4).split(" ").take(8)) ++
+      chunks.last.getString(4).split(" ")
+    assert(rebuilt.toSeq == (1 to 100).map(i => s"t$i"))
+  }
+
+  test("packSequences bins by block-local running token count") {
+    // 4 docs of 30 tokens each, window 50, block 1000 (all one block):
+    // cums 30/60/90/120 → bins (cum-30)//50 = 0,0,1,1
+    val docs = (1L to 4L).map(i => (i, (1 to 30).map(j => s"w$j").mkString(" ")))
+      .toDF("id", "body")
+    val got = Graft.packSequences(docs, "id", "body", windowTokens = 50,
+        blockDocs = 1000)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 0L, 0L, 30L), (2L, 0L, 0L, 60L),
+      (3L, 0L, 1L, 90L), (4L, 0L, 1L, 120L)))
+    // blocks cumulate independently: same docs split into 2-id blocks
+    val blocked = Graft.packSequences(docs, "id", "body", windowTokens = 50,
+        blockDocs = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(blocked == Seq((1L, 0L, 30L), (2L, 1L, 30L), (3L, 1L, 60L), (4L, 2L, 30L)))
+  }
+
   test("simhashNearDupPairs pairs token-reordered twins at hamming 0, " +
       "not unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -143,6 +143,25 @@ class PlanAuditSuite extends AnyFunSuite {
     assertNoSemanticHashExchange(p)
   }
 
+  test("q_doc_chunks is map-side: explode but no shuffle before the output sort") {
+    val p = plan("q_doc_chunks")
+    assertNoSemanticHashExchange(p)
+    assert(p.contains("Generate"), p) // the chunk explode IS the operator
+  }
+
+  test("q_seq_pack cumulates block-locally: exactly one bounded shuffle, " +
+      "never a global-order window") {
+    val p = plan("q_seq_pack")
+    // one hash exchange on the block key feeds the window; a global
+    // prefix-sum formulation would show a single-partition Sort/Window
+    // over the whole corpus instead
+    val semantic = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p)
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toList
+    assert(semantic.size == 1, p.linesIterator.take(10).mkString("\n"))
+    assert(semantic.head.contains("block"), semantic.head)
+    assert(p.contains("Window"), p)
+  }
+
   test("q_char_stats is map-side: no shuffle, no explode") {
     val p = plan("q_char_stats")
     assertNoSemanticHashExchange(p)
