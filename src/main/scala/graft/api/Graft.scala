@@ -304,6 +304,18 @@ object Graft {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     CorpusOps.repetitionStats(docs, idCol, textCol)
 
+  /** BM25 document ranking for a bounded query-term set — lexical
+    * retrieval for pulling topical sub-corpora (the search baseline next
+    * to [[cosineTopK]]/[[ivfProbe]]). Rational Robertson idf (no ln, so
+    * scores hash-reproduce across engines) and per-term scores quantized
+    * to integer micro-units before the per-doc sum (order-independent).
+    * Returns (doc_id, n_hit, score_micro), top `k`; divide `score_micro`
+    * by 10⁶ for the conventional scale. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    LlmQueries.bm25Rank(docs, idCol, textCol, terms, k, k1, b)
+
   /** Context-window chunking: each document's token stream cut into
     * windows of `window` tokens overlapping by `overlap` — trainer/RAG
     * passage shaping. Map-side explode, no shuffle; returns (doc_id,

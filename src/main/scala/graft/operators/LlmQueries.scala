@@ -720,6 +720,59 @@ object LlmQueries {
         "lang", "doc_id", "text", k = 10)
       .orderBy(col("lang"), col("rk"))
 
+  /** BM25 document ranking for a bounded query-term set — the retrieval
+    * scoring a curation pipeline uses to pull topical sub-corpora (and
+    * the standard lexical-search baseline next to the ANN family).
+    *
+    * Determinism across engines (the same discipline as
+    * [[salientTerms]]): the classical `ln`-idf is replaced by the
+    * rational Robertson idf numerator/denominator `(N - df + 0.5) /
+    * (df + 0.5)` (libm-free), every operand is explicitly widened to
+    * double with the SAME literal expression text in both engines, and
+    * each per-term score is quantized to integer micro-units BEFORE the
+    * per-doc sum — float addition isn't associative, so summing doubles
+    * across terms would be partitioning-dependent; summing exact longs
+    * is not.
+    *
+    * Scale: tokens explode map-side and immediately filter against the
+    * broadcast term set, so the two aggregations (tf, df) shuffle only
+    * query-term rows; doc lengths ride a map-side projection; top-k is
+    * TakeOrderedAndProject. Nothing scales with vocabulary size. */
+  private[graft] def bm25Rank(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS _toks")
+      .selectExpr("doc_id", "_toks", "cast(size(_toks) AS bigint) AS dl")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = broadcast(terms.toDF("token"))
+    val toks = base.select(col("doc_id"), explode(col("_toks")).as("token"))
+      .join(q, "token")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(base.select("doc_id", "dl"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("micro", expr(
+        s"cast(round(cast(tf AS double) * ${k1 + 1} / " +
+          s"(cast(tf AS double) + $k1 * (1 - $b + $b * cast(dl AS double) / " +
+          "(cast(total_dl AS double) / n_docs))) * " +
+          "((cast(n_docs AS double) - cast(df AS double) + 0.5) / " +
+          "(cast(df AS double) + 0.5)) * 1000000) AS bigint)"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private def qBm25Topk(s: SparkSession, d: String): DataFrame =
+    bm25Rank(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+      Seq("table", "window", "agg"), k = 15)
+
   /** Token counting per document: whitespace tokens, distinct tokens, a
     * BPE-ish regex token count, and mean token length — all map-side. */
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -865,6 +918,7 @@ object LlmQueries {
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_text_stats" -> qTextStats _,
     "q_tfidf_terms" -> qTfidfTerms _,
+    "q_bm25_topk" -> qBm25Topk _,
     "q_token_count" -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id" -> qLangId _,
@@ -1014,6 +1068,29 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
+    "q_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (SELECT doc_id, toks, cast(len(toks) AS bigint) AS dl FROM t),
+        |q AS (SELECT * FROM (VALUES ('table'), ('window'), ('agg')) v(token)),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
+        |qtok AS (SELECT tok.doc_id, tok.token FROM tok JOIN q ON tok.token = q.token),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, cast(sum(dl) AS bigint) AS total_dl
+        |          FROM base),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         cast(round(cast(tf AS double) * 2.2 /
+        |           (cast(tf AS double) + 1.2 * (1 - 0.75 + 0.75 * cast(dl AS double) /
+        |           (cast(total_dl AS double) / n_docs))) *
+        |           ((cast(n_docs AS double) - cast(df AS double) + 0.5) /
+        |           (cast(df AS double) + 0.5)) * 1000000) AS bigint) AS micro
+        |  FROM tf JOIN df USING (token)
+        |  JOIN base USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_hit, cast(sum(micro) AS bigint) AS score_micro
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin,
     "q_tfidf_terms" ->
       """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
         |           FROM documents),

@@ -260,6 +260,18 @@ class GraftApiSuite extends AnyFunSuite {
     assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
   }
 
+  test("bm25Rank ranks term-dense short docs above diluted ones and " +
+      "ignores docs without query terms") {
+    val docs = Seq(
+      (1L, "spark rocks spark rocks"),            // 2×both terms, short
+      (2L, "spark " + (1 to 50).map(i => s"pad$i").mkString(" ")), // diluted
+      (3L, "nothing relevant here")).toDF("id", "body")
+    val got = Graft.bm25Rank(docs, "id", "body", Seq("spark", "rocks"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L)) // 3 never scores
+    assert(got.head._2 == 2L && got(1)._2 == 1L) // n_hit: both terms vs one
+  }
+
   test("chunkDocs windows overlap by the configured amount and cover every token") {
     val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("id", "body")
     val chunks = Graft.chunkDocs(docs, "id", "body", window = 10, overlap = 2)

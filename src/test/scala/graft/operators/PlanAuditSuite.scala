@@ -124,6 +124,14 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_bm25_topk filters tokens against the broadcast term set and " +
+      "takes top-k without a global sort") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p) // every join side is bounded
+  }
+
   test("q_tfidf_terms broadcasts the per-lang doc counts, top-k via window") {
     val p = plan("q_tfidf_terms")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
