@@ -304,6 +304,14 @@ object Graft {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     CorpusOps.repetitionStats(docs, idCol, textCol)
 
+  /** Embedding-space duplicate clustering: [[embNearDupPairs]] closed
+    * under transitive connectivity (same distributed min-label +
+    * pointer-jump engine as [[dupClusters]]) — semantic dedup's cluster
+    * step. Returns (`idCol`, component, cluster_size, keep). */
+  def embDupClusters(vectors: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 16, threshold: Double = 0.9): DataFrame =
+    DedupClusters.embClusters(vectors, idCol, vecCol, planes, threshold)
+
   /** BM25 document ranking for a bounded query-term set — lexical
     * retrieval for pulling topical sub-corpora (the search baseline next
     * to [[cosineTopK]]/[[ivfProbe]]). Rational Robertson idf (no ln, so

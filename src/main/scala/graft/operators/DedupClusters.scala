@@ -157,17 +157,38 @@ object DedupClusters {
     * canonical id (the minimum id in its component; singletons are their
     * own cluster), the cluster size, and a `keep` flag marking the one
     * representative to retain. */
+  /** Close ANY undirected pair set under transitive connectivity and
+    * report (id, component, cluster_size, keep) — the shared tail of the
+    * text and embedding cluster operators (same min-label + pointer-jump
+    * engine, so the 100 TB properties — per-round checkpointing, bounded
+    * driver traffic — hold for every pair source). */
+  private[graft] def clustersFromPairs(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    ConnectedComponents.components(nodes, idCol, pairs, srcCol, dstCol)
+      .select(col("id").as(idCol), col("comp").as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("keep", col(idCol) === col("component"))
+
   private[graft] def clusters(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     graft.functions.TextHash.ensureRegistered(docs.sparkSession)
     val pairs = LlmQueries.minhashPairsUnordered(docs, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val nodes = docs.select(col(idCol))
-    ConnectedComponents.components(nodes, idCol, pairs, "doc_a", "doc_b")
-      .select(col("id").as(idCol), col("comp").as("component"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("component"))))
-      .withColumn("keep", col(idCol) === col("component"))
+    clustersFromPairs(docs.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
+  }
+
+  /** Embedding-space duplicate clustering: the sign-sketch near-dup
+    * pairs ([[LlmQueries.embNearDupPairsCore]]) closed under transitive
+    * connectivity — semantic dedup's cluster step (one representative
+    * per group of re-encodes/near-copies). */
+  private[graft] def embClusters(vectors: DataFrame, idCol: String,
+      vecCol: String, planes: Int, threshold: Double): DataFrame = {
+    val pairs = LlmQueries
+      .embNearDupPairsCore(vectors, idCol, vecCol, planes, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    clustersFromPairs(vectors.select(col(idCol)), idCol, pairs,
+      "vec_a", "vec_b")
   }
 
   private def qDupClusters(s: SparkSession, d: String): DataFrame =
@@ -175,8 +196,14 @@ object DedupClusters {
         LlmQueries.JaccardThreshold)
       .orderBy(col("doc_id"))
 
+  private def qEmbClusters(s: SparkSession, d: String): DataFrame =
+    embClusters(Tables.spread(s, Tables.embeddings(s, d)),
+        "vec_id", "embedding", planes = 4, threshold = 0.35)
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dup_clusters" -> qDupClusters _
+    "q_dup_clusters" -> qDupClusters _,
+    "q_emb_clusters" -> qEmbClusters _
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +225,36 @@ object DedupClusters {
          |SELECT doc_id, component,
          |       count(*) OVER (PARTITION BY component) AS cluster_size,
          |       doc_id = component AS keep
-         |FROM comp ORDER BY doc_id""".stripMargin
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_emb_clusters" -> {
+      val cos = "round(list_dot_product(a.v, b.v) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
+         |sk AS (
+         |  SELECT e.vec_id, e.v,
+         |         cast(sum(CASE WHEN list_dot_product(e.v, pv) > 0
+         |                       THEN cast(pow(2, pid) AS bigint) ELSE 0 END) AS bigint) AS sketch
+         |  FROM e, planes GROUP BY e.vec_id, e.v),
+         |p AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.35),
+         |edges AS (
+         |  SELECT va AS a, vb AS b FROM p
+         |  UNION ALL
+         |  SELECT vb AS a, va AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e2.b, reach.r FROM reach JOIN edges e2 ON reach.id = e2.a),
+         |comp AS (
+         |  SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT vec_id, component,
+         |       count(*) OVER (PARTITION BY component) AS cluster_size,
+         |       vec_id = component AS keep
+         |FROM comp ORDER BY vec_id""".stripMargin
+    }
   )
 }

@@ -260,6 +260,21 @@ class GraftApiSuite extends AnyFunSuite {
     assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
   }
 
+  test("embDupClusters groups a transitive chain of near-identical vectors") {
+    // 1≈2 and 2≈3 (cos ≥ .99) but cos(1,3) ≈ .984 < .99: only transitive
+    // closure lands all three in one cluster with keeper 1.
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0.05f)),
+      (2L, Array(1f, 0.09f, 0.05f)),
+      (3L, Array(1f, 0.18f, 0.05f)),
+      (4L, Array(0f, 1f, 0f)),
+      (5L, Array(0f, 0f, 1f))).toDF("vid", "emb")
+    val got = Graft.embDupClusters(vecs, "vid", "emb", planes = 3, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got(1L) == (1L, true) && got(2L) == (1L, false) && got(3L) == (1L, false))
+    assert(got(4L)._2 && got(5L)._2) // singletons keep themselves
+  }
+
   test("bm25Rank ranks term-dense short docs above diluted ones and " +
       "ignores docs without query terms") {
     val docs = Seq(
