@@ -198,7 +198,7 @@ object DedupClusters {
 
   private def qEmbClusters(s: SparkSession, d: String): DataFrame =
     embClusters(Tables.spread(s, Tables.embeddings(s, d)),
-        "vec_id", "embedding", planes = 4, threshold = 0.35)
+        "vec_id", "embedding", planes = 6, threshold = 0.35)
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,7 +231,7 @@ object DedupClusters {
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
       s"""WITH RECURSIVE e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
+         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 6),
          |sk AS (
          |  SELECT e.vec_id, e.v,
          |         cast(sum(CASE WHEN list_dot_product(e.v, pv) > 0
