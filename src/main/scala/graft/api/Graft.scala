@@ -304,6 +304,16 @@ object Graft {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     CorpusOps.repetitionStats(docs, idCol, textCol)
 
+  /** Per-group embedding outliers: each vector ranked ascending by
+    * cosine to its own group's centroid, `k` most-atypical per group —
+    * surfaces mislabeled / off-distribution vectors before training.
+    * Centroid means use exact-integer micro-unit sums (partitioning-
+    * independent); scoring is the codegen'd `dot_f32` against one
+    * broadcast of the bounded centroid set. */
+  def embOutliers(vectors: DataFrame, idCol: String, vecCol: String,
+                  groupCol: String, k: Int): DataFrame =
+    LlmQueries.embOutliers(vectors, idCol, vecCol, groupCol, k)
+
   /** Embedding-space duplicate clustering: [[embNearDupPairs]] closed
     * under transitive connectivity (same distributed min-label +
     * pointer-jump engine as [[dupClusters]]) — semantic dedup's cluster

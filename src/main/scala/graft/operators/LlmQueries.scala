@@ -600,6 +600,44 @@ object LlmQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Per-label embedding outliers: each vector ranked by cosine to its
+    * OWN label's centroid, k most-atypical per label — the embedding-side
+    * quality gate (surface mislabeled / off-distribution vectors before
+    * they enter training). Centroid means use the exact-integer
+    * quantized-sum discipline of [[qIvfKmeans]] (order-independent, so
+    * cross-engine hash-stable), centroids ride one broadcast, scoring is
+    * the codegen'd `dot_f32`, and the per-label bottom-k is a window
+    * WindowGroupLimit prunes — one (label, pos) shuffle for the centroid
+    * agg, nothing else proportional to data. */
+  private[graft] def embOutliers(vectors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val e = vectors.selectExpr(s"$idCol AS vec_id", s"$labelCol AS label",
+      s"$vecCol AS embedding")
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(expr("cast(round(cast(val AS double) * 1000000.0) AS bigint)"))
+        .cast("double") / (count(lit(1)) * 1000000.0)).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m AS float))").as("cv"))
+      .withColumn("cnorm", expr(s"sqrt(${dotSpark("cv", "cv")})"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("csim").asc, col("vec_id"))
+    e.withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+      .join(broadcast(cents), "label")
+      .withColumn("csim",
+        expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("csim"))
+  }
+
+  private def qEmbOutliers(s: SparkSession, d: String): DataFrame =
+    embOutliers(Tables.spread(s, Tables.embeddings(s, d)),
+      "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("label"), col("rk"))
+
   /** K-means centroid refinement for the IVF index (the production path
     * `q_ann_ivf`'s scaladoc promises): two unrolled Lloyd's iterations —
     * assign each vector to its max-cosine centroid, recompute centroids as
@@ -916,6 +954,7 @@ object LlmQueries {
     "q_ann_batch" -> qAnnBatch _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ivf_kmeans" -> qIvfKmeans _,
+    "q_emb_outliers" -> qEmbOutliers _,
     "q_text_stats" -> qTextStats _,
     "q_tfidf_terms" -> qTfidfTerms _,
     "q_bm25_topk" -> qBm25Topk _,
@@ -1193,6 +1232,25 @@ object LlmQueries {
          |FROM assigned, probes WHERE cluster = qcluster
          |QUALIFY rk <= 3
          |ORDER BY qid, rk""".stripMargin,
+    "q_emb_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, unnest(generate_series(1, len(v))) AS i,
+        |             unnest(v) AS val FROM e),
+        |u AS (SELECT label, i - 1 AS pos,
+        |             CAST(sum(CAST(round(val * 1000000.0) AS bigint)) AS double)
+        |               / (count(*) * 1000000.0) AS m
+        |      FROM x GROUP BY label, i),
+        |c AS (SELECT label, list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
+        |      FROM u GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label,
+        |             round(list_dot_product(e.v, cv) /
+        |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+        |      FROM e JOIN c USING (label))
+        |SELECT label, cast(row_number() OVER (PARTITION BY label
+        |                                      ORDER BY csim ASC, vec_id) AS int) AS rk,
+        |       vec_id, csim
+        |FROM s QUALIFY rk <= 5
+        |ORDER BY label, rk""".stripMargin,
     "q_ivf_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -260,6 +260,18 @@ class GraftApiSuite extends AnyFunSuite {
     assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
   }
 
+  test("embOutliers ranks the planted off-distribution vector most atypical") {
+    // group 'g': three near-identical vectors + one orthogonal intruder
+    val vecs = Seq(
+      (1L, "g", Array(1f, 0f, 0f)), (2L, "g", Array(0.99f, 0.01f, 0f)),
+      (3L, "g", Array(0.98f, 0.02f, 0f)), (4L, "g", Array(0f, 0f, 1f)),
+      (5L, "h", Array(0f, 1f, 0f))).toDF("vid", "grp", "emb")
+    val got = Graft.embOutliers(vecs, "vid", "emb", "grp", k = 2)
+      .filter($"label" === "g").orderBy("rk").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._2).head == 4L) // the intruder is rank-1 atypical
+  }
+
   test("embDupClusters groups a transitive chain of near-identical vectors") {
     // 1≈2 and 2≈3 (cos ≥ .99) but cos(1,3) ≈ .984 < .99: only transitive
     // closure lands all three in one cluster with keeper 1.
