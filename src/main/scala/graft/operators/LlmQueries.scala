@@ -600,6 +600,33 @@ object LlmQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** ANN probe over the TRAINED IVF index — [[qIvfKmeans]]'s two Lloyd's
+    * iterations composed with [[qAnnIvf]]'s probe, the production path
+    * that query's scaladoc promises: assign every vector to its nearest
+    * trained centroid, then search only the query's bucket. Same plan
+    * shapes as the pieces (broadcast centroids, bucket equi-join, top-k);
+    * the training iterations unroll into the one DAG. */
+  private def qAnnTrained(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val e = Tables.spread(s, Tables.embeddings(s, d))
+      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cnorm"))
+    val c1 = kmeansRecompute(kmeansAssign(e, cents0))
+    val c2 = kmeansRecompute(kmeansAssign(e, c1))
+    val assigned = kmeansAssign(e, c2).withColumnRenamed("cid", "cluster")
+    val q = assigned.filter(col("vec_id") === 0)
+      .selectExpr("cluster AS qcluster", "embedding AS qv", "norm AS qnorm")
+    assigned.join(broadcast(q), col("cluster") === col("qcluster"))
+      .withColumn("sim",
+        expr(s"round(${dotSpark("embedding", "qv")} / (norm * qnorm), 6)"))
+      .select(col("vec_id"), col("label"), col("cluster"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Per-label embedding outliers: each vector ranked by cosine to its
     * OWN label's centroid, k most-atypical per label — the embedding-side
     * quality gate (surface mislabeled / off-distribution vectors before
@@ -654,38 +681,44 @@ object LlmQueries {
     * keyed by (cid, pos) with exact integer partial sums — the canonical
     * distributed Lloyd's step; iterations unroll into a single DAG with no
     * driver-side loop state. */
+  /** One Lloyd's assignment step: every row of `e` (needs vec_id,
+    * embedding, norm; extra columns carried through) labeled with its
+    * max-cosine centroid from `cents` (cid, cv, cnorm) — centroids ride
+    * one broadcast, ties break on the lower cid after 6-dp rounding. */
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("cv", "cnorm", "csim", "rn")
+  }
+
+  /** One Lloyd's recompute step: centroids as element-wise means with the
+    * exact-integer quantized-sum discipline (see [[qIvfKmeans]] doc). */
+  private def kmeansRecompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(expr("cast(round(cast(val AS double) * 1000000.0) AS bigint)"))
+        .cast("double") / (count(lit(1)) * 1000000.0)).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m AS float))").as("cv"))
+      .withColumn("cnorm", expr(s"sqrt(${dotSpark("cv", "cv")})"))
+
   private def qIvfKmeans(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.spread(s, Tables.embeddings(s, d))
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
       .select(col("vec_id"), col("embedding"), col("norm"))
-
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
-    }
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "val")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(expr("cast(round(cast(val AS double) * 1000000.0) AS bigint)"))
-          .cast("double") / (count(lit(1)) * 1000000.0)).as("m"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m AS float))").as("cv"))
-        .withColumn("cnorm", expr(s"sqrt(${dotSpark("cv", "cv")})"))
-
     val cents0 = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
         col("norm").as("cnorm"))
-    val a1 = assign(cents0)
-    val c1 = recompute(a1)
-    val a2 = assign(c1)
-    val c2 = recompute(a2)
+    val a1 = kmeansAssign(e, cents0)
+    val c1 = kmeansRecompute(a1)
+    val a2 = kmeansAssign(e, c1)
+    val c2 = kmeansRecompute(a2)
     val sizes = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
     c2.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "cval")))
       .withColumn("c_q", expr("cast(round(cast(cval AS double) * 1000000.0) AS bigint)"))
@@ -954,6 +987,7 @@ object LlmQueries {
     "q_ann_batch" -> qAnnBatch _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ivf_kmeans" -> qIvfKmeans _,
+    "q_ann_trained" -> qAnnTrained _,
     "q_emb_outliers" -> qEmbOutliers _,
     "q_text_stats" -> qTextStats _,
     "q_tfidf_terms" -> qTfidfTerms _,
@@ -1045,6 +1079,45 @@ object LlmQueries {
        |WHERE bit_count(xor(sh_a, sh_b)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** The two unrolled Lloyd's iterations in DuckDB (no leading WITH, no
+    * final SELECT): up to `u2` (second-iteration per-element means) and
+    * `a2` (second-iteration assignment) — shared by the kmeans oracle and
+    * the trained-probe oracle so the training arithmetic can never
+    * drift between them. `en` carries `label` for the probe tail. */
+  private def ivfKmeansCte: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |c0 AS (SELECT CAST(vec_id AS integer) AS cid, v AS cv, nrm AS cnorm
+      |       FROM en WHERE vec_id < 8),
+      |s1 AS (SELECT en.vec_id, en.v, cid,
+      |              row_number() OVER (PARTITION BY en.vec_id
+      |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
+      |                         cid) AS rn
+      |       FROM en, c0),
+      |a1 AS (SELECT vec_id, v, cid FROM s1 WHERE rn = 1),
+      |x1 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i,
+      |              unnest(v) AS val FROM a1),
+      |u1 AS (SELECT cid, i - 1 AS pos,
+      |              CAST(sum(CAST(round(val * 1000000.0) AS bigint)) AS double)
+      |                / (count(*) * 1000000.0) AS m
+      |       FROM x1 GROUP BY cid, i),
+      |c1 AS (SELECT cid,
+      |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
+      |       FROM u1 GROUP BY cid),
+      |c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c1),
+      |s2 AS (SELECT en.vec_id, en.v, cid,
+      |              row_number() OVER (PARTITION BY en.vec_id
+      |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
+      |                         cid) AS rn
+      |       FROM en, c1n),
+      |a2 AS (SELECT vec_id, v, cid FROM s2 WHERE rn = 1),
+      |x2 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i,
+      |              unnest(v) AS val FROM a2),
+      |u2 AS (SELECT cid, i - 1 AS pos,
+      |              CAST(sum(CAST(round(val * 1000000.0) AS bigint)) AS double)
+      |                / (count(*) * 1000000.0) AS m
+      |       FROM x2 GROUP BY cid, i)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_exact_dedup" ->
@@ -1252,45 +1325,30 @@ object LlmQueries {
         |FROM s QUALIFY rk <= 5
         |ORDER BY label, rk""".stripMargin,
     "q_ivf_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c0 AS (SELECT CAST(vec_id AS integer) AS cid, v AS cv, nrm AS cnorm
-        |       FROM en WHERE vec_id < 8),
-        |s1 AS (SELECT en.vec_id, en.v, cid,
-        |              row_number() OVER (PARTITION BY en.vec_id
-        |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
-        |                         cid) AS rn
-        |       FROM en, c0),
-        |a1 AS (SELECT vec_id, v, cid FROM s1 WHERE rn = 1),
-        |x1 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i,
-        |              unnest(v) AS val FROM a1),
-        |u1 AS (SELECT cid, i - 1 AS pos,
-        |              CAST(sum(CAST(round(val * 1000000.0) AS bigint)) AS double)
-        |                / (count(*) * 1000000.0) AS m
-        |       FROM x1 GROUP BY cid, i),
-        |c1 AS (SELECT cid,
-        |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
-        |       FROM u1 GROUP BY cid),
-        |c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c1),
-        |s2 AS (SELECT en.vec_id, en.v, cid,
-        |              row_number() OVER (PARTITION BY en.vec_id
-        |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
-        |                         cid) AS rn
-        |       FROM en, c1n),
-        |a2 AS (SELECT vec_id, v, cid FROM s2 WHERE rn = 1),
-        |x2 AS (SELECT cid, unnest(generate_series(1, len(v))) AS i,
-        |              unnest(v) AS val FROM a2),
-        |u2 AS (SELECT cid, i - 1 AS pos,
-        |              CAST(sum(CAST(round(val * 1000000.0) AS bigint)) AS double)
-        |                / (count(*) * 1000000.0) AS m
-        |       FROM x2 GROUP BY cid, i),
-        |f AS (SELECT cid, pos,
-        |             CAST(round(CAST(CAST(m AS real) AS double) * 1000000.0) AS bigint) AS c_q
-        |      FROM u2),
-        |n2 AS (SELECT cid, count(*) AS n_assigned FROM a2 GROUP BY cid)
-        |SELECT f.cid, f.pos, c_q, n_assigned
-        |FROM f JOIN n2 ON f.cid = n2.cid
-        |ORDER BY f.cid, f.pos""".stripMargin,
+      s"""WITH $ivfKmeansCte,
+         |f AS (SELECT cid, pos,
+         |             CAST(round(CAST(CAST(m AS real) AS double) * 1000000.0) AS bigint) AS c_q
+         |      FROM u2),
+         |n2 AS (SELECT cid, count(*) AS n_assigned FROM a2 GROUP BY cid)
+         |SELECT f.cid, f.pos, c_q, n_assigned
+         |FROM f JOIN n2 ON f.cid = n2.cid
+         |ORDER BY f.cid, f.pos""".stripMargin,
+    "q_ann_trained" ->
+      s"""WITH $ivfKmeansCte,
+         |c2 AS (SELECT cid,
+         |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
+         |       FROM u2 GROUP BY cid),
+         |c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c2),
+         |s3 AS (SELECT en.vec_id, en.label, en.v, cid,
+         |              row_number() OVER (PARTITION BY en.vec_id
+         |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
+         |                         cid) AS rn
+         |       FROM en, c2n),
+         |a3 AS (SELECT vec_id, label, v, cid AS cluster FROM s3 WHERE rn = 1),
+         |q AS (SELECT cluster AS qcluster, v AS qv FROM a3 WHERE vec_id = 0)
+         |SELECT vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
+         |FROM a3, q WHERE cluster = qcluster
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS toks FROM documents),
         |stats AS (
