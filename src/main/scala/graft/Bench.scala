@@ -52,8 +52,11 @@ object Bench {
     // 3-decimal timings (VERDICT r6 #7): the driver captures a bounded tail
     // of stdout, and full-precision doubles made the one JSON line long
     // enough to truncate its head. 1 ms resolution is below box variance.
+    // Locale.ROOT: the f interpolator uses the default locale, and a
+    // comma-decimal locale would make the JSON line unparseable.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else f"$v%.3f"
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -373,6 +373,10 @@ object LlmQueries {
     * buckets per band) — same plan shape, wider kernel. */
   private[graft] def simhashNearDupPairs(docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3]: 4 bands only guarantee a shared " +
+        s"band for <= 3 differing bits (got $maxHamming — pairs beyond " +
+        "the pigeonhole bound would be silently incomplete)")
     val fp = docs
       .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
       .selectExpr("doc_id", "simhash32(h60_array(toks)) AS simhash")
@@ -816,7 +820,8 @@ object LlmQueries {
       .selectExpr("doc_id", "_toks", "cast(size(_toks) AS bigint) AS dl")
     val spark = docs.sparkSession
     import spark.implicits._
-    val q = broadcast(terms.toDF("token"))
+    // distinct: a repeated query term would double tf/df/n_hit
+    val q = broadcast(terms.distinct.toDF("token"))
     val toks = base.select(col("doc_id"), explode(col("_toks")).as("token"))
       .join(q, "token")
     val tf = toks.groupBy(col("doc_id"), col("token"))

@@ -324,22 +324,35 @@ object CdcPipeline {
     if (!fs.exists(meta)) None
     else {
       val in = fs.open(meta)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      finally in.close()
+      val txt =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      txt.trim.toIntOption match {
+        case some @ Some(_) => some
+        case None if !hasData(fs, out) => None // torn init crash: re-init
+        case None => throw new IllegalStateException(
+          s"unreadable $BucketMeta ('${txt.trim}') on a table WITH bucket " +
+            s"data at $out — refusing to guess the key routing")
+      }
     }
   }
 
   /** Create the table root + bucket-count meta on the FIRST non-empty
     * merge (an all-empty stream must not leave a parquet-less dir that
-    * breaks schema inference for readers). */
+    * breaks schema inference for readers). The meta is written to a temp
+    * name and renamed in, so a crash can never leave a half-written
+    * count next to bucket data. */
   private def initBucketsIfMissing(fs: org.apache.hadoop.fs.FileSystem,
                                    out: Path, nb: Int): Unit = {
     if (readBuckets(fs, out).isEmpty) {
       fs.mkdirs(out)
-      val os = fs.create(new Path(out, BucketMeta), true)
+      val tmp = new Path(out, BucketMeta + ".tmp")
+      val os = fs.create(tmp, true)
       try os.write(nb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
+      fs.delete(new Path(out, BucketMeta), false)
+      require(fs.rename(tmp, new Path(out, BucketMeta)),
+        s"could not publish $BucketMeta at $out")
     }
   }
 
@@ -376,12 +389,18 @@ object CdcPipeline {
     * row ever exists only as deleted bytes. A crash mid-swap leaves some
     * buckets old and some new; [[recoverSwap]] re-promotes any orphaned
     * backup, and the streaming checkpoint replays the uncommitted batch,
-    * which the monotonic merge absorbs per bucket. On an object store the
+    * which the monotonic merge absorbs per bucket. The sink assumes ONE
+    * writer (foreachBatch serializes batches); a concurrent READER's
+    * recoverSwap can still race the swap window, so every rename is
+    * result-checked and a promotion that finds the live dir re-occupied
+    * clears and retries — staged content supersedes, never silently
+    * drops. On an object store the
     * same per-bucket two-step keeps every committed row reachable; a
     * production deployment would swap this sink for a transactional table
     * format, a config change because the merge itself is declarative. */
   def mergeLatest(changes: DataFrame, outDir: String,
                   numBuckets: Int = DefaultBuckets): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val spark = changes.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new Path(outDir)
@@ -401,15 +420,17 @@ object CdcPipeline {
       if (touched.isEmpty) return // empty micro-batch: nothing to merge
       initBucketsIfMissing(fs, out, nb)
       val exists = hasData(fs, out)
+      // ONE table read (one listing/schema pass); both the touched-bucket
+      // base and the marker read are partition-pruned filters of it.
+      val table = if (exists) spark.read.parquet(outDir) else batch.limit(0)
       // Base = touched buckets ONLY (partition-pruned scan).
       val base =
-        if (exists) spark.read.parquet(outDir)
-          .filter(col("bucket").isin(touched.toSeq: _*))
-        else batch.limit(0)
+        if (exists) table.filter(col("bucket").isin(touched.toSeq: _*))
+        else table
       // Truncate high-water in-plan: the persisted marker (its own tiny
       // bucket, read pruned) ∪ any truncate verbs in this batch.
       val markerRows =
-        if (exists) spark.read.parquet(outDir).filter(col("bucket") === nb)
+        if (exists) table.filter(col("bucket") === nb)
         else batch.limit(0)
       val truncT = markerRows
         .unionByName(batch.filter(col("op") === "truncate"))
@@ -434,8 +455,18 @@ object CdcPipeline {
       touched.foreach { b =>
         val live = new Path(out, s"bucket=$b")
         val stag = new Path(staging, s"bucket=$b")
-        if (fs.exists(live)) fs.rename(live, new Path(backup, s"bucket=$b"))
-        if (fs.exists(stag)) fs.rename(stag, live)
+        if (fs.exists(live))
+          require(fs.rename(live, new Path(backup, s"bucket=$b")),
+            s"could not retire $live")
+        if (fs.exists(stag)) {
+          // A concurrent reader's recoverSwap may have re-promoted the
+          // just-retired backup; the staged content supersedes it, so
+          // clear and retry rather than silently dropping the batch.
+          if (!fs.rename(stag, live)) {
+            fs.delete(live, true)
+            require(fs.rename(stag, live), s"could not promote $stag")
+          }
+        }
         // A bucket fully wiped by truncate has no staging dir: it simply
         // stops existing — recovery-safe because the batch replays.
       }

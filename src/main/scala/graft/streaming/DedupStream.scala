@@ -29,6 +29,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * partner (smaller id, e.g. a re-crawl under a new id scheme) is
   * accepted alongside it: the index is a RECALL structure, the pair log
   * is the curation signal — dropping index rows would lose future recall.
+  * Re-crawls of an id ALREADY in the index are probed with their fresh
+  * text (the probe supersedes stored rows for batch ids) but the index
+  * keeps the first-written signature rows — first-write-wins, so the
+  * index never accumulates duplicate (doc, band) rows.
   *
   * Exactly-once: both appends write `batch=<id>` partition directories
   * keyed by the streaming batch id and OVERWRITE them, so a foreachBatch
@@ -81,7 +85,22 @@ object DedupStream {
     pairs.write.mode("overwrite")
       .parquet(s"$pairsDir/batch=$batchId")
     val rejected = pairs.select(col("doc_b").as("doc_id")).distinct()
-    val accepted = batchSigx.join(rejected, Seq("doc_id"), "left_anti")
+    // First-write-wins: an id ALREADY in the index (a re-crawl) keeps its
+    // original signature rows — appending again would leave duplicate
+    // (doc, band) rows that double every future verify join. Rows of the
+    // CURRENT batch id are excluded: on a foreachBatch replay they are
+    // this batch's own (about-to-be-overwritten) output, and treating
+    // them as "already indexed" would overwrite the partition with an
+    // empty frame. The id projection is a column-pruned scan of the same
+    // files the probe just read.
+    val alreadyIndexed =
+      if (hasParquet(spark, indexDir))
+        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
+          .select(col(idCol).as("doc_id")).distinct()
+      else index.select(col(idCol).as("doc_id")).distinct()
+    val accepted = batchSigx
+      .join(rejected, Seq("doc_id"), "left_anti")
+      .join(alreadyIndexed, Seq("doc_id"), "left_anti")
     LlmQueries.indexRowsFromSig(accepted)
       .withColumnRenamed("doc_id", idCol)
       .write.mode("overwrite")

@@ -101,5 +101,15 @@ class DedupStreamSuite extends AnyFunSuite {
       "id", "body", idx, prs, threshold = 0.5)
     assert(collectPairs(DedupStream.readPairs(s, prs)) == wantPairs)
     assert(indexRows(DedupStream.readIndex(s, idx)) == got)
+
+    // (d) re-crawling an ALREADY-ACCEPTED id in a later batch pairs it
+    // against the corpus but appends NO duplicate index rows
+    // (first-write-wins), so future verifies never double-join its hs.
+    DedupStream.processBatch(Seq((2L, old1)).toDF("id", "body"), 3L,
+      "id", "body", idx, prs, threshold = 0.5)
+    assert(indexRows(DedupStream.readIndex(s, idx)) == got)
+    val perDocRows = DedupStream.readIndex(s, idx)
+      .groupBy("id").count().collect().map(_.getLong(1)).toSet
+    assert(perDocRows == Set(4L)) // exactly 4 band rows per indexed doc
   }
 }
