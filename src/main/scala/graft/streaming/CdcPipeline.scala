@@ -475,6 +475,53 @@ object CdcPipeline {
     } finally batch.unpersist()
   }
 
+  /** Maintenance compaction: physically drop every data row at or below
+    * the truncate high-water from ALL buckets (the rows [[mergeLatest]]
+    * wipes lazily and cleans only when a bucket is next touched). Run
+    * off the ingest path when truncate churn has left dead rows in cold
+    * buckets; visible content ([[readMaterialized]]) is unchanged by
+    * construction. Rewrites every non-empty bucket once via the same
+    * checked staging/backup swap as the merge. */
+  def compact(spark: SparkSession, outDir: String): Unit = {
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, out)
+    if (!hasData(fs, out)) return
+    val nb = readBuckets(fs, out).getOrElse(DefaultBuckets)
+    val table = spark.read.parquet(outDir)
+    val truncT = table.filter(col("bucket") === nb)
+      .agg(max(when(col("op") === "truncate", col("last_seq")))
+        .as("_trunc_t"))
+    val kept = table.crossJoin(broadcast(truncT))
+      .filter(col("_trunc_t").isNull || col("op") === "truncate" ||
+        col("last_seq") > col("_trunc_t"))
+      .drop("_trunc_t")
+    val buckets = fs.listStatus(out).map(_.getPath.getName)
+      .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+      .sorted
+    val staging = new Path(out, ".staging")
+    val backup = new Path(out, ".backup")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    kept.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(backup)
+    buckets.foreach { b =>
+      val live = new Path(out, s"bucket=$b")
+      val stag = new Path(staging, s"bucket=$b")
+      if (fs.exists(live))
+        require(fs.rename(live, new Path(backup, s"bucket=$b")),
+          s"could not retire $live")
+      if (fs.exists(stag)) {
+        if (!fs.rename(stag, live)) {
+          fs.delete(live, true)
+          require(fs.rename(stag, live), s"could not promote $stag")
+        }
+      }
+    }
+    fs.delete(backup, true)
+    fs.delete(staging, true)
+  }
+
   /** Promote per-bucket backups left by a crash mid-swap: any
     * `.backup/bucket=B` whose live dir is missing is re-promoted. The
     * interrupted batch was never acknowledged to the checkpoint, so it

@@ -197,6 +197,37 @@ class CdcPipelineSuite extends AnyFunSuite {
       .select("k", "last_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rowsA == Seq((kA, 20L))) // the seq-10 row is physically gone
   }
+
+  test("compact drops every lazily-wiped row from cold buckets; visible " +
+      "content unchanged") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc_compact").toFile
+    val out = new java.io.File(root, "mat").getAbsolutePath
+    val batch1 = Seq((1L, 10L, 1.0, Option.empty[Double], "a"),
+      (2L, 30L, 2.0, Option.empty[Double], "b"),
+      (3L, 11L, 3.0, Option.empty[Double], "c"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    CdcPipeline.mergeLatest(batch1, out)
+    // Truncate at 20: k=1@10 and k=3@11 become invisible but stay on disk.
+    val trunc = Seq(
+      (CdcPipeline.TruncateKey, 20L, 0.0, Option.empty[Double], "", "truncate"))
+      .toDF("k", "last_seq", "v", "old_v", "etype", "op")
+    CdcPipeline.mergeLatest(trunc, out)
+    val before = CdcPipeline.readMaterialized(s, out)
+      .select("k", "last_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((2L, 30L)))
+    assert(s.read.parquet(out).filter("op = 'upsert'").count() == 3) // junk on disk
+
+    CdcPipeline.compact(s, out)
+    val after = CdcPipeline.readMaterialized(s, out)
+      .select("k", "last_seq").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)                                         // same visible data
+    assert(s.read.parquet(out).filter("op = 'upsert'").count() == 1) // junk gone
+    // the marker survives so later low-seq stragglers still get wiped
+    assert(s.read.parquet(out).filter("op = 'truncate'").count() == 1)
+    assert(CdcPipeline.lastCommittedSeq(s, out) == 30L)
+  }
   test("commit windows: watermark flushes every window via heartbeats; " +
       "late commits in a non-monotonic stream are dropped, not corrupted") {
     val s = TestSpark.spark
