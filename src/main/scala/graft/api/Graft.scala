@@ -436,6 +436,26 @@ object Graft {
     ivfProbe(assigned, idCol, vecCol, expanded, qidCol, k)
   }
 
+  /** Bulk KNN graph over [[ivfAssign]] output: every vector's top-`k`
+    * max-cosine neighbors among the vectors sharing its `cluster` — the
+    * corpus-wide semantic-similarity graph (dedup graphs, retrieval eval,
+    * cluster seeding). The self-join is an EQUI-join on the cluster id
+    * (Σ|bucket|² work, never |corpus|²); the per-vector top-k is a window
+    * WindowGroupLimit prunes. The assignment is materialized once
+    * (eager localCheckpoint) so the centroid argmax doesn't run per join
+    * side. Returns (`idCol`, rk, nbr_id, cluster, sim). */
+  def knnGraph(assigned: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(assigned.sparkSession)
+    val prepared = assigned
+      .select(col(idCol).as("vec_id"), col("cluster"),
+        col(vecCol).as("embedding"))
+      .withColumn("norm", expr("sqrt(dot_f32(embedding, embedding))"))
+      .localCheckpoint()
+    LlmQueries.knnGraphBucketed(prepared, k)
+      .withColumnRenamed("vec_id", idCol)
+  }
+
   /** Fuzzy (n-gram overlap) contamination report: for each (train doc,
     * eval doc) pair, the fraction of the train doc's distinct word
     * `n`-grams that appear in the eval doc, kept above `threshold` —

@@ -64,6 +64,32 @@ object CorpusOps {
       .orderBy(col("lang"), col("source"), col("rk"))
   }
 
+  /** Exact-k reproducible sample per stratum — the distributed
+    * reservoir-sample replacement. A rate sample ([[qStratifiedSample]])
+    * can't promise a per-stratum budget; ordering each stratum by the
+    * deterministic [[hashDraw]] (doc-id tie-break) and keeping the first
+    * `k` yields exactly min(k, |stratum|) rows, reproducible across
+    * runs, partitionings, and engines — no rand(), no driver-side
+    * reservoir state. One bounded window shuffle on the stratum key;
+    * WindowGroupLimit prunes each partition to k before the exchange. */
+  private[graft] def groupSample(docs: DataFrame, strata: Seq[String],
+      idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("_draw").asc, col(idCol).asc)
+    docs.withColumn("_draw", hashDraw(col(idCol)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exactly 10 docs per language, hash-draw order: the fixed-budget
+    * per-stratum sample (eval-set carving, human-review batches). */
+  private def qGroupSample(s: SparkSession, d: String): DataFrame =
+    groupSample(Tables.spread(s, Tables.documents(s, d)),
+      Seq("lang"), "doc_id", 10)
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("_draw").as("draw"))
+      .orderBy(col("lang"), col("rk"))
+
   /** Decontamination: documents sharing an exact text fingerprint with the
     * evaluation set (stand-in: every 97th doc_id) are removed — including
     * non-eval duplicates of eval texts, which is the point of matching on
@@ -348,6 +374,7 @@ object CorpusOps {
     "q_doc_chunks" -> qDocChunks _,
     "q_seq_pack" -> qSeqPack _,
     "q_stratified_sample" -> qStratifiedSample _,
+    "q_group_sample" -> qGroupSample _,
     "q_group_topk" -> qGroupTopk _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_ngram" -> qDecontaminateNgram _,
@@ -387,6 +414,16 @@ object CorpusOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${hashDrawDuck("doc_id")} % 5 = 0
          |ORDER BY doc_id""".stripMargin,
+    "q_group_sample" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id, ${hashDrawDuck("doc_id")} AS draw
+         |  FROM documents)
+         |SELECT lang,
+         |       cast(row_number() OVER (PARTITION BY lang
+         |                               ORDER BY draw ASC, doc_id ASC) AS int) AS rk,
+         |       doc_id, draw
+         |FROM d QUALIFY rk <= 10
+         |ORDER BY lang, rk""".stripMargin,
     "q_group_topk" ->
       """SELECT doc_id, lang, source, n_chars,
         |       cast(row_number() OVER (PARTITION BY lang, source

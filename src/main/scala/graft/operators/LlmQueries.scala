@@ -669,6 +669,40 @@ object LlmQueries {
       "vec_id", "embedding", "label", k = 5)
       .orderBy(col("label"), col("rk"))
 
+  /** Bulk KNN graph over the IVF buckets: every vector's top-`k`
+    * max-cosine neighbors among the vectors sharing its centroid bucket —
+    * the corpus-wide semantic-similarity graph (dedup graphs, retrieval
+    * eval, cluster seeding). An exact KNN join is |corpus|² at 100 TB;
+    * bucketing by the IVF assignment bounds the self-join to Σ|bucket|²
+    * via an EQUI-join on the cluster id, and the per-vector top-k is a
+    * window row_number WindowGroupLimit prunes per partition. Border
+    * pairs (true neighbors in an adjacent bucket) are the recall trade
+    * every bucketed KNN makes — [[qAnnMultiprobe]]'s nprobe explode is
+    * the recovery knob when it matters. `assigned` must carry (vec_id,
+    * embedding, norm, cluster) and be MATERIALIZED by the caller
+    * (localCheckpoint) — both self-join sides reference it, and the
+    * assignment's centroid argmax must not run twice. */
+  private[graft] def knnGraphBucketed(assigned: DataFrame, k: Int): DataFrame = {
+    val a = assigned.select(col("vec_id"), col("cluster"),
+      col("embedding").as("va"), col("norm").as("norm_a"))
+    val b = assigned.select(col("vec_id").as("nbr_id"), col("cluster"),
+      col("embedding").as("vb"), col("norm").as("norm_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim",
+        expr(s"round(${dotSpark("va", "vb")} / (norm_a * norm_b), 6)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cluster"),
+        col("sim"))
+  }
+
+  private def qKnnJoin(s: SparkSession, d: String): DataFrame =
+    knnGraphBucketed(ivfAssigned(s, d).localCheckpoint(), k = 3)
+      .orderBy(col("vec_id"), col("rk"))
+
   /** K-means centroid refinement for the IVF index (the production path
     * `q_ann_ivf`'s scaladoc promises): two unrolled Lloyd's iterations —
     * assign each vector to its max-cosine centroid, recompute centroids as
@@ -994,6 +1028,7 @@ object LlmQueries {
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_ann_trained" -> qAnnTrained _,
     "q_emb_outliers" -> qEmbOutliers _,
+    "q_knn_join" -> qKnnJoin _,
     "q_text_stats" -> qTextStats _,
     "q_tfidf_terms" -> qTfidfTerms _,
     "q_bm25_topk" -> qBm25Topk _,
@@ -1329,6 +1364,26 @@ object LlmQueries {
         |       vec_id, csim
         |FROM s QUALIFY rk <= 5
         |ORDER BY label, rk""".stripMargin,
+    "q_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+         |  FROM e, cents),
+         |assigned AS (SELECT vec_id, v, cid AS cluster FROM scored WHERE rn = 1),
+         |knn AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id, a.cluster,
+         |         ${cosDuck("a.v", "b.v")} AS sim
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+         |SELECT vec_id,
+         |       cast(row_number() OVER (PARTITION BY vec_id
+         |                               ORDER BY sim DESC, nbr_id) AS int) AS rk,
+         |       nbr_id, cluster, sim
+         |FROM knn QUALIFY rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
     "q_ivf_kmeans" ->
       s"""WITH $ivfKmeansCte,
          |f AS (SELECT cid, pos,

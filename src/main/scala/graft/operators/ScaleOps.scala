@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-path operators: the techniques that keep the 100 TB plan alive
@@ -142,10 +143,51 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Per-group anomaly detection: each value z-scored against its own
+    * group's mean/σ, top-`k` most anomalous per group — the metric-stream
+    * outlier gate (bad-batch detection, sensor spikes, data-quality
+    * monitors). Cross-engine determinism: values quantize to exact
+    * 1e-3-unit integers, so count/sum/sum-of-squares are EXACT integer
+    * aggregates (partitioning cannot move them — double summation order
+    * would); mean/σ/z then derive through identical scalar IEEE double
+    * ops in both engines, and ranking uses z rounded at 6 dp. Shape: one
+    * hash agg for the bounded per-group moments, one broadcast back, a
+    * per-group top-k window WindowGroupLimit prunes — the value column
+    * shuffles once, as integer partials. */
+  private[graft] def zscoreOutliers(events: DataFrame, groupCol: String,
+      idCol: String, valCol: String, k: Int): DataFrame = {
+    val q = events.select(col(groupCol), col(idCol), col(valCol),
+      expr(s"cast(round($valCol * 1000.0) AS bigint)").as("_q"))
+    // Moments in exact integer units: _q ≤ ~5e5 per row here, so the
+    // square sum stays far from 2^63 for any realistic group (~1e16 rows
+    // would be needed to overflow). The double casts happen AFTER the
+    // exact sums, so the only inexact steps are order-independent
+    // scalar ops.
+    val stats = q.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("_q")).cast("double").as("_s1"),
+      sum(expr("_q * _q")).cast("double").as("_s2"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(abs(col("z")).desc, col(idCol))
+    q.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z", round(
+        (col("_q") - col("_s1") / col("_n")) /
+          sqrt((col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("rk"), col(idCol), col(valCol), col("z"))
+  }
+
+  private def qZscoreOutliers(s: SparkSession, d: String): DataFrame =
+    zscoreOutliers(Tables.events(s, d), "event_type", "event_id", "value",
+      k = 5)
+      .orderBy(col("event_type"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_join" -> qSkewSaltedJoin _,
     "q_approx_distinct" -> qApproxDistinct _,
-    "q_approx_quantiles" -> qApproxQuantiles _
+    "q_approx_quantiles" -> qApproxQuantiles _,
+    "q_zscore_outliers" -> qZscoreOutliers _
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,6 +215,24 @@ object ScaleOps {
         |       round(quantile_cont(value, 0.99), 6) AS exact_p2,
         |       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds,
         |       TRUE AS p99_in_bounds
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH q AS (SELECT event_type, event_id, value,
+        |                  cast(round(value * 1000.0) AS bigint) AS qv
+        |           FROM events),
+        |st AS (SELECT event_type,
+        |              cast(count(*) AS double) AS n,
+        |              cast(sum(qv) AS double) AS s1,
+        |              cast(sum(qv * qv) AS double) AS s2
+        |       FROM q GROUP BY event_type),
+        |z AS (SELECT q.event_type, q.event_id, q.value,
+        |             round((qv - s1 / n) / sqrt((s2 - s1 * s1 / n) / n), 6) AS z
+        |      FROM q JOIN st USING (event_type))
+        |SELECT event_type,
+        |       cast(row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY abs(z) DESC, event_id) AS int) AS rk,
+        |       event_id, value, z
+        |FROM z QUALIFY rk <= 5
+        |ORDER BY event_type, rk""".stripMargin
   )
 }

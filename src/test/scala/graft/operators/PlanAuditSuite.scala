@@ -289,6 +289,31 @@ class PlanAuditSuite extends AnyFunSuite {
     }
   }
 
+  test("q_knn_join self-joins the MATERIALIZED assignment on the bucket id; " +
+      "top-k via WindowGroupLimit") {
+    val p = plan("q_knn_join")
+    // bucketed equi-join on the cluster id — never an all-pairs product
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.linesIterator.take(8).mkString("\n"))
+    // the assignment is localCheckpoint'd once: the final plan must not
+    // rescan the embeddings parquet or re-run the centroid argmax per side
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_group_sample prunes each stratum to k via WindowGroupLimit, no join") {
+    val p = plan("q_group_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_zscore_outliers broadcasts the bounded moments; " +
+      "top-k via WindowGroupLimit") {
+    val p = plan("q_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("sketch-only approxQuantiles is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
