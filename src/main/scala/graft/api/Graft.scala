@@ -436,6 +436,51 @@ object Graft {
     ivfProbe(assigned, idCol, vecCol, expanded, qidCol, k)
   }
 
+  /** Reciprocal-rank fusion of `rankings` — any number of ranked lists
+    * (each carrying `idCol` and a 1-based `rankCol`), fused by the
+    * classic Σ 1/(rrfK + rank) without any score calibration between
+    * retrievers. Contributions are quantized to integer micro-units
+    * BEFORE the sum (long addition is associative; double addition is
+    * not), so the fused ordering is engine- and partitioning-exact.
+    * Shape: union of the (bounded) lists → one hash agg → top-`k` via
+    * TakeOrderedAndProject. Returns (`idCol`, n_lists, rrf_micro). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col(idCol),
+      expr(s"cast(round(1000000.0 / ($rrfK + $rankCol)) AS bigint)")
+        .as("_contrib")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("_contrib")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-group anomaly detection: each value z-scored against its own
+    * group's mean/σ (exact integer moments — partitioning-independent),
+    * top-`k` most anomalous per group. Returns (groupCol, rk, idCol,
+    * valCol, z). */
+  def zscoreOutliers(events: DataFrame, groupCol: String, idCol: String,
+                     valCol: String, k: Int): DataFrame =
+    ScaleOps.zscoreOutliers(events, groupCol, idCol, valCol, k)
+
+  /** Exact-k reproducible sample per stratum (the distributed reservoir
+    * replacement): each stratum ordered by the deterministic
+    * multiplicative-hash draw, first `k` kept — no rand(), re-runnable.
+    * Returns the input columns + `rk`. */
+  def groupSample(docs: DataFrame, strata: Seq[String], idCol: String,
+                  k: Int): DataFrame =
+    CorpusOps.groupSample(docs, strata, idCol, k).drop("_draw")
+
+  /** Passage-level exact dedup: non-overlapping `window`-token chunks
+    * fingerprinted, each flagged `keep` = is-the-first-copy — catches
+    * repeated spans (quotes, licenses, templated sections) doc-level
+    * dedup misses. Returns (doc_id, chunk_id, chunk_hash, keep). */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 window: Int = 256): DataFrame =
+    CorpusOps.chunkDedup(docs, idCol, textCol, window)
+
   /** Bulk KNN graph over [[ivfAssign]] output: every vector's top-`k`
     * max-cosine neighbors among the vectors sharing its `cluster` — the
     * corpus-wide semantic-similarity graph (dedup graphs, retrieval eval,

@@ -343,6 +343,30 @@ object CorpusOps {
       window = 64, overlap = 16)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Passage-level exact dedup: each document's non-overlapping
+    * `window`-token chunks fingerprinted (md5) and every chunk flagged
+    * `keep` = is-the-first-copy (lowest (doc_id, chunk_id) per
+    * fingerprint) — the sub-document dedup granularity that catches
+    * repeated spans (quoted passages, licenses, templated sections)
+    * doc-level dedup is blind to, without common-n-gram noise. Downstream
+    * training assembly drops `keep = false` chunks. Shape: the map-side
+    * [[chunkDocs]] explode, then ONE window shuffle keyed by the chunk
+    * fingerprint — the shuffle carries (hash, ids), never chunk text. */
+  private[graft] def chunkDedup(docs: DataFrame, idCol: String,
+      textCol: String, window: Int): DataFrame = {
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunkDocs(docs, idCol, textCol, window, overlap = 0)
+      .withColumn("chunk_hash", md5(col("chunk_text").cast("binary")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"), col("keep"))
+  }
+
+  private def qChunkDedup(s: SparkSession, d: String): DataFrame =
+    chunkDedup(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+      window = 32)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Sequence packing (concat-then-split): documents are concatenated in
     * id order and cut every `windowTokens` tokens; each doc is labeled
     * with the training bin its FIRST token lands in. Packing runs
@@ -372,6 +396,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_chunks" -> qDocChunks _,
+    "q_chunk_dedup" -> qChunkDedup _,
     "q_seq_pack" -> qSeqPack _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_group_sample" -> qGroupSample _,
@@ -397,6 +422,19 @@ object CorpusOps {
         |       cast(least(64, n_tokens - start) AS bigint) AS chunk_tokens,
         |       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+        |c AS (SELECT doc_id, toks, n_tokens,
+        |             unnest(generate_series(0, n_tokens - 1, 32)) AS start
+        |      FROM n),
+        |ch AS (SELECT doc_id, cast(start // 32 AS bigint) AS chunk_id,
+        |              md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_hash
+        |       FROM c)
+        |SELECT doc_id, chunk_id, chunk_hash,
+        |       (row_number() OVER (PARTITION BY chunk_hash
+        |                           ORDER BY doc_id, chunk_id) = 1) AS keep
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id,
         |                  cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,

@@ -883,6 +883,47 @@ object LlmQueries {
     bm25Rank(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
       Seq("table", "window", "agg"), k = 15)
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the BM25 lexical
+    * ranking and the cosine semantic ranking for one query — the standard
+    * two-tower serving baseline (each retriever surfaces what the other
+    * is blind to; RRF needs no score calibration between them). The
+    * classic `1/(60+rank)` contributions are quantized to integer
+    * micro-units BEFORE the sum (same discipline as [[bm25Rank]] — long
+    * addition is associative, double addition is not), so the fused
+    * score is engine- and partitioning-exact. Shape: each branch is the
+    * already-bounded top-`k` list (TakeOrderedAndProject), the rank
+    * window runs over those ≤ k rows, and the fusion is a full-outer
+    * join of two k-row frames — nothing downstream of the branch top-ks
+    * scales with the corpus. */
+  private def qRrfFusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val lex = bm25Rank(Tables.spread(s, Tables.documents(s, d)), "doc_id",
+        "text", Seq("table", "window", "agg"), k = 20)
+      .withColumn("lex_rk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rk"))
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .selectExpr("embedding AS qv",
+        s"sqrt(${dotSpark("embedding", "embedding")}) AS qnorm")
+    val sem = e.crossJoin(broadcast(q))
+      .withColumn("sim", expr(
+        s"round(${dotSpark("embedding", "qv")} / (sqrt(${dotSpark("embedding", "embedding")}) * qnorm), 6)"))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+      .withColumn("sem_rk", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .selectExpr("vec_id AS doc_id", "sem_rk")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", expr(
+        "coalesce(cast(round(1000000.0 / (60 + lex_rk)) AS bigint), cast(0 AS bigint)) + " +
+          "coalesce(cast(round(1000000.0 / (60 + sem_rk)) AS bigint), cast(0 AS bigint))"))
+      .select(col("doc_id"), col("lex_rk"), col("sem_rk"), col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Token counting per document: whitespace tokens, distinct tokens, a
     * BPE-ish regex token count, and mean token length — all map-side. */
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -1032,6 +1073,7 @@ object LlmQueries {
     "q_text_stats" -> qTextStats _,
     "q_tfidf_terms" -> qTfidfTerms _,
     "q_bm25_topk" -> qBm25Topk _,
+    "q_rrf_fusion" -> qRrfFusion _,
     "q_token_count" -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
     "q_lang_id" -> qLangId _,
@@ -1119,6 +1161,36 @@ object LlmQueries {
        |WHERE bit_count(xor(sh_a, sh_b)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** The BM25 scoring CTE chain in DuckDB (no leading WITH, no final
+    * SELECT) up to `bm(doc_id, n_hit, score_micro)` — shared by the
+    * top-k oracle and the RRF fusion oracle so the scoring arithmetic
+    * can never drift between them. Mirrors [[bm25Rank]] literally
+    * (k1 = 1.2, b = 0.75, micro-unit quantization before the per-doc
+    * sum). */
+  private def bm25Cte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |base AS (SELECT doc_id, toks, cast(len(toks) AS bigint) AS dl FROM t),
+      |q AS (SELECT * FROM (VALUES ('table'), ('window'), ('agg')) v(token)),
+      |tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
+      |qtok AS (SELECT tok.doc_id, tok.token FROM tok JOIN q ON tok.token = q.token),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, cast(sum(dl) AS bigint) AS total_dl
+      |          FROM base),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         cast(round(cast(tf AS double) * 2.2 /
+      |           (cast(tf AS double) + 1.2 * (1 - 0.75 + 0.75 * cast(dl AS double) /
+      |           (cast(total_dl AS double) / n_docs))) *
+      |           ((cast(n_docs AS double) - cast(df AS double) + 0.5) /
+      |           (cast(df AS double) + 0.5)) * 1000000) AS bigint) AS micro
+      |  FROM tf JOIN df USING (token)
+      |  JOIN base USING (doc_id)
+      |  CROSS JOIN stats),
+      |bm AS (SELECT doc_id, count(*) AS n_hit,
+      |              cast(sum(micro) AS bigint) AS score_micro
+      |       FROM scored GROUP BY doc_id)""".stripMargin
 
   /** The two unrolled Lloyd's iterations in DuckDB (no leading WITH, no
     * final SELECT): up to `u2` (second-iteration per-element means) and
@@ -1221,28 +1293,30 @@ object LlmQueries {
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_bm25_topk" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |base AS (SELECT doc_id, toks, cast(len(toks) AS bigint) AS dl FROM t),
-        |q AS (SELECT * FROM (VALUES ('table'), ('window'), ('agg')) v(token)),
-        |tok AS (SELECT doc_id, unnest(toks) AS token FROM base),
-        |qtok AS (SELECT tok.doc_id, tok.token FROM tok JOIN q ON tok.token = q.token),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM qtok GROUP BY 1, 2),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, cast(sum(dl) AS bigint) AS total_dl
-        |          FROM base),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |         cast(round(cast(tf AS double) * 2.2 /
-        |           (cast(tf AS double) + 1.2 * (1 - 0.75 + 0.75 * cast(dl AS double) /
-        |           (cast(total_dl AS double) / n_docs))) *
-        |           ((cast(n_docs AS double) - cast(df AS double) + 0.5) /
-        |           (cast(df AS double) + 0.5)) * 1000000) AS bigint) AS micro
-        |  FROM tf JOIN df USING (token)
-        |  JOIN base USING (doc_id)
-        |  CROSS JOIN stats)
-        |SELECT doc_id, count(*) AS n_hit, cast(sum(micro) AS bigint) AS score_micro
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin,
+      s"""WITH $bm25Cte
+         |SELECT doc_id, n_hit, score_micro FROM bm
+         |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""WITH $bm25Cte,
+         |lex AS (
+         |  SELECT doc_id,
+         |         cast(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS int) AS lex_rk
+         |  FROM (SELECT doc_id, score_micro FROM bm
+         |        ORDER BY score_micro DESC, doc_id LIMIT 20)),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qv AS (SELECT v AS qq FROM ev WHERE vec_id = 0),
+         |semtop AS (
+         |  SELECT vec_id, ${cosDuck("v", "qq")} AS sim
+         |  FROM ev, qv ORDER BY sim DESC, vec_id LIMIT 20),
+         |sem AS (
+         |  SELECT vec_id AS doc_id,
+         |         cast(row_number() OVER (ORDER BY sim DESC, vec_id) AS int) AS sem_rk
+         |  FROM semtop)
+         |SELECT doc_id, lex_rk, sem_rk,
+         |       coalesce(cast(round(1000000.0 / (60 + lex_rk)) AS bigint), 0) +
+         |       coalesce(cast(round(1000000.0 / (60 + sem_rk)) AS bigint), 0) AS rrf_micro
+         |FROM lex FULL JOIN sem USING (doc_id)
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
     "q_tfidf_terms" ->
       """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
         |           FROM documents),

@@ -397,6 +397,36 @@ class GraftApiSuite extends AnyFunSuite {
     assert(e.getMessage.contains("eager action in applyChanges"))
   }
 
+  test("rrfFuse prefers ids ranked well in BOTH lists; micro-units are exact") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val sem = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val r = Graft.rrfFuse(Seq(lex, sem), "id", "rank", k = 10).collect()
+    assert(r.length == 4)
+    // 20: 1/62 + 1/61 beats 10: 1/61 + 1/63
+    assert(r(0).getLong(0) == 20L && r(1).getLong(0) == 10L)
+    assert(r(0).getLong(1) == 2L) // n_lists
+    assert(r(0).getLong(2) ==
+      math.round(1000000.0 / 62) + math.round(1000000.0 / 61))
+    // single-list ids trail the double-hit ids here
+    assert(Set(r(2).getLong(0), r(3).getLong(0)) == Set(30L, 40L))
+    assert(r(2).getLong(1) == 1L && r(3).getLong(1) == 1L)
+  }
+
+  test("zscoreOutliers surfaces the planted spike first") {
+    val ev = Seq((1L, "g", 2.0), (2L, "g", 2.0), (3L, "g", 2.0),
+      (4L, "g", 2.0), (5L, "g", 42.0)).toDF("eid", "grp", "v")
+    val r = Graft.zscoreOutliers(ev, "grp", "eid", "v", k = 1).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 5L)
+    assert(r.head.getDouble(4) == 2.0) // 4 equal + 1 spike → z exactly 2
+  }
+
+  test("groupSample returns exactly k per stratum with dense ranks") {
+    val docs = (0 until 50).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "st")
+    val r = Graft.groupSample(docs, Seq("st"), "id", 7)
+    assert(r.groupBy($"st").count().collect().forall(_.getLong(1) == 7L))
+    assert(!r.columns.contains("_draw"))
+  }
+
   test("applyChanges: latest change wins, deletes drop the key") {
     val base = Seq((1L, 10L, "a"), (2L, 11L, "b")).toDF("k", "seq", "v")
     val changes = Seq(

@@ -70,6 +70,27 @@ class DedupSemanticsSuite extends AnyFunSuite {
     assert(java.lang.Long.bitCount(r(0L) ^ r(3L)) > hamming)
   }
 
+  test("chunkDedup flags later copies of a shared passage, keeps first") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // docs 0 and 1 share their FIRST 4-token chunk exactly; doc 1's
+    // second chunk and all of doc 2 are unique
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d x y z w"),
+      (2L, "p q r s t u v m")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.chunkDedup(docs, "doc_id", "text", window = 4)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    assert(r.length == 6) // 2 chunks per doc
+    val dup = r.filter(!_.getBoolean(3))
+    assert(dup.length == 1, dup.mkString(";"))
+    assert(dup.head.getLong(0) == 1L && dup.head.getLong(1) == 0L)
+    // identical hash binds the kept and dropped copy
+    val kept0 = r.find(x => x.getLong(0) == 0L && x.getLong(1) == 0L).get
+    assert(kept0.getString(2) == dup.head.getString(2) && kept0.getBoolean(3))
+  }
+
   test("q_doc_fingerprint shares fingerprints exactly within the dup cluster") {
     val r = LlmQueries.queries("q_doc_fingerprint")(TestSpark.spark, dir)
       .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap

@@ -314,6 +314,26 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_chunk_dedup shuffles fingerprints once; the chunk explode is map-side") {
+    val p = plan("q_chunk_dedup")
+    // one window shuffle on the chunk hash — the shuffle carries
+    // (hash, ids); chunk text never crosses the exchange
+    val semantic = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p)
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toList
+    assert(semantic.size == 1, p.linesIterator.take(10).mkString("\n"))
+    assert(semantic.head.contains("chunk_hash"), semantic.head)
+    assert(p.contains("Generate"), p) // the chunk explode IS the operator
+  }
+
+  test("q_rrf_fusion bounds both branches with TakeOrderedAndProject " +
+      "before fusing") {
+    val p = plan("q_rrf_fusion")
+    // each retriever's top-k must collapse to a bounded list in-plan —
+    // a global sort on either branch would rank the whole corpus
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(10).mkString("\n"))
+  }
+
   test("sketch-only approxQuantiles is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
