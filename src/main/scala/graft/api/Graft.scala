@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.cdc.{CdcConfig, CdcSession}
-import graft.operators.{AsOfJoin, CorpusOps, DedupClusters, LlmQueries}
+import graft.operators.{AsOfJoin, CorpusOps, DedupClusters, LlmQueries, ScaleOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
