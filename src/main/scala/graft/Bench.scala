@@ -63,8 +63,11 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
     // Print AFTER spark.stop() so the one JSON line sits as close to the
     // tail of the captured output as possible (only sbt's [success]
-    // trailer follows it in the driver's tail window).
-    spark.stop()
+    // trailer follows it in the driver's tail window). stop() failures must
+    // not eat the result line — all queries already succeeded by here.
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}")
+    }
     println(line)
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -169,10 +169,17 @@ object ScaleOps {
       sum(expr("_q * _q")).cast("double").as("_s2"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(abs(col("z")).desc, col(idCol))
+    // σ = 0 guard: a constant-valued group has s2·n == s1², and the raw
+    // formula is 0/0 → NaN, whose ordering differs across engines. Every
+    // member of such a group is exactly its mean, so z = 0 by definition.
+    // The guard compares doubles, but both factors derive from EXACT
+    // integer sums cast once — identical bit patterns in both engines.
     q.join(broadcast(stats), Seq(groupCol))
-      .withColumn("z", round(
-        (col("_q") - col("_s1") / col("_n")) /
-          sqrt((col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n")), 6))
+      .withColumn("z",
+        when(col("_s2") * col("_n") === col("_s1") * col("_s1"), lit(0.0))
+          .otherwise(round(
+            (col("_q") - col("_s1") / col("_n")) /
+              sqrt((col("_s2") - col("_s1") * col("_s1") / col("_n")) / col("_n")), 6)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(groupCol), col("rk"), col(idCol), col(valCol), col("z"))
@@ -226,7 +233,9 @@ object ScaleOps {
         |              cast(sum(qv * qv) AS double) AS s2
         |       FROM q GROUP BY event_type),
         |z AS (SELECT q.event_type, q.event_id, q.value,
-        |             round((qv - s1 / n) / sqrt((s2 - s1 * s1 / n) / n), 6) AS z
+        |             CASE WHEN s2 * n = s1 * s1 THEN 0.0
+        |                  ELSE round((qv - s1 / n) / sqrt((s2 - s1 * s1 / n) / n), 6)
+        |             END AS z
         |      FROM q JOIN st USING (event_type))
         |SELECT event_type,
         |       cast(row_number() OVER (PARTITION BY event_type

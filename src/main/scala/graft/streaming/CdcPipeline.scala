@@ -321,7 +321,15 @@ object CdcPipeline {
   private def readBuckets(fs: org.apache.hadoop.fs.FileSystem,
                           out: Path): Option[Int] = {
     val meta = new Path(out, BucketMeta)
-    if (!fs.exists(meta)) None
+    if (!fs.exists(meta)) {
+      // Missing meta next to existing bucket data is the same hazard as an
+      // unreadable meta: guessing a different count re-routes keys across
+      // buckets, leaving duplicate live rows per key. Refuse.
+      if (hasData(fs, out)) throw new IllegalStateException(
+        s"missing $BucketMeta on a table WITH bucket data at $out — " +
+          "refusing to guess the key routing")
+      None
+    }
     else {
       val in = fs.open(meta)
       val txt =
@@ -359,6 +367,26 @@ object CdcPipeline {
   private def hasData(fs: org.apache.hadoop.fs.FileSystem, out: Path): Boolean =
     fs.exists(out) && fs.listStatus(out)
       .exists(_.getPath.getName.startsWith("bucket="))
+
+  /** A pre-bucketing `mergeLatest` layout (part files at the table root)
+    * must not be treated as an empty table — its history would be ignored,
+    * and root-level parquet mixed with new `bucket=` dirs breaks partition
+    * discovery ("conflicting directory structures"). Fail fast instead of
+    * silently forking the table's history. */
+  private def rejectLegacyLayout(fs: org.apache.hadoop.fs.FileSystem,
+                                 out: Path): Unit = {
+    if (fs.exists(out)) {
+      val rootParts = fs.listStatus(out).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && (n.startsWith("part-") || n.endsWith(".parquet"))
+      }
+      if (rootParts.nonEmpty) throw new IllegalStateException(
+        s"legacy (unbucketed) materialized-table layout at $out: found " +
+          s"root-level data files (e.g. ${rootParts.head.getPath.getName}); " +
+          "re-materialize into a fresh directory or migrate the files into " +
+          "bucket= partitions before merging")
+    }
+  }
 
   /** Idempotent latest-per-key merge into a hash-bucketed parquet
     * "materialized table" — the lsttxn-style sink with the monotonic guard
@@ -406,6 +434,7 @@ object CdcPipeline {
     val out = new Path(outDir)
     val fs = out.getFileSystem(conf)
     recoverSwap(fs, out)
+    rejectLegacyLayout(fs, out)
     val nb = readBuckets(fs, out).getOrElse(numBuckets)
     // Accept op-less frames (plain upsert streams) for compatibility.
     val withOp =
@@ -486,6 +515,7 @@ object CdcPipeline {
     val out = new Path(outDir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, out)
+    rejectLegacyLayout(fs, out)
     if (!hasData(fs, out)) return
     val nb = readBuckets(fs, out).getOrElse(DefaultBuckets)
     val table = spark.read.parquet(outDir)

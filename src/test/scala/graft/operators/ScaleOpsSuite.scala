@@ -51,6 +51,26 @@ class ScaleOpsSuite extends AnyFunSuite {
     assert(m("a") == 2.0 && m("b") == 10.0)
   }
 
+  test("zscoreOutliers: constant-valued group yields z = 0, never NaN") {
+    // σ = 0 → the raw formula is 0/0; the guard must define z = 0 so the
+    // top-k ordering stays deterministic and cross-engine comparable.
+    val df = Seq(("flat", 1L, 5.0), ("flat", 2L, 5.0), ("flat", 3L, 5.0),
+      ("vary", 4L, 1.0), ("vary", 5L, 2.0), ("vary", 6L, 30.0))
+      .toDF("g", "id", "v")
+    val out = ScaleOps.zscoreOutliers(df, "g", "id", "v", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(4)))
+    val flat = out.filter(_._1 == "flat")
+    assert(flat.length == 2)
+    flat.foreach { case (_, _, _, z) =>
+      assert(!z.isNaN && z == 0.0, s"flat-group z should be 0, got $z")
+    }
+    // ties on |z|=0 break by id ascending — deterministic
+    assert(flat.map(_._3).sorted.sameElements(flat.map(_._3)))
+    val vary = out.filter(_._1 == "vary")
+    assert(vary.forall(t => !t._4.isNaN) && vary.head._3 == 6L)
+  }
+
   test("approxDistinct estimate lands within the rsd contract") {
     val df = (0L until 5000L).map(i => i % 1000).toDF("k")
     val est = Graft.approxDistinct(df, Nil, "k", rsd = 0.02)

@@ -132,6 +132,40 @@ class CdcPipelineSuite extends AnyFunSuite {
     assert(rows == Seq((1L, 10L, 1.0), (2L, 12L, 2.5)))
   }
 
+  test("merge refuses a legacy unbucketed table layout instead of forking history") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc_legacy").toFile
+    val out = new java.io.File(root, "mat").getAbsolutePath
+    // Old mergeLatest layout: part files at the table ROOT, no bucket= dirs.
+    Seq((1L, 10L, 1.0, Option.empty[Double], "a"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+      .write.parquet(out)
+    val batch = Seq((2L, 11L, 2.0, Option.empty[Double], "b"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    val e = intercept[IllegalStateException](CdcPipeline.mergeLatest(batch, out))
+    assert(e.getMessage.contains("legacy"))
+    val e2 = intercept[IllegalStateException](CdcPipeline.compact(s, out))
+    assert(e2.getMessage.contains("legacy"))
+  }
+
+  test("merge refuses bucket data with a missing bucket-count meta") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc_nometa").toFile
+    val out = new java.io.File(root, "mat").getAbsolutePath
+    val batch1 = Seq((1L, 10L, 1.0, Option.empty[Double], "a"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    CdcPipeline.mergeLatest(batch1, out)
+    // Delete the meta: guessing a different count would re-route keys and
+    // leave duplicate live rows per key, so the merge must refuse.
+    assert(new java.io.File(out, "_graft_buckets").delete())
+    val batch2 = Seq((2L, 11L, 2.0, Option.empty[Double], "b"))
+      .toDF("k", "last_seq", "v", "old_v", "etype")
+    val e = intercept[IllegalStateException](CdcPipeline.mergeLatest(batch2, out))
+    assert(e.getMessage.contains("missing"))
+  }
+
   /** Snapshot of a bucket dir: file name → (length, content md5). */
   private def snapshot(dir: java.io.File): Map[String, (Long, String)] =
     dir.listFiles().filter(_.isFile).filterNot(_.getName.startsWith("."))
