@@ -488,16 +488,22 @@ object Graft {
     * (Σ|bucket|² work, never |corpus|²); the per-vector top-k is a window
     * WindowGroupLimit prunes. The assignment is materialized once
     * (eager localCheckpoint) so the centroid argmax doesn't run per join
-    * side. Returns (`idCol`, rk, nbr_id, cluster, sim). */
+    * side. Σ|bucket|² is only sub-quadratic while buckets stay ≈ √N —
+    * `bucketCap` fails the query loudly if any bucket exceeds it (a
+    * degenerate assignment: too few centroids, collapsed k-means cell)
+    * instead of silently running a quadratic join; the remedy is more
+    * centroids (K ≈ √N) or splitting the cell. Returns (`idCol`, rk,
+    * nbr_id, cluster, sim). */
   def knnGraph(assigned: DataFrame, idCol: String, vecCol: String,
-               k: Int): DataFrame = {
+               k: Int,
+               bucketCap: Int = LlmQueries.DefaultKnnBucketCap): DataFrame = {
     graft.functions.DotF32.ensureRegistered(assigned.sparkSession)
     val prepared = assigned
       .select(col(idCol).as("vec_id"), col("cluster"),
         col(vecCol).as("embedding"))
       .withColumn("norm", expr("sqrt(dot_f32(embedding, embedding))"))
       .localCheckpoint()
-    LlmQueries.knnGraphBucketed(prepared, k)
+    LlmQueries.knnGraphBucketed(prepared, k, bucketCap)
       .withColumnRenamed("vec_id", idCol)
   }
 

@@ -503,17 +503,32 @@ object LlmQueries {
       .limit(100)
   }
 
+  /** Centroid seed set for the IVF demos, sized IN-PLAN from the corpus:
+    * the first K = ⌈√N⌉ vectors by id. K ≈ √N is the classic IVF sizing —
+    * it keeps BOTH the centroid table (K rows on one broadcast) and each
+    * bucket (≈ √N rows expected) sub-linear in N, so a probe scans ≈ √N
+    * vectors and the bulk KNN self-join does Σ|bucket|² ≈ N^1.5 work. A
+    * FIXED K (the round-7 K=8) makes buckets N/K — probes linear, KNN
+    * O(N²/K): quadratic in disguise. The count is a 1-row broadcast
+    * (exact integer → sqrt → ceil, IEEE-identical in the DuckDB oracle),
+    * so the K knob tracks corpus growth with no retuning. */
+  private def seedCentroids(e: DataFrame): DataFrame = {
+    val kDf = e.agg(ceil(sqrt(count(lit(1)))).as("_k"))
+    e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("_k")).drop("_k")
+  }
+
   /** The IVF assignment stage shared by the single-query and batched
-    * probes: every vector labeled with its max-cosine centroid (first 8
-    * embeddings as centroids; k-means centroids in production) —
-    * (vec_id, label, embedding, norm, cluster). One shared implementation
-    * so the two probes' assignment conventions (6-dp csim rounding, cid
-    * tie-break) can never drift apart. */
+    * probes: every vector labeled with its max-cosine centroid (first
+    * ⌈√N⌉ embeddings as centroids — [[seedCentroids]]; k-means-refined
+    * centroids in [[qAnnTrained]]) — (vec_id, label, embedding, norm,
+    * cluster). One shared implementation so the probes' assignment
+    * conventions (6-dp csim rounding, cid tie-break) can never drift
+    * apart. */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
-    val cents = e.filter(col("vec_id") < 8)
+    val cents = seedCentroids(e)
       .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
@@ -526,9 +541,9 @@ object LlmQueries {
         col("cid").as("cluster"))
   }
 
-  /** IVF-style ANN: vectors are assigned to their nearest of 8 centroids,
-    * and the query searches only its own centroid's bucket — the scale
-    * path that turns a full scan into a 1/k partition probe. */
+  /** IVF-style ANN: vectors are assigned to their nearest of ⌈√N⌉
+    * centroids, and the query searches only its own centroid's bucket —
+    * the scale path that turns a full scan into a ≈ √N-row probe. */
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val assigned = ivfAssigned(s, d)
     val q = assigned.filter(col("vec_id") === 0)
@@ -581,7 +596,7 @@ object LlmQueries {
     graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
-    val cents = e.filter(col("vec_id") < 8)
+    val cents = seedCentroids(e)
       .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm")
     val probes = e.filter(col("vec_id") < 5)
       .selectExpr("vec_id AS qid", "embedding AS qv", "norm AS qnorm")
@@ -615,7 +630,7 @@ object LlmQueries {
     val e = Tables.spread(s, Tables.embeddings(s, d))
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
       .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
-    val cents0 = e.filter(col("vec_id") < 8)
+    val cents0 = seedCentroids(e)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
         col("norm").as("cnorm"))
     val c1 = kmeansRecompute(kmeansAssign(e, cents0))
@@ -682,9 +697,34 @@ object LlmQueries {
     * embedding, norm, cluster) and be MATERIALIZED by the caller
     * (localCheckpoint) — both self-join sides reference it, and the
     * assignment's centroid argmax must not run twice. */
-  private[graft] def knnGraphBucketed(assigned: DataFrame, k: Int): DataFrame = {
-    val a = assigned.select(col("vec_id"), col("cluster"),
-      col("embedding").as("va"), col("norm").as("norm_a"))
+  /** Largest bucket the KNN self-join accepts before failing loudly: with
+    * K ≈ √N centroids a bucket holds ≈ √N vectors (≈10³ at N=10⁶), so this
+    * cap is an order-of-magnitude skew allowance, not a tuning knob — a
+    * bucket at the cap still means ≤ cap² pair work in ONE task. Hitting
+    * it signals a degenerate assignment (fixed K, collapsed k-means
+    * cell); the remedy is more centroids or splitting the cell, never
+    * raising the cap toward |corpus|. */
+  private[graft] val DefaultKnnBucketCap = 100000
+
+  private[graft] def knnGraphBucketed(assigned: DataFrame, k: Int,
+      bucketCap: Int = DefaultKnnBucketCap): DataFrame = {
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    // Oversized-bucket guard (round-7 verdict): Σ|bucket|² is only
+    // sub-quadratic while buckets stay ≈ √N — a degenerate assignment
+    // silently turns the equi-join quadratic. The census is one count per
+    // bucket (K rows); the assert rides the broadcast build side, so an
+    // over-cap bucket fails the query with the remedy in the message
+    // instead of melting a 1000-executor stage.
+    val census = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(assert_true(col("_bucket_n") <= bucketCap,
+        concat(lit("KNN bucket "), col("cluster"), lit(" holds "),
+          col("_bucket_n"), lit(s" vectors > cap $bucketCap — use more " +
+            "centroids (K ≈ √N) or split the cell"))).isNull)
+      .select(col("cluster"))
+    val a = assigned.join(broadcast(census), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        col("embedding").as("va"), col("norm").as("norm_a"))
     val b = assigned.select(col("vec_id").as("nbr_id"), col("cluster"),
       col("embedding").as("vb"), col("norm").as("norm_b"))
     val w = Window.partitionBy(col("vec_id"))
@@ -750,7 +790,7 @@ object LlmQueries {
     val e = Tables.spread(s, Tables.embeddings(s, d))
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val cents0 = e.filter(col("vec_id") < 8)
+    val cents0 = seedCentroids(e)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
         col("norm").as("cnorm"))
     val a1 = kmeansAssign(e, cents0)
@@ -1200,8 +1240,9 @@ object LlmQueries {
   private def ivfKmeansCte: String =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM en),
       |c0 AS (SELECT CAST(vec_id AS integer) AS cid, v AS cv, nrm AS cnorm
-      |       FROM en WHERE vec_id < 8),
+      |       FROM en, kc WHERE vec_id < kv),
       |s1 AS (SELECT en.vec_id, en.v, cid,
       |              row_number() OVER (PARTITION BY en.vec_id
       |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
@@ -1368,7 +1409,8 @@ object LlmQueries {
          |ORDER BY approx_sim DESC, vec_id LIMIT 100""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
          |scored AS (
          |  SELECT e.vec_id, e.label, e.v, cid, ${cosDuck("e.v", "cv")} AS csim,
          |         row_number() OVER (PARTITION BY e.vec_id
@@ -1381,7 +1423,8 @@ object LlmQueries {
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_batch" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
          |scored AS (
          |  SELECT e.vec_id, e.label, e.v, cid,
          |         row_number() OVER (PARTITION BY e.vec_id
@@ -1399,7 +1442,8 @@ object LlmQueries {
          |ORDER BY qid, rk""".stripMargin,
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
          |scored AS (
          |  SELECT e.vec_id, e.label, e.v, cid,
          |         row_number() OVER (PARTITION BY e.vec_id
@@ -1440,7 +1484,8 @@ object LlmQueries {
         |ORDER BY label, rk""".stripMargin,
     "q_knn_join" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
          |scored AS (
          |  SELECT e.vec_id, e.v, cid,
          |         row_number() OVER (PARTITION BY e.vec_id

@@ -260,6 +260,36 @@ class GraftApiSuite extends AnyFunSuite {
     assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
   }
 
+  test("knnGraph fails loudly when a bucket exceeds the cap") {
+    // 20 vectors forced into ONE bucket with cap 5: the oversized-bucket
+    // guard must fail the query (quadratic-join protection), not run it.
+    val vecs = (1L to 20L).map(i => (i, Array(1f, 0.01f * i), 1))
+      .toDF("vid", "emb", "cluster")
+    val e = intercept[Throwable](
+      Graft.knnGraph(vecs, "vid", "emb", k = 2, bucketCap = 5).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cap 5")), messages(e).mkString(" | "))
+  }
+
+  test("√N centroid seeding keeps every IVF bucket within an O(√N) bound " +
+      "on the test corpus") {
+    // The scale contract behind q_knn_join/q_ann_*: with K = ⌈√N⌉ seeds,
+    // no bucket should degenerate toward N/K-with-fixed-K — buckets stay
+    // O(√N) (order-of-magnitude allowance for data skew), which is what
+    // keeps the KNN self-join at Σ|bucket|² ≈ N^1.5.
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    val cents = emb.filter($"vec_id" < k)
+      .selectExpr("cast(vec_id AS int) AS cid", "embedding AS cv")
+    val assigned = Graft.ivfAssign(emb, "vec_id", "embedding", cents, "cid", "cv")
+    val maxBucket = assigned.groupBy("cluster").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 8 * k, s"max bucket $maxBucket > 8·√N = ${8 * k}")
+    assert(maxBucket <= graft.operators.LlmQueries.DefaultKnnBucketCap)
+  }
+
   test("embOutliers ranks the planted off-distribution vector most atypical") {
     // group 'g': three near-identical vectors + one orthogonal intruder
     val vecs = Seq(

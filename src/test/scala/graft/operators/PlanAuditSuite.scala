@@ -204,7 +204,7 @@ class PlanAuditSuite extends AnyFunSuite {
 
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
-    // 8-row centroid broadcasts; the BUCKET probe itself must hash-join
+    // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join
     val p = plan("q_ann_multiprobe")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
     assert(p.contains("WindowGroupLimit"), p)
