@@ -487,7 +487,8 @@ object Graft {
     * cluster seeding). The self-join is an EQUI-join on the cluster id
     * (Σ|bucket|² work, never |corpus|²); the per-vector top-k is a window
     * WindowGroupLimit prunes. The assignment is materialized once
-    * (eager localCheckpoint) so the centroid argmax doesn't run per join
+    * (eager materialization; reliable when a session checkpoint dir is
+    * set) so the centroid argmax doesn't run per join
     * side. Σ|bucket|² is only sub-quadratic while buckets stay ≈ √N —
     * `bucketCap` fails the query loudly if any bucket exceeds it (a
     * degenerate assignment: too few centroids, collapsed k-means cell)
@@ -502,8 +503,7 @@ object Graft {
       .select(col(idCol).as("vec_id"), col("cluster"),
         col(vecCol).as("embedding"))
       .withColumn("norm", expr("sqrt(dot_f32(embedding, embedding))"))
-      .localCheckpoint()
-    LlmQueries.knnGraphBucketed(prepared, k, bucketCap)
+    LlmQueries.knnGraphBucketed(graft.operators.Materialize(prepared), k, bucketCap)
       .withColumnRenamed("vec_id", idCol)
   }
 

@@ -139,16 +139,18 @@ object LlmQueries {
 
   /** Materialized (doc_id, hs, sig) for the self-joining MinHash queries:
     * ONE pass of the shingle + minhash kernels over the corpus text, then
-    * an eager `localCheckpoint` so every later reference (both band-join
+    * an eager [[Materialize]] so every later reference (both band-join
     * sides, both Jaccard-verify sides) reads the stored partitions instead
     * of re-running the kernels. Without this the shingle kernel — the
     * dominant per-row cost — reruns up to 4× per query (VERDICT r6 #3);
     * at 100 TB that is 3 extra full-corpus text passes. Storage is
-    * hs + 16 longs per doc — far smaller than the text it replaces — and
-    * the blocks are freed when the plan is garbage-collected. */
+    * hs + 16 longs per doc — far smaller than the text it replaces. A
+    * session checkpoint dir makes the materialization reliable (survives
+    * executor loss — see [[Materialize]]); otherwise blocks are
+    * executor-local and freed when the plan is garbage-collected. */
   private[graft] def minhashMaterialized(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    signaturePlan(docs, idCol, textCol).localCheckpoint()
+    Materialize(signaturePlan(docs, idCol, textCol))
 
   /** The one-pass (doc_id, hs, sig) plan the materialization executes. */
   private def signaturePlan(docs: DataFrame, idCol: String,
@@ -364,7 +366,7 @@ object LlmQueries {
     * <= `maxHamming` via `bit_count(a ^ b)`. Pigeonhole guarantee: a pair
     * with <= 3 differing bits has at least one identical band, so the
     * default threshold misses nothing. Fingerprints materialize ONCE
-    * (eager localCheckpoint — both band-join sides reuse them, the text
+    * (eager [[Materialize]] — both band-join sides reuse them, the text
     * is never re-tokenized).
     *
     * Scale note: 8-bit bands give only 4×256 buckets, so the band join's
@@ -377,10 +379,9 @@ object LlmQueries {
       s"maxHamming must be in [0, 3]: 4 bands only guarantee a shared " +
         s"band for <= 3 differing bits (got $maxHamming — pairs beyond " +
         "the pigeonhole bound would be silently incomplete)")
-    val fp = docs
+    val fp = Materialize(docs
       .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
-      .selectExpr("doc_id", "simhash32(h60_array(toks)) AS simhash")
-      .localCheckpoint()
+      .selectExpr("doc_id", "simhash32(h60_array(toks)) AS simhash"))
     val byteExprs = (0 until 4)
       .map(j => s"cast(shiftright(simhash, ${8 * j}) & 255 AS int)").mkString(", ")
     val bands = fp.select(col("doc_id"), col("simhash"),
@@ -695,7 +696,7 @@ object LlmQueries {
     * every bucketed KNN makes — [[qAnnMultiprobe]]'s nprobe explode is
     * the recovery knob when it matters. `assigned` must carry (vec_id,
     * embedding, norm, cluster) and be MATERIALIZED by the caller
-    * (localCheckpoint) — both self-join sides reference it, and the
+    * ([[Materialize]]) — both self-join sides reference it, and the
     * assignment's centroid argmax must not run twice. */
   /** Largest bucket the KNN self-join accepts before failing loudly: with
     * K ≈ √N centroids a bucket holds ≈ √N vectors (≈10³ at N=10⁶), so this
@@ -740,7 +741,7 @@ object LlmQueries {
   }
 
   private def qKnnJoin(s: SparkSession, d: String): DataFrame =
-    knnGraphBucketed(ivfAssigned(s, d).localCheckpoint(), k = 3)
+    knnGraphBucketed(Materialize(ivfAssigned(s, d)), k = 3)
       .orderBy(col("vec_id"), col("rk"))
 
   /** K-means centroid refinement for the IVF index (the production path

@@ -79,9 +79,10 @@ object DedupStream {
       if (hasParquet(spark, indexDir)) readIndex(spark, indexDir)
       else LlmQueries.indexRowsFromSig(batchSigx.limit(0))
         .withColumnRenamed("doc_id", idCol)
-    val pairs = LlmQueries
-      .minhashPairsAgainstIndexFromSig(index, idCol, batchSigx, threshold)
-      .localCheckpoint() // consumed twice: pair log + rejection set
+    val pairs = graft.operators.Materialize(LlmQueries
+      .minhashPairsAgainstIndexFromSig(index, idCol, batchSigx, threshold))
+    // ^ consumed twice: pair log + rejection set (reliable when a session
+    //   checkpoint dir is set — see Materialize)
     pairs.write.mode("overwrite")
       .parquet(s"$pairsDir/batch=$batchId")
     val rejected = pairs.select(col("doc_b").as("doc_id")).distinct()

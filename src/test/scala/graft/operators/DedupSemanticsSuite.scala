@@ -52,6 +52,36 @@ class DedupSemanticsSuite extends AnyFunSuite {
       s"false positive in $r")
   }
 
+  test("minhash pairs under a reliable checkpoint dir match the default path") {
+    // Materialize switches the signature materialization from
+    // localCheckpoint to a reliable df.checkpoint() when a session
+    // checkpoint dir is set (the executor-loss-safe 100 TB mode) — the
+    // pair results must be identical and real checkpoint files written.
+    val s = TestSpark.spark
+    val sc = s.sparkContext
+    val want = LlmQueries.queries("q_near_dedup_minhash")(s, dir)
+      .collect().toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mh_ckpt").toFile
+    try {
+      sc.setCheckpointDir(ckpt.getAbsolutePath)
+      val got = LlmQueries.queries("q_near_dedup_minhash")(s, dir)
+        .collect().toSeq
+      assert(got == want)
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap { c =>
+          if (c.isDirectory && c.getName.startsWith("rdd-")) Seq(c)
+          else if (c.isDirectory) rddDirs(c) else Nil
+        }
+      assert(rddDirs(ckpt).nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      sc.setCheckpointDir(null)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(ckpt)
+    }
+  }
+
   test("q_ngram_jaccard blocks on the min-shingle and verifies at 0.8") {
     val r = LlmQueries.queries("q_ngram_jaccard")(TestSpark.spark, dir)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
