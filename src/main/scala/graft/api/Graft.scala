@@ -351,6 +351,18 @@ object Graft {
                     windowTokens: Int = 4096, blockDocs: Int = 10000): DataFrame =
     CorpusOps.packSequences(docs, idCol, textCol, windowTokens, blockDocs)
 
+  /** Packed-sequence emission: the trainer rows [[packSequences]] only
+    * labels — each (bin × doc) overlap as (block, bin, doc_id,
+    * doc_offset, bin_offset, span_tokens, span_text), with docs carrying
+    * over across bin boundaries so every bin concatenates (in
+    * `bin_offset` order) to exactly `windowTokens` tokens except each
+    * block's last. Same single block-local window as packSequences plus
+    * a map-side explode into the bins each doc touches. */
+  def emitPackedSequences(docs: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 4096,
+                          blockDocs: Int = 10000): DataFrame =
+    CorpusOps.emitPackedSequences(docs, idCol, textCol, windowTokens, blockDocs)
+
   /** IVF bucket assignment: label every vector (unique `idCol`) with the
     * id of its max-cosine centroid as a `cluster` column. Centroids are a
     * bounded set — they ride one broadcast; scoring is the codegen'd

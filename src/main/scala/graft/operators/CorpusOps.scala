@@ -394,10 +394,59 @@ object CorpusOps {
       windowTokens = 2048, blockDocs = 100)
       .orderBy(col("doc_id"))
 
+  /** Packed-sequence EMISSION — the trainer rows [[packSequences]] only
+    * labels: documents concatenated in id order within each block, the
+    * stream cut every `windowTokens` tokens into bins, and each (bin ×
+    * doc) overlap emitted as one row with the span's doc-local offset,
+    * bin-local offset, token count, and text. A doc longer than the
+    * remaining bin space CARRIES OVER: its tail tokens become spans of
+    * the following bin(s) — `doc_offset` advances, `bin_offset` resets
+    * to 0 — so concatenating a bin's spans in `bin_offset` order yields
+    * exactly `windowTokens` tokens (the last bin of a block may be
+    * short). The trainer consumes bins; `doc_id` + `doc_offset` keep the
+    * provenance needed for masking document boundaries in attention.
+    *
+    * Scale shape: the SAME single block-local window as [[packSequences]]
+    * (one bounded shuffle on the block key, never a global-order prefix
+    * sum), then a map-side explode of each doc into the ≤ ⌈n/W⌉ + 1 bins
+    * it touches — output grows only by the bin-boundary splits, and the
+    * text is sliced once, map-side, after the window. */
+  private[graft] def emitPackedSequences(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, blockDocs: Int): DataFrame = {
+    require(windowTokens > 0 && blockDocs > 0,
+      s"need windowTokens > 0 and blockDocs > 0, got $windowTokens/$blockDocs")
+    val w = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .withColumn("n_tokens", expr("cast(size(toks) AS bigint)"))
+      .withColumn("block", expr(s"doc_id div $blockDocs"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("s", col("cum_tokens") - col("n_tokens"))
+      // the bins this doc's global token range [s, cum) intersects
+      .withColumn("bin", explode(expr(
+        s"sequence(s div $windowTokens, (cum_tokens - 1) div $windowTokens)")))
+      .withColumn("span_start",
+        greatest(col("s"), expr(s"bin * ${windowTokens}L")))
+      .withColumn("span_end",
+        least(col("cum_tokens"), expr(s"(bin + 1) * ${windowTokens}L")))
+      .selectExpr("block", "cast(bin AS bigint) AS bin", "doc_id",
+        "cast(span_start - s AS bigint) AS doc_offset",
+        s"cast(span_start - bin * ${windowTokens}L AS bigint) AS bin_offset",
+        "cast(span_end - span_start AS bigint) AS span_tokens",
+        "array_join(slice(toks, cast(span_start - s AS int) + 1, " +
+          "cast(span_end - span_start AS int)), ' ') AS span_text")
+  }
+
+  private def qSeqEmit(s: SparkSession, d: String): DataFrame =
+    emitPackedSequences(Tables.spread(s, Tables.documents(s, d)), "doc_id",
+      "text", windowTokens = 2048, blockDocs = 100)
+      .orderBy(col("block"), col("bin"), col("bin_offset"), col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_chunks" -> qDocChunks _,
     "q_chunk_dedup" -> qChunkDedup _,
     "q_seq_pack" -> qSeqPack _,
+    "q_seq_emit" -> qSeqEmit _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_group_sample" -> qGroupSample _,
     "q_group_topk" -> qGroupTopk _,
@@ -448,6 +497,32 @@ object CorpusOps {
         |SELECT doc_id, block, (cum_tokens - n_tokens) // 2048 AS bin,
         |       n_tokens, cum_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_seq_emit" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  doc_id // 100 AS block
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, block,
+        |             cast(len(toks) AS bigint) AS n_tokens FROM t),
+        |c AS (SELECT doc_id, toks, block, n_tokens,
+        |             cast(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id
+        |                                      ROWS UNBOUNDED PRECEDING) AS bigint)
+        |               AS cum
+        |      FROM n),
+        |b AS (SELECT doc_id, toks, block, cum, cum - n_tokens AS s,
+        |             unnest(generate_series((cum - n_tokens) // 2048,
+        |                                    (cum - 1) // 2048)) AS bin
+        |      FROM c),
+        |sp AS (SELECT block, bin, doc_id, s, toks,
+        |              greatest(s, bin * 2048) AS span_start,
+        |              least(cum, (bin + 1) * 2048) AS span_end
+        |       FROM b)
+        |SELECT block, cast(bin AS bigint) AS bin, doc_id,
+        |       cast(span_start - s AS bigint) AS doc_offset,
+        |       cast(span_start - bin * 2048 AS bigint) AS bin_offset,
+        |       cast(span_end - span_start AS bigint) AS span_tokens,
+        |       array_to_string(toks[span_start - s + 1 : span_end - s], ' ')
+        |         AS span_text
+        |FROM sp ORDER BY block, bin, bin_offset, doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${hashDrawDuck("doc_id")} % 5 = 0

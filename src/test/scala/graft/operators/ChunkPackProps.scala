@@ -42,6 +42,41 @@ object ChunkPackProps extends Properties("ChunkPack") {
         starts == starts.indices.map(_.toLong * stride)
     }
 
+  property("emit: spans round-trip every token; bins tile to the window") =
+    forAllNoShrink(Gen.listOfN(8, Gen.choose(1, 60)), Gen.choose(5, 100),
+        Gen.choose(2, 8)) { (lens, window, blockDocs) =>
+      import s.implicits._
+      val bodies = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" ")) }
+      val got = CorpusOps
+        .emitPackedSequences(bodies.toDF("id", "body"), "id", "body",
+          window, blockDocs)
+        .orderBy("block", "bin", "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getString(6)))
+      val byDoc = got.groupBy(_._3)
+      // 1. per-doc round-trip: concatenating a doc's spans in doc_offset
+      //    order rebuilds the document exactly (token counts AND text)
+      val docsRebuilt = bodies.forall { case (id, body) =>
+        val spans = byDoc(id).sortBy(_._4)
+        spans.map(_._6).sum == body.split(" ").length &&
+          spans.map(_._7).mkString(" ") == body &&
+          spans.map(_._4).toSeq ==
+            spans.map(_._6).scanLeft(0L)(_ + _).init.toSeq
+      }
+      // 2. per-bin tiling: spans in bin_offset order are contiguous from 0
+      //    and fill the window exactly (each block's last bin may be short)
+      val binsTiled = got.groupBy(g => (g._1, g._2)).forall { case ((b, bin), rows) =>
+        val sorted = rows.sortBy(_._5)
+        val contiguous = sorted.map(_._5).toSeq ==
+          sorted.map(_._6).scanLeft(0L)(_ + _).init.toSeq
+        val lastBin = got.filter(_._1 == b).map(_._2).max
+        contiguous &&
+          (bin == lastBin || sorted.map(_._6).sum == window.toLong)
+      }
+      docsRebuilt && binsTiled
+    }
+
   property("pack: exact block-local prefix sums, bins non-decreasing") =
     forAll(Gen.listOfN(8, Gen.choose(1, 60)), Gen.choose(5, 100),
         Gen.choose(2, 8)) { (lens, window, blockDocs) =>
