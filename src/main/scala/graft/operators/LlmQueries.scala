@@ -423,19 +423,8 @@ object LlmQueries {
     * addition commutes, so plane order cannot move the bucket. */
   private[graft] def embNearDupPairsCore(vectors: DataFrame, idCol: String,
       vecCol: String, nPlanes: Int, threshold: Double): DataFrame = {
-    require(nPlanes >= 1 && nPlanes <= 62,
-      s"nPlanes must be in [1, 62] (sketch is one long), got $nPlanes")
-    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
-    val e = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val planes = e.orderBy(col("vec_id")).limit(nPlanes)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-        .cast("int").as("pid"), col("embedding").as("pv"))
-      .agg(collect_list(struct(col("pid"), col("pv"))).as("_planes"))
-    val sketch = e.crossJoin(broadcast(planes))
-      .withColumn("sketch", expr(
-        s"aggregate(_planes, 0L, (acc, p) -> acc + (CASE WHEN ${dotSpark("embedding", "p.pv")} > 0 THEN shiftleft(1L, p.pid) ELSE 0L END))"))
-      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
-      .drop("_planes")
+    val sketch = signSketch(vectors, idCol, vecCol,
+      derivePlanes(vectors, idCol, vecCol, nPlanes))
     val a = sketch.selectExpr("vec_id AS vec_a", "sketch", "embedding AS va", "norm AS norm_a")
     val b = sketch.selectExpr("vec_id AS vec_b", "sketch", "embedding AS vb", "norm AS norm_b")
     a.join(b, Seq("sketch"))
@@ -443,6 +432,43 @@ object LlmQueries {
       .withColumn("sim", expr(s"round(${dotSpark("va", "vb")} / (norm_a * norm_b), 6)"))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+
+  /** The `nPlanes` lowest-id vectors as the sign-sketch plane set
+    * (pid, pv) — deterministic and data-derived. A persisted index MUST
+    * sketch every batch with the planes fixed at index creation
+    * ([[graft.streaming.EmbDedupStream]] stores them beside the index):
+    * sketches from different plane sets bucket differently, which would
+    * silently zero the probe's recall. */
+  private[graft] def derivePlanes(vectors: DataFrame, idCol: String,
+      vecCol: String, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"nPlanes must be in [1, 62] (sketch is one long), got $nPlanes")
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .orderBy(col("vec_id")).limit(nPlanes)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("int").as("pid"), col("embedding").as("pv"))
+  }
+
+  /** Sign-sketch every vector against a FIXED plane set: returns
+    * (vec_id, embedding, sketch, norm). The planes (≤62 rows) collapse to
+    * one collected struct array on one broadcast; the sketch is a per-row
+    * fold over it (map-side — the vector table itself never joins or
+    * shuffles here), and norms are hoisted to one sqrt per vector so pair
+    * verification doesn't recompute them per pair. Bit-identical to the
+    * per-plane crossJoin+sum form the DuckDB oracle replicates: each
+    * plane carries its own bit position and bit-sum addition commutes. */
+  private[graft] def signSketch(vectors: DataFrame, idCol: String,
+      vecCol: String, planes: DataFrame): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val packed = planes
+      .agg(collect_list(struct(col("pid"), col("pv"))).as("_planes"))
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(packed))
+      .withColumn("sketch", expr(
+        s"aggregate(_planes, 0L, (acc, p) -> acc + (CASE WHEN ${dotSpark("embedding", "p.pv")} > 0 THEN shiftleft(1L, p.pid) ELSE 0L END))"))
+      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+      .drop("_planes")
   }
 
   /** Embedding-cosine near-duplicates with LSH bucketing: the driver

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.operators.{LlmQueries, Materialize}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Continuous EMBEDDING near-duplicate maintenance — [[DedupStream]]'s
+  * batch→index→probe pattern (round-7 verdict #6) applied to the
+  * sign-sketch index: a persisted (vec_id, sketch, embedding, norm)
+  * table kept up to date BY the ingestion stream that probes it, so
+  * embedding dedup of a crawl never re-sketches or re-pairs the corpus
+  * (`Graft.embNearDupPairs` recomputes sketches per call — the gap this
+  * closes).
+  *
+  * The plane set is FIXED AT INDEX CREATION: sign sketches are only
+  * comparable under the same hyperplanes, so the first batch derives the
+  * `nPlanes` lowest-id planes ([[LlmQueries.derivePlanes]]) and persists
+  * them beside the index (`_graft_planes` — the underscore keeps the dir
+  * invisible to the index's partition discovery, the same convention as
+  * Spark's own `_metadata` files); every later batch (and any external
+  * reader) sketches with the stored planes. This is the embedding analog
+  * of the minhash index's fixed permutation set — there the hash family
+  * is baked into the kernel, here it is data-derived state and must be
+  * persisted (ec:2104-2194's principle: resume from saved state, never
+  * re-derive from history).
+  *
+  * Per micro-batch ([[processBatch]]):
+  *  1. sketch the batch ONCE against the stored planes (one broadcast
+  *     fold — corpus vectors are never touched);
+  *  2. probe: batch×index ∪ batch×batch candidates from the sketch
+  *     equi-join, verified at cosine >= `threshold` — never
+  *     corpus×corpus;
+  *  3. append the verified pairs to the pair log and the ACCEPTED
+  *     vectors' (sketch, embedding, norm) rows to the index.
+  *
+  * Acceptance, exactly-once, and first-write-wins follow [[DedupStream]]
+  * verbatim: a batch vector is rejected iff it is the `vec_b` (greater
+  * id) of a verified pair; both writes overwrite `batch=<id>` partition
+  * dirs so foreachBatch replays are no-ops; an id already in the index
+  * keeps its first-written row.
+  *
+  * Scale: probe cost is |batch| × bucket (the index side arrives
+  * pre-sketched — no corpus text/vector pass); append cost is
+  * |accepted| rows. With `nPlanes` = p there are 2^p buckets — p must
+  * grow with the corpus (p ≈ log2(N) keeps expected bucket size
+  * constant) exactly as the minhash band width must. */
+object EmbDedupStream {
+
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("batch=")
+    }
+  }
+
+  private def planesPath(indexDir: String) = s"$indexDir/_graft_planes"
+
+  private def hasPlanes(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new Path(planesPath(indexDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The index's fixed plane set (pid, pv), once a batch has created it. */
+  def readPlanes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(planesPath(indexDir))
+
+  /** Read the accumulated sketch index: (vec_id, embedding, sketch, norm). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).drop("batch")
+
+  /** Read the accumulated near-dup pair log: (vec_a, vec_b, sim). */
+  def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
+    spark.read.parquet(pairsDir).drop("batch")
+
+  /** One micro-batch step — the foreachBatch body, callable directly for
+    * batch-driven ingestion too. Returns the batch's verified pairs. */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+                   vecCol: String, indexDir: String, pairsDir: String,
+                   threshold: Double, nPlanes: Int): DataFrame = {
+    val spark = batch.sparkSession
+    // Plane bootstrap: first non-empty batch fixes the planes for the
+    // index's lifetime. Deriving is deterministic (lowest batch ids), so
+    // a replay of batch 0 rewrites identical planes — idempotent.
+    if (!hasPlanes(spark, indexDir))
+      LlmQueries.derivePlanes(batch, idCol, vecCol, nPlanes)
+        .write.mode("overwrite").parquet(planesPath(indexDir))
+    val planes = readPlanes(spark, indexDir)
+    // One sketch pass over the batch; probed AND appended from this.
+    val batchSk = Materialize(
+      LlmQueries.signSketch(batch, idCol, vecCol, planes))
+    val index =
+      if (hasParquet(spark, indexDir)) readIndex(spark, indexDir)
+      else batchSk.limit(0)
+    // Candidates: every batch vector against the index ∪ this batch on
+    // the sketch bucket. A batch×batch pair surfaces from both of its
+    // ends — the `_b` flag keeps only the (smaller id = partner) side —
+    // while a batch×corpus pair surfaces once, from its batch end.
+    val u = index.withColumn("_b", lit(false))
+      .unionByName(batchSk.withColumn("_b", lit(true)))
+      .selectExpr("vec_id AS _uid", "sketch", "embedding AS _uv",
+        "norm AS _un", "_b")
+    val probe = batchSk
+      .selectExpr("vec_id AS _pid", "sketch", "embedding AS _pv",
+        "norm AS _pn")
+    val pairs = Materialize(probe.join(u, Seq("sketch"))
+      .filter(col("_uid") =!= col("_pid"))
+      .filter(!col("_b") || col("_uid") < col("_pid"))
+      .withColumn("sim", expr(
+        "round(dot_f32(_uv, _pv) / (_un * _pn), 6)"))
+      .filter(col("sim") >= threshold)
+      .select(least(col("_uid"), col("_pid")).as("vec_a"),
+        greatest(col("_uid"), col("_pid")).as("vec_b"), col("sim")))
+    // ^ consumed twice: pair log + rejection set. Each unordered pair
+    //   survives the _b/id filters exactly once (a vector lives in one
+    //   bucket, so a pair can only meet on one sketch value).
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    val rejected = pairs.select(col("vec_b").as("vec_id")).distinct()
+    // First-write-wins, excluding this batch id's own (about-to-be-
+    // overwritten) rows on replay — see DedupStream.processBatch.
+    val alreadyIndexed =
+      if (hasParquet(spark, indexDir))
+        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
+          .select(col("vec_id")).distinct()
+      else index.select(col("vec_id")).distinct()
+    batchSk
+      .join(rejected, Seq("vec_id"), "left_anti")
+      .join(alreadyIndexed, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    pairs
+  }
+
+  /** Attach continuous embedding dedup to a streaming Dataset of
+    * vectors: `vectors` must be a streaming frame carrying `idCol` and
+    * an `Array[Float]` `vecCol`. */
+  def start(vectors: DataFrame, idCol: String, vecCol: String,
+            indexDir: String, pairsDir: String, checkpointDir: String,
+            threshold: Double = 0.99, nPlanes: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, id: Long) =>
+        processBatch(b, id, idCol, vecCol, indexDir, pairsDir, threshold,
+          nPlanes): Unit)
+      .start()
+}
