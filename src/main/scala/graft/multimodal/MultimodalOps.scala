@@ -54,7 +54,8 @@ object MultimodalOps {
     * extends the dispatch with more codecs (JPEG, PCM, …) — the batch
     * seam, schema, and null handling around it stay. */
   def decodeKernel(batch: Seq[Array[Byte]]): Seq[Array[Double]] =
-    batch.map(p => decodePpm(p).getOrElse(fallbackFeatures(p)))
+    batch.map(p => decodePpm(p).orElse(decodePgm(p)).orElse(decodeWav(p))
+      .getOrElse(fallbackFeatures(p)))
 
   /** Deterministic fallback features for payloads with no recognized
     * codec: feature j = `(h60(payload ⧺ "#j") mod 1000) / 1000` —
@@ -77,8 +78,14 @@ object MultimodalOps {
     * `[width, height, meanR, meanG, meanB, meanLuma, rmsContrast,
     * fracBright]` — channel means normalized by maxval, luminance by
     * Rec. 709 weights, fracBright = fraction of pixels with luma > 0.5. */
-  private[multimodal] def decodePpm(p: Array[Byte]): Option[Array[Double]] = {
-    if (p.length < 3 || p(0) != 'P' || p(1) != '6') return None
+  /** Shared netpbm header parse (`P<digit> <w> <h> <maxval>` with `#`
+    * comments, per the spec): returns (w, h, maxval, pixel-data offset)
+    * iff the header is structurally valid for `magic` — the magic byte,
+    * whitespace/comment after it, three bounded positive ints, and ONE
+    * separator byte before the pixel buffer. Callers still validate the
+    * buffer length for their sample width. */
+  private def parseNetpbm(p: Array[Byte], magic: Char): Option[(Long, Long, Long, Int)] = {
+    if (p.length < 3 || p(0) != 'P' || p(1) != magic.toByte) return None
     var i = 2
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     // the netpbm spec requires whitespace (or a comment) after the magic
@@ -104,6 +111,14 @@ object MultimodalOps {
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
     if (i >= p.length || !isWs(p(i))) return None // ONE separator byte
     i += 1
+    Some((w, h, maxv, i))
+  }
+
+  private[multimodal] def decodePpm(p: Array[Byte]): Option[Array[Double]] = {
+    val (w, h, maxv, i) = parseNetpbm(p, '6') match {
+      case Some(hdr) => hdr
+      case None => return None
+    }
     if (p.length.toLong - i != w * h * 3) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var sumLuma = 0.0; var sumLuma2 = 0.0; var bright = 0L
@@ -123,6 +138,129 @@ object MultimodalOps {
       sr / np / mv, sg / np / mv, sb / np / mv, meanLuma,
       math.sqrt(math.max(sumLuma2 / np - meanLuma * meanLuma, 0.0)),
       bright / np))
+  }
+
+  /** Decode a binary PGM (P5) grayscale image: same netpbm header as P6,
+    * then exactly w·h single-byte samples. Features keep the
+    * [[FeatureDim]] = 8 layout of [[decodePpm]] with all three channel
+    * means equal to the gray mean: `[width, height, mean, mean, mean,
+    * meanLuma = mean, rmsContrast, fracBright]`. All statistics derive
+    * from EXACT integer sums (Σg, Σg², count of 2g > maxval) followed by
+    * a fixed scalar expression — partitioning- and engine-independent,
+    * which is what lets a DuckDB oracle check this codec bit-for-bit on
+    * synthetic payloads ([[syntheticPgm]]/`q_media_decode`). */
+  private[multimodal] def decodePgm(p: Array[Byte]): Option[Array[Double]] = {
+    val (w, h, maxv, i) = parseNetpbm(p, '5') match {
+      case Some(hdr) => hdr
+      case None => return None
+    }
+    if (p.length.toLong - i != w * h) return None
+    var sg = 0L; var sg2 = 0L; var bright = 0L
+    var k = i
+    while (k < p.length) {
+      val g = p(k) & 0xff
+      sg += g; sg2 += g.toLong * g
+      if (2 * g > maxv) bright += 1
+      k += 1
+    }
+    val np = (w * h).toDouble
+    val mv = maxv.toDouble
+    val mean = sg.toDouble / np / mv
+    val m2 = sg2.toDouble / np / (mv * mv)
+    Some(Array(w.toDouble, h.toDouble, mean, mean, mean, mean,
+      math.sqrt(math.max(m2 - mean * mean, 0.0)), bright / np))
+  }
+
+  /** Decode a PCM16 WAV payload: RIFF/WAVE container, `fmt ` chunk
+    * declaring integer PCM (format 1) at 16 bits, word-aligned chunk
+    * walk, `data` chunk of little-endian int16 samples. Returns None
+    * unless structurally valid (magics, bounded chunk lengths, a
+    * non-empty even-length data chunk), so arbitrary bytes can't
+    * false-positive into the audio path.
+    *
+    * Features ([[FeatureDim]] = 8): `[nChannels, sampleRate, nSamples,
+    * durationSec, meanAbsAmp, rms, zeroCrossRate, peakAmp]` — amplitude
+    * stats normalized by 32768, all from exact integer sums (Σ|s|, Σs²,
+    * sign-flip count, max|s|) + fixed scalar ops, so the DuckDB oracle
+    * reproduces them bit-for-bit on synthetic payloads. */
+  private[multimodal] def decodeWav(p: Array[Byte]): Option[Array[Double]] = {
+    if (p.length < 44) return None
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def tag(o: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, j) => p(o + j) == c.toByte }
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var fmtOk = false; var channels = 0; var rate = 0L
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= p.length && (dataOff < 0 || !fmtOk)) {
+      val len = u32(off + 4)
+      if (len < 0 || off + 8 + len > p.length) return None
+      if (tag(off, "fmt ")) {
+        if (len < 16) return None
+        channels = u16(off + 10); rate = u32(off + 12)
+        fmtOk = u16(off + 8) == 1 && u16(off + 22) == 16 &&
+          channels >= 1 && rate > 0
+        if (!fmtOk) return None
+      } else if (tag(off, "data")) {
+        dataOff = off + 8; dataLen = len.toInt
+      }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen <= 0 || dataLen % 2 != 0) return None
+    val n = dataLen / 2
+    if (n % channels != 0) return None
+    var sa = 0L; var ss = 0L; var zc = 0L; var peak = 0L
+    var prevNeg = false
+    var k = 0
+    while (k < n) {
+      val s = ((p(dataOff + 2 * k + 1) << 8) | (p(dataOff + 2 * k) & 0xff)).toShort.toInt
+      val a = math.abs(s.toLong)
+      sa += a; ss += s.toLong * s
+      if (a > peak) peak = a
+      val neg = s < 0
+      if (k > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      k += 1
+    }
+    val nd = n.toDouble
+    val Full = 32768.0
+    Some(Array(channels.toDouble, rate.toDouble, nd,
+      (n / channels).toDouble / rate.toDouble,
+      sa.toDouble / nd / Full,
+      math.sqrt(ss.toDouble / nd / (Full * Full)),
+      if (n > 1) zc.toDouble / (n - 1).toDouble else 0.0,
+      peak.toDouble / Full))
+  }
+
+  /** Deterministic synthetic PGM fixture: an 8×2 P5 image whose 16 gray
+    * bytes are `(doc_id·7 + k) mod 256` — a pure function of the id, so
+    * the DuckDB oracle regenerates the pixel values and checks the REAL
+    * [[decodePgm]] statistics arithmetically. */
+  private[multimodal] def syntheticPgm(id: Long): Array[Byte] =
+    "P5\n8 2\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(16)(k => ((id * 7 + k) % 256).toByte)
+
+  /** Deterministic synthetic WAV fixture: mono PCM16 at 8 kHz, 24
+    * samples `((doc_id·31 + k·17) mod 65536) − 32768` — the audio twin
+    * of [[syntheticPgm]] for the oracle-checked codec path. */
+  private[multimodal] def syntheticWav(id: Long): Array[Byte] = {
+    val n = 24
+    val rate = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // integer PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2) // byte rate = rate × block align
+    bb.putShort(2); bb.putShort(16) // block align, bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+    (0 until n).foreach { k =>
+      bb.putShort((((id * 31 + k * 17) % 65536) - 32768).toShort)
+    }
+    bb.array()
   }
 
   /** First 15 hex chars of md5 as a long — the Scala twin of
@@ -194,9 +332,35 @@ object MultimodalOps {
         s"${h60Spark("substring(text, 1 + 64 * ((n_frames - 1) div 2), 16)")} AS mid_frame_fp")
       .orderBy(col("doc_id"))
 
+  /** The REAL-codec path, driver-checked (round-7 verdict #7 — the
+    * dispatch must not be one-armed-and-fallback on the oracle gate):
+    * each doc gets a synthetic binary payload that is a pure function of
+    * its id — even ids an 8×2 PGM image, odd ids a 24-sample PCM16 WAV —
+    * and the BATCHED KERNEL path ([[decodeBatches]] → [[decodeKernel]])
+    * really parses headers and computes pixel/sample statistics. The
+    * DuckDB oracle regenerates the payload's pixels/samples from the
+    * same id formula and recomputes the statistics arithmetically, so a
+    * header-parse or stats bug in either codec breaks the hash. Features
+    * round at 6 dp on both sides (the sums are exact integers and the
+    * scalar tails identical, so this is belt-and-braces). */
+  private def qMediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 2 == 0) MediaRow(id, syntheticPgm(id), "image/pgm")
+        else MediaRow(id, syntheticWav(id), "audio/wav")
+      })
+      .mapPartitions(decodeBatches _)
+    val cols = Seq("doc_id", "kind", "n_bytes") ++
+      (0 until FeatureDim).map(j => s"round(features[$j], 6) AS f$j")
+    feats.toDF().selectExpr(cols: _*).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> qMediaFeatures _,
-    "q_media_frames" -> qMediaFrames _
+    "q_media_frames" -> qMediaFrames _,
+    "q_media_decode" -> qMediaDecode _
   )
 
   val oracle: Map[String, String] = Map(
@@ -207,6 +371,55 @@ object MultimodalOps {
          |       ${feats.mkString(",\n       ")}
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // Regenerates each synthetic payload's pixels/samples from the same
+    // id formula the Spark side uses to BUILD the binary payloads, and
+    // recomputes decodePgm/decodeWav's statistics arithmetically: exact
+    // integer sums, then the identical scalar expression (division order
+    // matters — it mirrors the Scala code token-for-token).
+    "q_media_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |pg AS (SELECT doc_id, unnest(generate_series(0, 15)) AS k
+        |       FROM ids WHERE doc_id % 2 = 0),
+        |pgv AS (SELECT doc_id, (doc_id * 7 + k) % 256 AS g FROM pg),
+        |ps AS (SELECT doc_id,
+        |              cast(sum(g) AS bigint) AS sg,
+        |              cast(sum(g * g) AS bigint) AS sg2,
+        |              cast(sum(CASE WHEN 2 * g > 255 THEN 1 ELSE 0 END) AS bigint) AS br
+        |       FROM pgv GROUP BY doc_id),
+        |pgf AS (SELECT doc_id, 'image/pgm' AS kind, cast(27 AS bigint) AS n_bytes,
+        |               8.0 AS f0, 2.0 AS f1,
+        |               round(sg / 16.0 / 255.0, 6) AS f2,
+        |               round(sg / 16.0 / 255.0, 6) AS f3,
+        |               round(sg / 16.0 / 255.0, 6) AS f4,
+        |               round(sg / 16.0 / 255.0, 6) AS f5,
+        |               round(sqrt(greatest(sg2 / 16.0 / (255.0 * 255.0) -
+        |                 (sg / 16.0 / 255.0) * (sg / 16.0 / 255.0), 0.0)), 6) AS f6,
+        |               round(br / 16.0, 6) AS f7
+        |        FROM ps),
+        |wv AS (SELECT doc_id, unnest(generate_series(0, 23)) AS k
+        |       FROM ids WHERE doc_id % 2 = 1),
+        |wvs AS (SELECT doc_id, k,
+        |               (doc_id * 31 + k * 17) % 65536 - 32768 AS s FROM wv),
+        |wz AS (SELECT doc_id, k, s,
+        |              lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |       FROM wvs),
+        |ws AS (SELECT doc_id,
+        |              cast(sum(abs(s)) AS bigint) AS sa,
+        |              cast(sum(s * s) AS bigint) AS ss,
+        |              cast(max(abs(s)) AS bigint) AS pk,
+        |              cast(sum(CASE WHEN prev IS NOT NULL AND ((s < 0) != (prev < 0))
+        |                            THEN 1 ELSE 0 END) AS bigint) AS zc
+        |       FROM wz GROUP BY doc_id),
+        |wf AS (SELECT doc_id, 'audio/wav' AS kind, cast(92 AS bigint) AS n_bytes,
+        |               1.0 AS f0, 8000.0 AS f1, 24.0 AS f2,
+        |               round(24.0 / 8000.0, 6) AS f3,
+        |               round(sa / 24.0 / 32768.0, 6) AS f4,
+        |               round(sqrt(ss / 24.0 / (32768.0 * 32768.0)), 6) AS f5,
+        |               round(zc / 23.0, 6) AS f6,
+        |               round(pk / 32768.0, 6) AS f7
+        |        FROM ws)
+        |SELECT * FROM pgf UNION ALL SELECT * FROM wf
+        |ORDER BY doc_id""".stripMargin,
     "q_media_frames" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

@@ -67,6 +67,64 @@ class MultimodalSuite extends AnyFunSuite {
     assert(MultimodalOps.decodePpm("P62 2\n255\n".getBytes ++ pix).isEmpty)
   }
 
+  test("PGM (P5) payloads decode to real grayscale statistics") {
+    // 4x1 image: black, mid, bright, white
+    val pgm = "P5\n# gray\n4 1\n255\n".getBytes("UTF-8") ++
+      Array(0, 128, 192, 255).map(_.toByte)
+    val f = MultimodalOps.decodePgm(pgm).get
+    assert(f(0) == 4.0 && f(1) == 1.0)
+    val mean = (0 + 128 + 192 + 255) / 4.0 / 255.0
+    assert(math.abs(f(2) - mean) < 1e-12 && f(2) == f(3) && f(3) == f(4)
+      && f(4) == f(5))
+    assert(f(6) > 0.3) // spread image → high contrast
+    assert(f(7) == 0.75) // 3 of 4 pixels with 2g > 255 (128, 192, 255)
+    // dispatch: P5 → real decoder; malformed P5 falls back, P6 unaffected
+    val viaKernel = MultimodalOps.decodeKernel(Seq(pgm))
+    assert(viaKernel(0).toSeq == f.toSeq)
+    assert(MultimodalOps.decodePgm(pgm.dropRight(1)).isEmpty)
+    assert(MultimodalOps.decodePgm(pgm ++ Array(0.toByte)).isEmpty)
+    assert(MultimodalOps.decodePgm("P5 garbage".getBytes).isEmpty)
+    assert(MultimodalOps.decodePpm(pgm).isEmpty) // P5 is not P6
+  }
+
+  test("WAV (PCM16) payloads decode to real sample statistics") {
+    val wav = MultimodalOps.syntheticWav(1L)
+    val f = MultimodalOps.decodeWav(wav).get
+    assert(f(0) == 1.0 && f(1) == 8000.0 && f(2) == 24.0)
+    assert(math.abs(f(3) - 24.0 / 8000.0) < 1e-15) // duration
+    // recompute the stats from the generator formula
+    val samples = (0 until 24).map(k => ((1L * 31 + k * 17) % 65536 - 32768).toInt)
+    val sa = samples.map(s => math.abs(s.toLong)).sum
+    val ss = samples.map(s => s.toLong * s).sum
+    val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(f(4) == sa.toDouble / 24.0 / 32768.0)
+    assert(f(5) == math.sqrt(ss.toDouble / 24.0 / (32768.0 * 32768.0)))
+    assert(f(6) == zc.toDouble / 23.0)
+    assert(f(7) == samples.map(s => math.abs(s.toLong)).max / 32768.0)
+    // dispatch + malformed variants fall back instead of mis-parsing
+    assert(MultimodalOps.decodeKernel(Seq(wav))(0).toSeq == f.toSeq)
+    assert(MultimodalOps.decodeWav(wav.dropRight(1)).isEmpty) // truncated data
+    assert(MultimodalOps.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // float format tag
+    assert(MultimodalOps.decodeWav(nonPcm).isEmpty)
+    val eightBit = wav.clone(); eightBit(34) = 8
+    assert(MultimodalOps.decodeWav(eightBit).isEmpty)
+  }
+
+  test("q_media_decode runs both real codecs — no row takes the fallback") {
+    val s = TestSpark.spark
+    val rows = MultimodalOps.queries("q_media_decode")(s, sf).collect()
+    assert(rows.nonEmpty)
+    val byKind = rows.groupBy(_.getString(1))
+    // every even id decoded as an image (f0 = width 8), every odd id as
+    // audio (f1 = sample rate 8000) — values unreachable via fallback,
+    // whose features all land in [0, 1)
+    assert(byKind("image/pgm").forall(r =>
+      r.getLong(0) % 2 == 0 && r.getDouble(3) == 8.0 && r.getLong(2) == 27L))
+    assert(byKind("audio/wav").forall(r =>
+      r.getLong(0) % 2 == 1 && r.getDouble(4) == 8000.0 && r.getLong(2) == 92L))
+  }
+
   test("kernel is deterministic and features are in [0, 1)") {
     val batch = Seq("a".getBytes, "b".getBytes, "a".getBytes)
     val out1 = MultimodalOps.decodeKernel(batch)
