@@ -386,6 +386,36 @@ object Graft {
       .drop("_cid", "_cv", "_cnorm", "_csim", "_rn", "_norm")
   }
 
+  /** Train IVF centroids: `iters` Lloyd's iterations (max-cosine
+    * assignment → exact-integer element-wise means, the [[ivfAssign]]
+    * conventions) from a seed of the `k` lowest-`idCol` vectors;
+    * `k` = 0 sizes the codebook as K = ⌈√N⌉ — the classic IVF sizing
+    * that keeps both the broadcast centroid table and the expected
+    * bucket (≈ √N rows) sub-linear in N, so probes and the KNN self-join
+    * stay sub-quadratic as the corpus grows. Returns (cid, cv, cnorm) —
+    * feed to [[ivfAssign]]/[[ivfMultiProbe]] as the centroid table (cid
+    * is the seed vector's id). The iterations unroll into one DAG: each
+    * is one K-row broadcast + one (cid, pos) shuffle of exact integer
+    * partial sums — the canonical distributed Lloyd's step. */
+  def trainIvfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                        k: Int = 0, iters: Int = 2): DataFrame = {
+    require(k >= 0, s"k must be >= 0 (0 = ceil(sqrt(N))), got $k")
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val e = vectors
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("norm", expr("sqrt(dot_f32(embedding, embedding))"))
+    val kk = if (k > 0) k
+      else { // one bounded count job to size the codebook — training is
+             // an offline step, and the count result is a single long
+        val n = e.count()
+        math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
+    val seed = e.orderBy(col("vec_id")).limit(kk)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cnorm"))
+    LlmQueries.kmeansTrain(e, seed, iters)
+  }
+
   /** Batched ANN probe over [[ivfAssign]] output: each query searches ONLY
     * its own cluster's bucket (equi-join on `cluster`, query batch on one
     * broadcast), top-`k` by cosine per query — one plan for the whole

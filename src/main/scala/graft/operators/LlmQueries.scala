@@ -660,9 +660,8 @@ object LlmQueries {
     val cents0 = seedCentroids(e)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
         col("norm").as("cnorm"))
-    val c1 = kmeansRecompute(kmeansAssign(e, cents0))
-    val c2 = kmeansRecompute(kmeansAssign(e, c1))
-    val assigned = kmeansAssign(e, c2).withColumnRenamed("cid", "cluster")
+    val assigned = kmeansAssign(e, kmeansTrain(e, cents0, iters = 2))
+      .withColumnRenamed("cid", "cluster")
     val q = assigned.filter(col("vec_id") === 0)
       .selectExpr("cluster AS qcluster", "embedding AS qv", "norm AS qnorm")
     assigned.join(broadcast(q), col("cluster") === col("qcluster"))
@@ -811,6 +810,22 @@ object LlmQueries {
       .groupBy(col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m AS float))").as("cv"))
       .withColumn("cnorm", expr(s"sqrt(${dotSpark("cv", "cv")})"))
+
+  /** `iters` unrolled Lloyd's iterations from a caller-supplied seed —
+    * the loop body behind [[qIvfKmeans]]/[[qAnnTrained]] and
+    * [[graft.api.Graft.trainIvfCentroids]]. `e` needs (vec_id,
+    * embedding, norm); `cents0` (cid, cv, cnorm). The iterations unroll
+    * into ONE DAG (no driver-side data, plan depth linear in `iters` —
+    * fine for the 2-5 iterations IVF training uses; checkpoint the
+    * assignment first if you need dozens). */
+  private[graft] def kmeansTrain(e: DataFrame, cents0: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var c = cents0
+    var it = 0
+    while (it < iters) { c = kmeansRecompute(kmeansAssign(e, c)); it += 1 }
+    c
+  }
 
   private def qIvfKmeans(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)

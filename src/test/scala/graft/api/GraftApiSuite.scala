@@ -260,6 +260,28 @@ class GraftApiSuite extends AnyFunSuite {
     assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
   }
 
+  test("trainIvfCentroids refines seeds toward group structure; " +
+      "ivfAssign with the trained codebook buckets the groups") {
+    // two tight cosine groups; seeds (lowest ids 1 and 2) land one per
+    // group, so two Lloyd's iterations pull each centroid to its group
+    val vecs = Seq(
+      (1L, Array(1f, 0.05f)), (3L, Array(0.98f, 0.02f)), (5L, Array(0.99f, 0f)),
+      (2L, Array(0.05f, 1f)), (4L, Array(0.02f, 0.97f)), (6L, Array(0f, 1.01f)))
+      .toDF("vid", "emb")
+    val cents = Graft.trainIvfCentroids(vecs, "vid", "emb", k = 2, iters = 2)
+    val rows = cents.collect()
+    assert(rows.length == 2)
+    val assigned = Graft.ivfAssign(vecs, "vid", "emb", cents, "cid", "cv")
+    val byCluster = assigned.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(byCluster(1L) == Set(1L, 3L, 5L))
+    assert(byCluster(2L) == Set(2L, 4L, 6L))
+    // k = 0 sizes the codebook as ceil(sqrt(N)) = 3
+    assert(Graft.trainIvfCentroids(vecs, "vid", "emb", iters = 1)
+      .count() == 3L)
+  }
+
   test("knnGraph fails loudly when a bucket exceeds the cap") {
     // 20 vectors forced into ONE bucket with cap 5: the oversized-bucket
     // guard must fail the query (quadratic-join protection), not run it.

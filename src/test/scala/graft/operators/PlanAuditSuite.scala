@@ -170,6 +170,23 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q_seq_emit cumulates block-locally like q_seq_pack: one bounded " +
+      "shuffle, explode and slice map-side after the window") {
+    val p = plan("q_seq_emit")
+    val semantic = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p)
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toList
+    assert(semantic.size == 1, p.linesIterator.take(10).mkString("\n"))
+    assert(semantic.head.contains("block"), semantic.head)
+    assert(p.contains("Generate"), p) // the bin explode IS the emission
+  }
+
+  test("q_media_decode is map-side: the kernel path adds no shuffle " +
+      "before the output sort") {
+    val p = plan("q_media_decode")
+    assertNoSemanticHashExchange(p)
+    assert(p.contains("MapPartitions"), p) // the batched kernel seam
+  }
+
   test("q_char_stats is map-side: no shuffle, no explode") {
     val p = plan("q_char_stats")
     assertNoSemanticHashExchange(p)
