@@ -515,6 +515,22 @@ object Graft {
                   k: Int): DataFrame =
     CorpusOps.groupSample(docs, strata, idCol, k).drop("_draw")
 
+  /** Deterministic train/val/test split: each row's `split` column
+    * follows its id's multiplicative-hash residue — no rand(), so a doc
+    * keeps its split across re-runs, engines, and incremental ingests
+    * (late-arriving docs can never migrate eval into train). Map-side. */
+  def dataSplit(docs: DataFrame, idCol: String, trainPct: Int = 90,
+                valPct: Int = 5): DataFrame =
+    CorpusOps.dataSplit(docs, idCol, trainPct, valPct)
+
+  /** Token-level, regex-free PII scrubbing: `@`-bearing tokens →
+    * `<EMAIL>`, ≥7-char all-digit tokens → `<PHONE>`; returns per-doc
+    * counts + the scrubbed text in one map-side pass. Widen the rules
+    * (or swap an NER model in via the multimodal batch seam) for
+    * production — the counting/rewrite plumbing stays. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    CorpusOps.piiScrub(docs, idCol, textCol)
+
   /** Passage-level exact dedup: non-overlapping `window`-token chunks
     * fingerprinted, each flagged `keep` = is-the-first-copy — catches
     * repeated spans (quotes, licenses, templated sections) doc-level

@@ -90,6 +90,56 @@ object CorpusOps {
         col("_draw").as("draw"))
       .orderBy(col("lang"), col("rk"))
 
+  /** Deterministic train/val/test assignment: each doc's split follows
+    * its [[hashDraw]] residue mod 100 — `< trainPct` → train,
+    * `< trainPct + valPct` → val, else test. No rand(): the same doc
+    * lands in the same split on every run, partitioning, engine, and
+    * INCREMENTAL ingest (a re-crawled or late-arriving doc can never
+    * migrate across the split boundary and leak eval into train —
+    * the property rand-based splitters silently lose on re-runs).
+    * Entirely map-side. */
+  private[graft] def dataSplit(docs: DataFrame, idCol: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct and trainPct + valPct < 100, got $trainPct/$valPct")
+    val draw = hashDraw(col(idCol)) % 100
+    docs.withColumn("split",
+      when(draw < trainPct, lit("train"))
+        .when(draw < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  private def qDataSplit(s: SparkSession, d: String): DataFrame =
+    dataSplit(Tables.documents(s, d), "doc_id", trainPct = 90, valPct = 5)
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** PII scrubbing, token-level and regex-free (regex dialects differ
+    * across engines — these rules are pure string algebra, identical in
+    * Spark and DuckDB): a token containing `@` becomes `<EMAIL>`; a
+    * token of ≥ 7 characters that is ALL digits (translate strips
+    * '0'-'9' to empty) becomes `<PHONE>`. Returns per-doc counts and the
+    * scrubbed text; the transform is one map-side higher-order-function
+    * pass — no explode, no shuffle, runs at scan speed. Production
+    * deployments widen the rule set (or swap in an NER model via the
+    * multimodal batch seam); the counting/rewrite plumbing stays. */
+  private[graft] def piiScrub(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val isEmail = "t LIKE '%@%'"
+    val isPhone = "length(t) >= 7 AND translate(t, '0123456789', '') = ''"
+    docs.selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
+      .selectExpr("doc_id",
+        "cast(size(toks) AS bigint) AS n_tokens",
+        s"cast(size(filter(toks, t -> $isEmail)) AS bigint) AS n_emails",
+        s"cast(size(filter(toks, t -> NOT ($isEmail) AND $isPhone)) AS bigint) AS n_phones",
+        s"array_join(transform(toks, t -> CASE WHEN $isEmail THEN '<EMAIL>' " +
+          s"WHEN $isPhone THEN '<PHONE>' ELSE t END), ' ') AS scrubbed")
+  }
+
+  private def qPiiScrub(s: SparkSession, d: String): DataFrame =
+    piiScrub(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Decontamination: documents sharing an exact text fingerprint with the
     * evaluation set (stand-in: every 97th doc_id) are removed — including
     * non-eval duplicates of eval texts, which is the point of matching on
@@ -448,6 +498,8 @@ object CorpusOps {
     "q_seq_pack" -> qSeqPack _,
     "q_seq_emit" -> qSeqEmit _,
     "q_stratified_sample" -> qStratifiedSample _,
+    "q_data_split" -> qDataSplit _,
+    "q_pii_scrub" -> qPiiScrub _,
     "q_group_sample" -> qGroupSample _,
     "q_group_topk" -> qGroupTopk _,
     "q_decontaminate" -> qDecontaminate _,
@@ -527,6 +579,24 @@ object CorpusOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${hashDrawDuck("doc_id")} % 5 = 0
          |ORDER BY doc_id""".stripMargin,
+    "q_data_split" ->
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN ${hashDrawDuck("doc_id")} % 100 < 90 THEN 'train'
+         |            WHEN ${hashDrawDuck("doc_id")} % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       cast(len(toks) AS bigint) AS n_tokens,
+        |       cast(len(list_filter(toks, t -> t LIKE '%@%')) AS bigint) AS n_emails,
+        |       cast(len(list_filter(toks, t -> NOT (t LIKE '%@%') AND length(t) >= 7
+        |              AND translate(t, '0123456789', '') = '')) AS bigint) AS n_phones,
+        |       array_to_string(list_transform(toks, t ->
+        |         CASE WHEN t LIKE '%@%' THEN '<EMAIL>'
+        |              WHEN length(t) >= 7 AND translate(t, '0123456789', '') = ''
+        |              THEN '<PHONE>' ELSE t END), ' ') AS scrubbed
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_group_sample" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id, ${hashDrawDuck("doc_id")} AS draw

@@ -260,6 +260,36 @@ class GraftApiSuite extends AnyFunSuite {
     assert(multi.sortBy(_._1).map(_._2).toSeq == Seq(4L, 2L, 3L))
   }
 
+  test("piiScrub replaces planted emails and phone numbers, counts them, " +
+      "and leaves clean text byte-identical") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or call 5551234567 today"),
+      (2L, "no pii here just words and the number 42"),
+      (3L, "two mails a@b.c d@e.f and short digits 123456"))
+      .toDF("id", "body")
+    val got = Graft.piiScrub(docs, "id", "body").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 1L, 1L,
+      "contact <EMAIL> or call <PHONE> today")))
+    assert(got(1) == ((2L, 0L, 0L, "no pii here just words and the number 42")))
+    // 6-digit run is below the phone floor; both emails caught
+    assert(got(2) == ((3L, 2L, 0L,
+      "two mails <EMAIL> <EMAIL> and short digits 123456")))
+  }
+
+  test("dataSplit is deterministic, total, and near the requested ratios") {
+    val docs = (0L until 2000L).toDF("id")
+    val s1 = Graft.dataSplit(docs, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.keySet == Set("train", "val", "test"))
+    assert(s1.values.sum == 2000L)
+    assert(s1("train") > 1600 && s1("val") < 250 && s1("test") < 250)
+    // re-running assigns every id to the same split (no rand anywhere)
+    val a = Graft.dataSplit(docs, "id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Graft.dataSplit(docs, "id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("trainIvfCentroids refines seeds toward group structure; " +
       "ivfAssign with the trained codebook buckets the groups") {
     // two tight cosine groups; seeds (lowest ids 1 and 2) land one per
