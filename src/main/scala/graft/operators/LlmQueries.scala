@@ -608,6 +608,40 @@ object LlmQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Batched ANN over a PERSISTED, partition-pruned index (the serving
+    * layout): the IVF assignment is written as `cluster=<id>` parquet
+    * partitions, and the probe scans ONLY the partitions its query batch
+    * names — the probed cluster ids are bounded driver metadata
+    * (|batch| ints, the [[graft.streaming.CdcPipeline.mergeLatest]]
+    * touched-bucket pattern), so at 100 TB a probe is a directory
+    * listing + a few-bucket scan instead of a full-corpus scan. Results
+    * are identical to [[qAnnBatch]] (pruning only drops partitions no
+    * candidate lives in), so the oracle is shared verbatim; the plan pin
+    * asserts the PartitionFilters actually reach the scan. */
+  private def qAnnPersisted(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_idx").toString
+    ivfAssigned(s, d).write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val idx = s.read.parquet(dir)
+    // the query batch: stored rows, their persisted cluster IS the target
+    val q = idx.filter(col("vec_id") < 5)
+      .selectExpr("vec_id AS qid", "cluster AS qcluster",
+        "embedding AS qv", "norm AS qnorm")
+    // bounded driver metadata, NOT data: the partitions this batch probes
+    val probed = q.select(col("qcluster")).distinct()
+      .collect().map(_.get(0))
+    val pruned = idx.filter(col("cluster").isin(probed.toSeq: _*))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pruned.join(broadcast(q), col("cluster") === col("qcluster"))
+      .withColumn("sim",
+        expr(s"round(${dotSpark("embedding", "qv")} / (norm * qnorm), 6)"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("vec_id"), col("label"),
+        col("cluster").cast("bigint").as("cluster"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Multi-probe batched ANN (`nprobe` = 2): each of the 5 batch queries
     * probes its TWO nearest centroids' buckets instead of one. Single-
     * probe recall falls off a cliff for queries near Voronoi borders —
@@ -1147,6 +1181,7 @@ object LlmQueries {
     "q_quantized_topk" -> qQuantizedTopk _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_batch" -> qAnnBatch _,
+    "q_ann_persisted" -> qAnnPersisted _,
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_ann_trained" -> qAnnTrained _,
@@ -1314,6 +1349,29 @@ object LlmQueries {
       |                / (count(*) * 1000000.0) AS m
       |       FROM x2 GROUP BY cid, i)""".stripMargin
 
+  /** The batched bucket-probe oracle, shared by `q_ann_batch` and
+    * `q_ann_persisted` (the persisted index returns identical rows —
+    * partition pruning is a physical, not semantic, change). */
+  private def annBatchOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.v, cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+       |  FROM e, cents),
+       |assigned AS (SELECT vec_id, label, v, cid AS cluster FROM scored WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, cluster AS qcluster, v AS qv
+       |      FROM assigned WHERE vec_id < 5)
+       |SELECT qid,
+       |       cast(row_number() OVER (PARTITION BY qid
+       |                               ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
+       |       vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
+       |FROM assigned, q WHERE cluster = qcluster
+       |QUALIFY rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -1463,25 +1521,11 @@ object LlmQueries {
          |SELECT vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
          |FROM assigned, q WHERE cluster = qcluster
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
-    "q_ann_batch" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
-         |scored AS (
-         |  SELECT e.vec_id, e.label, e.v, cid,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
-         |  FROM e, cents),
-         |assigned AS (SELECT vec_id, label, v, cid AS cluster FROM scored WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, cluster AS qcluster, v AS qv
-         |      FROM assigned WHERE vec_id < 5)
-         |SELECT qid,
-         |       cast(row_number() OVER (PARTITION BY qid
-         |                               ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
-         |       vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
-         |FROM assigned, q WHERE cluster = qcluster
-         |QUALIFY rk <= 3
-         |ORDER BY qid, rk""".stripMargin,
+    "q_ann_batch" -> annBatchOracle,
+    // The persisted-index probe returns EXACTLY the in-memory batch
+    // probe's rows (partition pruning only skips partitions without
+    // candidates), so the oracle is shared verbatim.
+    "q_ann_persisted" -> annBatchOracle,
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),

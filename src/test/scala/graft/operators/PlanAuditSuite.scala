@@ -318,6 +318,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_ann_persisted probes via partition-pruned scan of the " +
+      "cluster= index layout") {
+    val p = plan("q_ann_persisted")
+    // the probed cluster ids must reach the parquet scan as
+    // PartitionFilters — the few-bucket read IS the operator's point
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, p.linesIterator.take(12).mkString("\n"))
+    assert(pf.get.contains("IN ") || pf.get.contains("isin") ||
+      pf.get.contains("in("), pf.get)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_group_sample prunes each stratum to k via WindowGroupLimit, no join") {
     val p = plan("q_group_sample")
     assert(p.contains("WindowGroupLimit"), p)
