@@ -369,21 +369,27 @@ object LlmQueries {
     * (eager [[Materialize]] — both band-join sides reuse them, the text
     * is never re-tokenized).
     *
-    * Scale note: 8-bit bands give only 4×256 buckets, so the band join's
-    * fan-in grows ~|corpus|²/1024 — fine for per-partition dedup, but a
-    * 100 TB corpus wants a 64-bit fingerprint with 16-bit bands (65 536
-    * buckets per band) — same plan shape, wider kernel. */
+    * Scale note: with the 32-bit fingerprint's 8-bit bands there are
+    * only 4×256 buckets, so the band join's fan-in grows ~|corpus|²/1024
+    * — fine for per-partition dedup. `wide = true` switches to the
+    * 60-bit `simhash60` kernel with 15-bit bands (4×32 768 buckets,
+    * ~128× less fan-in) — the same plan shape at the width a 100 TB
+    * corpus needs, with the same 4-band pigeonhole guarantee. */
   private[graft] def simhashNearDupPairs(docs: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3): DataFrame = {
+      textCol: String, maxHamming: Int = 3,
+      wide: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3]: 4 bands only guarantee a shared " +
         s"band for <= 3 differing bits (got $maxHamming — pairs beyond " +
         "the pigeonhole bound would be silently incomplete)")
+    val (kernel, bandBits) = if (wide) ("simhash60", 15) else ("simhash32", 8)
+    val mask = (1 << bandBits) - 1
     val fp = Materialize(docs
       .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
-      .selectExpr("doc_id", "simhash32(h60_array(toks)) AS simhash"))
+      .selectExpr("doc_id", s"$kernel(h60_array(toks)) AS simhash"))
     val byteExprs = (0 until 4)
-      .map(j => s"cast(shiftright(simhash, ${8 * j}) & 255 AS int)").mkString(", ")
+      .map(j => s"cast(shiftright(simhash, ${bandBits * j}) & $mask AS int)")
+      .mkString(", ")
     val bands = fp.select(col("doc_id"), col("simhash"),
       posexplode(expr(s"array($byteExprs)")).as(Seq("band", "bkey")))
     val a = bands.alias("a")
@@ -403,6 +409,11 @@ object LlmQueries {
   private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
     simhashNearDupPairs(Tables.spread(s, Tables.documents(s, d)),
       "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def qSimhashWide(s: SparkSession, d: String): DataFrame =
+    simhashNearDupPairs(Tables.spread(s, Tables.documents(s, d)),
+      "doc_id", "text", wide = true)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Parameterized embedding near-dup core behind both the driver query
@@ -1176,6 +1187,7 @@ object LlmQueries {
     "q_char_stats" -> qCharStats _,
     "q_simhash" -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
+    "q_simhash_wide" -> qSimhashWide _,
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
     "q_quantized_topk" -> qQuantizedTopk _,
@@ -1242,11 +1254,12 @@ object LlmQueries {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** The per-doc 32-bit fingerprint vote tally, shared by the fingerprint
-    * oracle and the pairs oracle so they can never drift. */
-  private def simhashBitsDuck: String = (0 until 32).map { j =>
+  /** The per-doc `bits`-wide fingerprint vote tally, shared by the
+    * fingerprint oracle and both pairs oracles so they can never drift. */
+  private def simhashBitsDuckN(bits: Int): String = (0 until bits).map { j =>
     s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+  private def simhashBitsDuck: String = simhashBitsDuckN(32)
 
   private def simhashOracle: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1257,14 +1270,17 @@ object LlmQueries {
        |       cast($simhashBitsDuck AS bigint) AS simhash
        |FROM h ORDER BY doc_id""".stripMargin
 
-  private def simhashPairsOracle: String = {
+  private def simhashPairsOracle: String = simhashPairsOracleN(32, 8)
+
+  private def simhashPairsOracleN(bits: Int, bandBits: Int): String = {
+    val mask = (1 << bandBits) - 1
     val bandSelects = (0 until 4).map { j =>
-      s"SELECT doc_id, simhash, $j AS band, cast((simhash >> ${8 * j}) & 255 AS int) AS bkey FROM f"
+      s"SELECT doc_id, simhash, $j AS band, cast((simhash >> ${bandBits * j}) & $mask AS int) AS bkey FROM f"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |h AS (SELECT doc_id, list_transform(toks, t -> ${h60Duck("t")}) AS hs
        |      FROM t),
-       |f AS (SELECT doc_id, cast($simhashBitsDuck AS bigint) AS simhash FROM h),
+       |f AS (SELECT doc_id, cast(${simhashBitsDuckN(bits)} AS bigint) AS simhash FROM h),
        |bands AS (
        |  $bandSelects),
        |pairs AS (
@@ -1433,6 +1449,7 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
+    "q_simhash_wide" -> simhashPairsOracleN(60, 15),
     "q_bm25_topk" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, n_hit, score_micro FROM bm

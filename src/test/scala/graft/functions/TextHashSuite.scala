@@ -136,6 +136,25 @@ class TextHashSuite extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(1))
   }
 
+  test("simhash60 equals the 60 composed aggregate() bit votes") {
+    val bits = (0 until 60).map { j =>
+      s"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString(" + ")
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 200).map { _ =>
+      Tuple1(Array.fill(rnd.nextInt(40))(
+        if (rnd.nextInt(20) == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextLong() >>> 4)))
+    }
+    val bad = rows.toDF("hs")
+      .selectExpr("simhash60(hs) AS fast", s"cast($bits AS bigint) AS ref")
+      .filter("fast <> ref").count()
+    assert(bad == 0)
+    val r = s.sql("SELECT simhash60(cast(array() AS array<bigint>)), " +
+      "simhash60(cast(NULL AS array<bigint>))").head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
   test("minhash_sig equals the per-permutation array_min compositions") {
     val P = MinHashFamily.P
     val mins = MinHashFamily.perms.zipWithIndex.map { case ((a, b), i) =>
