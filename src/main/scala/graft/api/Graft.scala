@@ -90,13 +90,14 @@ object Graft {
     * maxHamming`. `maxHamming` <= 3 is lossless by pigeonhole (<= 3 flipped
     * bits leave >= 1 of 4 bands identical). Cheaper than MinHash (one
     * token-hash pass, no shingle sets) and catches a different change
-    * profile: token-frequency preserving edits. See
-    * [[graft.operators.LlmQueries.simhashNearDupPairs]] for the
-    * band-width-vs-corpus-size scale note. */
+    * profile: token-frequency preserving edits. `wide = true` is the
+    * 100 TB form: the 60-bit `simhash60` kernel with 4×15-bit bands —
+    * 4×32 768 buckets, ~128× less candidate fan-in, same plan shape and
+    * the same pigeonhole guarantee. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, wide: Boolean = false): DataFrame = {
     graft.functions.TextHash.ensureRegistered(docs.sparkSession)
-    LlmQueries.simhashNearDupPairs(docs, idCol, textCol, maxHamming)
+    LlmQueries.simhashNearDupPairs(docs, idCol, textCol, maxHamming, wide)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -476,6 +477,53 @@ object Graft {
       .filter(col("_prn") <= nprobe)
       .select(col(qidCol), col(vecCol), col("_cid").as("cluster"))
     ivfProbe(assigned, idCol, vecCol, expanded, qidCol, k)
+  }
+
+  /** Persist [[ivfAssign]] output as a partition-pruned ANN index: the
+    * vector table laid out as `cluster=<id>` parquet partitions with the
+    * centroid table beside it (`_graft_centroids` — the underscore hides
+    * it from partition discovery). The layout is the index: a probe
+    * lists directories and scans only the partitions its queries name
+    * ([[probeVectorIndex]]), so at 100 TB serving cost is per-bucket,
+    * never per-corpus. Extra columns on `assigned` (labels, metadata)
+    * ride along into the partitions. */
+  def writeVectorIndex(assigned: DataFrame, centroids: DataFrame,
+                       cidCol: String, cvecCol: String, dir: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/_graft_centroids")
+  }
+
+  /** Batched ANN probe over a [[writeVectorIndex]] layout: each query is
+    * assigned its `nprobe` nearest STORED centroids (broadcast, tiny),
+    * the probed cluster ids collapse to bounded driver metadata
+    * (|batch| × nprobe ints), and the scan is partition-pruned to
+    * exactly those `cluster=` directories before the [[ivfProbe]] tail
+    * runs. Returns (qidCol, rank, idCol, sim). */
+  def probeVectorIndex(spark: SparkSession, dir: String, idCol: String,
+                       vecCol: String, queries: DataFrame, qidCol: String,
+                       k: Int, nprobe: Int = 1): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(spark)
+    val cents = spark.read.parquet(s"$dir/_graft_centroids")
+      .select(col("cid").as("_cid"), col("cv").as("_cv"))
+      .withColumn("_cnorm", expr("sqrt(dot_f32(_cv, _cv))"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("_csim").desc, col("_cid"))
+    val expanded = queries.select(col(qidCol), col(vecCol))
+      .withColumn("_qn", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", expr(s"dot_f32($vecCol, _cv) / (_qn * _cnorm)"))
+      .withColumn("_prn", row_number().over(w))
+      .filter(col("_prn") <= nprobe)
+      .select(col(qidCol), col(vecCol), col("_cid").as("cluster"))
+    // Bounded driver metadata (|batch| × nprobe ints), NOT data: the
+    // partitions this probe reads — the CDC merge sink's touched-bucket
+    // pattern applied to serving.
+    val probed = expanded.select(col("cluster")).distinct().collect()
+      .map(_.get(0))
+    val index = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probed.toSeq: _*))
+    ivfProbe(index, idCol, vecCol, expanded, qidCol, k)
   }
 
   /** Reciprocal-rank fusion of `rankings` — any number of ranked lists

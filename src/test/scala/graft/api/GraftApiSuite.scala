@@ -237,6 +237,29 @@ class GraftApiSuite extends AnyFunSuite {
     assert(hits == Set((1L, 1, 1L), (1L, 2, 2L), (4L, 1, 4L), (4L, 2, 5L)))
   }
 
+  test("writeVectorIndex + probeVectorIndex match the in-memory probe " +
+      "and prune the scan to the probed partitions") {
+    val s2 = graft.TestSpark.spark
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.95f, 0.05f)), (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.1f, 0.9f)))
+      .toDF("vid", "emb")
+    val cents = Seq((10, Array(1f, 0f)), (20, Array(0f, 1f))).toDF("cid", "cv")
+    val assigned = Graft.ivfAssign(vecs, "vid", "emb", cents, "cid", "cv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    Graft.writeVectorIndex(assigned, cents, "cid", "cv", dir)
+    val queries = vecs.filter($"vid" === 1L || $"vid" === 4L)
+      .withColumnRenamed("vid", "qid")
+    val probe = Graft.probeVectorIndex(s2, dir, "vid", "emb", queries, "qid", k = 2)
+    val got = probe.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // identical to the in-memory ivfProbe contract (see the test above)
+    assert(got == Set((1L, 1, 1L), (1L, 2, 2L), (4L, 1, 4L), (4L, 2, 5L)))
+    // the probed cluster ids reach the index scan as PartitionFilters
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, plan.linesIterator.take(12).mkString("\n"))
+  }
+
   test("ivfMultiProbe recovers the cross-border neighbor single-probe misses") {
     // vec 3 sits at 45° — assigned (by tie-break) to cluster 10, but it is
     // the TRUE second neighbor of query 4 (0°-pole queries aside). A
