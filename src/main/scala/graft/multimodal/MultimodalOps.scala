@@ -171,19 +171,14 @@ object MultimodalOps {
       math.sqrt(math.max(m2 - mean * mean, 0.0)), bright / np))
   }
 
-  /** Decode a PCM16 WAV payload: RIFF/WAVE container, `fmt ` chunk
-    * declaring integer PCM (format 1) at 16 bits, word-aligned chunk
-    * walk, `data` chunk of little-endian int16 samples. Returns None
-    * unless structurally valid (magics, bounded chunk lengths, a
-    * non-empty even-length data chunk), so arbitrary bytes can't
-    * false-positive into the audio path.
-    *
-    * Features ([[FeatureDim]] = 8): `[nChannels, sampleRate, nSamples,
-    * durationSec, meanAbsAmp, rms, zeroCrossRate, peakAmp]` — amplitude
-    * stats normalized by 32768, all from exact integer sums (Σ|s|, Σs²,
-    * sign-flip count, max|s|) + fixed scalar ops, so the DuckDB oracle
-    * reproduces them bit-for-bit on synthetic payloads. */
-  private[multimodal] def decodeWav(p: Array[Byte]): Option[Array[Double]] = {
+  /** The shared PCM16 WAV container walk: validates RIFF/WAVE magics,
+    * finds a `fmt ` chunk declaring integer PCM (format 1) at 16 bits
+    * and a non-empty even-length `data` chunk (word-aligned chunk walk,
+    * bounded lengths). Returns (channels, sampleRate, dataOffset,
+    * dataBytes) — the seam [[decodeWav]] and [[resampleWav]] both parse
+    * through, so the decoder and the resampler can never disagree about
+    * what a valid payload is. */
+  private def wavPcm16(p: Array[Byte]): Option[(Int, Long, Int, Int)] = {
     if (p.length < 44) return None
     def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
@@ -209,8 +204,23 @@ object MultimodalOps {
       off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0 || dataLen <= 0 || dataLen % 2 != 0) return None
+    if ((dataLen / 2) % channels != 0) return None
+    Some((channels, rate, dataOff, dataLen))
+  }
+
+  /** Decode a PCM16 WAV payload (container walk: [[wavPcm16]]).
+    *
+    * Features ([[FeatureDim]] = 8): `[nChannels, sampleRate, nSamples,
+    * durationSec, meanAbsAmp, rms, zeroCrossRate, peakAmp]` — amplitude
+    * stats normalized by 32768, all from exact integer sums (Σ|s|, Σs²,
+    * sign-flip count, max|s|) + fixed scalar ops, so the DuckDB oracle
+    * reproduces them bit-for-bit on synthetic payloads. */
+  private[multimodal] def decodeWav(p: Array[Byte]): Option[Array[Double]] = {
+    val (channels, rate, dataOff, dataLen) = wavPcm16(p) match {
+      case Some(hdr) => hdr
+      case None => return None
+    }
     val n = dataLen / 2
-    if (n % channels != 0) return None
     var sa = 0L; var ss = 0L; var zc = 0L; var peak = 0L
     var prevNeg = false
     var k = 0
@@ -232,6 +242,73 @@ object MultimodalOps {
       math.sqrt(ss.toDouble / nd / (Full * Full)),
       if (n > 1) zc.toDouble / (n - 1).toDouble else 0.0,
       peak.toDouble / Full))
+  }
+
+  /** REAL image resize: nearest-neighbor downsample of a P5 payload to
+    * `w2`×`h2` — output pixel (x, y) samples source pixel
+    * (⌊x·w/w2⌋, ⌊y·h/h2⌋) — re-emitted as a new P5 payload, so the
+    * resized image flows back through [[decodePgm]]/the kernel dispatch
+    * like any ingested payload. Pixel-aware byte math (the thing
+    * q_media_frames' byte-truncate stand-in is not); structurally
+    * invalid payloads return None. */
+  private[multimodal] def resizePgm(p: Array[Byte], w2: Int,
+      h2: Int): Option[Array[Byte]] = {
+    require(w2 > 0 && h2 > 0, s"target dims must be positive, got $w2 x $h2")
+    parseNetpbm(p, '5').flatMap { case (w, h, maxv, off) =>
+      if (p.length.toLong - off != w * h) None
+      else {
+        val out = new Array[Byte](w2 * h2)
+        var y = 0; var i = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            out(i) = p(off + sy * w.toInt + sx)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        Some(s"P5\n$w2 $h2\n$maxv\n".getBytes("US-ASCII") ++ out)
+      }
+    }
+  }
+
+  /** REAL audio resample: decimate a mono PCM16 WAV by `factor` (keep
+    * every `factor`-th sample, divide the declared rate by `factor`, so
+    * duration is preserved) and re-emit a standard 44-byte-header WAV —
+    * the resized payload round-trips [[decodeWav]] like any ingested
+    * file. The anti-aliasing low-pass a production resampler prepends is
+    * a kernel-dispatch extension; the container surgery here is the
+    * Spark-side contract. */
+  private[multimodal] def resampleWav(p: Array[Byte],
+      factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    wavPcm16(p).flatMap { case (channels, rate, dataOff, dataLen) =>
+      if (channels != 1 || rate % factor != 0) None
+      else {
+        val n = dataLen / 2
+        val n2 = (n + factor - 1) / factor // samples 0, factor, 2·factor, …
+        val bb = java.nio.ByteBuffer.allocate(44 + n2 * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val rate2 = (rate / factor).toInt
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n2 * 2)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1)
+        bb.putInt(rate2); bb.putInt(rate2 * 2)
+        bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(n2 * 2)
+        var k = 0
+        while (k < n) {
+          if (k % factor == 0) {
+            bb.put(p(dataOff + 2 * k)); bb.put(p(dataOff + 2 * k + 1))
+          }
+          k += 1
+        }
+        Some(bb.array())
+      }
+    }
   }
 
   /** Deterministic synthetic PGM fixture: an 8×2 P5 image whose 16 gray
@@ -357,10 +434,35 @@ object MultimodalOps {
     feats.toDF().selectExpr(cols: _*).orderBy(col("doc_id"))
   }
 
+  /** REAL resize under the oracle gate: even ids' 8×2 PGM payloads
+    * nearest-neighbor-downsample to 4×1 ([[resizePgm]]), odd ids' WAVs
+    * decimate by 2 ([[resampleWav]], rate halves so duration holds),
+    * and the RESIZED payloads round-trip the decode kernel — the oracle
+    * regenerates exactly the surviving pixels (source x ∈ {0,2,4,6},
+    * row 0) / samples (even k) from the id formula and recomputes the
+    * stats. A resize that sampled the wrong pixels, emitted a bad
+    * header, or mis-declared the rate breaks the hash. */
+  private def qMediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 2 == 0)
+          MediaRow(id, resizePgm(syntheticPgm(id), 4, 1).get, "image/pgm")
+        else
+          MediaRow(id, resampleWav(syntheticWav(id), 2).get, "audio/wav")
+      })
+      .mapPartitions(decodeBatches _)
+    val cols = Seq("doc_id", "kind", "n_bytes") ++
+      (0 until FeatureDim).map(j => s"round(features[$j], 6) AS f$j")
+    feats.toDF().selectExpr(cols: _*).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> qMediaFeatures _,
     "q_media_frames" -> qMediaFrames _,
-    "q_media_decode" -> qMediaDecode _
+    "q_media_decode" -> qMediaDecode _,
+    "q_media_resize" -> qMediaResize _
   )
 
   val oracle: Map[String, String] = Map(
@@ -416,6 +518,55 @@ object MultimodalOps {
         |               round(sa / 24.0 / 32768.0, 6) AS f4,
         |               round(sqrt(ss / 24.0 / (32768.0 * 32768.0)), 6) AS f5,
         |               round(zc / 23.0, 6) AS f6,
+        |               round(pk / 32768.0, 6) AS f7
+        |        FROM ws)
+        |SELECT * FROM pgf UNION ALL SELECT * FROM wf
+        |ORDER BY doc_id""".stripMargin,
+    // The resize oracle regenerates exactly the pixels/samples the
+    // nearest-neighbor / decimation keeps: source pixels k ∈ {0,2,4,6}
+    // (row 0, stride 2) for the 4×1 image; even-k samples at half the
+    // declared rate for the audio. Same exact-integer-sum + scalar-tail
+    // discipline as q_media_decode.
+    "q_media_resize" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |pg AS (SELECT doc_id, unnest(generate_series(0, 6, 2)) AS k
+        |       FROM ids WHERE doc_id % 2 = 0),
+        |pgv AS (SELECT doc_id, (doc_id * 7 + k) % 256 AS g FROM pg),
+        |ps AS (SELECT doc_id,
+        |              cast(sum(g) AS bigint) AS sg,
+        |              cast(sum(g * g) AS bigint) AS sg2,
+        |              cast(sum(CASE WHEN 2 * g > 255 THEN 1 ELSE 0 END) AS bigint) AS br
+        |       FROM pgv GROUP BY doc_id),
+        |pgf AS (SELECT doc_id, 'image/pgm' AS kind, cast(15 AS bigint) AS n_bytes,
+        |               4.0 AS f0, 1.0 AS f1,
+        |               round(sg / 4.0 / 255.0, 6) AS f2,
+        |               round(sg / 4.0 / 255.0, 6) AS f3,
+        |               round(sg / 4.0 / 255.0, 6) AS f4,
+        |               round(sg / 4.0 / 255.0, 6) AS f5,
+        |               round(sqrt(greatest(sg2 / 4.0 / (255.0 * 255.0) -
+        |                 (sg / 4.0 / 255.0) * (sg / 4.0 / 255.0), 0.0)), 6) AS f6,
+        |               round(br / 4.0, 6) AS f7
+        |        FROM ps),
+        |wv AS (SELECT doc_id, unnest(generate_series(0, 22, 2)) AS k
+        |       FROM ids WHERE doc_id % 2 = 1),
+        |wvs AS (SELECT doc_id, k,
+        |               (doc_id * 31 + k * 17) % 65536 - 32768 AS s FROM wv),
+        |wz AS (SELECT doc_id, k, s,
+        |              lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |       FROM wvs),
+        |ws AS (SELECT doc_id,
+        |              cast(sum(abs(s)) AS bigint) AS sa,
+        |              cast(sum(s * s) AS bigint) AS ss,
+        |              cast(max(abs(s)) AS bigint) AS pk,
+        |              cast(sum(CASE WHEN prev IS NOT NULL AND ((s < 0) != (prev < 0))
+        |                            THEN 1 ELSE 0 END) AS bigint) AS zc
+        |       FROM wz GROUP BY doc_id),
+        |wf AS (SELECT doc_id, 'audio/wav' AS kind, cast(68 AS bigint) AS n_bytes,
+        |               1.0 AS f0, 4000.0 AS f1, 12.0 AS f2,
+        |               round(12.0 / 4000.0, 6) AS f3,
+        |               round(sa / 12.0 / 32768.0, 6) AS f4,
+        |               round(sqrt(ss / 12.0 / (32768.0 * 32768.0)), 6) AS f5,
+        |               round(zc / 11.0, 6) AS f6,
         |               round(pk / 32768.0, 6) AS f7
         |        FROM ws)
         |SELECT * FROM pgf UNION ALL SELECT * FROM wf

@@ -111,6 +111,35 @@ class MultimodalSuite extends AnyFunSuite {
     assert(MultimodalOps.decodeWav(eightBit).isEmpty)
   }
 
+  test("resizePgm samples nearest-neighbor pixels and re-emits valid P5") {
+    // 4x2 image with distinct pixels; resize to 2x1 keeps (0,0) and (2,0)
+    val pgm = "P5\n4 2\n255\n".getBytes("UTF-8") ++
+      Array(10, 20, 30, 40, 50, 60, 70, 80).map(_.toByte)
+    val resized = MultimodalOps.resizePgm(pgm, 2, 1).get
+    val f = MultimodalOps.decodePgm(resized).get
+    assert(f(0) == 2.0 && f(1) == 1.0)
+    assert(f(2) == (10 + 30) / 2.0 / 255.0) // exactly pixels 0 and 2
+    // identity resize preserves every pixel stat
+    val same = MultimodalOps.resizePgm(pgm, 4, 2).get
+    assert(MultimodalOps.decodePgm(same).get.toSeq ==
+      MultimodalOps.decodePgm(pgm).get.toSeq)
+    assert(MultimodalOps.resizePgm("not an image".getBytes, 2, 1).isEmpty)
+  }
+
+  test("resampleWav decimates samples, halves the rate, preserves duration") {
+    val wav = MultimodalOps.syntheticWav(7L)
+    val res = MultimodalOps.resampleWav(wav, 2).get
+    val f0 = MultimodalOps.decodeWav(wav).get
+    val f = MultimodalOps.decodeWav(res).get
+    assert(f(1) == 4000.0 && f(2) == 12.0) // rate halved, half the samples
+    assert(f(3) == f0(3)) // duration preserved exactly
+    // kept samples are exactly the even-index originals
+    val kept = (0 until 24 by 2).map(k => ((7L * 31 + k * 17) % 65536 - 32768).toInt)
+    assert(f(7) == kept.map(s => math.abs(s.toLong)).max / 32768.0)
+    assert(MultimodalOps.resampleWav(wav, 7).isEmpty) // 8000 % 7 != 0
+    assert(MultimodalOps.resampleWav("RIFF".getBytes, 2).isEmpty)
+  }
+
   test("q_media_decode runs both real codecs — no row takes the fallback") {
     val s = TestSpark.spark
     val rows = MultimodalOps.queries("q_media_decode")(s, sf).collect()
