@@ -362,6 +362,47 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** The end-to-end training-data preparation flagship — proving the r8
+    * surface COMPOSES into one declarative plan: intra-doc repetition
+    * quality gate → exact-dedup keeper → eval decontamination (exact
+    * fingerprint, every-97th-doc stand-in) → deterministic 90/5/5
+    * [[dataSplit]] → context-window chunk accounting (64-token windows,
+    * 16 overlap) → per-(split, lang) doc/chunk/token budget, the table a
+    * training run is provisioned from.
+    *
+    * Scale shape: the chunk numbers derive from `n_tokens` ALONE
+    * (`size(sequence(...))` + an integer fold — no chunk explode, no
+    * text carried past the quality gate), so after the three id
+    * equi-joins the whole tail is map-side arithmetic into one bounded
+    * hash agg. */
+  private def qTrainingPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    val repKeep = repetitionStats(docs, "doc_id", "text")
+      .filter(col("n_tokens") >= 20 &&
+        col("dup_token_ratio") <= MaxDupTokenRatio &&
+        col("dup_2gram_ratio") <= MaxDup2gramRatio &&
+        col("max_2gram_frac") <= Max2gramFrac)
+      .select(col("doc_id"), col("n_tokens"))
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val evalFps = fps.filter(col("doc_id") % 97 === 0).select(col("fp"))
+    val clean = fps.join(evalFps, Seq("fp"), "left_anti").select(col("doc_id"))
+    val survivors = docs.select(col("doc_id"), col("lang"))
+      .join(repKeep, "doc_id").join(keepers, "doc_id").join(clean, "doc_id")
+    dataSplit(survivors, "doc_id", trainPct = 90, valPct = 5)
+      .selectExpr("split", "lang", "n_tokens",
+        "cast(size(sequence(0L, n_tokens - 1, 48L)) AS bigint) AS n_chunks",
+        "aggregate(sequence(0L, n_tokens - 1, 48L), 0L, " +
+          "(acc, st) -> acc + least(cast(64 AS bigint), n_tokens - st)) AS chunk_tokens")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Context-window chunking: split each document's token stream into
     * overlapping windows of `window` tokens with `overlap` tokens shared
     * between consecutive chunks — the step that turns curated documents
@@ -508,7 +549,8 @@ object CorpusOps {
     "q_domain_mix" -> qDomainMix _,
     "q_common_ngrams" -> qCommonNgrams _,
     "q_weighted_sample" -> qWeightedSample _,
-    "q_curation_pipeline" -> qCurationPipeline _
+    "q_curation_pipeline" -> qCurationPipeline _,
+    "q_training_pipeline" -> qTrainingPipeline _
   )
 
   val oracle: Map[String, String] = Map(
@@ -702,6 +744,39 @@ object CorpusOps {
          |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          |SELECT lang, count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS n_tokens
          |FROM rk JOIN k USING (doc_id)
-         |GROUP BY lang ORDER BY lang""".stripMargin
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_training_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, lang, text, toks,
+         |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1), i -> array_to_string(toks[i:i+1], ' ')) AS g2
+         |FROM t),
+         |r AS (SELECT doc_id, lang, text,
+         |  cast(len(toks) AS bigint) AS n_tokens,
+         |  round(1.0 - len(list_distinct(toks)) / len(toks), 6) AS dup_token_ratio,
+         |  round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio,
+         |  round(list_max(list_transform(list_distinct(g2), u -> len(list_filter(g2, x -> x = u)))) / len(g2), 6) AS max_2gram_frac
+         |FROM m),
+         |rk AS (SELECT doc_id, lang, n_tokens FROM r
+         |       WHERE n_tokens >= 20 AND dup_token_ratio <= $MaxDupTokenRatio
+         |         AND dup_2gram_ratio <= $MaxDup2gramRatio
+         |         AND max_2gram_frac <= $Max2gramFrac),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |ev AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 97 = 0),
+         |cl AS (SELECT doc_id FROM documents
+         |       WHERE md5(text) NOT IN (SELECT fp FROM ev)),
+         |sv AS (SELECT rk.doc_id, lang, n_tokens,
+         |              CASE WHEN ${hashDrawDuck("rk.doc_id")} % 100 < 90 THEN 'train'
+         |                   WHEN ${hashDrawDuck("rk.doc_id")} % 100 < 95 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM rk JOIN k USING (doc_id) JOIN cl USING (doc_id)),
+         |ch AS (SELECT split, lang, n_tokens,
+         |              cast(len(generate_series(0, n_tokens - 1, 48)) AS bigint) AS n_chunks,
+         |              cast(list_sum(list_transform(generate_series(0, n_tokens - 1, 48),
+         |                st -> least(64, n_tokens - st))) AS bigint) AS chunk_tokens
+         |       FROM sv)
+         |SELECT split, lang, count(*) AS n_docs,
+         |       cast(sum(n_chunks) AS bigint) AS n_chunks,
+         |       cast(sum(chunk_tokens) AS bigint) AS n_tokens
+         |FROM ch GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }
