@@ -239,6 +239,17 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("q_training_pipeline composes without a nested loop and keeps the " +
+      "native quality kernel; no chunk explode") {
+    val p = plan("q_training_pipeline")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("repetition_stats"), p)
+    // chunk accounting is arithmetic over n_tokens — no Generate of
+    // chunk rows anywhere in the composed plan
+    assert(!p.contains("Generate"), p)
+  }
+
   test("q_decontaminate_ngram and q_dedup_increment stay equi-joins") {
     // inverted-index / LSH-banded shapes: the candidate generation must be
     // a hash or sort-merge equi-join — a nested loop would be the doc×doc
