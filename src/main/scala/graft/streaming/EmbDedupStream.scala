@@ -45,8 +45,19 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * pre-sketched — no corpus text/vector pass); append cost is
   * |accepted| rows. With `nPlanes` = p there are 2^p buckets — p must
   * grow with the corpus (p ≈ log2(N) keeps expected bucket size
-  * constant) exactly as the minhash band width must. */
+  * constant) exactly as the minhash band width must. The index is laid
+  * out as `batch=<id>/sb=<sketch mod 256>` partitions, and each probe
+  * scans ONLY the sb prefixes its batch's sketches name (bounded driver
+  * metadata, ≤ min(|batch|, 256) ints — the same touched-partition
+  * pattern as the CDC merge sink and the ANN index), so probing stays
+  * sub-linear in the INDEX size too, not just join-bounded. */
 object EmbDedupStream {
+
+  /** Sketch-prefix partition fan-out: 256 dirs per batch — coarse enough
+    * to avoid a small-files explosion, fine enough that a probe touches
+    * ~|batch| of them. Full-sketch equality implies prefix equality, so
+    * pruning loses no candidate pair. */
+  private val SbBuckets = 256
 
   private def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -70,7 +81,7 @@ object EmbDedupStream {
 
   /** Read the accumulated sketch index: (vec_id, embedding, sketch, norm). */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(indexDir).drop("batch")
+    spark.read.parquet(indexDir).drop("batch", "sb")
 
   /** Read the accumulated near-dup pair log: (vec_a, vec_b, sim). */
   def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
@@ -92,9 +103,18 @@ object EmbDedupStream {
     // One sketch pass over the batch; probed AND appended from this.
     val batchSk = Materialize(
       LlmQueries.signSketch(batch, idCol, vecCol, planes))
+    // Partition-pruned probe read: only the sb prefixes this batch's
+    // sketches name (bounded driver metadata — ≤ min(|batch|, 256)
+    // ints), never the whole index.
     val index =
-      if (hasParquet(spark, indexDir)) readIndex(spark, indexDir)
-      else batchSk.limit(0)
+      if (hasParquet(spark, indexDir)) {
+        val sbs = batchSk
+          .select(pmod(col("sketch"), lit(SbBuckets)).as("sb"))
+          .distinct().collect().map(_.get(0))
+        spark.read.parquet(indexDir)
+          .filter(col("sb").isin(sbs.toSeq: _*))
+          .drop("batch", "sb")
+      } else batchSk.limit(0)
     // Candidates: every batch vector against the index ∪ this batch on
     // the sketch bucket. A batch×batch pair surfaces from both of its
     // ends — the `_b` flag keeps only the (smaller id = partner) side —
@@ -129,7 +149,9 @@ object EmbDedupStream {
     batchSk
       .join(rejected, Seq("vec_id"), "left_anti")
       .join(alreadyIndexed, Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .withColumn("sb", pmod(col("sketch"), lit(SbBuckets)))
+      .write.mode("overwrite").partitionBy("sb")
+      .parquet(s"$indexDir/batch=$batchId")
     pairs
   }
 

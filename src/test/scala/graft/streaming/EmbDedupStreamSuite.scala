@@ -108,6 +108,12 @@ class EmbDedupStreamSuite extends AnyFunSuite {
       accepted.toDF("id", "emb"), "id", "emb", planes))
     assert(got == want && got.map(_._1) == Set(1L, 2L, 10L, 13L))
 
+    // the index lays out as sketch-prefix partitions — the probe's
+    // partition-pruned read path depends on this shape
+    val batchDir = new java.io.File(idx, "batch=0")
+    assert(batchDir.exists &&
+      batchDir.listFiles().exists(_.getName.startsWith("sb=")))
+
     // (c) replaying the LAST batch id (a foreachBatch retry) is a no-op
     EmbDedupStream.processBatch(batches.last.toDF("id", "emb"), 2L,
       "id", "emb", idx, prs, threshold = Threshold, nPlanes = 2)
