@@ -114,6 +114,35 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Split-leakage audit: passages (non-overlapping 32-token chunks)
+    * whose copies land in DIFFERENT splits under [[dataSplit]] — the
+    * silent eval contamination splitting causes when it runs before (or
+    * without) passage-level dedup: the model trains on text that also
+    * sits in its test set. Emits one row per leaking chunk fingerprint
+    * with copy count, split spread, train/eval copy tallies, and the
+    * canonical (minimum) doc id. The fix this audit motivates is
+    * q_training_pipeline's ordering — dedup first, split after. Shape:
+    * the map-side [[chunkDocs]] explode + the map-side split CASE, then
+    * ONE fingerprint hash agg (the shuffle carries hashes + ids, never
+    * chunk text). */
+  private def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val chunks = chunkDocs(Tables.spread(s, Tables.documents(s, d)),
+        "doc_id", "text", window = 32, overlap = 0)
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .select(col("doc_id"), col("chunk_hash"))
+    dataSplit(chunks, "doc_id", trainPct = 90, valPct = 5)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("split")).as("n_splits"),
+        min(col("doc_id")).as("keep_id"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_eval"))
+      .filter(col("n_splits") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_splits"),
+        col("keep_id"), col("n_train"), col("n_eval"))
+      .orderBy(col("chunk_hash"))
+  }
+
   /** PII scrubbing, token-level and regex-free (regex dialects differ
     * across engines — these rules are pure string algebra, identical in
     * Spark and DuckDB): a token containing `@` becomes `<EMAIL>`; a
@@ -540,6 +569,7 @@ object CorpusOps {
     "q_seq_emit" -> qSeqEmit _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_data_split" -> qDataSplit _,
+    "q_split_leakage" -> qSplitLeakage _,
     "q_pii_scrub" -> qPiiScrub _,
     "q_group_sample" -> qGroupSample _,
     "q_group_topk" -> qGroupTopk _,
@@ -627,6 +657,25 @@ object CorpusOps {
          |            WHEN ${hashDrawDuck("doc_id")} % 100 < 95 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+         |c AS (SELECT doc_id, toks, n_tokens,
+         |             unnest(generate_series(0, n_tokens - 1, 32)) AS start
+         |      FROM n),
+         |ch AS (SELECT doc_id,
+         |              md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_hash,
+         |              CASE WHEN ${hashDrawDuck("doc_id")} % 100 < 90 THEN 'train'
+         |                   WHEN ${hashDrawDuck("doc_id")} % 100 < 95 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM c)
+         |SELECT chunk_hash, count(*) AS n_copies,
+         |       cast(count(DISTINCT split) AS bigint) AS n_splits,
+         |       min(doc_id) AS keep_id,
+         |       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS bigint) AS n_train,
+         |       cast(sum(CASE WHEN split != 'train' THEN 1 ELSE 0 END) AS bigint) AS n_eval
+         |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT split) > 1
+         |ORDER BY chunk_hash""".stripMargin,
     "q_pii_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

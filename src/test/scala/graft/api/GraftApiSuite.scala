@@ -300,6 +300,23 @@ class GraftApiSuite extends AnyFunSuite {
       "two mails <EMAIL> <EMAIL> and short digits 123456")))
   }
 
+  test("piiScrub is idempotent: scrubbing scrubbed text changes nothing") {
+    // <EMAIL>/<PHONE> contain no '@' and no 7-digit runs, so a second
+    // pass must be the identity — re-running a pipeline stage on its own
+    // output is a routine production occurrence
+    val docs = Seq(
+      (1L, "mail a@b.c num 12345678 tail"),
+      (2L, "plain text only"))
+      .toDF("id", "body")
+    val once = Graft.piiScrub(docs, "id", "body")
+      .select(col("doc_id").as("id"), col("scrubbed").as("body"))
+    val twice = Graft.piiScrub(once, "id", "body")
+      .orderBy("doc_id").collect().map(_.getString(4)).toSeq
+    val onceTexts = once.orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(twice == onceTexts)
+    assert(onceTexts.head == "mail <EMAIL> num <PHONE> tail")
+  }
+
   test("dataSplit is deterministic, total, and near the requested ratios") {
     val docs = (0L until 2000L).toDF("id")
     val s1 = Graft.dataSplit(docs, "id").groupBy("split").count()
