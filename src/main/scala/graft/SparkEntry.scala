@@ -30,6 +30,7 @@ object SparkEntry {
       operators.TemporalJoins.queries ++
       operators.CorpusOps.queries ++
       operators.DedupClusters.queries ++
+      operators.GraphOps.queries ++
       operators.ScaleOps.queries ++
       streaming.CdcPipeline.queries ++
       multimodal.MultimodalOps.queries
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.TemporalJoins.oracle ++
       operators.CorpusOps.oracle ++
       operators.DedupClusters.oracle ++
+      operators.GraphOps.oracle ++
       operators.ScaleOps.oracle ++
       streaming.CdcPipeline.oracle ++
       multimodal.MultimodalOps.oracle

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over bounded edge lists — PageRank beside
+  * [[ConnectedComponents]]' min-label propagation. In a training-data
+  * pipeline the node scores rank corpus regions by how central they are in
+  * the semantic-similarity graph (data-selection weighting, cluster-seed
+  * picking, boilerplate hubs showing up as high-rank outliers), the same
+  * way the reference ranks nothing but *bounds* everything: iterate a
+  * fixed number of rounds over bounded state instead of materializing the
+  * transitive structure (the ec:2104-2194 resume-from-bounded-bookkeeping
+  * principle, applied to graphs).
+  *
+  * Engine-exact arithmetic (the repo-wide hash-parity discipline): ranks
+  * live in integer micro-units. Each round is
+  * `r'(v) = 150000 + Σ_{(u→v)} (r(u) * 85) div (100 * outdeg(u))` — the
+  * damping 0.85 expressed as exact long multiply + integer division
+  * (truncating; all operands positive, so Spark's `div` and DuckDB's `//`
+  * agree bit-for-bit), and the per-node sum is long addition, which is
+  * associative — partitioning can never move the result the way double
+  * summation order would. Nodes without out-edges simply leak their mass
+  * (the standard simplified-PageRank dangling policy), identically in
+  * both engines.
+  *
+  * Scale shape: each round is ONE equi-join of the degree-annotated edge
+  * list against the current ranks (both keyed by node id) plus ONE hash
+  * aggregation keyed by the destination — the canonical distributed
+  * PageRank plan. The edge list is degree-annotated and materialized ONCE
+  * ([[Materialize]]: reliable checkpoint when a checkpoint dir is set);
+  * every round references it, so without the cut the upstream edge
+  * computation (here a bucketed KNN self-join) would re-run per round.
+  * Rounds chain linearly (each rank frame references the previous one
+  * exactly once), so the DAG stays linear in `iters` — no per-round
+  * checkpoint needed, unlike the CC loop whose round plans reference the
+  * previous labels four times.
+  */
+object GraphOps {
+
+  /** Fixed-round integer-exact PageRank. `nodes` is one row per node id;
+    * `edges` one row per directed edge. Returns (id, rank_micro). */
+  private[graft] def pageRank(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val n = nodes.select(col(idCol).as("id"))
+    val deg = edges.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("deg"))
+    // Degree-annotated edges, materialized once — every round joins it.
+    val ed = Materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .join(deg, "src"))
+    var ranks = n.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst"), expr("(r * 85L) div (100L * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = n.join(contribs, n("id") === contribs("dst"), "left")
+        .select(n("id"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
+  }
+
+  /** PageRank over the bucketed KNN semantic-similarity graph
+    * ([[LlmQueries.knnGraphBucketed]] top-3 edges): the 50 most central
+    * vectors after 3 rounds. The IVF assignment materializes once and
+    * feeds both the KNN self-join sides and the node list. */
+  private def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    val assigned = Materialize(LlmQueries.ivfAssigned(s, d))
+    val edges = LlmQueries.knnGraphBucketed(assigned, k = 3)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val nodes = assigned.select(col("vec_id"))
+    pageRank(nodes, "vec_id", edges, "src", "dst", iters = 3)
+      .select(col("id").as("vec_id"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("vec_id"))
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (qGraphPagerank _)
+  )
+
+  /** Shares [[LlmQueries.knnGraphCte]] verbatim with the `q_knn_join`
+    * oracle, so the edge graph the two queries rank can never drift. */
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT ed.dst AS id,
+           |          CAST(sum((r${i - 1}.r * 85) // (100 * ed.deg)) AS bigint) AS s
+           |       FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.id GROUP BY ed.dst),
+           |r$i AS (SELECT n.id, 150000 + coalesce(c$i.s, 0) AS r
+           |       FROM nodes n LEFT JOIN c$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${LlmQueries.knnGraphCte},
+         |edges AS (SELECT vec_id AS src, nbr_id AS dst FROM knnq),
+         |nodes AS (SELECT vec_id AS id FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT edges.src, edges.dst, deg.deg
+         |       FROM edges JOIN deg USING (src)),
+         |r0 AS (SELECT id, CAST(1000000 AS bigint) AS r FROM nodes),
+         |$rounds
+         |SELECT id AS vec_id, r AS rank_micro FROM r3
+         |ORDER BY rank_micro DESC, vec_id LIMIT 50""".stripMargin
+    }
+  )
+}

@@ -562,7 +562,7 @@ object LlmQueries {
     * cluster). One shared implementation so the probes' assignment
     * conventions (6-dp csim rounding, cid tie-break) can never drift
     * apart. */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
       .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
@@ -1213,6 +1213,34 @@ object LlmQueries {
 
   // --------------------------------------------------------------- oracles
 
+  /** Shared CTE chain (no leading WITH): the ⌈√N⌉-seeded IVF assignment +
+    * bucketed KNN self-join, ending in `knnq(vec_id, rk, nbr_id, cluster,
+    * sim)` — each vector's top-3 max-cosine in-bucket neighbors. Shared
+    * verbatim between the `q_knn_join` oracle and the `q_graph_pagerank`
+    * oracle in [[GraphOps]], so the edge graph the two queries see can
+    * never drift. */
+  private[graft] lazy val knnGraphCte: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+       |  FROM e, cents),
+       |assigned AS (SELECT vec_id, v, cid AS cluster FROM scored WHERE rn = 1),
+       |knn AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id, a.cluster,
+       |         ${cosDuck("a.v", "b.v")} AS sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |knnq AS (
+       |  SELECT vec_id,
+       |         cast(row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY sim DESC, nbr_id) AS int) AS rk,
+       |         nbr_id, cluster, sim
+       |  FROM knn QUALIFY rk <= 3)""".stripMargin
+
   private val duckShingles3 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), i -> array_to_string(toks[i:i+2], ' ')))"
   private val duckShingles4 =
@@ -1586,25 +1614,8 @@ object LlmQueries {
         |FROM s QUALIFY rk <= 5
         |ORDER BY label, rk""".stripMargin,
     "q_knn_join" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
-         |scored AS (
-         |  SELECT e.vec_id, e.v, cid,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
-         |  FROM e, cents),
-         |assigned AS (SELECT vec_id, v, cid AS cluster FROM scored WHERE rn = 1),
-         |knn AS (
-         |  SELECT a.vec_id, b.vec_id AS nbr_id, a.cluster,
-         |         ${cosDuck("a.v", "b.v")} AS sim
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
-         |SELECT vec_id,
-         |       cast(row_number() OVER (PARTITION BY vec_id
-         |                               ORDER BY sim DESC, nbr_id) AS int) AS rk,
-         |       nbr_id, cluster, sim
-         |FROM knn QUALIFY rk <= 3
+      s"""WITH $knnGraphCte
+         |SELECT vec_id, rk, nbr_id, cluster, sim FROM knnq
          |ORDER BY vec_id, rk""".stripMargin,
     "q_ivf_kmeans" ->
       s"""WITH $ivfKmeansCte,

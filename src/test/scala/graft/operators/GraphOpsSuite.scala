@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[GraphOps.pageRank]] vs a driver-side reference implementation of the
+  * same integer-exact recurrence, plus the shapes the distributed plan has
+  * to survive: dangling nodes (mass leaks), sinks with no out-edges,
+  * isolated nodes (stay at the base rank), multi-edges (each contributes),
+  * and determinism under repartitioning (long addition is associative, so
+  * partitioning must not move a single micro-unit).
+  */
+class GraphOpsSuite extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  /** Reference: the identical recurrence, computed sequentially. */
+  private def refRanks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                       iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => (r(u) * 85L) / (100L * deg(u)) }.sum
+      }
+      r = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                  iters: Int): Map[Long, Long] = {
+    val nodesDf = nodes.toDF("nid")
+    val edgesDf =
+      if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+    GraphOps.pageRank(nodesDf, "nid", edgesDf, "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches the sequential recurrence on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val n = 4 + rnd.nextInt(10)
+      val nodes = (0L until n.toLong).toSeq
+      val edges = Seq.fill(rnd.nextInt(3 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val want = refRanks(nodes, edges, iters = 3)
+      val got = run(nodes, edges, iters = 3)
+      assert(got == want, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
+  test("isolated nodes hold the base rank; sinks accumulate; dangling mass leaks") {
+    // 0 -> 1 -> 2 (sink), 3 isolated. Node 2 has no out-edges: its mass
+    // leaks (dangling policy), it only receives.
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val edges = Seq((0L, 1L), (1L, 2L))
+    val got = run(nodes, edges, iters = 2)
+    assert(got == refRanks(nodes, edges, iters = 2))
+    assert(got(3L) == 150000L)            // isolated: base only after round 1+
+    assert(got(2L) > got(0L))             // sink receives, source only leaks
+  }
+
+  test("multi-edges each contribute and split out-degree") {
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L)) // deg(0)=3, two arrive at 1
+    assert(run(nodes, edges, iters = 1) == refRanks(nodes, edges, iters = 1))
+  }
+
+  test("rank is partitioning-independent (integer sums)") {
+    val nodes = (0L until 40L).toSeq
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val base = run(nodes, edges, iters = 3)
+    val skewed = GraphOps.pageRank(
+        nodes.toDF("nid").repartition(13),
+        "nid",
+        edges.toDF("src", "dst").repartition(7),
+        "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skewed == base)
+  }
+
+  test("q_graph_pagerank: top-50, all ranks >= base, deterministic across runs") {
+    val d = "/root/testdata/sf0.001"
+    val r1 = GraphOps.queries("q_graph_pagerank")(s, d).collect()
+    val r2 = GraphOps.queries("q_graph_pagerank")(s, d).collect()
+    assert(r1.length == 50)
+    assert(r1.map(_.getLong(1)).forall(_ >= 150000L))
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      r2.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // Descending by rank with vec_id tiebreak — a real (total) order.
+    val pairs = r1.map(r => (r.getLong(1), r.getLong(0)))
+    assert(pairs.sliding(2).forall { case Array((ra, ia), (rb, ib)) =>
+      ra > rb || (ra == rb && ia < ib) })
+  }
+}
