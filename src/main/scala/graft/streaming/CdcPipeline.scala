@@ -724,6 +724,79 @@ object CdcPipeline {
       .start()
   }
 
+  /** Watermarked STREAM-STREAM join (`s_stream_join`): each committed row
+    * image joined to ITS transaction's COMMIT record on (txid, event-time
+    * range) — commit-LSN enrichment as Spark's symmetric hash join instead
+    * of [[runPipeline]]'s explicit per-txn `flatMapGroupsWithState`. The
+    * two sides are filtered branches of ONE source stream (a streaming
+    * self-join): row images (INSERT/UPDAFT — the apply images) on the
+    * left, COMMTX markers on the right. An inner join makes rollback
+    * filtering structural — rolled-back transactions HAVE no commit
+    * record, so their images simply never match (the reference's
+    * delete-on-rollback, ec:1566-1615, with no state code at all).
+    *
+    * Both sides carry watermarks and the join condition bounds commit
+    * time to (image time, image time + 100 µs] — in the fixture's LSN
+    * clock a transaction spans < 80 µs (20 events × 4 seq units), so the
+    * range is one transaction wide. That bound is what lets Spark evict
+    * join state as the watermark advances: buffered images older than
+    * watermark − 100 µs can never match a future commit and are dropped —
+    * state is O(open transactions), never O(stream). Append mode emits
+    * each match exactly once; the checkpoint + file sink make restarts
+    * and replays no-ops (same exactly-once machinery as the merge
+    * pipeline). */
+  def commitJoin(spark: SparkSession, chunkDir: String,
+                 checkpointDir: String, outDir: String,
+                 maxFilesPerTrigger: Int = 3) = {
+    def env = spark.readStream
+      .format("graft.sources.CdcChunkSource")
+      .option("path", chunkDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+    val images = env
+      .filter(col("recordType").isin("CDC_REC_INSERT", "CDC_REC_UPDAFT"))
+      .select(col("seq"), col("txid"), col("key").as("k"),
+        timestamp_micros(col("seq")).as("img_ts"))
+      .withWatermark("img_ts", "1 millisecond")
+    val commits = env
+      .filter(col("recordType") === "CDC_REC_COMMTX")
+      .select(col("seq").as("commit_seq"), col("txid").as("c_txid"),
+        timestamp_micros(col("seq")).as("c_ts"))
+      .withWatermark("c_ts", "1 millisecond")
+    images.join(commits,
+        col("txid") === col("c_txid") &&
+          col("c_ts") > col("img_ts") &&
+          col("c_ts") <= col("img_ts") + expr("INTERVAL 100 MICROSECONDS"))
+      .select(col("seq"), col("k"), col("txid"), col("commit_seq"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Driver-checked: run [[commitJoin]] over the globally LSN-ordered
+    * fixture and return the joined rows. The DuckDB oracle recomputes the
+    * join relationally from `events` (committed transactions only). */
+  def sStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"/tmp/graft_stream_join/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root, "checkpoint"))
+    rm(new java.io.File(root, "joined"))
+    val chunkDir = new java.io.File(root, "chunks")
+    recordFixtureCached(s, d, chunkDir.getAbsolutePath, ordered = true)
+    val ck = new java.io.File(root, "checkpoint").getAbsolutePath
+    val out = new java.io.File(root, "joined").getAbsolutePath
+    commitJoin(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    s.read.parquet(out).orderBy(col("seq"))
+  }
+
   /** Driver-checked: run [[commitWindows]] over a globally LSN-ordered
     * fixture (the real transaction-log shape — the monotonic-watermark
     * precondition) and return the emitted windows. */
@@ -775,7 +848,8 @@ object CdcPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cdc_pipeline" -> (sCdcPipeline _),
-    "s_commit_windows" -> (sCommitWindows _)
+    "s_commit_windows" -> (sCommitWindows _),
+    "s_stream_join" -> (sStreamJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -802,6 +876,18 @@ object CdcPipeline {
         |SELECT (commit_seq // 1000) * 1000 AS win_start_us,
         |       count(*) AS n_commits,
         |       min(commit_seq) AS min_seq, max(commit_seq) AS max_seq
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         CAST(event_id // 20 AS integer) AS txid FROM events),
+        |tx AS (
+        |  SELECT txid, max(event_id * 4 + 2) + 1 AS commit_seq
+        |  FROM ev GROUP BY txid),
+        |c AS (SELECT txid, commit_seq FROM tx WHERE txid % 13 != 5)
+        |SELECT ev.event_id * 4 + 2 AS seq, ev.user_id AS k, ev.txid,
+        |       c.commit_seq
+        |FROM ev JOIN c USING (txid)
+        |ORDER BY seq""".stripMargin
   )
 }
