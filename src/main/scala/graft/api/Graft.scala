@@ -631,6 +631,31 @@ object Graft {
     CorpusOps.ngramOverlap(train, evalSet, idCol, textCol, n, evalGramMax)
       .filter(col("overlap") >= threshold)
 
+  /** Fixed-round integer-exact PageRank over a directed edge list —
+    * graph centrality for data-selection weighting, cluster-seed picking,
+    * or hub detection (feed it [[knnGraph]] edges for semantic
+    * centrality). Ranks live in integer micro-units (base 150 000,
+    * damping 85/100 as exact long multiply + truncating division), so the
+    * result is identical across partitionings, runs, and engines. Each
+    * round is one edge⋈rank equi-join plus one destination-keyed hash
+    * aggregation; the degree-annotated edge list is materialized once
+    * (reliable when a session checkpoint dir is set). Nodes without
+    * out-edges leak their mass (the simplified-PageRank dangling policy).
+    * Returns (`idCol`, rank_micro). */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+               srcCol: String, dstCol: String, iters: Int = 3): DataFrame =
+    graft.operators.GraphOps.pageRank(nodes, idCol, edges, srcCol, dstCol, iters)
+      .withColumnRenamed("id", idCol)
+
+  /** Streaming commit-LSN enrichment as a watermarked stream-stream join
+    * (see [[graft.streaming.CdcPipeline.commitJoin]]): row images joined
+    * to their transaction's COMMIT record; rolled-back transactions never
+    * match (no commit record exists), so rollback filtering is structural.
+    * Join state stays O(open transactions) under watermark eviction. */
+  def commitJoin(spark: SparkSession, chunkDir: String, checkpointDir: String,
+                 outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.CdcPipeline.commitJoin(spark, chunkDir, checkpointDir, outDir)
+
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

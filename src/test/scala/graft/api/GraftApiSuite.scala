@@ -561,4 +561,16 @@ class GraftApiSuite extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
     assert(got == Seq((1L, "a2"), (3L, "c")))
   }
+
+  test("pageRank ranks the hub of a star graph highest, keeps the id name") {
+    // 1..4 all point at 0; 0 points at 1.
+    val nodes = (0L to 4L).toDF("node")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("from", "to")
+    val got = Graft.pageRank(nodes, "node", edges, "from", "to", iters = 3)
+    assert(got.columns.toSeq == Seq("node", "rank_micro"))
+    val ranks = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(1L))                   // hub beats its spoke
+    assert(Seq(2L, 3L, 4L).forall(n => ranks(1L) > ranks(n))) // spoke with an in-edge beats leaves
+  }
 }
