@@ -329,6 +329,20 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_graph_pagerank iterates over the MATERIALIZED edge list: no " +
+      "cartesian rounds, no KNN re-derivation, top-k via TakeOrdered") {
+    val p = plan("q_graph_pagerank")
+    // every round is an equi-join + hash agg — never an all-pairs product
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    // the degree-annotated edge list (and the assignment feeding it) are
+    // materialized once: the final 3-round plan must not rescan the
+    // embeddings parquet or re-run the KNN self-join per round
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(!p.contains("dot_f32"), p)
+    // final top-50 never globally sorts the rank table
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_ann_persisted probes via partition-pruned scan of the " +
       "cluster= index layout") {
     val p = plan("q_ann_persisted")
