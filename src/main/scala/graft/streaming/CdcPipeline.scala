@@ -724,6 +724,36 @@ object CdcPipeline {
       .start()
   }
 
+  /** State-store partition count for the driver-checked streaming runs.
+    *
+    * A stateful operator's partitioning is captured from
+    * `spark.sql.shuffle.partitions` at the query's FIRST micro-batch and
+    * persisted in the checkpoint; every batch then commits one state-store
+    * delta PER PARTITION per stateful operator, so the fixed per-batch
+    * overhead scales with the partition count whether or not a partition
+    * holds state. Batch shuffle width and streaming state width are
+    * therefore different knobs: batch shuffles size to the DATA (32 here),
+    * state stores size to the STATEFUL LOAD — open transactions / open
+    * windows / in-flight join rows, which the watermark bounds to a tiny
+    * fraction of the stream. On a 1000-executor cluster ingesting a real
+    * firehose you'd raise this (state volume grows with open-txn count,
+    * and more partitions = more parallel state commits); at the bench's
+    * micro-batch cadence 8 cuts the per-batch fixed cost ~3× with zero
+    * semantic change (measured: 10.8→4.0 s stream join, 6.2→3.4 s merge
+    * pipeline, 3.5→2.1 s commit windows at sf0.1, local[32]). */
+  val StreamStatePartitions = 8
+
+  /** Scopes `spark.sql.shuffle.partitions` to [[StreamStatePartitions]]
+    * for the duration of `body` (a start + awaitTermination pair — the
+    * conf must stay scoped until the stream FINISHES, because the value is
+    * read when the first micro-batch is planned, asynchronously to
+    * `start()`), then restores the session's batch setting. */
+  private def withStatePartitions[A](s: SparkSession)(body: => A): A = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Watermarked STREAM-STREAM join (`s_stream_join`): each committed row
     * image joined to ITS transaction's COMMIT record on (txid, event-time
     * range) — commit-LSN enrichment as Spark's symmetric hash join instead
@@ -793,7 +823,9 @@ object CdcPipeline {
     recordFixtureCached(s, d, chunkDir.getAbsolutePath, ordered = true)
     val ck = new java.io.File(root, "checkpoint").getAbsolutePath
     val out = new java.io.File(root, "joined").getAbsolutePath
-    commitJoin(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    withStatePartitions(s) {
+      commitJoin(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    }
     s.read.parquet(out).orderBy(col("seq"))
   }
 
@@ -813,7 +845,9 @@ object CdcPipeline {
     recordFixtureCached(s, d, chunkDir.getAbsolutePath, ordered = true)
     val ck = new java.io.File(root, "checkpoint").getAbsolutePath
     val out = new java.io.File(root, "windows").getAbsolutePath
-    commitWindows(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    withStatePartitions(s) {
+      commitWindows(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    }
     s.read.parquet(out).orderBy(col("win_start_us"))
   }
 
@@ -838,9 +872,10 @@ object CdcPipeline {
     recordFixtureCached(s, d, chunkDir.getAbsolutePath)
     // The V2 source path (custom DataSource V2 with offset log + admission
     // control); the binaryFile path is spec-checked equal to it.
-    val q = startV2(s, chunkDir.getAbsolutePath, checkpoint.getAbsolutePath,
-      outDir.getAbsolutePath)
-    q.awaitTermination()
+    withStatePartitions(s) {
+      startV2(s, chunkDir.getAbsolutePath, checkpoint.getAbsolutePath,
+        outDir.getAbsolutePath).awaitTermination()
+    }
     readMaterialized(s, outDir.getAbsolutePath)
       .select(col("k"), col("last_seq"), col("v"), col("old_v"), col("etype"))
       .orderBy(col("k"))
