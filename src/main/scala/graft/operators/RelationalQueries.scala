@@ -193,6 +193,53 @@ object RelationalQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_bucket"))
 
+  /** CUBE: change counts at EVERY grain combination — the grouping-sets
+    * family completed beside [[qRollup]] (ROLLUP emits the prefix grains;
+    * CUBE adds the (null, user_bucket) slices). Same single hash
+    * aggregation: Spark expands the row to its 4 grouping sets before the
+    * partial agg, so the shuffle carries per-set partials, never a
+    * re-scan per grain. */
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("user_bucket", (col("user_id") % 5).cast("int"))
+      .cube(col("event_type"), col("user_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_bucket"))
+
+  /** Conversion funnel in log order: per user, the first 'view', the
+    * first 'click' within 300 LSNs after it, the first 'purchase' within
+    * 300 LSNs after that — staged sequential-pattern matching (the
+    * product-analytics staple), counted per deepest stage reached. Order
+    * is the stream's total LSN order (`event_id`), the same clock every
+    * CDC query here uses. Shape: ONE hash shuffle collects each user's
+    * (event_id, event_type) pairs — never the payload columns — and the
+    * stage logic is pure map-side higher-order list algebra (filter /
+    * transform / array_min chained through the stage anchors; empty
+    * stage → null anchor → later stages' bound predicates are null and
+    * drop, identically in DuckDB's list_filter). Deterministic regardless
+    * of collect order: every anchor is a min over a filtered set. */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val W = 300
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("event_id"), col("event_type"))).as("evs"))
+      .withColumn("v_id", expr(
+        "array_min(transform(filter(evs, e -> e.event_type = 'view'), e -> e.event_id))"))
+      .withColumn("c_id", expr(
+        s"array_min(transform(filter(evs, e -> e.event_type = 'click' AND e.event_id > v_id AND e.event_id <= v_id + $W), e -> e.event_id))"))
+      .withColumn("p_id", expr(
+        s"array_min(transform(filter(evs, e -> e.event_type = 'purchase' AND e.event_id > c_id AND e.event_id <= c_id + $W), e -> e.event_id))"))
+      .withColumn("stage", expr(
+        "CASE WHEN p_id IS NOT NULL THEN 3 WHEN c_id IS NOT NULL THEN 2 " +
+          "WHEN v_id IS NOT NULL THEN 1 ELSE 0 END"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   /** PIVOT: per-user event-type counts as columns. Spark's `pivot` with an
     * explicit value list compiles to one hash aggregation with conditional
     * partials (no extra shuffle, no value-discovery pass) — same plan the
@@ -256,7 +303,9 @@ object RelationalQueries {
     "q_topk_seq" -> qTopkSeq _,
     "q_set_ops" -> qSetOps _,
     "q_grouped_measures" -> qGroupedMeasures _,
-    "q_rollup" -> qRollup _
+    "q_rollup" -> qRollup _,
+    "q_cube" -> qCube _,
+    "q_funnel" -> qFunnel _
   )
 
   val oracle: Map[String, String] = Map(
@@ -378,6 +427,35 @@ object RelationalQueries {
         |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM events
         |GROUP BY ROLLUP (event_type, user_bucket)
-        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, cast(user_id % 5 AS integer) AS user_bucket,
+        |       count(*) AS n,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, user_bucket)
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+    "q_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         list(struct_pack(event_id := event_id,
+        |                          event_type := event_type)) AS evs
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id,
+        |  list_min(list_transform(list_filter(evs,
+        |    e -> e.event_type = 'view'), e -> e.event_id)) AS v_id,
+        |  list_min(list_transform(list_filter(evs,
+        |    e -> e.event_type = 'click' AND e.event_id > v_id
+        |         AND e.event_id <= v_id + 300), e -> e.event_id)) AS c_id,
+        |  list_min(list_transform(list_filter(evs,
+        |    e -> e.event_type = 'purchase' AND e.event_id > c_id
+        |         AND e.event_id <= c_id + 300), e -> e.event_id)) AS p_id
+        |  FROM u),
+        |f AS (SELECT CASE WHEN p_id IS NOT NULL THEN 3
+        |                  WHEN c_id IS NOT NULL THEN 2
+        |                  WHEN v_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |      FROM s)
+        |SELECT stage, count(*) AS n_users FROM f
+        |GROUP BY stage ORDER BY stage""".stripMargin
   )
 }

@@ -329,6 +329,19 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_funnel collects only (event_id, event_type) per user — payload " +
+      "columns never reach the shuffle") {
+    val p = plan("q_funnel")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("event_id") && read.contains("user_id")
+      && read.contains("event_type"), read)
+    assert(!read.contains("value") && !read.contains("props")
+      && !read.contains("ts"), read)
+    // stage logic is list algebra over the collected pairs, not a join
+    // back against the events table
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_graph_pagerank iterates over the MATERIALIZED edge list: no " +
       "cartesian rounds, no KNN re-derivation, top-k via TakeOrdered") {
     val p = plan("q_graph_pagerank")
