@@ -829,6 +829,71 @@ object CdcPipeline {
     s.read.parquet(out).orderBy(col("seq"))
   }
 
+  /** Watermarked streaming DEDUPLICATION (`s_changelog_dedup`): the
+    * at-least-once → exactly-once repair. The reference's stream is
+    * at-least-once across reconnects — after a restart it can re-deliver
+    * records at or before the resume LSN, which is why it carries
+    * `discard_candidate` flags (ec:1459-1461, 1527-1529) and why the
+    * restart table resolves a resume point rather than trusting delivery
+    * (ec:2172-2194). Here the repair is declarative:
+    * `dropDuplicatesWithinWatermark` keyed by the LSN — a re-delivered
+    * record's seq is already in dedup state (same micro-batch or later)
+    * or is older than the watermark (late data, dropped outright);
+    * either way it emits exactly once. State is watermark-bounded: only
+    * the in-flight window's seqs are remembered, never the stream. */
+  def changelogDedup(spark: SparkSession, chunkDir: String,
+                     checkpointDir: String, outDir: String,
+                     maxFilesPerTrigger: Int = 3) = {
+    spark.readStream
+      .format("graft.sources.CdcChunkSource")
+      .option("path", chunkDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+      .filter(col("recordType").isin("CDC_REC_INSERT", "CDC_REC_UPDAFT"))
+      .select(col("seq"), col("txid"), col("key").as("k"), col("v"),
+        col("etype"), timestamp_micros(col("seq")).as("ts"))
+      .withWatermark("ts", "1 millisecond")
+      .dropDuplicatesWithinWatermark("seq")
+      .select(col("seq"), col("txid"), col("k"), col("v"), col("etype"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Driver-checked: record the ordered fixture, then RE-DELIVER one
+    * middle chunk verbatim (a copy that lists right after the original —
+    * the reconnect-replay shape), run [[changelogDedup]], and return the
+    * deduped rows. The oracle is the duplicate-free mapping from
+    * `events`, so any double emission breaks the row count AND the hash. */
+  def sChangelogDedup(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"/tmp/graft_stream_dedup/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root, "checkpoint"))
+    rm(new java.io.File(root, "deduped"))
+    val chunkDir = new java.io.File(root, "chunks")
+    recordFixtureCached(s, d, chunkDir.getAbsolutePath, ordered = true)
+    val orig = new java.io.File(chunkDir, "chunk-003.bin")
+    val replay = new java.io.File(chunkDir, "chunk-003x.bin")
+    if (!replay.isFile) {
+      java.nio.file.Files.copy(orig.toPath, replay.toPath)
+      replay.setLastModified(orig.lastModified() + 1000L)
+    }
+    val ck = new java.io.File(root, "checkpoint").getAbsolutePath
+    val out = new java.io.File(root, "deduped").getAbsolutePath
+    withStatePartitions(s) {
+      changelogDedup(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("seq"))
+  }
+
   /** Driver-checked: run [[commitWindows]] over a globally LSN-ordered
     * fixture (the real transaction-log shape — the monotonic-watermark
     * precondition) and return the emitted windows. */
@@ -884,7 +949,8 @@ object CdcPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cdc_pipeline" -> (sCdcPipeline _),
     "s_commit_windows" -> (sCommitWindows _),
-    "s_stream_join" -> (sStreamJoin _)
+    "s_stream_join" -> (sStreamJoin _),
+    "s_changelog_dedup" -> (sChangelogDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -923,6 +989,11 @@ object CdcPipeline {
         |SELECT ev.event_id * 4 + 2 AS seq, ev.user_id AS k, ev.txid,
         |       c.commit_seq
         |FROM ev JOIN c USING (txid)
-        |ORDER BY seq""".stripMargin
+        |ORDER BY seq""".stripMargin,
+    "s_changelog_dedup" ->
+      """SELECT event_id * 4 + 2 AS seq,
+        |       CAST(event_id // 20 AS integer) AS txid,
+        |       user_id AS k, value AS v, event_type AS etype
+        |FROM events ORDER BY seq""".stripMargin
   )
 }
