@@ -656,6 +656,20 @@ object Graft {
                  outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.CdcPipeline.commitJoin(spark, chunkDir, checkpointDir, outDir)
 
+  /** Staged conversion funnel: per entity, the deepest stage of `stages`
+    * reached in `orderCol` order, each stage anchored at the FIRST
+    * qualifying event within `window` order units of the previous
+    * stage's anchor. Returns (`userCol`, stage ∈ [0, stages.length]) —
+    * one row per entity; aggregate downstream for the funnel counts. One
+    * hash shuffle collects (order, type) pairs per entity; the staging
+    * is map-side list algebra, deterministic regardless of collect
+    * order. */
+  def funnel(events: DataFrame, userCol: String, orderCol: String,
+             typeCol: String, stages: Seq[String],
+             window: Long): DataFrame =
+    graft.operators.RelationalQueries.funnelStages(
+      events, userCol, orderCol, typeCol, stages, window)
+
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational operator inventory (SURVEY.md §2.b): scan/project, filter,
@@ -208,37 +208,64 @@ object RelationalQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_bucket"))
 
+  /** Staged funnel core, the ONE implementation behind the driver query
+    * and [[graft.api.Graft.funnel]]: per entity, the deepest stage of
+    * `stages` reached in `orderCol` order, each stage anchored at the
+    * FIRST qualifying event no more than `window` order units after the
+    * previous stage's anchor. Returns one row per entity: (entity id,
+    * stage ∈ [0, stages.length]).
+    *
+    * Shape: ONE hash shuffle collects each entity's (order, type) pairs —
+    * never other columns — then the stage anchors are map-side
+    * higher-order list algebra (filter / transform / array_min chained
+    * through the anchors; an unreached stage yields a null anchor, whose
+    * bound predicate nulls out and drops later candidates, identically in
+    * DuckDB's list_filter). Deterministic regardless of collect order:
+    * every anchor is a min over a filtered set. Anchors are monotone
+    * (stage i reached ⇒ stage i-1 reached), so the deepest stage is the
+    * first non-null anchor scanning backwards. */
+  private[graft] def funnelStages(events: DataFrame, userCol: String,
+      orderCol: String, typeCol: String, stages: Seq[String],
+      window: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val collected = events
+      .select(col(userCol).as("_fun_user"), col(orderCol).as("_fun_ord"),
+        col(typeCol).as("_fun_typ"))
+      .groupBy(col("_fun_user"))
+      .agg(collect_list(struct(col("_fun_ord").as("ord"),
+        col("_fun_typ").as("typ"))).as("_fun_evs"))
+    val withAnchors = stages.zipWithIndex.foldLeft(collected) {
+      case (df, (stage, i)) =>
+        val pred: Column => Column =
+          if (i == 0) e => e.getField("typ") === lit(stage)
+          else e => e.getField("typ") === lit(stage) &&
+            e.getField("ord") > col(s"_fun_a${i - 1}") &&
+            e.getField("ord") <= col(s"_fun_a${i - 1}") + lit(window)
+        df.withColumn(s"_fun_a$i", array_min(
+          transform(filter(col("_fun_evs"), pred), e => e.getField("ord"))))
+    }
+    // Build innermost-first: the LAST fold step wraps the accumulator, so
+    // ascending order puts the DEEPEST stage's check outermost — a user at
+    // stage 3 must not be reported as stage 1 just because a0 is non-null.
+    val stageCol = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_fun_a$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withAnchors.select(col("_fun_user").as(userCol),
+      stageCol.cast("int").as("stage"))
+  }
+
   /** Conversion funnel in log order: per user, the first 'view', the
     * first 'click' within 300 LSNs after it, the first 'purchase' within
     * 300 LSNs after that — staged sequential-pattern matching (the
     * product-analytics staple), counted per deepest stage reached. Order
     * is the stream's total LSN order (`event_id`), the same clock every
-    * CDC query here uses. Shape: ONE hash shuffle collects each user's
-    * (event_id, event_type) pairs — never the payload columns — and the
-    * stage logic is pure map-side higher-order list algebra (filter /
-    * transform / array_min chained through the stage anchors; empty
-    * stage → null anchor → later stages' bound predicates are null and
-    * drop, identically in DuckDB's list_filter). Deterministic regardless
-    * of collect order: every anchor is a min over a filtered set. */
-  private def qFunnel(s: SparkSession, d: String): DataFrame = {
-    val W = 300
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"))
-      .groupBy(col("user_id"))
-      .agg(collect_list(struct(col("event_id"), col("event_type"))).as("evs"))
-      .withColumn("v_id", expr(
-        "array_min(transform(filter(evs, e -> e.event_type = 'view'), e -> e.event_id))"))
-      .withColumn("c_id", expr(
-        s"array_min(transform(filter(evs, e -> e.event_type = 'click' AND e.event_id > v_id AND e.event_id <= v_id + $W), e -> e.event_id))"))
-      .withColumn("p_id", expr(
-        s"array_min(transform(filter(evs, e -> e.event_type = 'purchase' AND e.event_id > c_id AND e.event_id <= c_id + $W), e -> e.event_id))"))
-      .withColumn("stage", expr(
-        "CASE WHEN p_id IS NOT NULL THEN 3 WHEN c_id IS NOT NULL THEN 2 " +
-          "WHEN v_id IS NOT NULL THEN 1 ELSE 0 END"))
+    * CDC query here uses. The staging engine is [[funnelStages]]. */
+  private def qFunnel(s: SparkSession, d: String): DataFrame =
+    funnelStages(Tables.events(s, d), "user_id", "event_id", "event_type",
+        Seq("view", "click", "purchase"), window = 300L)
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("stage"))
-  }
 
   /** PIVOT: per-user event-type counts as columns. Spark's `pivot` with an
     * explicit value list compiles to one hash aggregation with conditional

@@ -562,6 +562,18 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("funnel stages custom event types over custom column names") {
+    val evs = Seq(
+      (7L, 1L, "open"), (7L, 2L, "add"), (7L, 3L, "buy"),   // full funnel
+      (8L, 1L, "open"), (8L, 50L, "add"),                   // add too late
+      (9L, 1L, "add"), (9L, 2L, "buy"))                     // never opened
+      .toDF("acct", "at", "action")
+    val got = Graft.funnel(evs, "acct", "at", "action",
+        Seq("open", "add", "buy"), window = 10L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(7L -> 3, 8L -> 1, 9L -> 0))
+  }
+
   test("pageRank ranks the hub of a star graph highest, keeps the id name") {
     // 1..4 all point at 0; 0 points at 1.
     val nodes = (0L to 4L).toDF("node")
