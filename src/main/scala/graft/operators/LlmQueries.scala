@@ -541,6 +541,70 @@ object LlmQueries {
       .limit(100)
   }
 
+  /** Product quantization (PQ) top-k — the OTHER classic vector
+    * compression beside [[qQuantizedTopk]]'s int8 scalar quantization:
+    * each 64-dim vector becomes m = 4 one-byte codes (one per 16-dim
+    * subspace, k = 16 codewords each), a 64× storage cut, and queries
+    * score by asymmetric distance computation (ADC) — the query's exact
+    * subvector dotted with each assigned codeword, summed across
+    * subspaces. At 100 TB this is how a memory-resident index happens:
+    * the code table is ~1.5% of the float corpus, and a scan reads 4
+    * bytes/vector + one 64-entry lookup table per query instead of 256
+    * bytes/vector.
+    *
+    * Engine-exact arithmetic: every element quantizes to 1e-6-unit
+    * integers FIRST, so subspace L2² assignment distances and ADC dot
+    * partials are exact integer sums (order-independent, hash-stable);
+    * codeword argmin ties break on the code id via lexicographic struct
+    * min. Codebook = the first k vectors' slices (the [[seedCentroids]]
+    * demo discipline; production trains per-subspace k-means with the
+    * same [[kmeansTrain]] machinery).
+    *
+    * Shape: the codebook (64 rows) and query ride TWO 1-row broadcasts
+    * onto the scan; encode + ADC are entirely map-side higher-order
+    * algebra (the assignment argmin folds over the in-row codeword
+    * array — no explode, no shuffle); top-10 is TakeOrderedAndProject.
+    * The exact integer dot rides along as the approximation audit. */
+  private def qPqTopk(s: SparkSession, d: String): DataFrame = {
+    val m = 4; val k = 16; val sub = 16
+    val e = Tables.spread(s, Tables.embeddings(s, d))
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS q")
+    val cbk = e.filter(col("vec_id") < k)
+      .selectExpr("vec_id AS c", "q")
+      .selectExpr(s"explode(transform(sequence(0, ${m - 1}), " +
+        s"s -> struct(s AS s, c AS c, slice(q, s * $sub + 1, $sub) AS w))) AS sc")
+      .groupBy().agg(sort_array(collect_list(col("sc"))).as("cbk"))
+    val qrow = e.filter(col("vec_id") === 0)
+      .selectExpr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(q, s * $sub + 1, $sub)) AS qs",
+        "q AS qfull")
+    def l2i(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    def doti(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    // Per subspace: lexicographic struct min over (distance, code) picks
+    // the codeword; its ADC partial (query-slice · codeword) rides along.
+    val withCodes = (0 until m).foldLeft(
+        e.crossJoin(broadcast(cbk)).crossJoin(broadcast(qrow))) {
+      case (df, sIdx) =>
+        df.withColumn(s"pick$sIdx", expr(
+          s"array_min(transform(filter(cbk, w -> w.s = $sIdx), w -> struct(" +
+            s"${l2i(s"slice(q, ${sIdx * sub} + 1, $sub)", "w.w")} AS d, " +
+            s"w.c AS c, ${doti(s"element_at(qs, ${sIdx + 1})", "w.w")} AS p)))"))
+    }
+    withCodes
+      .withColumn("score_micro2", expr(
+        (0 until m).map(i => s"pick$i.p").mkString(" + ")))
+      .withColumn("exact_micro2", expr(doti("q", "qfull")))
+      .selectExpr("vec_id", "label",
+        "pick0.c AS code0", "pick1.c AS code1",
+        "pick2.c AS code2", "pick3.c AS code3",
+        "score_micro2", "exact_micro2")
+      .orderBy(col("score_micro2").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Centroid seed set for the IVF demos, sized IN-PLAN from the corpus:
     * the first K = ⌈√N⌉ vectors by id. K ≈ √N is the classic IVF sizing —
     * it keeps BOTH the centroid table (K rows on one broadcast) and each
@@ -1191,6 +1255,7 @@ object LlmQueries {
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
     "q_quantized_topk" -> qQuantizedTopk _,
+    "q_pq_topk" -> qPqTopk _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_batch" -> qAnnBatch _,
     "q_ann_persisted" -> qAnnPersisted _,
@@ -1552,6 +1617,48 @@ object LlmQueries {
          |       ${cosDuck("v", "qev")} AS sim
          |FROM qz, q
          |ORDER BY approx_sim DESC, vec_id LIMIT 100""".stripMargin,
+    "q_pq_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding::DOUBLE[],
+        |    x -> CAST(round(x * 1000000.0) AS bigint)) AS q FROM embeddings),
+        |es AS (SELECT vec_id, label, q, s,
+        |              q[CAST(s*16+1 AS int) : CAST(s*16+16 AS int)] AS vs
+        |       FROM e, range(4) t(s)),
+        |cb AS (SELECT s, vec_id AS c,
+        |              q[CAST(s*16+1 AS int) : CAST(s*16+16 AS int)] AS w
+        |       FROM e, range(4) t(s) WHERE vec_id < 16),
+        |qr AS (SELECT q AS qfull FROM e WHERE vec_id = 0),
+        |qs AS (SELECT s, qfull[CAST(s*16+1 AS int) : CAST(s*16+16 AS int)] AS qv
+        |       FROM qr, range(4) t(s)),
+        |dist AS (
+        |  SELECT es.vec_id, es.s, cb.c,
+        |         CAST(list_sum(list_transform(range(1, 17),
+        |           i -> (es.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]) *
+        |                (es.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]))) AS bigint) AS dd,
+        |         CAST(list_sum(list_transform(range(1, 17),
+        |           i -> qs.qv[CAST(i AS int)] * cb.w[CAST(i AS int)])) AS bigint) AS pp
+        |  FROM es JOIN cb ON es.s = cb.s JOIN qs ON qs.s = es.s),
+        |codes AS (
+        |  SELECT vec_id, s, c, pp,
+        |         row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+        |  FROM dist QUALIFY rn = 1),
+        |score AS (
+        |  SELECT vec_id,
+        |         max(CASE WHEN s = 0 THEN c END) AS code0,
+        |         max(CASE WHEN s = 1 THEN c END) AS code1,
+        |         max(CASE WHEN s = 2 THEN c END) AS code2,
+        |         max(CASE WHEN s = 3 THEN c END) AS code3,
+        |         CAST(sum(pp) AS bigint) AS score_micro2
+        |  FROM codes GROUP BY vec_id),
+        |exact AS (
+        |  SELECT e.vec_id, e.label,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> e.q[CAST(i AS int)] * qr.qfull[CAST(i AS int)])) AS bigint) AS exact_micro2
+        |  FROM e, qr)
+        |SELECT sc.vec_id, x.label, code0, code1, code2, code3,
+        |       score_micro2, exact_micro2
+        |FROM score sc JOIN exact x ON sc.vec_id = x.vec_id
+        |ORDER BY score_micro2 DESC, sc.vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),

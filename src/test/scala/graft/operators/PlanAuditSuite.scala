@@ -329,6 +329,17 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_pq_topk encodes and scores map-side: codebook and query ride " +
+      "broadcasts, no semantic shuffle, top-k via TakeOrdered") {
+    val p = plan("q_pq_topk")
+    assertNoSemanticHashExchange(p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // assignment folds over the in-row codeword array — never an explode
+    // of vectors × codewords into a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_funnel collects only (event_id, event_type) per user — payload " +
       "columns never reach the shuffle") {
     val p = plan("q_funnel")
