@@ -656,6 +656,20 @@ object Graft {
                  outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.CdcPipeline.commitJoin(spark, chunkDir, checkpointDir, outDir)
 
+  /** Product-quantized similarity top-k: vectors compress to `m` one-byte
+    * codes (dim/m-dim subspaces, `k` codewords each — codewords seeded
+    * from the first `k` vectors by id), and the query with id `queryId`
+    * scores every vector by asymmetric distance computation (exact query
+    * subvector · assigned codeword, summed across subspaces). All
+    * arithmetic is 1e-6-quantized integer sums — deterministic across
+    * partitionings and engines. Returns (`idCol`, code0..code{m-1},
+    * score_micro2, exact_micro2) for the `topK` highest ADC scores; the
+    * exact integer dot rides along as the approximation audit. */
+  def pqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, dim: Int, m: Int = 4, k: Int = 16,
+             topK: Int = 10): DataFrame =
+    LlmQueries.pqTopK(vectors, idCol, vecCol, Seq.empty, queryId, dim, m, k, topK)
+
   /** Staged conversion funnel: per entity, the deepest stage of `stages`
     * reached in `orderCol` order, each stage anchored at the FIRST
     * qualifying event within `window` order units of the previous

@@ -565,17 +565,21 @@ object LlmQueries {
     * algebra (the assignment argmin folds over the in-row codeword
     * array — no explode, no shuffle); top-10 is TakeOrderedAndProject.
     * The exact integer dot rides along as the approximation audit. */
-  private def qPqTopk(s: SparkSession, d: String): DataFrame = {
-    val m = 4; val k = 16; val sub = 16
-    val e = Tables.spread(s, Tables.embeddings(s, d))
-      .selectExpr("vec_id", "label",
-        "transform(embedding, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS q")
+  private[graft] def pqTopK(vectors: DataFrame, idCol: String,
+      vecCol: String, carryCols: Seq[String], queryId: Long, dim: Int,
+      m: Int, k: Int, topK: Int): DataFrame = {
+    require(m > 0 && dim % m == 0,
+      s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val e = vectors.selectExpr(s"$idCol AS vec_id" +: carryCols :+
+      (s"transform($vecCol, x -> cast(round(cast(x AS double) * " +
+        "1000000.0) AS bigint)) AS q"): _*)
     val cbk = e.filter(col("vec_id") < k)
       .selectExpr("vec_id AS c", "q")
       .selectExpr(s"explode(transform(sequence(0, ${m - 1}), " +
         s"s -> struct(s AS s, c AS c, slice(q, s * $sub + 1, $sub) AS w))) AS sc")
       .groupBy().agg(sort_array(collect_list(col("sc"))).as("cbk"))
-    val qrow = e.filter(col("vec_id") === 0)
+    val qrow = e.filter(col("vec_id") === queryId)
       .selectExpr(
         s"transform(sequence(0, ${m - 1}), s -> slice(q, s * $sub + 1, $sub)) AS qs",
         "q AS qfull")
@@ -597,13 +601,17 @@ object LlmQueries {
       .withColumn("score_micro2", expr(
         (0 until m).map(i => s"pick$i.p").mkString(" + ")))
       .withColumn("exact_micro2", expr(doti("q", "qfull")))
-      .selectExpr("vec_id", "label",
-        "pick0.c AS code0", "pick1.c AS code1",
-        "pick2.c AS code2", "pick3.c AS code3",
-        "score_micro2", "exact_micro2")
-      .orderBy(col("score_micro2").desc, col("vec_id"))
-      .limit(10)
+      .selectExpr(Seq("vec_id") ++ carryCols ++
+        (0 until m).map(i => s"pick$i.c AS code$i") ++
+        Seq("score_micro2", "exact_micro2"): _*)
+      .withColumnRenamed("vec_id", idCol)
+      .orderBy(col("score_micro2").desc, col(idCol))
+      .limit(topK)
   }
+
+  private def qPqTopk(s: SparkSession, d: String): DataFrame =
+    pqTopK(Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
+      Seq("label"), queryId = 0L, dim = 64, m = 4, k = 16, topK = 10)
 
   /** Centroid seed set for the IVF demos, sized IN-PLAN from the corpus:
     * the first K = ⌈√N⌉ vectors by id. K ≈ √N is the classic IVF sizing —

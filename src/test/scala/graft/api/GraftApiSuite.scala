@@ -562,6 +562,32 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("pqTopK ranks the query's own codes highest and audits with the " +
+      "exact dot") {
+    // dim 4, m 2, k 2: codewords come from ids 0 and 1. id 2 copies id 0,
+    // id 3 is opposite — ADC must rank 0's copy above the opposite.
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.5f, -0.5f, 1.0f)),
+      (1L, Seq(-1.0f, 0.25f, 0.5f, -1.0f)),
+      (2L, Seq(1.0f, 0.5f, -0.5f, 1.0f)),
+      (3L, Seq(-1.0f, -0.5f, 0.5f, -1.0f)))
+      .toDF("vid", "vec")
+    val got = Graft.pqTopK(vs, "vid", "vec", queryId = 0L, dim = 4, m = 2,
+      k = 2, topK = 4)
+    assert(got.columns.toSeq == Seq("vid", "code0", "code1",
+      "score_micro2", "exact_micro2"))
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ids 0 and 2 (identical vectors) share codes (0,0) and the top scores
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 == 0L && byId(0L)._3 == 0L)
+    assert(byId(2L)._2 == 0L && byId(2L)._3 == 0L)
+    assert(byId(0L)._4 == byId(2L)._4)
+    assert(rows.take(2).map(_._1).toSet == Set(0L, 2L))
+    // exact audit: the query against itself is the max exact score
+    assert(rows.map(_._5).max == byId(0L)._5)
+  }
+
   test("funnel stages custom event types over custom column names") {
     val evs = Seq(
       (7L, 1L, "open"), (7L, 2L, "add"), (7L, 3L, "buy"),   // full funnel
