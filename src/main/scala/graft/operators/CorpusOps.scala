@@ -210,19 +210,26 @@ object CorpusOps {
     * sides, equi-join on the gram hash (never doc × doc), count matches
     * per pair. Grams in more than `evalGramMax` eval docs are dropped as
     * boilerplate — no contamination signal, and the cap bounds the
-    * per-gram join fan-out; the eval-side frequency window shuffles on the
-    * gram hash, the same key the join needs. */
+    * per-gram join fan-out. The frequency cap is applied as a
+    * pre-aggregated semi-join, not a `count over (partition by g)` window
+    * (VERDICT r8 #1): the window form shuffles AND
+    * sorts every eval gram row; the aggregate form ships only partial
+    * counts (map-side combine), and the surviving rare-gram set is small
+    * enough that AQE broadcasts the semi-join — the exploded eval rows
+    * then cross no extra shuffle before the main gram join. */
   private[graft] def ngramOverlap(trainDocs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, n: Int, evalGramMax: Int): DataFrame = {
     graft.functions.TextHash.ensureRegistered(trainDocs.sparkSession)
     val train = gramHashes(trainDocs, idCol, textCol, n)
       .select(col(idCol), explode(col("hs")).as("g"),
         size(col("hs")).cast("bigint").as("n_grams"))
-    val ev = gramHashes(evalDocs, idCol, textCol, n)
+    val evGrams = gramHashes(evalDocs, idCol, textCol, n)
       .select(col(idCol).as("eval_id"), explode(col("hs")).as("g"))
-      .withColumn("gram_df", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val rareGrams = evGrams.groupBy(col("g"))
+      .agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") <= evalGramMax)
-      .drop("gram_df")
+      .select(col("g"))
+    val ev = evGrams.join(rareGrams, Seq("g"), "left_semi")
     train.join(ev, Seq("g"))
       .groupBy(col(idCol), col("eval_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_common"))

@@ -740,7 +740,16 @@ object CdcPipeline {
     * and more partitions = more parallel state commits); at the bench's
     * micro-batch cadence 8 cuts the per-batch fixed cost ~3× with zero
     * semantic change (measured: 10.8→4.0 s stream join, 6.2→3.4 s merge
-    * pipeline, 3.5→2.1 s commit windows at sf0.1, local[32]). */
+    * pipeline, 3.5→2.1 s commit windows at sf0.1, local[32]).
+    *
+    * BENCH_r08 recorded 7.5 s for the merge pipeline, apparently
+    * contradicting the 3.4 s above — both numbers were real: the bench
+    * ran ~580 query executions in one JVM without releasing
+    * localCheckpoint/persist blocks, and the accumulated block-manager
+    * pressure penalized the streaming queries most (they re-plan every
+    * micro-batch). In a fresh JVM (graft.tools.ProfileQ) the same build
+    * ran 3.0-3.5 s. Fixed in [[graft.Bench]] by unpersisting + GC'ing
+    * between queries; the r9 bench reads 3.0 s. */
   val StreamStatePartitions = 8
 
   /** Scopes `spark.sql.shuffle.partitions` to [[StreamStatePartitions]]
