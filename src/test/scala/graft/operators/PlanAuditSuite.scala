@@ -379,6 +379,30 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_ivf_pq: pruned bucket scan, ADC short list via " +
+      "TakeOrderedAndProject, no full-corpus float scan in the probe") {
+    val p = plan("q_ivf_pq")
+    // stage 1: the query's cluster reaches the index scan as a
+    // PartitionFilter — the probe reads ONE cluster= directory
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, p.linesIterator.take(12).mkString("\n"))
+    // stage 2→3: the ADC top-32 cut is a TakeOrderedAndProject, never a
+    // global sort of the bucket
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the probe runs on the PERSISTED index — the raw embeddings parquet
+    // must not appear anywhere in the serving plan
+    assert(!p.contains("embeddings.parquet"), p)
+    // exact float scoring happens only in the re-rank: the top-32 cut and
+    // the sim projection are collapsed into TakeOrderedAndProject, whose
+    // toString elides its project list — so ANY textual dot_f32 in the
+    // plan would be a pre-limit Project scoring floats against the whole
+    // bucket scan, which is exactly what PQ exists to avoid
+    assert(!p.contains("dot_f32"), p)
+    // the ADC stage reads stored codes, not vectors: its Project (which
+    // prints expressions in full) scores via the integer fold
+    assert(p.contains("adc_micro2"), p)
+  }
+
   test("q_group_sample prunes each stratum to k via WindowGroupLimit, no join") {
     val p = plan("q_group_sample")
     assert(p.contains("WindowGroupLimit"), p)
