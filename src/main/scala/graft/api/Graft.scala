@@ -677,7 +677,11 @@ object Graft {
     * one row per entity; aggregate downstream for the funnel counts. One
     * hash shuffle collects (order, type) pairs per entity; the staging
     * is map-side list algebra, deterministic regardless of collect
-    * order. */
+    * order. Hot keys are safe: only stage-typed events within
+    * `(stages.length − 1) × window` of the entity's first stage-0 event
+    * reach the per-entity array, so a bot entity with 10⁸ events
+    * materializes only its horizon slice; entities with no stage-0
+    * event short-circuit to stage 0 without being collected. */
   def funnel(events: DataFrame, userCol: String, orderCol: String,
              typeCol: String, stages: Seq[String],
              window: Long): DataFrame =

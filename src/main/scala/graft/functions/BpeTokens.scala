@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_count(text) -> bigint`: deterministic byte-pair-encoding token
+  * count over a FIXED, rank-ordered merge table — the real unit every
+  * training-data budget is denominated in, replacing the whitespace
+  * stand-in (VERDICT r8 #6). Same kernel discipline as the
+  * [[TextHash]] family: one native pass per document, null-safe,
+  * `doGenCode` keeps it inside whole-stage codegen.
+  *
+  * Algorithm: split on single spaces; per word, split to code-point
+  * symbols, then for each merge rank IN ORDER run ONE left-to-right
+  * non-overlapping pass replacing adjacent (a, b) with the concatenated
+  * symbol; the document's count is the summed final symbol counts
+  * (spaces are separators, not tokens; consecutive spaces contribute
+  * nothing). Because the table is WELL-FORMED — every merge's inputs
+  * are single characters or outputs of strictly earlier merges — a
+  * single pass per rank is exactly the classic exhaustive BPE encode:
+  * a merge output `ab` can never recreate its own pair (`ab` ≠ `a`,
+  * `ab` ≠ `b`) nor an earlier rank's pair, so nothing is left for a
+  * re-scan to find.
+  *
+  * That single-pass form is what makes the DuckDB oracle exact: encode
+  * each character as `[c]` and fold the merge table through
+  * `replace(enc, '[a][b]', '[ab]')` — SQL `replace` is precisely a
+  * left-to-right non-overlapping pass that resumes after each
+  * replacement, matching the kernel's scan. The bracket encoding is
+  * alignment-safe: merge patterns are letter-only, every unit is
+  * `[` + symbol + `]`, and a pattern starting inside a unit dies on the
+  * unit's closing bracket — so matches only ever align to unit
+  * boundaries, even when the text itself contains `[` or `]`. */
+case class BpeCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_count expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_count"
+}
+
+object BpeCount {
+  /** Rank-ordered merges, WELL-FORMED by construction: each pair's parts
+    * are single letters or the outputs of strictly earlier rows (th→the,
+    * in→ing, an→and). The tiny fixed vocabulary is the demo discipline
+    * ([[graft.operators.LlmQueries]] seedCentroids); production swaps in
+    * a learned table of thousands — the kernel and the oracle builder
+    * iterate this list, so they can never disagree on its contents. */
+  val Merges: IndexedSeq[(String, String)] = IndexedSeq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "in" -> "g", "o" -> "r",
+    "e" -> "n", "a" -> "t", "e" -> "s", "o" -> "u", "l" -> "l",
+    "s" -> "t")
+
+  def compute(s: UTF8String): Long = {
+    val text = s.toString
+    val n = text.length
+    var total = 0L
+    val syms = new scala.collection.mutable.ArrayBuffer[String](32)
+    var w = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > w) {
+          syms.clear()
+          var j = w
+          while (j < i) {
+            val cp = text.codePointAt(j)
+            val len = Character.charCount(cp)
+            syms += text.substring(j, j + len)
+            j += len
+          }
+          var m = 0
+          while (m < Merges.length) {
+            val a = Merges(m)._1
+            val b = Merges(m)._2
+            var k = 0
+            while (k < syms.length - 1) {
+              if (syms(k) == a && syms(k + 1) == b) {
+                syms(k) = a + b
+                syms.remove(k + 1)
+              }
+              k += 1
+            }
+            m += 1
+          }
+          total += syms.length
+        }
+        w = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** The DuckDB replica of [[compute]] as a SQL expression over
+    * `textCol`, generated FROM [[Merges]] so kernel and oracle share one
+    * table: bracket-encode every character, fold the replace chain,
+    * count units, subtract the space units. */
+  def duckExpr(textCol: String): String = {
+    val enc = s"coalesce(list_aggregate(list_transform(" +
+      s"range(1, length($textCol) + 1), " +
+      s"i -> '[' || $textCol[CAST(i AS int):CAST(i AS int)] || ']'), " +
+      s"'string_agg', ''), '')"
+    val merged = Merges.foldLeft(enc) { case (acc, (a, b)) =>
+      s"replace($acc, '[$a][$b]', '[$a$b]')"
+    }
+    s"(length($merged) - length(replace($merged, '[', '')) - " +
+      s"(length($textCol) - length(replace($textCol, ' ', ''))))"
+  }
+}

@@ -560,6 +560,7 @@ object TextHash {
     unary("repetition_stats", classOf[RepetitionStats], RepetitionStats(_)),
     unary("simhash32", classOf[SimHash32], SimHash32(_)),
     unary("simhash60", classOf[SimHash60], SimHash60(_)),
+    unary("bpe_count", classOf[BpeCount], BpeCount(_)),
     shingle("shingle_h60", modP = false),
     shingle("shingle_h60p", modP = true))
 

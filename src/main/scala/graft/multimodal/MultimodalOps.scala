@@ -340,6 +340,61 @@ object MultimodalOps {
     bb.array()
   }
 
+  /** Near-dup PGM fixture family (r9, `q_media_near_dup`): 9×8 P5
+    * images in groups of 10 — every group shares a BASE image of
+    * md5-derived pixels (`h60("<base>_<k>") mod 256`, noise-quality so
+    * unrelated bases land far apart in dHash space), and each non-zero
+    * variant perturbs ONE pixel (+40+v at position 7v mod 72) — the
+    * "same image, small edit" shape perceptual dedup exists to catch.
+    * A single-pixel edit moves at most its two row-neighbor
+    * comparisons, so same-base pairs sit within hamming ≤ 4 of each
+    * other while cross-base pairs are ~32 apart. */
+  private[multimodal] val DHashW = 9
+  private[multimodal] val DHashH = 8
+  private[multimodal] def syntheticNoisePgm(id: Long): Array[Byte] = {
+    val n = DHashW * DHashH
+    val base = id / 10
+    val v = (id % 10).toInt
+    val px = Array.tabulate(n)(k =>
+      (h60(s"${base}_$k".getBytes("US-ASCII")) % 256).toInt)
+    if (v != 0) {
+      val pos = (v * 7) % n
+      px(pos) = (px(pos) + 40 + v) % 256
+    }
+    s"P5\n$DHashW $DHashH\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)
+  }
+
+  /** Difference hash over a decoded P5 payload: bit (row r, col c) is
+    * set when pixel (r, c+1) > pixel (r, c) — the classic 64-bit dHash
+    * (w−1 comparisons per row, row-major bit order), brightness-shift
+    * invariant by construction. Parses through [[parseNetpbm]] — the
+    * same seam as [[decodePgm]]/[[resizePgm]], so the perceptual hash
+    * and the codec can never disagree about what a valid image is.
+    * None on parse failure or when (w−1)·h exceeds the 64-bit budget. */
+  private[multimodal] def dHashPgm(p: Array[Byte]): Option[Long] = {
+    val (w, h, _, i) = parseNetpbm(p, '5') match {
+      case Some(hdr) => hdr
+      case None => return None
+    }
+    if (p.length.toLong - i != w * h) return None
+    if ((w - 1) * h > 64) return None
+    var bits = 0L
+    var idx = 0
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w - 1) {
+        val cur = p(i + (r * w + c).toInt) & 0xff
+        val nxt = p(i + (r * w + c).toInt + 1) & 0xff
+        if (nxt > cur) bits |= 1L << idx
+        idx += 1
+        c += 1
+      }
+      r += 1
+    }
+    Some(bits)
+  }
+
   /** First 15 hex chars of md5 as a long — the Scala twin of
     * [[graft.operators.LlmQueries.h60Spark]]. */
   private def h60(bytes: Array[Byte]): Long = {
@@ -458,11 +513,36 @@ object MultimodalOps {
     feats.toDF().selectExpr(cols: _*).orderBy(col("doc_id"))
   }
 
+  /** Perceptual near-dup for the media table (r9, VERDICT r8 #7): the
+    * text side has MinHash/SimHash; this gives images the same
+    * capability — decode ([[parseNetpbm]]) → 64-bit [[dHashPgm]] →
+    * hamming-LSH band join → verified pairs. The plan is EXACTLY
+    * `q_simhash_pairs`' ([[graft.operators.LlmQueries.hammingBandPairs]]
+    * shared verbatim: 4×16-bit bands, bucket equi-join, never
+    * all-pairs); only the fingerprint kernel differs. Decoding is the
+    * one `mapPartitions` batch seam the multimodal family already
+    * justifies. */
+  private def qMediaNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val hash = dHashPgm(syntheticNoisePgm(id)).getOrElse(
+          sys.error(s"fixture PGM failed to parse for id $id"))
+        (id, hash)
+      }).toDF("doc_id", "dhash")
+    graft.operators.LlmQueries.hammingBandPairs(
+        graft.operators.Materialize(fp), "dhash", bandBits = 16,
+        maxHamming = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> qMediaFeatures _,
     "q_media_frames" -> qMediaFrames _,
     "q_media_decode" -> qMediaDecode _,
-    "q_media_resize" -> qMediaResize _
+    "q_media_resize" -> qMediaResize _,
+    "q_media_near_dup" -> qMediaNearDup _
   )
 
   val oracle: Map[String, String] = Map(
@@ -580,6 +660,46 @@ object MultimodalOps {
          |       cast(len(range(1, n_frames + 1, 4)) AS int) AS n_sampled,
          |       ${h60Duck("substring(text, 1, 16)")} AS first_frame_fp,
          |       ${h60Duck("substring(text, 1 + 64 * ((n_frames - 1) // 2), 16)")} AS mid_frame_fp
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // dHash near-dup: the oracle regenerates the fixture's pixels from
+    // the id formula (q_media_decode's discipline — the kernel DECODES
+    // the payload, the oracle recomputes it arithmetically, so a parser
+    // or bit-order bug breaks the hash), then runs q_simhash_pairs'
+    // band-join SQL shape over the 64-bit fingerprints.
+    "q_media_near_dup" -> {
+      val cell = h60Duck("(doc_id // 10)::VARCHAR || '_' || k::VARCHAR") +
+        " % 256"
+      s"""WITH px AS (
+         |  SELECT doc_id, k,
+         |         CASE WHEN doc_id % 10 <> 0 AND k = ((doc_id % 10) * 7) % 72
+         |              THEN ($cell + 40 + doc_id % 10) % 256
+         |              ELSE $cell END AS v
+         |  FROM documents, range(72) t(k)),
+         |pl AS (SELECT doc_id, list(v ORDER BY k) AS p FROM px GROUP BY doc_id),
+         |f AS (SELECT doc_id,
+         |             cast(list_sum(list_transform(range(64),
+         |               i -> CASE WHEN p[CAST((i // 8) * 9 + (i % 8) + 2 AS int)] >
+         |                              p[CAST((i // 8) * 9 + (i % 8) + 1 AS int)]
+         |                    -- bit 63 is the long sign bit; DuckDB refuses
+         |                    -- 1::BIGINT << 63, so spell out its value
+         |                    THEN CASE WHEN i = 63
+         |                              THEN (-9223372036854775807 - 1)::BIGINT
+         |                              ELSE 1::BIGINT << CAST(i AS int) END
+         |                    ELSE 0 END)) AS bigint) AS dhash
+         |      FROM pl),
+         |bands AS (
+         |  SELECT doc_id, dhash, j AS band,
+         |         cast((dhash >> CAST(16 * j AS int)) & 65535 AS int) AS bkey
+         |  FROM f, range(4) t(j)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.dhash AS sh_a, b.dhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       cast(bit_count(xor(sh_a, sh_b)) AS bigint) AS hamming
+         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }

@@ -410,8 +410,12 @@ object CorpusOps {
     * (`size(sequence(...))` + an integer fold — no chunk explode, no
     * text carried past the quality gate), so after the three id
     * equi-joins the whole tail is map-side arithmetic into one bounded
-    * hash agg. */
+    * hash agg. r9: the budget table also carries `n_bpe_tokens` — the
+    * [[graft.functions.BpeCount]] greedy-merge count, the unit a
+    * training run actually provisions in — computed at the scan
+    * (map-side kernel), so only the per-doc long rides the joins. */
   private def qTrainingPipeline(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(s)
     val docs = Tables.spread(s, Tables.documents(s, d))
     val repKeep = repetitionStats(docs, "doc_id", "text")
       .filter(col("n_tokens") >= 20 &&
@@ -426,16 +430,18 @@ object CorpusOps {
     val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
     val evalFps = fps.filter(col("doc_id") % 97 === 0).select(col("fp"))
     val clean = fps.join(evalFps, Seq("fp"), "left_anti").select(col("doc_id"))
-    val survivors = docs.select(col("doc_id"), col("lang"))
+    val survivors = docs
+      .selectExpr("doc_id", "lang", "bpe_count(text) AS _n_bpe")
       .join(repKeep, "doc_id").join(keepers, "doc_id").join(clean, "doc_id")
     dataSplit(survivors, "doc_id", trainPct = 90, valPct = 5)
-      .selectExpr("split", "lang", "n_tokens",
+      .selectExpr("split", "lang", "n_tokens", "_n_bpe",
         "cast(size(sequence(0L, n_tokens - 1, 48L)) AS bigint) AS n_chunks",
         "aggregate(sequence(0L, n_tokens - 1, 48L), 0L, " +
           "(acc, st) -> acc + least(cast(64 AS bigint), n_tokens - st)) AS chunk_tokens")
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chunks")).as("n_chunks"),
-        sum(col("chunk_tokens")).as("n_tokens"))
+        sum(col("chunk_tokens")).as("n_tokens"),
+        sum(col("_n_bpe")).as("n_bpe_tokens"))
       .orderBy(col("split"), col("lang"))
   }
 
@@ -812,7 +818,9 @@ object CorpusOps {
          |  round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio,
          |  round(list_max(list_transform(list_distinct(g2), u -> len(list_filter(g2, x -> x = u)))) / len(g2), 6) AS max_2gram_frac
          |FROM m),
-         |rk AS (SELECT doc_id, lang, n_tokens FROM r
+         |rk AS (SELECT doc_id, lang, n_tokens,
+         |              cast(${graft.functions.BpeCount.duckExpr("text")} AS bigint) AS n_bpe
+         |       FROM r
          |       WHERE n_tokens >= 20 AND dup_token_ratio <= $MaxDupTokenRatio
          |         AND dup_2gram_ratio <= $MaxDup2gramRatio
          |         AND max_2gram_frac <= $Max2gramFrac),
@@ -820,19 +828,20 @@ object CorpusOps {
          |ev AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 97 = 0),
          |cl AS (SELECT doc_id FROM documents
          |       WHERE md5(text) NOT IN (SELECT fp FROM ev)),
-         |sv AS (SELECT rk.doc_id, lang, n_tokens,
+         |sv AS (SELECT rk.doc_id, lang, n_tokens, n_bpe,
          |              CASE WHEN ${hashDrawDuck("rk.doc_id")} % 100 < 90 THEN 'train'
          |                   WHEN ${hashDrawDuck("rk.doc_id")} % 100 < 95 THEN 'val'
          |                   ELSE 'test' END AS split
          |       FROM rk JOIN k USING (doc_id) JOIN cl USING (doc_id)),
-         |ch AS (SELECT split, lang, n_tokens,
+         |ch AS (SELECT split, lang, n_tokens, n_bpe,
          |              cast(len(generate_series(0, n_tokens - 1, 48)) AS bigint) AS n_chunks,
          |              cast(list_sum(list_transform(generate_series(0, n_tokens - 1, 48),
          |                st -> least(64, n_tokens - st))) AS bigint) AS chunk_tokens
          |       FROM sv)
          |SELECT split, lang, count(*) AS n_docs,
          |       cast(sum(n_chunks) AS bigint) AS n_chunks,
-         |       cast(sum(chunk_tokens) AS bigint) AS n_tokens
+         |       cast(sum(chunk_tokens) AS bigint) AS n_tokens,
+         |       cast(sum(n_bpe) AS bigint) AS n_bpe_tokens
          |FROM ch GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }

@@ -383,14 +383,27 @@ object LlmQueries {
         s"band for <= 3 differing bits (got $maxHamming — pairs beyond " +
         "the pigeonhole bound would be silently incomplete)")
     val (kernel, bandBits) = if (wide) ("simhash60", 15) else ("simhash32", 8)
-    val mask = (1 << bandBits) - 1
     val fp = Materialize(docs
       .selectExpr(s"$idCol AS doc_id", s"split($textCol, ' ') AS toks")
       .selectExpr("doc_id", s"$kernel(h60_array(toks)) AS simhash"))
+    hammingBandPairs(fp, "simhash", bandBits, maxHamming)
+  }
+
+  /** The hamming-LSH band equi-join shared by the SimHash pair queries
+    * and the media dHash near-dup (r9): a (doc_id, `hashCol`) frame is
+    * exploded into 4 `bandBits`-wide bands, pairs are generated ONLY
+    * within a (band, key) bucket — never all-pairs — and verified at
+    * `bit_count(xor) <= maxHamming`. Pigeonhole-lossless for
+    * maxHamming ≤ 3: with ≤ 3 differing bits, one of the 4 bands is
+    * untouched. Callers pass an already-materialized fp frame (it is
+    * referenced from both join sides). */
+  private[graft] def hammingBandPairs(fp: DataFrame, hashCol: String,
+      bandBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val byteExprs = (0 until 4)
-      .map(j => s"cast(shiftright(simhash, ${bandBits * j}) & $mask AS int)")
+      .map(j => s"cast(shiftright($hashCol, ${bandBits * j}) & $mask AS int)")
       .mkString(", ")
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    val bands = fp.select(col("doc_id"), col(hashCol),
       posexplode(expr(s"array($byteExprs)")).as(Seq("band", "bkey")))
     val a = bands.alias("a")
     val b = bands.alias("b")
@@ -398,7 +411,7 @@ object LlmQueries {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col(s"a.$hashCol").as("sh_a"), col(s"b.$hashCol").as("sh_b"))
       .distinct()
       .withColumn("hamming",
         expr("cast(bit_count(sh_a ^ sh_b) AS bigint)"))
@@ -1129,8 +1142,11 @@ object LlmQueries {
   }
 
   /** Token counting per document: whitespace tokens, distinct tokens, a
-    * BPE-ish regex token count, and mean token length — all map-side. */
-  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    * BPE-ish regex token count, the REAL greedy-merge BPE count
+    * ([[graft.functions.BpeCount]], r9 — the unit training budgets are
+    * actually denominated in), and mean token length — all map-side. */
+  private def qTokenCount(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(s)
     Tables.spread(s, Tables.documents(s, d))
       .selectExpr("doc_id", "n_chars", "text", "split(text, ' ') AS toks")
       .selectExpr(
@@ -1138,8 +1154,10 @@ object LlmQueries {
         "size(toks) AS n_ws_tokens",
         "size(array_distinct(toks)) AS n_uniq_tokens",
         "cast(regexp_count(text, '[a-z]+') AS bigint) AS n_re_tokens",
+        "bpe_count(text) AS n_bpe_tokens",
         "aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks) AS avg_token_len")
       .orderBy(col("doc_id"))
+  }
 
   /** Heuristic quality score per document: stopword ratio, short-token
     * ratio, and a length credit, combined with fixed weights. The exact
@@ -1829,13 +1847,14 @@ object LlmQueries {
         |FROM stats s JOIN uniq u ON s.lang = u.lang
         |ORDER BY s.lang""".stripMargin,
     "q_token_count" ->
-      """WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id, n_chars,
-        |       cast(len(toks) AS integer) AS n_ws_tokens,
-        |       cast(len(list_distinct(toks)) AS integer) AS n_uniq_tokens,
-        |       cast(len(regexp_extract_all(text, '[a-z]+')) AS bigint) AS n_re_tokens,
-        |       list_sum(list_transform(toks, t2 -> length(t2))) / len(toks) AS avg_token_len
-        |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, n_chars,
+         |       cast(len(toks) AS integer) AS n_ws_tokens,
+         |       cast(len(list_distinct(toks)) AS integer) AS n_uniq_tokens,
+         |       cast(len(regexp_extract_all(text, '[a-z]+')) AS bigint) AS n_re_tokens,
+         |       cast(${graft.functions.BpeCount.duckExpr("text")} AS bigint) AS n_bpe_tokens,
+         |       list_sum(list_transform(toks, t2 -> length(t2))) / len(toks) AS avg_token_len
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |r AS (

@@ -223,14 +223,39 @@ object RelationalQueries {
     * DuckDB's list_filter). Deterministic regardless of collect order:
     * every anchor is a min over a filtered set. Anchors are monotone
     * (stage i reached ⇒ stage i-1 reached), so the deepest stage is the
-    * first non-null anchor scanning backwards. */
+    * first non-null anchor scanning backwards.
+    *
+    * Hot-key guard (VERDICT r8 #5): the collected array is NOT the
+    * entity's full history. The anchor chain is deterministic and
+    * bounded — a₀ is the entity's min stage-0 order, and aᵢ ∈
+    * (a₀, a₀ + i·window] — so only stage-typed events with order inside
+    * [a₀, a₀ + (len−1)·window] can influence any anchor. Both prunes run
+    * BEFORE the collect: the type filter map-side on the scan, the
+    * horizon filter against the (one row per entity) a₀ aggregate. A
+    * hot entity (bot user, null-ish key) with 10⁸ events materializes
+    * only its horizon slice in the array; entities with no stage-0
+    * event never reach the collect at all and are re-attached as
+    * stage 0. The residual bound is events-per-entity WITHIN one
+    * horizon, which `window` controls — that is the knob to shrink if a
+    * key is hot inside the funnel window itself. */
   private[graft] def funnelStages(events: DataFrame, userCol: String,
       orderCol: String, typeCol: String, stages: Seq[String],
       window: Long): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val collected = events
-      .select(col(userCol).as("_fun_user"), col(orderCol).as("_fun_ord"),
-        col(typeCol).as("_fun_typ"))
+    val evs = events.select(col(userCol).as("_fun_user"),
+      col(orderCol).as("_fun_ord"), col(typeCol).as("_fun_typ"))
+    val staged = evs.filter(col("_fun_typ").isin(stages: _*))
+    val a0 = staged.filter(col("_fun_typ") === lit(stages.head))
+      .groupBy(col("_fun_user"))
+      .agg(min(col("_fun_ord")).as("_fun_first"))
+      .select(col("_fun_user").as("_fun_zuser"), col("_fun_first"))
+    // null-safe join keys: a null entity id is still an entity (the
+    // hot-key class this guard exists for), and must funnel identically
+    // to the unpruned form
+    val pruned = staged.join(a0, col("_fun_user") <=> col("_fun_zuser"))
+      .filter(col("_fun_ord") >= col("_fun_first") &&
+        col("_fun_ord") <= col("_fun_first") + lit((stages.length - 1) * window))
+    val collected = pruned
       .groupBy(col("_fun_user"))
       .agg(collect_list(struct(col("_fun_ord").as("ord"),
         col("_fun_typ").as("typ"))).as("_fun_evs"))
@@ -250,8 +275,12 @@ object RelationalQueries {
     val stageCol = stages.indices.foldLeft(lit(0)) { (acc, i) =>
       when(col(s"_fun_a$i").isNotNull, lit(i + 1)).otherwise(acc)
     }
-    withAnchors.select(col("_fun_user").as(userCol),
-      stageCol.cast("int").as("stage"))
+    val stagedOut = withAnchors.select(col("_fun_user").as("_fun_puser"),
+      stageCol.cast("int").as("_fun_stage"))
+    evs.select(col("_fun_user")).distinct()
+      .join(stagedOut, col("_fun_user") <=> col("_fun_puser"), "left")
+      .select(col("_fun_user").as(userCol),
+        coalesce(col("_fun_stage"), lit(0)).cast("int").as("stage"))
   }
 
   /** Conversion funnel in log order: per user, the first 'view', the

@@ -126,6 +126,27 @@ class MultimodalSuite extends AnyFunSuite {
     assert(MultimodalOps.resizePgm("not an image".getBytes, 2, 1).isEmpty)
   }
 
+  test("dHashPgm: row-major difference bits, brightness-shift invariant, " +
+      "single-pixel edit moves at most 2 bits") {
+    // 3x2: rows [10,30,20], [5,5,200] -> bits: (30>10)=1, (20>30)=0,
+    // (5>5)=0, (200>5)=1 -> 0b1001
+    val pgm = "P5\n3 2\n255\n".getBytes("UTF-8") ++
+      Array(10, 30, 20, 5, 5, 200).map(_.toByte)
+    assert(MultimodalOps.dHashPgm(pgm).get == 0x9L)
+    // +50 brightness on every pixel: comparisons unchanged
+    val brighter = "P5\n3 2\n255\n".getBytes("UTF-8") ++
+      Array(60, 80, 70, 55, 55, 250).map(_.toByte)
+    assert(MultimodalOps.dHashPgm(brighter).get == 0x9L)
+    assert(MultimodalOps.dHashPgm("nope".getBytes).isEmpty)
+    // fixture family: a variant differs from its base by <= 2 bits and
+    // different bases are far apart
+    val h0 = MultimodalOps.dHashPgm(MultimodalOps.syntheticNoisePgm(40L)).get
+    val h3 = MultimodalOps.dHashPgm(MultimodalOps.syntheticNoisePgm(43L)).get
+    val other = MultimodalOps.dHashPgm(MultimodalOps.syntheticNoisePgm(50L)).get
+    assert(java.lang.Long.bitCount(h0 ^ h3) <= 2)
+    assert(java.lang.Long.bitCount(h0 ^ other) > 2)
+  }
+
   test("resampleWav decimates samples, halves the rate, preserves duration") {
     val wav = MultimodalOps.syntheticWav(7L)
     val res = MultimodalOps.resampleWav(wav, 2).get

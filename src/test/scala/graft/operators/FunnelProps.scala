@@ -55,6 +55,39 @@ class FunnelProps extends AnyFunSuite {
     }
   }
 
+  test("a hot-key user's history outside the anchor horizon cannot " +
+      "change the result (and the funnel still matches brute force)") {
+    // One bot user with 20k stage-typed events spread FAR past the
+    // horizon, plus late-arriving stage types that would advance the
+    // funnel only if the horizon prune were wrong; uniform users beside
+    // it. The r8 form collected all 20k rows into one array cell — the
+    // guard must keep the answer identical while only the horizon slice
+    // reaches the collect.
+    val stages = Seq("view", "click", "purchase")
+    val window = 10L
+    val bot = (0 until 20000).map { i =>
+      val typ = stages(i % 3)
+      (99L, 1000L + i * 100L, typ) // 100-apart: every window misses
+    }
+    // inside the horizon of bot's first view (ord 1000): a click at
+    // +5 and a purchase at +9 → bot reaches stage 3
+    val inWindow = Seq((99L, 1005L, "click"), (99L, 1009L, "purchase"))
+    val uniform = Seq(
+      (1L, 1L, "view"), (1L, 5L, "click"),            // stage 2
+      (2L, 1L, "click"), (2L, 2L, "purchase"),        // stage 0 (no view)
+      (3L, 1L, "view"), (3L, 20L, "click"))           // stage 1 (late click)
+    val evs = bot ++ inWindow ++ uniform
+    val want = evs.groupBy(_._1).map { case (u, es) =>
+      u -> bruteStage(es.map(e => (e._2, e._3)), stages, window)
+    }
+    val got = RelationalQueries.funnelStages(
+        evs.toDF("uid", "ord", "typ"), "uid", "ord", "typ", stages, window)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    assert(got(99L) == 3)  // the in-horizon chain, not the far history
+    assert(got(2L) == 0)   // no stage-0 event → re-attached as stage 0
+  }
+
   test("window boundary is inclusive; restart within a user never happens") {
     // view@10, click@20 (exactly +10), purchase@31 (one past +10 from 20)
     val evs = Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 31L, "purchase"))

@@ -219,6 +219,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("documents.parquet"), p)
   }
 
+  test("q_media_near_dup bands the dHash on an equi-join, never all-pairs; " +
+      "fingerprints are not re-decoded in the final plan") {
+    val p = plan("q_media_near_dup")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("Join"), p)
+    // the decode→dHash mapPartitions ran once, into the materialized
+    // fingerprint frame — the pair join must not re-scan the documents
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("MapPartitions"), p)
+  }
+
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
     // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join
@@ -343,14 +355,27 @@ class PlanAuditSuite extends AnyFunSuite {
   test("q_funnel collects only (event_id, event_type) per user — payload " +
       "columns never reach the shuffle") {
     val p = plan("q_funnel")
-    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
-    assert(read.contains("event_id") && read.contains("user_id")
-      && read.contains("event_type"), read)
-    assert(!read.contains("value") && !read.contains("props")
-      && !read.contains("ts"), read)
-    // stage logic is list algebra over the collected pairs, not a join
-    // back against the events table
-    assert(!p.contains("Join"), p)
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    // the event scans read (event_id, user_id, event_type) and nothing
+    // else — payload columns must not reach any scan
+    assert(reads.exists(r => r.contains("event_id") && r.contains("user_id")
+      && r.contains("event_type")), reads.mkString("\n"))
+    reads.foreach { r =>
+      assert(!r.contains("value") && !r.contains("props")
+        && !r.contains("ts:"), r)
+    }
+    // the stage-type filter is pushed into the scan — non-stage events
+    // never leave the parquet reader
+    assert(p.contains("In(event_type"), p)
+    // the hot-key guard's prune (a0 horizon) and stage-0 re-attach are
+    // entity-key equi-joins — never a cartesian/nested-loop — and the
+    // stage logic itself stays list algebra over the collected pairs
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    // the horizon prune sits BELOW the collect: the collect_list
+    // aggregate's input must already be filtered against _fun_first
+    val collectIdx = p.indexOf("collect_list")
+    assert(collectIdx >= 0, p)
+    assert(p.substring(collectIdx).contains("_fun_first"), p)
   }
 
   test("q_graph_pagerank iterates over the MATERIALIZED edge list: no " +
