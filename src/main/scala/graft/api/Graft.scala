@@ -651,10 +651,19 @@ object Graft {
     * (see [[graft.streaming.CdcPipeline.commitJoin]]): row images joined
     * to their transaction's COMMIT record; rolled-back transactions never
     * match (no commit record exists), so rollback filtering is structural.
-    * Join state stays O(open transactions) under watermark eviction. */
+    * Join state stays O(open transactions) under watermark eviction.
+    *
+    * `maxTxnSpanMicros` MUST cover the longest transaction's
+    * first-image → commit event-time span: an image whose commit lands
+    * beyond the bound never matches the inner join and its rows are
+    * silently dropped. The default fits the driver fixture's < 80 µs
+    * transactions; size it to your source's transaction horizon (the
+    * state cost grows with the bound, never with the stream). */
   def commitJoin(spark: SparkSession, chunkDir: String, checkpointDir: String,
-                 outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    graft.streaming.CdcPipeline.commitJoin(spark, chunkDir, checkpointDir, outDir)
+                 outDir: String, maxTxnSpanMicros: Long = 100L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.CdcPipeline.commitJoin(spark, chunkDir, checkpointDir,
+      outDir, maxTxnSpanMicros = maxTxnSpanMicros)
 
   /** Product-quantized similarity top-k: vectors compress to `m` one-byte
     * codes (dim/m-dim subspaces, `k` codewords each — codewords seeded

@@ -583,6 +583,17 @@ object LlmQueries {
       m: Int, k: Int, topK: Int): DataFrame = {
     require(m > 0 && dim % m == 0,
       s"dim $dim must divide into m=$m subspaces")
+    // r8 advice #3 — the silent-wrong-answer paths fail fast instead:
+    // a mis-declared `dim` slices garbage, a missing query id returns an
+    // empty frame, and a thin id < k seed set shrinks the codebook. The
+    // first two are cheap bounded probes (limit-1 scan; pushed-down point
+    // filter); the codebook arity is asserted IN-PLAN below.
+    val sampled = vectors.select(size(col(vecCol)).as("_n")).limit(1).collect()
+    require(sampled.nonEmpty, "pqTopK: vector table is empty")
+    require(sampled.head.getInt(0) == dim,
+      s"pqTopK: dim=$dim but a sampled $vecCol has ${sampled.head.getInt(0)} elements")
+    require(vectors.filter(col(idCol) === queryId).limit(1).count() == 1,
+      s"pqTopK: query id $queryId not present in $idCol")
     val sub = dim / m
     val e = vectors.selectExpr(s"$idCol AS vec_id" +: carryCols :+
       (s"transform($vecCol, x -> cast(round(cast(x AS double) * " +
@@ -592,6 +603,12 @@ object LlmQueries {
       .selectExpr(s"explode(transform(sequence(0, ${m - 1}), " +
         s"s -> struct(s AS s, c AS c, slice(q, s * $sub + 1, $sub) AS w))) AS sc")
       .groupBy().agg(sort_array(collect_list(col("sc"))).as("cbk"))
+      // the groupBy().agg always yields one row, so the assert is
+      // guaranteed to evaluate — an empty or shrunken id < k seed set
+      // (fewer than k·m codewords) raises instead of degrading recall
+      .selectExpr(s"CASE WHEN size(cbk) = ${m * k} THEN cbk " +
+        s"ELSE raise_error(concat('pqTopK: codebook has ', size(cbk), " +
+        s"' codewords, expected ${m * k} — ids 0..${k - 1} missing from the corpus')) END AS cbk")
     val qrow = e.filter(col("vec_id") === queryId)
       .selectExpr(
         s"transform(sequence(0, ${m - 1}), s -> slice(q, s * $sub + 1, $sub)) AS qs",
