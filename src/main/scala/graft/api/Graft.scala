@@ -526,6 +526,149 @@ object Graft {
     ivfProbe(index, idCol, vecCol, expanded, qidCol, k)
   }
 
+  /** Persist an IVF × residual-PQ serving index — the `q_ivf_pq` layout,
+    * generalized to caller tables: [[ivfAssign]] against the given
+    * centroids, residual-quantize (1e-6-unit integers, subtraction AFTER
+    * quantization so every downstream distance is exact integer
+    * arithmetic), PQ-encode into `m` per-subspace codes (codebook = the
+    * `k` lowest-id rows' residual slices; swap in per-subspace k-means
+    * from [[trainIvfCentroids]]' machinery to train it), and write
+    * `cluster=<id>` parquet partitions with the codebook
+    * (`_graft_pq_codebook`) and centroid table (`_graft_centroids`)
+    * beside them. The stored row is (idCol, carried columns, vecCol,
+    * norm, code0..m−1) — the float vector rides along ONLY for the
+    * re-rank tail; the ADC scan payload is the m bytes.
+    * The encode fold is shared verbatim with the driver fixture
+    * ([[graft.operators.PersistedVectorIndex.pqEncode]]). */
+  def writePqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, cidCol: String, cvecCol: String,
+                   dir: String, m: Int = 4, k: Int = 16): Unit = {
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val dims = vectors.select(size(col(vecCol)).as("_n")).limit(1).collect()
+    require(dims.nonEmpty, "writePqIndex: vector table is empty")
+    val dim = dims.head.getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"writePqIndex: dim $dim must divide into m=$m subspaces")
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids, cidCol, cvecCol)
+      .withColumn("norm", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
+    val centsInt = centroids.selectExpr(s"$cidCol AS ccid",
+      s"transform($cvecCol, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS cq")
+    val withRes = graft.operators.PersistedVectorIndex
+      .withResiduals(assigned, vecCol, centsInt)
+    val (cbkRows, encoded) = graft.operators.PersistedVectorIndex
+      .pqEncode(withRes, idCol, m, dim / m, k)
+    encoded.drop("vq", "r", "cq")
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    cbkRows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_graft_pq_codebook")
+    centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/_graft_centroids")
+  }
+
+  /** Batched ANN probe over a [[writePqIndex]] layout — the three-stage
+    * serving funnel: (1) each query is assigned its `nprobe` nearest
+    * STORED centroids and the scan partition-prunes to exactly those
+    * `cluster=` directories (probed ids are bounded driver metadata);
+    * (2) candidates score by ADC from their m stored bytes — `q·c` (the
+    * centroid term, which makes scores comparable ACROSS probed cells;
+    * single-cell probes could omit it, multi-probe cannot) plus
+    * Σ q_s·codeword(code_s), all exact integer micro²-units — and the
+    * per-query top-`shortList` survives via a WindowGroupLimit-pruned
+    * window; (3) only the short list touches its float vectors for the
+    * exact 6-dp cosine re-rank, top-`topK` out as (qidCol, rank, idCol,
+    * sim). Subspace geometry (m, sub) is read off the codebook — bounded
+    * driver metadata, like the probed cluster ids. */
+  def probePqIndex(spark: SparkSession, dir: String, idCol: String,
+                   vecCol: String, queries: DataFrame, qidCol: String,
+                   topK: Int = 10, shortList: Int = 32,
+                   nprobe: Int = 1): DataFrame = {
+    require(qidCol != idCol,
+      s"qidCol and idCol are both '$idCol' — rename the query id column " +
+        "so the output can carry both")
+    graft.functions.DotF32.ensureRegistered(spark)
+    def intVec(c: String) =
+      s"transform($c, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
+    def doti(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    val cbkRows = spark.read.parquet(s"$dir/_graft_pq_codebook")
+    val meta = cbkRows
+      .agg(max(col("s")).as("ms"), max(size(col("w"))).as("sub"))
+      .collect().head
+    val m = meta.getInt(0) + 1
+    val sub = meta.getInt(1)
+    val cbk = cbkRows.groupBy()
+      .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
+        .as("cbk"))
+    val cents = spark.read.parquet(s"$dir/_graft_centroids")
+      .selectExpr("cid AS _cid", "cv AS _cv",
+        "sqrt(dot_f32(cv, cv)) AS _cnorm", s"${intVec("cv")} AS _cq")
+    val wp = Window.partitionBy(col(qidCol))
+      .orderBy(col("_csim").desc, col("_cid"))
+    val expanded = queries.select(col(qidCol), col(vecCol))
+      .withColumn("_qn", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
+      .withColumn("_qq", expr(intVec(vecCol)))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", expr(s"dot_f32($vecCol, _cv) / (_qn * _cnorm)"))
+      .withColumn("_prn", row_number().over(wp))
+      .filter(col("_prn") <= nprobe)
+      .select(col(qidCol), col(vecCol).as("_qv"), col("_qn"), col("_qq"),
+        col("_cid").as("_qcluster"), col("_cq"))
+    // bounded driver metadata (|batch| × nprobe ints), NOT data
+    val probed = expanded.select(col("_qcluster")).distinct().collect()
+      .map(_.get(0))
+    val index = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probed.toSeq: _*))
+    val adcExpr = (s"(${doti("_qq", "_cq")})" +: (0 until m).map { i =>
+      s"(${doti(s"slice(_qq, ${i * sub} + 1, $sub)",
+        s"element_at(filter(cbk, w -> w.s = $i AND w.c = code$i), 1).w")})"
+    }).mkString(" + ")
+    val wa = Window.partitionBy(col(qidCol))
+      .orderBy(col("_adc").desc, col(idCol))
+    val wr = Window.partitionBy(col(qidCol))
+      .orderBy(col("_sim").desc, col(idCol))
+    index.join(broadcast(expanded), col("cluster") === col("_qcluster"))
+      .crossJoin(broadcast(cbk))
+      .withColumn("_adc", expr(adcExpr))
+      .withColumn("_arn", row_number().over(wa))
+      .filter(col("_arn") <= shortList)
+      .withColumn("_sim", expr(s"round(dot_f32($vecCol, _qv) / (norm * _qn), 6)"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col(qidCol), col("rank"), col(idCol), col("_sim").as("sim"))
+  }
+
+  /** Perceptual near-duplicate pairs over a BINARY image column: decode
+    * (netpbm P5 via the multimodal codec seam) → 64-bit row-major dHash
+    * (brightness-shift invariant) → the SAME hamming-LSH band equi-join
+    * as [[simhashNearDupPairs]] (4×16-bit bands, bucket join, never
+    * all-pairs). Payloads that fail to parse are dropped — an
+    * undecodable image has no perceptual fingerprint to compare.
+    * Returns (doc_a, doc_b, hamming) with hamming ≤ `maxHamming` ≤ 3
+    * (the 4-band pigeonhole bound). */
+  def mediaNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3]: 4 bands only guarantee a shared " +
+        s"band for <= 3 differing bits (got $maxHamming)")
+    val s = media.sparkSession
+    import s.implicits._
+    val fp = media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        graft.multimodal.MultimodalOps.dHashPgm(p).map(h => (id, h))
+      }).toDF("doc_id", "dhash")
+    LlmQueries.hammingBandPairs(graft.operators.Materialize(fp), "dhash",
+      bandBits = 16, maxHamming = maxHamming)
+  }
+
+  /** Per-document greedy-merge BPE token counts — the unit training
+    * budgets are denominated in ([[graft.functions.BpeCount]]; one
+    * codegen'd map-side kernel pass, no shuffle). */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    docs.selectExpr(idCol, s"bpe_count($textCol) AS n_bpe_tokens")
+  }
+
   /** Reciprocal-rank fusion of `rankings` — any number of ranked lists
     * (each carrying `idCol` and a 1-based `rankCol`), fused by the
     * classic Σ 1/(rrfK + rank) without any score calibration between

@@ -351,7 +351,7 @@ object MultimodalOps {
     * other while cross-base pairs are ~32 apart. */
   private[multimodal] val DHashW = 9
   private[multimodal] val DHashH = 8
-  private[multimodal] def syntheticNoisePgm(id: Long): Array[Byte] = {
+  private[graft] def syntheticNoisePgm(id: Long): Array[Byte] = {
     val n = DHashW * DHashH
     val base = id / 10
     val v = (id % 10).toInt
@@ -371,7 +371,7 @@ object MultimodalOps {
     * same seam as [[decodePgm]]/[[resizePgm]], so the perceptual hash
     * and the codec can never disagree about what a valid image is.
     * None on parse failure or when (w−1)·h exceeds the 64-bit budget. */
-  private[multimodal] def dHashPgm(p: Array[Byte]): Option[Long] = {
+  private[graft] def dHashPgm(p: Array[Byte]): Option[Long] = {
     val (w, h, _, i) = parseNetpbm(p, '5') match {
       case Some(hdr) => hdr
       case None => return None

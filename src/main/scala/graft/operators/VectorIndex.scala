@@ -94,6 +94,44 @@ private[graft] object PersistedVectorIndex {
     dir.toString
   }
 
+  /** Integer-quantize `vecCol` and attach the RESIDUAL against the
+    * row's assigned centroid: adds `vq` (vector micro-ints), and `r`
+    * (vq − centroid ints). `centsInt` must carry (ccid, cq) and is
+    * broadcast; rows join on `cluster = ccid`. */
+  private[graft] def withResiduals(assigned: DataFrame, vecCol: String,
+      centsInt: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(centsInt), col("cluster") === col("ccid"))
+      .drop("ccid")
+      .withColumn("vq", expr(intVec(vecCol)))
+      .withColumn("r", expr("zip_with(vq, cq, (x, y) -> x - y)"))
+
+  /** The shared PQ encode: codebook = the `k` lowest-`idColName` rows'
+    * residual slices; every row gains `code0..code(m−1)` by per-subspace
+    * argmin over the 1-row broadcast codebook (lexicographic struct min,
+    * ties on code id). Returns (codebook rows (s, c, w), encoded frame).
+    * Shared by the fixture build and [[graft.api.Graft.writePqIndex]] so
+    * the two can never disagree on the encode. */
+  private[graft] def pqEncode(withRes: DataFrame, idColName: String,
+      m: Int, sub: Int, k: Int): (DataFrame, DataFrame) = {
+    val cbkRows = withRes.filter(col(idColName) < k)
+      .selectExpr(s"explode(transform(sequence(0, ${m - 1}), " +
+        s"s -> struct(s AS s, cast($idColName AS int) AS c, " +
+        s"slice(r, s * $sub + 1, $sub) AS w))) AS sc")
+      .select(col("sc.s").as("s"), col("sc.c").as("c"), col("sc.w").as("w"))
+    val cbk = cbkRows.groupBy()
+      .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
+        .as("cbk"))
+    val encoded = (0 until m).foldLeft(withRes.crossJoin(broadcast(cbk))) {
+      case (df, i) =>
+        df.withColumn(s"code$i", expr(
+          s"array_min(transform(filter(cbk, w -> w.s = $i), w -> struct(" +
+            s"${l2i(s"slice(r, ${i * sub} + 1, $sub)", "w.w")} AS d, " +
+            s"w.c AS c))).c"))
+    }.drop("cbk")
+    (cbkRows, encoded)
+  }
+
   /** One pass over the corpus: IVF-assign (broadcast centroids), residual
     * against the assigned centroid, PQ-encode per subspace (argmin over
     * the 1-row broadcast codebook, ties on code id), write partitioned by
@@ -105,25 +143,8 @@ private[graft] object PersistedVectorIndex {
       .withColumn("norm", expr("sqrt(dot_f32(embedding, embedding))"))
     val centsInt = LlmQueries.seedCentroids(e)
       .selectExpr("vec_id AS ccid", s"${intVec("embedding")} AS cq")
-    val withRes = assigned
-      .join(broadcast(centsInt), col("cluster") === col("ccid"))
-      .withColumn("vq", expr(intVec("embedding")))
-      .withColumn("r", expr("zip_with(vq, cq, (x, y) -> x - y)"))
-    val cbkRows = withRes.filter(col("vec_id") < K)
-      .selectExpr(s"explode(transform(sequence(0, ${M - 1}), " +
-        s"s -> struct(s AS s, cast(vec_id AS int) AS c, " +
-        s"slice(r, s * $Sub + 1, $Sub) AS w))) AS sc")
-      .select(col("sc.s").as("s"), col("sc.c").as("c"), col("sc.w").as("w"))
-    val cbk = cbkRows.groupBy()
-      .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
-        .as("cbk"))
-    val encoded = (0 until M).foldLeft(withRes.crossJoin(broadcast(cbk))) {
-      case (df, i) =>
-        df.withColumn(s"code$i", expr(
-          s"array_min(transform(filter(cbk, w -> w.s = $i), w -> struct(" +
-            s"${l2i(s"slice(r, ${i * Sub} + 1, $Sub)", "w.w")} AS d, " +
-            s"w.c AS c))).c"))
-    }
+    val withRes = withResiduals(assigned, "embedding", centsInt)
+    val (cbkRows, encoded) = pqEncode(withRes, "vec_id", M, Sub, K)
     // index partitions first (overwrite wipes the root), codebook second,
     // marker last — a crashed build can never look complete.
     encoded.select(Seq("vec_id", "label", "embedding", "norm")

@@ -260,6 +260,79 @@ class GraftApiSuite extends AnyFunSuite {
     assert(pf.isDefined, plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("writePqIndex + probePqIndex: with an unbounded short list the " +
+      "three-stage funnel equals the exact in-bucket probe; multi-probe " +
+      "recovers the cross-cell neighbor via the centroid ADC term") {
+    val s2 = graft.TestSpark.spark
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.6f, 0.8f)),
+      (2L, Array(0.707f, 0.707f)), (3L, Array(0f, 1f)))
+      .toDF("vid", "emb")
+    val cents = Seq((10, Array(1f, 0f)), (20, Array(0f, 1f))).toDF("cid", "cv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Graft.writePqIndex(vecs, "vid", "emb", cents, "cid", "cv", dir,
+      m = 2, k = 4)
+    val queries = vecs.filter($"vid" === 3L).withColumnRenamed("vid", "qid")
+    // single probe, short list wider than any bucket: ADC cannot drop a
+    // candidate, so the result IS the exact in-bucket cosine top-k
+    val assigned = Graft.ivfAssign(vecs, "vid", "emb", cents, "cid", "cv")
+    val expect = Graft.ivfProbe(assigned, "vid", "emb",
+        assigned.filter($"vid" === 3L).withColumnRenamed("vid", "qid"),
+        "qid", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val got1 = Graft.probePqIndex(s2, dir, "vid", "emb", queries, "qid",
+        topK = 2, shortList = 1000, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got1 == expect)
+    assert(got1 == Seq((3L, 1, 3L), (3L, 2, 1L)))
+    // nprobe = 2: vector 2 lives across the border in cluster 10 (the
+    // ivfMultiProbe geometry); the q·c centroid term keeps ADC scores
+    // comparable across the two probed cells, so it ranks third
+    val got2 = Graft.probePqIndex(s2, dir, "vid", "emb", queries, "qid",
+        topK = 3, shortList = 1000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((3L, 1, 3L), (3L, 2, 1L), (3L, 3, 2L)))
+    // shortList = 1: only the ADC winner reaches the re-rank — the query
+    // row itself (its own codes are exact, so its ADC dot is maximal)
+    val got3 = Graft.probePqIndex(s2, dir, "vid", "emb", queries, "qid",
+        topK = 1, shortList = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got3 == Seq((3L, 1, 3L)))
+    // the probed cluster ids reach the index scan as PartitionFilters
+    val plan = Graft.probePqIndex(s2, dir, "vid", "emb", queries, "qid")
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("mediaNearDupPairs pairs same-base image variants, drops " +
+      "undecodable payloads, never crosses bases") {
+    import graft.multimodal.MultimodalOps
+    val rows = (0L until 20L).map(id => (id, MultimodalOps.syntheticNoisePgm(id))) :+
+      (99L, "definitely not an image".getBytes("UTF-8"))
+    val media = rows.toDF("mid", "img")
+    val pairs = Graft.mediaNearDupPairs(media, "mid", "img")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    // groups are ids 0-9 and 10-19; no pair may straddle them, and the
+    // garbage payload has no fingerprint so 99 can never appear
+    pairs.foreach { case (a, b) =>
+      assert(a / 10 == b / 10, s"cross-base pair ($a, $b)")
+      assert(a != 99L && b != 99L)
+    }
+    // each base's v=0 image pairs with its single-pixel variants
+    assert(pairs.exists { case (a, b) => a == 0L },
+      s"expected base-0 pairs, got ${pairs.take(5)}")
+  }
+
+  test("bpeTokenCounts runs the greedy-merge kernel per document") {
+    val docs = Seq((1L, "the and there"), (2L, "zzz")).toDF("d", "txt")
+    val got = Graft.bpeTokenCounts(docs, "d", "txt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the=1, and=1, there=the+re=2; zzz has no merges
+    assert(got == Map(1L -> 4L, 2L -> 3L))
+  }
+
   test("ivfMultiProbe recovers the cross-border neighbor single-probe misses") {
     // vec 3 sits at 45° — assigned (by tie-break) to cluster 10, but it is
     // the TRUE second neighbor of query 4 (0°-pole queries aside). A
