@@ -106,30 +106,44 @@ private[graft] object PersistedVectorIndex {
       .withColumn("vq", expr(intVec(vecCol)))
       .withColumn("r", expr("zip_with(vq, cq, (x, y) -> x - y)"))
 
-  /** The shared PQ encode: codebook = the `k` lowest-`idColName` rows'
-    * residual slices; every row gains `code0..code(m−1)` by per-subspace
-    * argmin over the 1-row broadcast codebook (lexicographic struct min,
-    * ties on code id). Returns (codebook rows (s, c, w), encoded frame).
-    * Shared by the fixture build and [[graft.api.Graft.writePqIndex]] so
-    * the two can never disagree on the encode. */
-  private[graft] def pqEncode(withRes: DataFrame, idColName: String,
-      m: Int, sub: Int, k: Int): (DataFrame, DataFrame) = {
-    val cbkRows = withRes.filter(col(idColName) < k)
+  /** Codebook rows (s, c, w): the `k` lowest-`idColName` rows' residual
+    * slices, one row per (subspace, code). */
+  private[graft] def codebookRows(withRes: DataFrame, idColName: String,
+      m: Int, sub: Int, k: Int): DataFrame =
+    withRes.filter(col(idColName) < k)
       .selectExpr(s"explode(transform(sequence(0, ${m - 1}), " +
         s"s -> struct(s AS s, cast($idColName AS int) AS c, " +
         s"slice(r, s * $sub + 1, $sub) AS w))) AS sc")
       .select(col("sc.s").as("s"), col("sc.c").as("c"), col("sc.w").as("w"))
+
+  /** Encode every row of `withRes` against a GIVEN codebook (the frozen-
+    * codebook path streaming maintenance needs: later batches encode
+    * against the index's stored table, never a batch-local one): rows
+    * gain `code0..code(m−1)` by per-subspace argmin over the 1-row
+    * broadcast codebook (lexicographic struct min, ties on code id). */
+  private[graft] def encodeWithCodebook(withRes: DataFrame,
+      cbkRows: DataFrame, m: Int, sub: Int): DataFrame = {
     val cbk = cbkRows.groupBy()
       .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
         .as("cbk"))
-    val encoded = (0 until m).foldLeft(withRes.crossJoin(broadcast(cbk))) {
+    (0 until m).foldLeft(withRes.crossJoin(broadcast(cbk))) {
       case (df, i) =>
         df.withColumn(s"code$i", expr(
           s"array_min(transform(filter(cbk, w -> w.s = $i), w -> struct(" +
             s"${l2i(s"slice(r, ${i * sub} + 1, $sub)", "w.w")} AS d, " +
             s"w.c AS c))).c"))
     }.drop("cbk")
-    (cbkRows, encoded)
+  }
+
+  /** The shared PQ encode: [[codebookRows]] derived from the frame
+    * itself, then [[encodeWithCodebook]]. Returns (codebook rows,
+    * encoded frame). Shared by the fixture build and
+    * [[graft.api.Graft.writePqIndex]] so the two can never disagree on
+    * the encode. */
+  private[graft] def pqEncode(withRes: DataFrame, idColName: String,
+      m: Int, sub: Int, k: Int): (DataFrame, DataFrame) = {
+    val cbkRows = codebookRows(withRes, idColName, m, sub, k)
+    (cbkRows, encodeWithCodebook(withRes, cbkRows, m, sub))
   }
 
   /** One pass over the corpus: IVF-assign (broadcast centroids), residual

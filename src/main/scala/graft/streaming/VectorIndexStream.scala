@@ -49,11 +49,22 @@ object VectorIndexStream {
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir).drop("batch")
 
+  private def codebookPath(indexDir: String) = s"$indexDir/_graft_pq_codebook"
+
   /** One micro-batch step — the foreachBatch body, callable directly for
-    * batch-driven ingestion. Returns the batch's assigned rows. */
+    * batch-driven ingestion. Returns the batch's written rows.
+    *
+    * `pqM` > 0 additionally maintains the [[graft.api.Graft.writePqIndex]]
+    * serving layout (r9): rows carry `norm` + `code0..pqM−1` residual PQ
+    * codes, and the codebook is FROZEN AT INDEX CREATION exactly like the
+    * centroids — the first batch derives it (its `pqK` lowest-id rows'
+    * residual slices) and persists `_graft_pq_codebook`; every later
+    * batch encodes against the STORED table, so a vector's codes never
+    * depend on when it arrived. [[graft.api.Graft.probePqIndex]] then
+    * serves ADC probes across all `batch=` directories at once. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
                    vecCol: String, indexDir: String, k: Int = 0,
-                   iters: Int = 2): DataFrame = {
+                   iters: Int = 2, pqM: Int = 0, pqK: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     // Centroid bootstrap: the first batch trains and persists the
     // codebook for the index's lifetime. Training is deterministic
@@ -65,21 +76,42 @@ object VectorIndexStream {
     val cents = readCentroids(spark, indexDir)
     val assigned = graft.api.Graft
       .ivfAssign(batch, idCol, vecCol, cents, "cid", "cv")
-    assigned.write.mode("overwrite").partitionBy("cluster")
+    val out = if (pqM <= 0) assigned else {
+      import graft.operators.PersistedVectorIndex
+      // bounded driver metadata: the stored centroid width fixes dim
+      val dim = cents.select(size(col("cv")).as("_n")).head().getInt(0)
+      require(pqM > 0 && dim % pqM == 0,
+        s"dim $dim must divide into pqM=$pqM subspaces")
+      val sub = dim / pqM
+      val centsInt = cents.selectExpr("cid AS ccid",
+        s"transform(cv, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS cq")
+      val withRes = PersistedVectorIndex.withResiduals(
+        assigned.withColumn("norm", expr(s"sqrt(dot_f32($vecCol, $vecCol))")),
+        vecCol, centsInt)
+      // codebook bootstrap: frozen at creation, same idempotence
+      // argument as the centroids (deterministic from the first batch)
+      if (!exists(spark, codebookPath(indexDir)))
+        PersistedVectorIndex.codebookRows(withRes, idCol, pqM, sub, pqK)
+          .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
+      val cbkRows = spark.read.parquet(codebookPath(indexDir))
+      PersistedVectorIndex.encodeWithCodebook(withRes, cbkRows, pqM, sub)
+        .drop("vq", "r", "cq")
+    }
+    out.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$indexDir/batch=$batchId")
-    assigned
+    out
   }
 
   /** Attach continuous index maintenance to a streaming Dataset of
     * vectors carrying `idCol` and an `Array[Float]` `vecCol`. */
   def start(vectors: DataFrame, idCol: String, vecCol: String,
             indexDir: String, checkpointDir: String, k: Int = 0,
-            iters: Int = 2): StreamingQuery =
+            iters: Int = 2, pqM: Int = 0, pqK: Int = 16): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(b, id, idCol, vecCol, indexDir, k, iters): Unit)
+        processBatch(b, id, idCol, vecCol, indexDir, k, iters, pqM, pqK): Unit)
       .start()
 }

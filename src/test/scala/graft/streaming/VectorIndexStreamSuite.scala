@@ -75,4 +75,54 @@ class VectorIndexStreamSuite extends AnyFunSuite {
       "vid", "emb", idx, k = 2)
     assert(rows(VectorIndexStream.readIndex(s, idx)) == got)
   }
+
+  test("pqM > 0 maintains the PQ serving layout: codes frozen to the " +
+      "first batch's codebook, stream == batch encode, ADC probe works") {
+    val s = TestSpark.spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("vidx_pq").toFile
+    val idx = new java.io.File(root, "index").getAbsolutePath
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val vecs = stream.toDF.toDF("vid", "emb")
+    batches.foreach { b =>
+      stream.addData(b)
+      VectorIndexStream.start(vecs, "vid", "emb", idx, ck, k = 2,
+        pqM = 2, pqK = 4).awaitTermination()
+    }
+
+    // the streamed rows carry norm + codes, and the codes equal a batch
+    // re-encode of ALL vectors against the STORED (frozen) centroid and
+    // codebook tables — i.e. a vector's codes don't depend on arrival time
+    import graft.operators.PersistedVectorIndex
+    val cents = VectorIndexStream.readCentroids(s, idx)
+    val cbkRows = s.read.parquet(s"$idx/_graft_pq_codebook")
+    // codebook froze on batch 0's ids (< pqK): vids 1 and 2, 2 subspaces
+    assert(cbkRows.select("c").distinct().collect().map(_.getInt(0)).toSet
+      == Set(1, 2))
+    val all = batches.flatten.toDF("vid", "emb")
+    val centsInt = cents.selectExpr("cid AS ccid",
+      "transform(cv, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS cq")
+    val withRes = PersistedVectorIndex.withResiduals(
+      Graft.ivfAssign(all, "vid", "emb", cents, "cid", "cv")
+        .withColumn("norm", expr("sqrt(dot_f32(emb, emb))")),
+      "emb", centsInt)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vid"), col("code0"), col("code1")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val want = codes(PersistedVectorIndex.encodeWithCodebook(
+      withRes, cbkRows, m = 2, sub = 1))
+    val got = codes(VectorIndexStream.readIndex(s, idx))
+    assert(got == want && got.size == 6)
+
+    // the streamed layout serves ADC probes directly
+    val queries = all.filter($"vid" === 1L).withColumnRenamed("vid", "qid")
+    val probe = Graft.probePqIndex(s, idx, "vid", "emb", queries, "qid",
+      topK = 3, shortList = 100)
+    val gotProbe = probe.collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(gotProbe.head == ((1, 1L)), s"query must rank itself first: $gotProbe")
+    assert(gotProbe.map(_._2).toSet == Set(1L, 3L, 5L)) // its own bucket
+  }
 }
