@@ -1308,6 +1308,7 @@ object LlmQueries {
     "q_ann_batch" -> qAnnBatch _,
     "q_ann_persisted" -> qAnnPersisted _,
     "q_ivf_pq" -> (VectorIndexQueries.qIvfPq _),
+    "q_ivf_pq_multiprobe" -> (VectorIndexQueries.qIvfPqMultiprobe _),
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_ann_trained" -> qAnnTrained _,
@@ -1354,6 +1355,31 @@ object LlmQueries {
        |                                 ORDER BY sim DESC, nbr_id) AS int) AS rk,
        |         nbr_id, cluster, sim
        |  FROM knn QUALIFY rk <= 3)""".stripMargin
+
+  /** Shared CTE chain (no leading WITH) for the IVF × residual-PQ
+    * oracles, up to `assigned(vec_id, label, v, q, cluster, r)` and the
+    * residual codebook `cb(s, c, w)` — shared verbatim between the
+    * `q_ivf_pq` and `q_ivf_pq_multiprobe` oracles so the index the two
+    * probes see can never drift. */
+  private[graft] lazy val ivfPqBaseCte: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |  list_transform(embedding::DOUBLE[],
+       |    x -> CAST(round(x * 1000000.0) AS bigint)) AS q FROM embeddings),
+       |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+       |cents AS (SELECT vec_id AS cid, v AS cv, q AS cq FROM e, kc WHERE vec_id < kv),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.v, e.q, cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+       |  FROM e, cents),
+       |assigned AS (
+       |  SELECT s.vec_id, s.label, s.v, s.q, s.cid AS cluster,
+       |         list_transform(range(1, 65),
+       |           i -> s.q[CAST(i AS int)] - c.cq[CAST(i AS int)]) AS r
+       |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE rn = 1),
+       |cb AS (SELECT s, CAST(vec_id AS int) AS c,
+       |              r[CAST(s*16+1 AS int) : CAST(s*16+16 AS int)] AS w
+       |       FROM assigned, range(4) t(s) WHERE vec_id < 16)""".stripMargin
 
   private val duckShingles3 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), i -> array_to_string(toks[i:i+2], ' ')))"
@@ -1731,24 +1757,7 @@ object LlmQueries {
     // family, same integer-quantization discipline as q_pq_topk, composed —
     // bucket restriction, stored-code ADC, exact re-rank of the top-32.
     "q_ivf_pq" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
-         |  list_transform(embedding::DOUBLE[],
-         |    x -> CAST(round(x * 1000000.0) AS bigint)) AS q FROM embeddings),
-         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
-         |cents AS (SELECT vec_id AS cid, v AS cv, q AS cq FROM e, kc WHERE vec_id < kv),
-         |scored AS (
-         |  SELECT e.vec_id, e.label, e.v, e.q, cid,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
-         |  FROM e, cents),
-         |assigned AS (
-         |  SELECT s.vec_id, s.label, s.v, s.q, s.cid AS cluster,
-         |         list_transform(range(1, 65),
-         |           i -> s.q[CAST(i AS int)] - c.cq[CAST(i AS int)]) AS r
-         |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE rn = 1),
-         |cb AS (SELECT s, CAST(vec_id AS int) AS c,
-         |              r[CAST(s*16+1 AS int) : CAST(s*16+16 AS int)] AS w
-         |       FROM assigned, range(4) t(s) WHERE vec_id < 16),
+      s"""WITH $ivfPqBaseCte,
          |qrow AS (SELECT cluster AS qcluster, v AS qv, q AS qq
          |         FROM assigned WHERE vec_id = 0),
          |bs AS (SELECT a.vec_id, t.s,
@@ -1777,6 +1786,59 @@ object LlmQueries {
          |       ${cosDuck("c.v", "qrow.qv")} AS sim
          |FROM cand c, qrow
          |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin,
+    // Multi-probe IVF × PQ: the same persisted-index arithmetic, but each
+    // of the 3 batch queries probes its TWO nearest cells, and every
+    // candidate's ADC carries its own cell's q·c centroid term so scores
+    // compare across cells. Per-query top-32 shortlist, exact top-3.
+    "q_ivf_pq_multiprobe" ->
+      s"""WITH $ivfPqBaseCte,
+         |qb AS (SELECT vec_id AS qid, v AS qv, q AS qq FROM assigned
+         |       WHERE vec_id < 3),
+         |pr AS (
+         |  SELECT qid, qv, qq, cid AS qcluster, cq AS qcq,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY ${cosDuck("qv", "cv")} DESC, cid) AS prn
+         |  FROM qb, cents
+         |  QUALIFY prn <= 2),
+         |cand AS (SELECT DISTINCT a.vec_id, a.r
+         |         FROM pr JOIN assigned a ON a.cluster = pr.qcluster),
+         |bs AS (SELECT c2.vec_id, t.s,
+         |              c2.r[CAST(t.s*16+1 AS int) : CAST(t.s*16+16 AS int)] AS vs
+         |       FROM cand c2, range(4) t(s)),
+         |dist AS (
+         |  SELECT bs.vec_id, bs.s, cb.c, cb.w,
+         |         CAST(list_sum(list_transform(range(1, 17),
+         |           i -> (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]) *
+         |                (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]))) AS bigint) AS dd
+         |  FROM bs JOIN cb ON bs.s = cb.s),
+         |vcodes AS (
+         |  SELECT vec_id, s, w,
+         |         row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+         |  FROM dist QUALIFY rn = 1),
+         |pc AS (
+         |  SELECT pr.qid, pr.qq, pr.qv, a.vec_id, a.label, a.cluster, a.v,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> pr.qq[CAST(i AS int)] * pr.qcq[CAST(i AS int)])) AS bigint) AS qc
+         |  FROM pr JOIN assigned a ON a.cluster = pr.qcluster),
+         |lk AS (
+         |  SELECT pc.qid, pc.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 17),
+         |           i -> pc.qq[CAST(v.s*16+i AS int)] * v.w[CAST(i AS int)])) AS bigint) AS pp
+         |  FROM pc JOIN vcodes v ON v.vec_id = pc.vec_id),
+         |lks AS (SELECT qid, vec_id, CAST(sum(pp) AS bigint) AS lksum
+         |        FROM lk GROUP BY qid, vec_id),
+         |sc AS (
+         |  SELECT pc.qid, pc.vec_id, pc.label, pc.cluster, pc.v, pc.qv,
+         |         row_number() OVER (PARTITION BY pc.qid
+         |           ORDER BY (pc.qc + lks.lksum) DESC, pc.vec_id) AS arn
+         |  FROM pc JOIN lks ON lks.qid = pc.qid AND lks.vec_id = pc.vec_id
+         |  QUALIFY arn <= 32)
+         |SELECT qid,
+         |       cast(row_number() OVER (PARTITION BY qid
+         |         ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
+         |       vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
+         |FROM sc QUALIFY rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),

@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The persisted ANN serving index, built ONCE per scale-factor directory
@@ -47,7 +48,7 @@ private[graft] object PersistedVectorIndex {
   val K = 16
   private val Marker = "_GRAFT_BUILT_v2"
 
-  private def intVec(c: String) =
+  private[graft] def intVec(c: String) =
     s"transform($c, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
   private[graft] def l2i(a: String, b: String) =
     s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
@@ -190,6 +191,71 @@ private[graft] object PersistedVectorIndex {
   * afford to read. */
 private[graft] object VectorIndexQueries {
   import PersistedVectorIndex._
+
+  /** Multi-probe IVF × PQ (`q_ivf_pq_multiprobe`): a 3-query batch, each
+    * probing its TWO nearest cells — [[qIvfPq]]'s funnel under
+    * `q_ann_multiprobe`'s recall knob. The load-bearing difference from
+    * the single-probe form: ADC scores must be comparable ACROSS a
+    * query's probed cells, so each candidate's score carries its own
+    * cell's centroid term `q·c` (exact integer micro²) on top of the
+    * residual-codeword lookups — dropping it would rank cells, not
+    * vectors. Everything runs off the persisted index: the centroid
+    * table is re-read as the index's own `vec_id < ⌈√N⌉` rows (they ARE
+    * the seed centroids), so the serving plan still never touches the
+    * raw embeddings parquet. Per-query ADC top-32 via a
+    * WindowGroupLimit-pruned window (a global sort would order the
+    * whole probed set), exact re-rank to top-3 per query. */
+  def qIvfPqMultiprobe(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val dir = PersistedVectorIndex.ensure(s, d)
+    val idx = s.read.parquet(dir)
+    val cbk = s.read.parquet(s"$dir/_graft_pq_codebook")
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
+        .as("cbk"))
+    // the seed centroids are index rows: first ⌈√N⌉ by id (in-plan count,
+    // one broadcast — the seedCentroids discipline over the index itself)
+    val kDf = idx.agg(ceil(sqrt(count(lit(1)))).as("_k"))
+    val cents = idx.crossJoin(broadcast(kDf))
+      .filter(col("vec_id") < col("_k"))
+      .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm",
+        s"${intVec("embedding")} AS ccq")
+    val q = idx.filter(col("vec_id") < 3)
+      .selectExpr("vec_id AS qid", "embedding AS qv", "norm AS qnorm",
+        s"${intVec("embedding")} AS qq")
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("qcsim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qcsim",
+        expr("round(dot_f32(qv, cv) / (qnorm * cnorm), 6)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 2)
+      .select(col("qid"), col("qv"), col("qnorm"), col("qq"),
+        col("cid").as("qcluster"), col("ccq"))
+    // bounded driver metadata: ≤ |batch| × nprobe partition ids
+    val probed = probes.select(col("qcluster")).distinct().collect()
+      .map(_.get(0))
+    val pruned = idx.filter(col("cluster").isin(probed.toSeq: _*))
+    val adcExpr = (s"(${doti("qq", "ccq")})" +: (0 until M).map { i =>
+      s"(${doti(s"slice(qq, ${i * Sub} + 1, $Sub)",
+        s"element_at(filter(cbk, w -> w.s = $i AND w.c = code$i), 1).w")})"
+    }).mkString(" + ")
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_micro2").desc, col("vec_id"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pruned.join(broadcast(probes), col("cluster") === col("qcluster"))
+      .crossJoin(broadcast(cbk))
+      .withColumn("adc_micro2", expr(adcExpr))
+      .withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= 32)
+      .withColumn("sim", expr("round(dot_f32(embedding, qv) / (norm * qnorm), 6)"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
+        col("label"), col("cluster").cast("bigint").as("cluster"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
 
   def qIvfPq(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)

@@ -428,6 +428,20 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("adc_micro2"), p)
   }
 
+  test("q_ivf_pq_multiprobe: pruned multi-cell scan, per-query ADC " +
+      "shortlist via WindowGroupLimit, no raw embedding scan") {
+    val p = plan("q_ivf_pq_multiprobe")
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, p.linesIterator.take(12).mkString("\n"))
+    // per-query shortlist + re-rank are windows WindowGroupLimit prunes —
+    // a batch probe must never globally sort the probed set
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    // ADC carries the per-cell centroid term: the score expression dots
+    // the query ints against the probe row's centroid ints (ccq)
+    assert(p.contains("ccq"), p)
+  }
+
   test("q_group_sample prunes each stratum to k via WindowGroupLimit, no join") {
     val p = plan("q_group_sample")
     assert(p.contains("WindowGroupLimit"), p)
