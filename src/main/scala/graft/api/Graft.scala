@@ -531,8 +531,9 @@ object Graft {
     * centroids, residual-quantize (1e-6-unit integers, subtraction AFTER
     * quantization so every downstream distance is exact integer
     * arithmetic), PQ-encode into `m` per-subspace codes (codebook = the
-    * `k` lowest-id rows' residual slices; swap in per-subspace k-means
-    * from [[trainIvfCentroids]]' machinery to train it), and write
+    * `k` lowest-id rows' residual slices by default; pass
+    * `codebook = Some([[trainPqCodebook]](…))` for the per-subspace
+    * k-means-trained table), and write
     * `cluster=<id>` parquet partitions with the codebook
     * (`_graft_pq_codebook`) and centroid table (`_graft_centroids`)
     * beside them. The stored row is (idCol, carried columns, vecCol,
@@ -542,7 +543,8 @@ object Graft {
     * ([[graft.operators.PersistedVectorIndex.pqEncode]]). */
   def writePqIndex(vectors: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, cidCol: String, cvecCol: String,
-                   dir: String, m: Int = 4, k: Int = 16): Unit = {
+                   dir: String, m: Int = 4, k: Int = 16,
+                   codebook: Option[DataFrame] = None): Unit = {
     graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
     val dims = vectors.select(size(col(vecCol)).as("_n")).limit(1).collect()
     require(dims.nonEmpty, "writePqIndex: vector table is empty")
@@ -555,14 +557,72 @@ object Graft {
       s"transform($cvecCol, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS cq")
     val withRes = graft.operators.PersistedVectorIndex
       .withResiduals(assigned, vecCol, centsInt)
-    val (cbkRows, encoded) = graft.operators.PersistedVectorIndex
-      .pqEncode(withRes, idCol, m, dim / m, k)
+    val (cbkRows, encoded) = codebook match {
+      case Some(cb) => (cb, graft.operators.PersistedVectorIndex
+        .encodeWithCodebook(withRes, cb, m, dim / m))
+      case None => graft.operators.PersistedVectorIndex
+        .pqEncode(withRes, idCol, m, dim / m, k)
+    }
     encoded.drop("vq", "r", "cq")
       .write.mode("overwrite").partitionBy("cluster").parquet(dir)
     cbkRows.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_graft_pq_codebook")
     centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cv"))
       .write.mode("overwrite").parquet(s"$dir/_graft_centroids")
+  }
+
+  /** Train a PQ codebook with per-subspace Lloyd's iterations over the
+    * INTEGER residuals — the production upgrade over [[writePqIndex]]'s
+    * lowest-id seed codebook, in the [[trainIvfCentroids]] discipline:
+    * deterministic seeds (the `k` lowest-id rows' residual slices),
+    * exact integer arithmetic throughout (L2² assignment over micro-int
+    * slices, ties on code id; element-wise integer-division means), so
+    * two runs — or two engines — produce identical codewords. Empty
+    * codes keep their previous codeword. Each iteration is one bounded
+    * codebook broadcast + one (subspace, code, position) hash agg of
+    * integer partial sums. Returns (s, c, w) rows — feed to
+    * [[writePqIndex]] via `codebook = Some(...)`. */
+  def trainPqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, cidCol: String, cvecCol: String,
+                      m: Int = 4, k: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    val dims = vectors.select(size(col(vecCol)).as("_n")).limit(1).collect()
+    require(dims.nonEmpty, "trainPqCodebook: vector table is empty")
+    val dim = dims.head.getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"trainPqCodebook: dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids, cidCol, cvecCol)
+    val centsInt = centroids.selectExpr(s"$cidCol AS ccid",
+      s"transform($cvecCol, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS cq")
+    val withRes = graft.operators.PersistedVectorIndex
+      .withResiduals(assigned, vecCol, centsInt)
+    val slices = withRes.selectExpr(
+        s"explode(transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS s, slice(r, s * $sub + 1, $sub) AS v))) AS sc")
+      .select(col("sc.s").as("s"), col("sc.v").as("v"))
+    def l2i(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    (0 until iters).foldLeft(graft.operators.PersistedVectorIndex
+        .codebookRows(withRes, idCol, m, sub, k)) { case (cbkRows, _) =>
+      val cbk1 = cbkRows.groupBy()
+        .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
+          .as("cbk"))
+      val means = slices.crossJoin(broadcast(cbk1))
+        .withColumn("c", expr(
+          s"array_min(transform(filter(cbk, w -> w.s = s), " +
+            s"w -> struct(${l2i("v", "w.w")} AS d, w.c AS c))).c"))
+        .select(col("s"), col("c"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("s"), col("c"), col("pos"))
+        .agg(expr("sum(val)").as("sv"), count(lit(1)).as("n"))
+        .withColumn("mv", expr("sv div n"))
+        .groupBy(col("s"), col("c"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), x -> x.mv)")
+          .as("_w_new"))
+      cbkRows.join(means, Seq("s", "c"), "left")
+        .select(col("s"), col("c"),
+          coalesce(col("_w_new"), col("w")).as("w"))
+    }
   }
 
   /** Batched ANN probe over a [[writePqIndex]] layout — the three-stage

@@ -305,6 +305,45 @@ class GraftApiSuite extends AnyFunSuite {
     assert(pf.isDefined, plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("trainPqCodebook converges to exact per-group integer means and " +
+      "its codes separate the groups the seed codebook cannot") {
+    val s2 = graft.TestSpark.spark
+    // one centroid at (0.4, 0.6) → residual slices form two tight groups
+    // per subspace, but BOTH seeds (ids 0, 1) sit in group A — training
+    // must migrate one codeword to group B (via the empty-code
+    // keep-previous path on iteration 1)
+    val vecs = ((0L until 6L).map(i => (i, Array(0.1f, 0.2f))) ++
+      (6L until 12L).map(i => (i, Array(0.5f, 0.8f)))).toDF("vid", "emb")
+    val cents = Seq((0, Array(0.4f, 0.6f))).toDF("cid", "cv")
+    val trained = Graft.trainPqCodebook(vecs, "vid", "emb", cents,
+      "cid", "cv", m = 2, k = 2, iters = 3)
+    val got = trained.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toSeq)).toMap
+    // exact integer group-mean residuals per subspace:
+    // subspace 0: 0.1−0.4 = −0.3 / 0.5−0.4 = 0.1 micro;
+    // subspace 1: 0.2−0.6 = −0.4 / 0.8−0.6 = 0.2 micro
+    assert(got.values.toSet ==
+      Set(Seq(-300000L), Seq(100000L), Seq(-400000L), Seq(200000L)),
+      s"trained codewords: $got")
+    // determinism: a second run is identical
+    val again = Graft.trainPqCodebook(vecs, "vid", "emb", cents,
+      "cid", "cv", m = 2, k = 2, iters = 3)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toSeq)).toMap
+    assert(again == got)
+    // an index written with the trained codebook gives the two groups
+    // distinct codes in every subspace (the seed codebook cannot: both
+    // its codewords sit in group A)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqtrain").toString
+    Graft.writePqIndex(vecs, "vid", "emb", cents, "cid", "cv", dir,
+      m = 2, k = 2, codebook = Some(trained))
+    val codes = s2.read.parquet(dir)
+      .select(col("vid"), col("code0"), col("code1")).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(codes.filterKeys(_ < 6).values.toSet.size == 1)
+    assert(codes.filterKeys(_ >= 6).values.toSet.size == 1)
+    assert(codes(0L) != codes(6L))
+  }
+
   test("mediaNearDupPairs pairs same-base image variants, drops " +
       "undecodable payloads, never crosses bases") {
     import graft.multimodal.MultimodalOps
