@@ -721,6 +721,16 @@ object Graft {
       bandBits = 16, maxHamming = maxHamming)
   }
 
+  /** Deterministic epoch shuffle + sharding: each epoch induces a fresh
+    * reproducible permutation of the corpus, materialized as `nShards`
+    * shards with in-shard positions — the layout a training run reads.
+    * Hash-sharded, so NO total-order sort over the corpus (the
+    * `ORDER BY rand()` anti-pattern): one hash exchange on the shard id
+    * plus a per-shard local sort. Returns (idCol, shard, pos, draw). */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame =
+    CorpusOps.epochShuffle(docs, idCol, epoch, nShards)
+
   /** Per-document greedy-merge BPE token counts — the unit training
     * budgets are denominated in ([[graft.functions.BpeCount]]; one
     * codegen'd map-side kernel pass, no shuffle). */

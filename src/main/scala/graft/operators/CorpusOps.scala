@@ -445,6 +445,46 @@ object CorpusOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Epoch-seeded draw: the [[hashDraw]] multiplicative hash over a
+    * seed-mixed id, so each epoch induces a DIFFERENT deterministic
+    * permutation of the same corpus. */
+  private[graft] def epochDraw(id: org.apache.spark.sql.Column, epoch: Int) =
+    hashDraw(id * 131L + lit(epoch.toLong) * 17L)
+  private[graft] def epochDrawDuck(id: String, epoch: Int): String =
+    hashDrawDuck(s"($id * 131 + $epoch * 17)")
+
+  /** Deterministic epoch shuffle + sharding, the ONE implementation
+    * behind the driver query and [[graft.api.Graft.epochShuffle]]: every
+    * training run needs each epoch to read the corpus in a fresh "random"
+    * order that is nonetheless REPRODUCIBLE (restarts, distributed
+    * readers, and audits must agree on it), materialized as `nShards`
+    * shard files read sequentially. Each doc gets an epoch-seeded hash
+    * draw; its shard is `draw mod nShards` and its position is its draw
+    * rank WITHIN the shard (ties on the id) — so (shard, pos) is a
+    * deterministic permutation that changes completely between epochs.
+    *
+    * Scale shape: sharding by hash means NO total-order sort over the
+    * corpus (the classic shuffle-writer anti-pattern a global
+    * `ORDER BY rand()` would cost); the only movement is ONE hash
+    * exchange on the shard id, and each shard sorts locally — exactly
+    * the physical layout of writing `nShards` training files. */
+  private[graft] def epochShuffle(docs: DataFrame, idCol: String,
+      epoch: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("draw"), col(idCol))
+    docs.select(col(idCol), epochDraw(col(idCol), epoch).as("draw"))
+      .withColumn("shard", (col("draw") % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("bigint"))
+      .select(col(idCol), col("shard"), col("pos"), col("draw"))
+  }
+
+  /** Driver binding: epoch 7 over 8 shards. */
+  private def qEpochShuffle(s: SparkSession, d: String): DataFrame =
+    epochShuffle(Tables.documents(s, d), "doc_id", epoch = 7, nShards = 8)
+      .orderBy(col("shard"), col("pos"))
+
   /** Context-window chunking: split each document's token stream into
     * overlapping windows of `window` tokens with `overlap` tokens shared
     * between consecutive chunks — the step that turns curated documents
@@ -593,7 +633,8 @@ object CorpusOps {
     "q_common_ngrams" -> qCommonNgrams _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_curation_pipeline" -> qCurationPipeline _,
-    "q_training_pipeline" -> qTrainingPipeline _
+    "q_training_pipeline" -> qTrainingPipeline _,
+    "q_epoch_shuffle" -> qEpochShuffle _
   )
 
   val oracle: Map[String, String] = Map(
@@ -842,6 +883,15 @@ object CorpusOps {
          |       cast(sum(n_chunks) AS bigint) AS n_chunks,
          |       cast(sum(chunk_tokens) AS bigint) AS n_tokens,
          |       cast(sum(n_bpe) AS bigint) AS n_bpe_tokens
-         |FROM ch GROUP BY split, lang ORDER BY split, lang""".stripMargin
+         |FROM ch GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_epoch_shuffle" ->
+      s"""WITH t AS (SELECT doc_id, ${epochDrawDuck("doc_id", 7)} AS draw
+         |           FROM documents),
+         |sh AS (SELECT doc_id, draw, cast(draw % 8 AS int) AS shard FROM t)
+         |SELECT doc_id, shard,
+         |       cast(row_number() OVER (PARTITION BY shard
+         |         ORDER BY draw, doc_id) - 1 AS bigint) AS pos,
+         |       draw
+         |FROM sh ORDER BY shard, pos""".stripMargin
   )
 }

@@ -364,6 +364,23 @@ class GraftApiSuite extends AnyFunSuite {
       s"expected base-0 pairs, got ${pairs.take(5)}")
   }
 
+  test("epochShuffle: reproducible permutation per epoch, epochs differ, " +
+      "every doc lands in exactly one (shard, pos) slot") {
+    val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "body")
+    def perm(epoch: Int) = Graft.epochShuffle(docs, "id", epoch, nShards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val e0 = perm(0)
+    assert(e0 == perm(0))                       // deterministic
+    assert(e0 != perm(1))                       // epochs permute differently
+    assert(e0.keySet == (0L until 200L).toSet)  // a true permutation:
+    assert(e0.values.toSet.size == 200)         // ...slots are unique
+    // in-shard positions are dense 0..n-1
+    e0.values.groupBy(_._1).foreach { case (_, slots) =>
+      val ps = slots.map(_._2).toSeq.sorted
+      assert(ps == (0L until ps.length.toLong))
+    }
+  }
+
   test("bpeTokenCounts runs the greedy-merge kernel per document") {
     val docs = Seq((1L, "the and there"), (2L, "zzz")).toDF("d", "txt")
     val got = Graft.bpeTokenCounts(docs, "d", "txt")

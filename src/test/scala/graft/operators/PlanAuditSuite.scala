@@ -442,6 +442,17 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("ccq"), p)
   }
 
+  test("q_epoch_shuffle moves data once — one hash exchange on the shard " +
+      "id, never a corpus-wide total-order sort") {
+    val p = plan("q_epoch_shuffle")
+    val hashEx = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toSeq
+    assert(hashEx.length == 1, hashEx.mkString("\n"))
+    assert(hashEx.head.contains("shard"), hashEx.head)
+    // the only range exchange is the driver-display total order at the
+    // root; the permutation itself is per-shard local sorting
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1, p)
+  }
+
   test("q_group_sample prunes each stratum to k via WindowGroupLimit, no join") {
     val p = plan("q_group_sample")
     assert(p.contains("WindowGroupLimit"), p)
