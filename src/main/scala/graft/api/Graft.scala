@@ -731,6 +731,27 @@ object Graft {
                    nShards: Int): DataFrame =
     CorpusOps.epochShuffle(docs, idCol, epoch, nShards)
 
+  /** Perceptual near-duplicate pairs over a BINARY audio column — the
+    * audio twin of [[mediaNearDupPairs]]: decode (PCM16 WAV via the
+    * multimodal container walk) → 64-bit frame-energy-delta fingerprint
+    * (gain-invariant, Haitsma-Kalker shape) → the same hamming-LSH band
+    * equi-join. Undecodable or too-short clips drop. */
+  def audioNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3]: 4 bands only guarantee a shared " +
+        s"band for <= 3 differing bits (got $maxHamming)")
+    val s = media.sparkSession
+    import s.implicits._
+    val fp = media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        graft.multimodal.MultimodalOps.audioFingerprint(p).map(h => (id, h))
+      }).toDF("doc_id", "ahash")
+    LlmQueries.hammingBandPairs(graft.operators.Materialize(fp), "ahash",
+      bandBits = 16, maxHamming = maxHamming)
+  }
+
   /** Per-document greedy-merge BPE token counts — the unit training
     * budgets are denominated in ([[graft.functions.BpeCount]]; one
     * codegen'd map-side kernel pass, no shuffle). */

@@ -395,6 +395,73 @@ object MultimodalOps {
     Some(bits)
   }
 
+  /** Near-dup WAV fixture family (r9, `q_audio_near_dup`) — the audio
+    * twin of [[syntheticNoisePgm]]: 130-sample PCM16 clips in groups of
+    * 10 sharing a base waveform of md5-derived samples
+    * (`h60("a<base>_<k>") mod 65536 − 32768`), each non-zero variant
+    * perturbing ONE sample (+8000+v in the wrapping 16-bit domain at
+    * position 13v mod 130) — "same clip, small edit". One sample lands
+    * in one energy frame, so a variant moves at most the frame's two
+    * neighboring comparisons: same-base pairs sit within hamming ≤ 4,
+    * cross-base ~32. */
+  private[graft] val AudioFpSamples = 130
+  private[graft] def syntheticNoiseWav(id: Long): Array[Byte] = {
+    val n = AudioFpSamples
+    val base = id / 10
+    val v = (id % 10).toInt
+    val ss = Array.tabulate(n) { k =>
+      (h60(s"a${base}_$k".getBytes("US-ASCII")) % 65536 - 32768).toInt
+    }
+    if (v != 0) {
+      val pos = (v * 13) % n
+      ss(pos) = ((ss(pos) + 32768 + 8000 + v) % 65536) - 32768
+    }
+    val rate = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(rate); bb.putInt(rate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+    ss.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** Frame-energy-delta audio fingerprint over a decoded PCM16 payload —
+    * the Haitsma-Kalker shape: 65 two-sample frames, energy
+    * `s₀² + s₁²` per frame (exact integer), bit i set when frame i+1 is
+    * louder than frame i. 64 bits from the first 65 frames; None when
+    * the clip is shorter, not mono, or fails the container walk
+    * ([[wavPcm16]] — the same seam the decoder and resampler parse
+    * through, so the fingerprint can never disagree with the codec
+    * about what a valid payload is). Robust to uniform gain the way
+    * dHash is robust to brightness: scaling all samples preserves every
+    * energy comparison. */
+  private[graft] def audioFingerprint(p: Array[Byte]): Option[Long] = {
+    val (channels, _, off, dataBytes) = wavPcm16(p) match {
+      case Some(hdr) => hdr
+      case None => return None
+    }
+    if (channels != 1) return None
+    val nSamples = dataBytes / 2
+    if (nSamples < AudioFpSamples) return None
+    def s16(i: Int): Long =
+      ((p(off + 2 * i) & 0xff) | (p(off + 2 * i + 1) << 8)).toShort.toLong
+    var bits = 0L
+    var prev = s16(0) * s16(0) + s16(1) * s16(1)
+    var i = 1
+    while (i <= 64) {
+      val e = s16(2 * i) * s16(2 * i) + s16(2 * i + 1) * s16(2 * i + 1)
+      if (e > prev) bits |= 1L << (i - 1)
+      prev = e
+      i += 1
+    }
+    Some(bits)
+  }
+
   /** First 15 hex chars of md5 as a long — the Scala twin of
     * [[graft.operators.LlmQueries.h60Spark]]. */
   private def h60(bytes: Array[Byte]): Long = {
@@ -537,12 +604,34 @@ object MultimodalOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Perceptual near-dup for AUDIO (r9): [[qMediaNearDup]]'s funnel with
+    * the [[audioFingerprint]] kernel — decode through the shared
+    * [[wavPcm16]] container walk, 64-bit frame-energy-delta fingerprint,
+    * then the SAME [[graft.operators.LlmQueries.hammingBandPairs]] band
+    * equi-join. Text, images, and audio now all dedup through one LSH
+    * core with modality-specific fingerprint kernels. */
+  private def qAudioNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val hash = audioFingerprint(syntheticNoiseWav(id)).getOrElse(
+          sys.error(s"fixture WAV failed to parse for id $id"))
+        (id, hash)
+      }).toDF("doc_id", "ahash")
+    graft.operators.LlmQueries.hammingBandPairs(
+        graft.operators.Materialize(fp), "ahash", bandBits = 16,
+        maxHamming = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> qMediaFeatures _,
     "q_media_frames" -> qMediaFrames _,
     "q_media_decode" -> qMediaDecode _,
     "q_media_resize" -> qMediaResize _,
-    "q_media_near_dup" -> qMediaNearDup _
+    "q_media_near_dup" -> qMediaNearDup _,
+    "q_audio_near_dup" -> qAudioNearDup _
   )
 
   val oracle: Map[String, String] = Map(
@@ -694,6 +783,43 @@ object MultimodalOps {
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.dhash AS sh_a, b.dhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       cast(bit_count(xor(sh_a, sh_b)) AS bigint) AS hamming
+         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // Audio fingerprint near-dup: regenerate the PCM16 samples from the
+    // id formula, recompute the frame-energy-delta bits, band-join —
+    // the q_media_near_dup oracle shape with the audio kernel.
+    "q_audio_near_dup" -> {
+      val cell = h60Duck("'a' || (doc_id // 10)::VARCHAR || '_' || k::VARCHAR") +
+        " % 65536 - 32768"
+      s"""WITH sm AS (
+         |  SELECT doc_id, k,
+         |         CASE WHEN doc_id % 10 <> 0 AND k = ((doc_id % 10) * 13) % 130
+         |              THEN (($cell + 32768 + 8000 + doc_id % 10) % 65536) - 32768
+         |              ELSE $cell END AS s
+         |  FROM documents, range(130) t(k)),
+         |fr AS (SELECT doc_id, k // 2 AS f, CAST(sum(s * s) AS bigint) AS e
+         |       FROM sm GROUP BY doc_id, k // 2),
+         |fl AS (SELECT doc_id, list(e ORDER BY f) AS es FROM fr GROUP BY doc_id),
+         |f AS (SELECT doc_id,
+         |             cast(list_sum(list_transform(range(64),
+         |               i -> CASE WHEN es[CAST(i + 2 AS int)] > es[CAST(i + 1 AS int)]
+         |                    THEN CASE WHEN i = 63
+         |                              THEN (-9223372036854775807 - 1)::BIGINT
+         |                              ELSE 1::BIGINT << CAST(i AS int) END
+         |                    ELSE 0 END)) AS bigint) AS ahash
+         |      FROM fl),
+         |bands AS (
+         |  SELECT doc_id, ahash, j AS band,
+         |         cast((ahash >> CAST(16 * j AS int)) & 65535 AS int) AS bkey
+         |  FROM f, range(4) t(j)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.ahash AS sh_a, b.ahash AS sh_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,

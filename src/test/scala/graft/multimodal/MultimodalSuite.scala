@@ -147,6 +147,38 @@ class MultimodalSuite extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h0 ^ other) > 2)
   }
 
+  test("audioFingerprint: frame-energy-delta bits, gain invariant, " +
+      "single-sample edit moves at most 2 bits") {
+    val fp0 = MultimodalOps.audioFingerprint(
+      MultimodalOps.syntheticNoiseWav(70L)).get
+    // a uniform gain change preserves every energy comparison: halve all
+    // samples of the base clip and the fingerprint must not move
+    val half = {
+      val p = MultimodalOps.syntheticNoiseWav(70L)
+      val q = p.clone()
+      var i = 44
+      while (i < q.length) {
+        val s = (((q(i) & 0xff) | (q(i + 1) << 8)).toShort / 2).toShort
+        q(i) = (s & 0xff).toByte; q(i + 1) = ((s >> 8) & 0xff).toByte
+        i += 2
+      }
+      q
+    }
+    assert(MultimodalOps.audioFingerprint(half).get == fp0)
+    // a variant (one perturbed sample) sits within 2 bits of its base;
+    // a different base is far away
+    val fp3 = MultimodalOps.audioFingerprint(
+      MultimodalOps.syntheticNoiseWav(73L)).get
+    val other = MultimodalOps.audioFingerprint(
+      MultimodalOps.syntheticNoiseWav(90L)).get
+    assert(java.lang.Long.bitCount(fp0 ^ fp3) <= 2)
+    assert(java.lang.Long.bitCount(fp0 ^ other) > 2)
+    // too-short and non-WAV payloads have no fingerprint
+    assert(MultimodalOps.audioFingerprint(
+      MultimodalOps.syntheticWav(1L)).isEmpty) // 24 samples < 130
+    assert(MultimodalOps.audioFingerprint("nope".getBytes).isEmpty)
+  }
+
   test("resampleWav decimates samples, halves the rate, preserves duration") {
     val wav = MultimodalOps.syntheticWav(7L)
     val res = MultimodalOps.resampleWav(wav, 2).get

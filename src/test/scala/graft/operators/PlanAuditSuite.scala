@@ -231,6 +231,16 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("MapPartitions"), p)
   }
 
+  test("q_audio_near_dup bands the audio fingerprint on an equi-join, " +
+      "never all-pairs; fingerprints are not re-decoded in the final plan") {
+    val p = plan("q_audio_near_dup")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("Join"), p)
+    assert(!p.contains("documents.parquet"), p)
+    assert(!p.contains("MapPartitions"), p)
+  }
+
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
     // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join
