@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.cdc.{CdcConfig, CdcSession}
-import graft.operators.{AsOfJoin, CorpusOps, DedupClusters, LlmQueries, ScaleOps}
+import graft.operators.{AsOfJoin, CdcQueries, CorpusOps, DedupClusters, LlmQueries, ScaleOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -248,6 +248,17 @@ object Graft {
       .filter(col("_rn") === 1).drop("_rn")
     merged.filter(col("op") === "upsert").drop("op")
   }
+
+  /** SCD Type-2 history from a change stream: per key (ordered by
+    * `seqCol`) collapse consecutive duplicate `valueCol` images (a
+    * re-delivered identical image opens no new version) and emit one row
+    * per surviving version with `version`, `valid_from_seq`,
+    * `valid_to_seq` (NULL while current) and `is_current` (0/1) — the
+    * keep-every-version counterpart of [[applyChanges]]' latest-wins
+    * MERGE. One shuffle on the key; both window passes stack on it. */
+  def scd2History(changes: DataFrame, keyCol: String, seqCol: String,
+                  valueCol: String): DataFrame =
+    CdcQueries.scd2History(changes, keyCol, seqCol, valueCol)
 
   /** Domain-mixing weights for training-data sampling: per stratum
     * (`strata` grouping columns), the doc/token counts and a sub-linear

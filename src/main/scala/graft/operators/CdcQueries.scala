@@ -133,6 +133,39 @@ object CdcQueries {
       .orderBy(col("event_id"))
   }
 
+  /** SCD Type-2 dimension history from the change stream (r9): the OTHER
+    * canonical way to apply CDC besides latest-wins ([[qLatestPerKey]]) and
+    * MERGE ([[qUpsertMerge]]) — keep every version. Consecutive duplicate
+    * values collapse (a re-delivered identical image opens no new version,
+    * the same idempotence the reference's monotonic guard enforces at
+    * ec:663-771), and each surviving version is valid from its own seq
+    * until the next version's seq, open-ended (`valid_to_seq` NULL,
+    * `is_current` 1) for the key's last version.
+    *
+    * Scale: ONE shuffle on the key; the change-compression lag and the
+    * version numbering/lead reuse the same (key, seq) sort order, so
+    * Spark plans a single exchange with window passes stacked on it —
+    * never a self-join of the history against itself. */
+  private[graft] def scd2History(changes: DataFrame, keyCol: String,
+      seqCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val versions = changes
+      .select(col(keyCol), col(seqCol), col(valueCol))
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .filter(!(col(valueCol) <=> col("_prev")))
+    versions
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_seq", lead(col(seqCol), 1).over(w))
+      .select(col(keyCol), col("version"),
+        col(seqCol).as("valid_from_seq"), col("valid_to_seq"),
+        col(valueCol),
+        col("valid_to_seq").isNull.cast("int").as("is_current"))
+  }
+
+  private def qScd2(s: SparkSession, d: String): DataFrame =
+    scd2History(Tables.events(s, d), "user_id", "event_id", "value")
+      .orderBy(col("user_id"), col("version"))
+
   /** Micro-batch/time bucketing of commits (TIMEOUT heartbeats,
     * ec:1403-1428): tumbling 1-hour windows. Sums go through decimal so the
     * result is order-independent (exact) — required for oracle parity and
@@ -190,6 +223,7 @@ object CdcQueries {
     "q_delete_apply" -> qDeleteApply _,
     "q_upsert_merge" -> qUpsertMerge _,
     "q_truncate_apply" -> qTruncateApply _,
+    "q_scd2" -> qScd2 _,
     "q_tumbling_window" -> qTumblingWindow _,
     "q_hopping_window" -> qHoppingWindow _,
     "q_session_window" -> qSessionWindow _
@@ -251,6 +285,25 @@ object CdcQueries {
         |FROM events e LEFT JOIN trunc t ON e.user_id = t.user_id
         |WHERE t.trunc_seq IS NULL OR e.event_id > t.trunc_seq
         |ORDER BY e.event_id""".stripMargin,
+    // SCD2: IS DISTINCT FROM is the SQL spelling of Spark's !(a <=> b).
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_id, value,
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS prev_value
+        |  FROM events),
+        |vers AS (
+        |  SELECT user_id, event_id, value FROM ch
+        |  WHERE value IS DISTINCT FROM prev_value)
+        |SELECT user_id,
+        |       cast(row_number() OVER w AS int) AS version,
+        |       event_id AS valid_from_seq,
+        |       lead(event_id) OVER w AS valid_to_seq,
+        |       value,
+        |       cast(lead(event_id) OVER w IS NULL AS int) AS is_current
+        |FROM vers
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q_tumbling_window" ->
       """SELECT cast(date_trunc('hour', ts) AS timestamp) AS hour,
         |       count(*) AS n_events,

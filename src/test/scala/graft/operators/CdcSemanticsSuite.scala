@@ -95,4 +95,22 @@ class CdcSemanticsSuite extends AnyFunSuite {
     assert(got(1L) == ((4L, 1L, 4L, 3L)))
     assert(got(4L) == ((1L, 11L, 11L, 0L)))
   }
+
+  test("q_scd2: consecutive duplicate images collapse, versions chain, " +
+      "last version is open-ended") {
+    // (user, version, valid_from, valid_to_or -1, value, is_current)
+    val got = run("q_scd2").collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+      r.getDouble(4), r.getInt(5)))
+    // user 3's two consecutive 0.0 signups open ONE version (8→10)
+    assert(got.filter(_._1 == 3L).toSeq == Seq(
+      (3L, 1, 8L, 10L, 0.0, 0), (3L, 2, 10L, -1L, 3.0, 1)))
+    // user 1: four distinct values → four versions chained by seq
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, 1L, 2L, 10.0, 0), (1L, 2, 2L, 3L, 0.0, 0),
+      (1L, 3, 3L, 4L, 5.0, 0), (1L, 4, 4L, -1L, 7.0, 1)))
+    // every key's last version (and only it) is current
+    assert(got.groupBy(_._1).forall { case (_, vs) =>
+      vs.init.forall(_._6 == 0) && vs.last._6 == 1 && vs.last._4 == -1L })
+  }
 }

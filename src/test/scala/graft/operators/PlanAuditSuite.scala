@@ -241,6 +241,14 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("MapPartitions"), p)
   }
 
+  test("q_scd2 stacks the change-compression and versioning windows on " +
+      "ONE key exchange — no self-join of the history") {
+    val p = plan("q_scd2")
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    val semantic = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toList
+    assert(semantic.size == 1, s"expected 1 key exchange, got:\n${semantic.mkString("\n")}")
+  }
+
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
     // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join
