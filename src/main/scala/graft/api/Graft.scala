@@ -800,6 +800,15 @@ object Graft {
                      valCol: String, k: Int): DataFrame =
     ScaleOps.zscoreOutliers(events, groupCol, idCol, valCol, k)
 
+  /** Exact heavy hitters: keys of integral `keyCol` whose count exceeds
+    * N/`supportDenom`, without shuffling the full key space — per-
+    * partition Misra-Gries candidates (superset-guaranteed), then an
+    * exact recount of candidates only. The output is exact and
+    * deterministic; the shuffle is bounded by partitions × supportDenom
+    * candidate partials, not the distinct-key tail. Returns (k, cnt). */
+  def heavyHitters(df: DataFrame, keyCol: String, supportDenom: Int): DataFrame =
+    ScaleOps.heavyHitters(df, keyCol, supportDenom)
+
   /** Exact-k reproducible sample per stratum (the distributed reservoir
     * replacement): each stratum ordered by the deterministic
     * multiplicative-hash draw, first `k` kept — no rand(), re-runnable.

@@ -190,11 +190,74 @@ object ScaleOps {
       k = 5)
       .orderBy(col("event_type"), col("rk"))
 
+  /** Exact distributed heavy hitters (r9): keys whose count exceeds
+    * N/`supportDenom`, computed WITHOUT shuffling the full key space.
+    *
+    * Phase 1 runs Misra-Gries with `supportDenom` counters inside each
+    * partition (the one other justified `mapPartitions` beside the
+    * multimodal codec kernel: C-counter sketch state is genuinely
+    * per-partition imperative). Superset guarantee by pigeonhole: if a
+    * key's count_p ≤ n_p/C in EVERY partition, its global count is
+    * ≤ N/C — so every true heavy hitter survives phase 1 somewhere,
+    * regardless of partitioning. Phase 2 recounts ONLY the candidates
+    * (broadcast semi-join, map-side) and filters by the exact global
+    * threshold (1-row count broadcast, in-plan) — so the output is EXACT
+    * and deterministic even though the candidate set isn't.
+    *
+    * Scale shape: the shuffle carries ≤ partitions × C candidate
+    * partials, not the distinct-key space — on a 100 TB long-tail key
+    * column (urls, user agents, n-grams) that is the difference between
+    * a bounded agg and shuffling the tail. */
+  private[graft] def heavyHitters(df: DataFrame, keyCol: String,
+      supportDenom: Int): DataFrame = {
+    require(supportDenom >= 2, s"supportDenom must be >= 2, got $supportDenom")
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df.select(col(keyCol).cast("long").as("k"))
+    val cands = keyed.as[Long].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[Long, Long]
+      it.foreach { k =>
+        counters.get(k) match {
+          case Some(c) => counters(k) = c + 1
+          case None if counters.size < supportDenom => counters(k) = 1L
+          case None => // decrement-all; drop exhausted counters
+            counters.keysIterator.toArray.foreach { k2 =>
+              val c = counters(k2) - 1
+              if (c == 0L) counters.remove(k2) else counters(k2) = c
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("k").distinct()
+    val tot = keyed.agg(count(lit(1)).as("_n"))
+    keyed.join(broadcast(cands), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * supportDenom > col("_n"))
+      .select(col("k"), col("cnt"))
+  }
+
+  /** Demo distribution for [[heavyHitters]], derived in-plan so it is
+    * identical in both engines at every SF (the [[qSkewSaltedJoin]]
+    * pattern): 3/4 of events fold onto 8 hot keys (~9.4% share each),
+    * the rest keep their unique event_id — the hot-head + long-tail
+    * shape heavy hitters exist for. The uniform synthetic tables have
+    * no native stable skew (user share shrinks as cardinality grows
+    * with SF), so the demo manufactures it deterministically. */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHitters(
+      Tables.events(s, d).select(
+        when(pmod(col("event_id"), lit(4)) =!= 0, pmod(col("event_id"), lit(8)))
+          .otherwise(col("event_id")).as("k")),
+      "k", supportDenom = 100)
+      .orderBy(col("cnt").desc, col("k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_join" -> qSkewSaltedJoin _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_quantiles" -> qApproxQuantiles _,
-    "q_zscore_outliers" -> qZscoreOutliers _
+    "q_zscore_outliers" -> qZscoreOutliers _,
+    "q_heavy_hitters" -> qHeavyHitters _
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,6 +286,18 @@ object ScaleOps {
         |       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds,
         |       TRUE AS p99_in_bounds
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Heavy hitters: the MG phase is invisible to the oracle — it only
+    // prunes candidates; the exact recount + threshold IS the semantics.
+    "q_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN event_id % 4 <> 0 THEN event_id % 8
+        |              ELSE event_id END AS k
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n FROM keyed)
+        |SELECT k, count(*) AS cnt
+        |FROM keyed, tot GROUP BY k, n
+        |HAVING count(*) * 100 > n
+        |ORDER BY cnt DESC, k""".stripMargin,
     "q_zscore_outliers" ->
       """WITH q AS (SELECT event_type, event_id, value,
         |                  cast(round(value * 1000.0) AS bigint) AS qv

@@ -249,6 +249,14 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(semantic.size == 1, s"expected 1 key exchange, got:\n${semantic.mkString("\n")}")
   }
 
+  test("q_heavy_hitters recounts candidates behind a broadcast semi-join " +
+      "— the full key space never rides the shuffle") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
     // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join

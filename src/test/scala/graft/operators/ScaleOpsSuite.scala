@@ -79,4 +79,29 @@ class ScaleOpsSuite extends AnyFunSuite {
     val grouped = Graft.approxDistinct(df.withColumn("g", $"k" % 2), Seq("g"), "k")
     assert(grouped.count() == 2)
   }
+
+  test("heavyHitters is exact regardless of partitioning (MG superset " +
+      "guarantee) and excludes the long tail") {
+    // 3 hot keys (shares 30%/20%/12%) + a 38%-of-rows unique tail, in a
+    // deliberately adversarial order (tail interleaved with hot), across
+    // several partition widths — the candidate set differs per layout but
+    // the exact recount must not.
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      if (i % 10 < 3) 1L else if (i % 10 < 5) 2L else if (i % 100 < 27) 3L
+      else 1000L + i // unique tail
+    }
+    val expected = Map(1L -> 600L, 2L -> 400L, 3L -> 240L)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = s.sparkContext.parallelize(rows, parts).toDF("k")
+      val got = ScaleOps.heavyHitters(df, "k", supportDenom = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // tighter support drops the 11% key, keeps 30% and 20%
+    val got5 = ScaleOps.heavyHitters(
+      s.sparkContext.parallelize(rows, 13).toDF("k"), "k", supportDenom = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got5 == Map(1L -> 600L, 2L -> 400L))
+  }
 }
