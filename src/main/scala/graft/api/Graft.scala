@@ -460,6 +460,20 @@ object Graft {
         col(idCol), col("_sim").as("sim"))
   }
 
+  /** Contrastive hard-negative mining over [[ivfAssign]] output: for each
+    * anchor in `queries` (which must carry the `cluster` column and a
+    * label), the top-`k` most-similar vectors in the anchor's own cell
+    * whose `labelCol` DIFFERS from the anchor's — the informative
+    * negatives for embedding-model training (random negatives are too
+    * easy). Probe cost |anchors| × bucket; the label exclusion rides the
+    * bucket equi-join, so same-label rows never enter the top-k window.
+    * Returns (qidCol, rank, idCol, labelCol, sim). */
+  def hardNegatives(assigned: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, qidCol: String,
+                    k: Int): DataFrame =
+    LlmQueries.hardNegatives(assigned, idCol, vecCol, labelCol, queries,
+      qidCol, k)
+
   /** Multi-probe ANN over [[ivfAssign]] output: each query probes its
     * `nprobe` nearest centroids' buckets (ranked by cosine, ties on the
     * lower centroid id) instead of only the winner — the recall knob

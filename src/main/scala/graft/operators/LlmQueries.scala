@@ -721,6 +721,48 @@ object LlmQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Contrastive hard-negative mining (r9): for each anchor, the top-k
+    * most-similar vectors with a DIFFERENT label — the negatives an
+    * embedding-model trainer actually wants (random negatives are too
+    * easy; the informative ones sit close to the anchor in embedding
+    * space but belong to another class). Composing it with the IVF
+    * assignment makes "close" literal: candidates come from the anchor's
+    * own cell, so the probe cost is |anchors| × bucket — the
+    * [[qAnnBatch]] serving shape with a label-exclusion predicate on the
+    * bucket equi-join (evaluated before the similarity window, so
+    * same-label rows never enter the top-k state). An anchor's own row
+    * shares its label and is excluded for free. */
+  private[graft] def hardNegatives(assigned: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, queries: DataFrame, qidCol: String,
+      k: Int): DataFrame = {
+    require(qidCol != idCol,
+      s"qidCol and idCol are both '$idCol' — rename the anchor id column " +
+        "so the output can carry both")
+    graft.functions.DotF32.ensureRegistered(assigned.sparkSession)
+    val q = queries
+      .select(col(qidCol).as("_qid"), col(labelCol).as("_qlabel"),
+        col("cluster").as("_qcluster"), col(vecCol).as("_qv"))
+      .withColumn("_qnorm", expr("sqrt(dot_f32(_qv, _qv))"))
+    val wq = Window.partitionBy(col("_qid"))
+      .orderBy(col("_sim").desc, col(idCol))
+    assigned.join(broadcast(q),
+        col("cluster") === col("_qcluster") && col(labelCol) =!= col("_qlabel"))
+      .withColumn("_sim", expr(
+        s"round(dot_f32($vecCol, _qv) / (sqrt(dot_f32($vecCol, $vecCol)) * _qnorm), 6)"))
+      .withColumn("_rank", row_number().over(wq))
+      .filter(col("_rank") <= k)
+      .select(col("_qid").as(qidCol), col("_rank").as("rank"),
+        col(idCol), col(labelCol), col("_sim").as("sim"))
+  }
+
+  private def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(s, d)
+    hardNegatives(assigned, "vec_id", "embedding", "label",
+      assigned.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid"),
+      "qid", k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Batched ANN over a PERSISTED, partition-pruned index (the serving
     * layout): the IVF assignment is written as `cluster=<id>` parquet
     * partitions, and the probe scans ONLY the partitions its query batch
@@ -1310,6 +1352,7 @@ object LlmQueries {
     "q_ivf_pq" -> (VectorIndexQueries.qIvfPq _),
     "q_ivf_pq_multiprobe" -> (VectorIndexQueries.qIvfPqMultiprobe _),
     "q_ann_multiprobe" -> qAnnMultiprobe _,
+    "q_hard_negatives" -> qHardNegatives _,
     "q_ivf_kmeans" -> qIvfKmeans _,
     "q_ann_trained" -> qAnnTrained _,
     "q_emb_outliers" -> qEmbOutliers _,
@@ -1749,6 +1792,27 @@ object LlmQueries {
          |FROM assigned, q WHERE cluster = qcluster
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_batch" -> annBatchOracle,
+    // Hard negatives: the annBatch CTE chain with a label-exclusion
+    // predicate on the bucket probe — anchors vec_id < 3, top-5 each.
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM e, kc WHERE vec_id < kv),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.v, cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
+         |  FROM e, cents),
+         |assigned AS (SELECT vec_id, label, v, cid AS cluster FROM scored WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, cluster AS qcluster, v AS qv
+         |      FROM assigned WHERE vec_id < 3)
+         |SELECT qid,
+         |       cast(row_number() OVER (PARTITION BY qid
+         |                               ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rank,
+         |       vec_id, label, ${cosDuck("v", "qv")} AS sim
+         |FROM assigned, q WHERE cluster = qcluster AND label <> qlabel
+         |QUALIFY rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     // The persisted-index probe returns EXACTLY the in-memory batch
     // probe's rows (partition pruning only skips partitions without
     // candidates), so the oracle is shared verbatim.

@@ -237,6 +237,26 @@ class GraftApiSuite extends AnyFunSuite {
     assert(hits == Set((1L, 1, 1L), (1L, 2, 2L), (4L, 1, 4L), (4L, 2, 5L)))
   }
 
+  test("hardNegatives mines close different-label vectors, never the " +
+      "anchor's own class, ranked by similarity") {
+    // cluster 10: anchor (label a) + a near different-label vec 2 (the
+    // hard negative), a same-label near vec 3 (must be excluded even
+    // though it is closer), and a far different-label vec 6.
+    val vecs = Seq(
+      (1L, Array(1f, 0f), "a"), (2L, Array(0.95f, 0.05f), "b"),
+      (3L, Array(0.99f, 0.01f), "a"), (6L, Array(0.7f, 0.3f), "c"),
+      (4L, Array(0f, 1f), "b"), (5L, Array(0.1f, 0.9f), "a"))
+      .toDF("vid", "emb", "lbl")
+    val cents = Seq((10, Array(1f, 0f)), (20, Array(0f, 1f))).toDF("cid", "cv")
+    val assigned = Graft.ivfAssign(vecs, "vid", "emb", cents, "cid", "cv")
+    val anchors = assigned.filter($"vid" === 1L).withColumnRenamed("vid", "qid")
+    val neg = Graft.hardNegatives(assigned, "vid", "emb", "lbl",
+      anchors, "qid", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // top-2: vec 2 (closest different-label), then vec 6; never 1 or 3
+    assert(neg.toSeq == Seq((1L, 1, 2L, "b"), (1L, 2, 6L, "c")), neg.mkString(","))
+  }
+
   test("writeVectorIndex + probeVectorIndex match the in-memory probe " +
       "and prune the scan to the probed partitions") {
     val s2 = graft.TestSpark.spark

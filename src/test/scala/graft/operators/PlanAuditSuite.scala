@@ -257,6 +257,14 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_hard_negatives probes via broadcast bucket equi-join with the " +
+      "label exclusion inside the join, top-k via pruned window") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"))
+  }
+
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
     // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join
