@@ -898,6 +898,74 @@ object CdcPipeline {
       .start()
   }
 
+  /** Streaming SESSION windows over the change stream
+    * (`s_session_window`): per-key activity sessions that close after a
+    * 10 ms event-time gap (seq micros — the log's total order is the
+    * clock, as in [[commitWindows]]) — the streaming twin of the batch
+    * `q_session_window`, on Spark's native `session_window` state
+    * (merging windows, watermark-driven emission) instead of batch
+    * gaps-and-islands.
+    *
+    * The watermark trap, session edition: a recordType PRE-filter would
+    * be pushed below EventTimeWatermark (the predicate doesn't touch
+    * `ts`) and heartbeats would stop advancing the clock — so instead
+    * the key is MASKED before the watermark: non-image records flow
+    * through the watermark tracker with `k = null` and pool in null-key
+    * sessions that the post-agg `n_rows > 0` filter (an aggregate
+    * result — unpushable) discards. Real keys' sessions therefore
+    * contain image rows only, so their extents can't be stretched by a
+    * same-key BEGIN/UPDBEF marker. State = open sessions only, bounded
+    * by the watermark; the final heartbeat past the log tail flushes
+    * every pending session. */
+  def sessionWindows(spark: SparkSession, chunkDir: String,
+                     checkpointDir: String, outDir: String) = {
+    val isImage = col("recordType").isin("CDC_REC_INSERT", "CDC_REC_UPDAFT")
+    spark.readStream
+      .format("graft.sources.CdcChunkSource")
+      .option("path", chunkDir)
+      .option("maxFilesPerTrigger", "3")
+      .load()
+      .select(col("seq"),
+        when(isImage, col("key")).as("k"),
+        when(isImage, lit(1L)).otherwise(lit(0L)).as("is_img"),
+        timestamp_micros(col("seq")).as("ts"))
+      .withWatermark("ts", "1 millisecond")
+      .groupBy(session_window(col("ts"), "10 milliseconds").as("w"), col("k"))
+      .agg(sum(col("is_img")).as("n_rows"),
+        min(when(col("is_img") === 1, col("seq"))).as("first_seq"),
+        max(when(col("is_img") === 1, col("seq"))).as("last_seq"))
+      .filter(col("n_rows") > 0)
+      .select(col("k"), unix_micros(col("w.start")).as("sess_start_us"),
+        col("n_rows"), col("first_seq"), col("last_seq"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Driver-checked: [[sessionWindows]] over the ordered fixture. */
+  def sSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"/tmp/graft_stream_sess/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root, "checkpoint"))
+    rm(new java.io.File(root, "sessions"))
+    val chunkDir = new java.io.File(root, "chunks")
+    recordFixtureCached(s, d, chunkDir.getAbsolutePath, ordered = true)
+    val ck = new java.io.File(root, "checkpoint").getAbsolutePath
+    val out = new java.io.File(root, "sessions").getAbsolutePath
+    withStatePartitions(s) {
+      sessionWindows(s, chunkDir.getAbsolutePath, ck, out).awaitTermination()
+    }
+    s.read.parquet(out).orderBy(col("k"), col("sess_start_us"))
+  }
+
   /** Driver-checked: record the ordered fixture, then RE-DELIVER one
     * middle chunk verbatim (a copy that lists right after the original —
     * the reconnect-replay shape), run [[changelogDedup]], and return the
@@ -991,7 +1059,8 @@ object CdcPipeline {
     "s_cdc_pipeline" -> (sCdcPipeline _),
     "s_commit_windows" -> (sCommitWindows _),
     "s_stream_join" -> (sStreamJoin _),
-    "s_changelog_dedup" -> (sChangelogDedup _)
+    "s_changelog_dedup" -> (sChangelogDedup _),
+    "s_session_window" -> (sSessionWindow _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1035,6 +1104,28 @@ object CdcPipeline {
       """SELECT event_id * 4 + 2 AS seq,
         |       CAST(event_id // 20 AS integer) AS txid,
         |       user_id AS k, value AS v, event_type AS etype
-        |FROM events ORDER BY seq""".stripMargin
+        |FROM events ORDER BY seq""".stripMargin,
+    // Session windows: gaps-and-islands over the image seqs (every event
+    // maps to one image at event_id*4+2). Spark's session is half-open
+    // [start, last+gap), so a gap of EXACTLY 10000 us starts a new
+    // session — hence `>=`.
+    "s_session_window" ->
+      """WITH im AS (
+        |  SELECT user_id AS k, event_id * 4 + 2 AS seq FROM events),
+        |marked AS (
+        |  SELECT k, seq,
+        |         CASE WHEN lag(seq) OVER (PARTITION BY k ORDER BY seq) IS NULL
+        |              OR seq - lag(seq) OVER (PARTITION BY k ORDER BY seq) >= 10000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM im),
+        |sess AS (
+        |  SELECT k, seq,
+        |         sum(new_s) OVER (PARTITION BY k ORDER BY seq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT k, min(seq) AS sess_start_us, count(*) AS n_rows,
+        |       min(seq) AS first_seq, max(seq) AS last_seq
+        |FROM sess GROUP BY k, sid
+        |ORDER BY k, sess_start_us""".stripMargin
   )
 }
