@@ -915,6 +915,17 @@ object Graft {
     graft.operators.GraphOps.pageRank(nodes, idCol, edges, srcCol, dstCol, iters)
       .withColumnRenamed("id", idCol)
 
+  /** Exact per-node triangle counts over an (implicitly undirected) edge
+    * list — the clustering-coefficient numerator, via rank-oriented wedge
+    * closure: each triangle materializes exactly once, and orientation by
+    * (degree, id) bounds per-node wedge fan-out by ~√(2|E|) even when the
+    * raw degree distribution is hub-skewed. Returns (`idCol`, n_tri);
+    * nodes in no triangle are absent. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     idCol: String = "id"): DataFrame =
+    graft.operators.GraphOps.triangleCounts(edges, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+
   /** Streaming commit-LSN enrichment as a watermarked stream-stream join
     * (see [[graft.streaming.CdcPipeline.commitJoin]]): row images joined
     * to their transaction's COMMIT record; rolled-back transactions never

@@ -77,8 +77,70 @@ object GraphOps {
       .limit(50)
   }
 
+  /** Exact per-node triangle counts via RANK-ORIENTED wedge closure — the
+    * clustering-coefficient numerator, and the standard way to count
+    * triangles without enumerating each one 6 times or letting a hub
+    * explode the wedge set. Every undirected edge is oriented from the
+    * (degree, id)-lexicographically SMALLER endpoint to the larger; for a
+    * triangle with rank order p < q < r the only wedge is (q, r) centered
+    * at p and the only closing edge is q→r — each triangle materializes
+    * exactly once. The wedge fan-out per node is then out-degree², and
+    * out-degree is bounded by ~√(2|E|) under rank orientation no matter
+    * how skewed the raw degree distribution is — the hub that would
+    * generate deg² wedges under naive enumeration generates almost none,
+    * because nearly all its edges point INTO it.
+    *
+    * Scale shape: two equi-joins (wedge build on the center, closure on
+    * the (x, y) pair) + one explode-3 hash agg for the per-node counts.
+    * Everything is long ids; no payload rides any shuffle. */
+  private[graft] def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val or = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+    val ed = Materialize(or)
+    val wedges = ed.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+      .join(ed.select(col("u"), col("w").as("y"), col("dw").as("dy")), "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges.join(
+      ed.select(col("w").as("y"), col("u").as("x")), Seq("x", "y"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Triangle participation over the same KNN top-3 edge graph PageRank
+    * ranks — dense-neighborhood detection (a vector in many triangles
+    * sits in a tight semantic cluster; boilerplate and template families
+    * show up as triangle-heavy cliques). Top-20 nodes. */
+  private def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val assigned = Materialize(LlmQueries.ivfAssigned(s, d))
+    val edges = LlmQueries.knnGraphBucketed(assigned, k = 3)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    triangleCounts(edges, "src", "dst")
+      .select(col("id").as("vec_id"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (qGraphPagerank _)
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_triangles" -> (qGraphTriangles _)
   )
 
   /** Shares [[LlmQueries.knnGraphCte]] verbatim with the `q_knn_join`
@@ -102,6 +164,35 @@ object GraphOps {
          |$rounds
          |SELECT id AS vec_id, r AS rank_micro FROM r3
          |ORDER BY rank_micro DESC, vec_id LIMIT 50""".stripMargin
-    }
+    },
+    // Triangles: the same rank orientation spelled in SQL — und/deg/or/
+    // wedges/closure, each triangle once, exploded to its 3 corners.
+    "q_graph_triangles" ->
+      s"""WITH ${LlmQueries.knnGraphCte},
+         |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+         |               greatest(vec_id, nbr_id) AS b
+         |        FROM knnq WHERE vec_id <> nbr_id),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+         |        GROUP BY v),
+         |orient AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |              THEN a ELSE b END AS u,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |              THEN b ELSE a END AS w,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |              THEN db.deg ELSE da.deg END AS dw
+         |  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+         |wedges AS (
+         |  SELECT e1.u, e1.w AS x, e1.dw AS dx, e2.w AS y, e2.dw AS dy
+         |  FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+         |  WHERE e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w)),
+         |tris AS (
+         |  SELECT wedges.u, wedges.x, wedges.y
+         |  FROM wedges JOIN orient ON orient.u = wedges.x AND orient.w = wedges.y),
+         |corners AS (SELECT unnest([u, x, y]) AS id FROM tris)
+         |SELECT id AS vec_id, count(*) AS n_tri
+         |FROM corners GROUP BY id
+         |ORDER BY n_tri DESC, vec_id LIMIT 20""".stripMargin
   )
 }

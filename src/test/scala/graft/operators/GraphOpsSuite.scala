@@ -82,6 +82,29 @@ class GraphOpsSuite extends AnyFunSuite {
     assert(skewed == base)
   }
 
+  test("triangleCounts: exact on hand-built graphs — K4, star, " +
+      "duplicate/reversed edges, hub + pendant") {
+    // K4: 4 triangles, every node in exactly 3.
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
+    val gotK4 = GraphOps.triangleCounts(k4.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // A star has no triangles at all — and the hub generates ~no wedges
+    // under rank orientation (all its edges point INTO it).
+    val star = (1L to 10L).map(i => (0L, i))
+    assert(GraphOps.triangleCounts(star.toDF("s", "t"), "s", "t").count() == 0)
+    // Duplicate and reversed edges collapse: one triangle, counted once.
+    val dup = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 3L))
+    val gotDup = GraphOps.triangleCounts(dup.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDup == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // Triangle + pendant edge: pendant node 4 absent from the output.
+    val pend = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val gotPend = GraphOps.triangleCounts(pend.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPend == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("q_graph_pagerank: top-50, all ranks >= base, deterministic across runs") {
     val d = "/root/testdata/sf0.001"
     val r1 = GraphOps.queries("q_graph_pagerank")(s, d).collect()
