@@ -785,6 +785,18 @@ object Graft {
     docs.selectExpr(idCol, s"bpe_count($textCol) AS n_bpe_tokens")
   }
 
+  /** Token SEQUENCES from the same greedy-merge kernel: one row per
+    * token in document order — (idCol, pos [1-based], token, token_id),
+    * ids from the shared fixed vocabulary (merge rank, or
+    * 1000 + codepoint for unmerged symbols). The rows a packing
+    * pipeline feeds a trainer; map-side kernel + posexplode. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol), posexplode(expr(s"bpe_encode($textCol)")))
+      .selectExpr(idCol, "cast(pos + 1 AS int) AS pos", "col AS token",
+        s"cast(${graft.functions.BpeCount.idCase("col", "ascii")} AS bigint) AS token_id")
+  }
+
   /** Reciprocal-rank fusion of `rankings` — any number of ranked lists
     * (each carrying `idCol` and a 1-based `rankCol`), fused by the
     * classic Σ 1/(rrfK + rank) without any score calibration between

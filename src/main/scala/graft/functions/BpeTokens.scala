@@ -55,6 +55,33 @@ case class BpeCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_count"
 }
 
+/** `bpe_encode(text) -> array<string>`: the token SEQUENCE the count
+  * kernel summarizes — same merge table, same per-word single-pass-per-
+  * rank fold ([[BpeCount]]), emitting the final symbols in document
+  * order (spaces are separators and emit nothing). This is the form a
+  * packing pipeline feeds a trainer: ids derive from the symbols via the
+  * shared vocabulary ([[BpeCount.idCase]]). */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCount.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeCount.encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode"
+}
+
 object BpeCount {
   /** Rank-ordered merges, WELL-FORMED by construction: each pair's parts
     * are single letters or the outputs of strictly earlier rows (th→the,
@@ -68,6 +95,34 @@ object BpeCount {
     "e" -> "n", "a" -> "t", "e" -> "s", "o" -> "u", "l" -> "l",
     "s" -> "t")
 
+  /** Split `text[w, i)` to code-point symbols and fold the merge table —
+    * the single-pass-per-rank encode both kernels share. */
+  private def mergeWord(text: String, w: Int, i: Int,
+      syms: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    syms.clear()
+    var j = w
+    while (j < i) {
+      val cp = text.codePointAt(j)
+      val len = Character.charCount(cp)
+      syms += text.substring(j, j + len)
+      j += len
+    }
+    var m = 0
+    while (m < Merges.length) {
+      val a = Merges(m)._1
+      val b = Merges(m)._2
+      var k = 0
+      while (k < syms.length - 1) {
+        if (syms(k) == a && syms(k + 1) == b) {
+          syms(k) = a + b
+          syms.remove(k + 1)
+        }
+        k += 1
+      }
+      m += 1
+    }
+  }
+
   def compute(s: UTF8String): Long = {
     val text = s.toString
     val n = text.length
@@ -78,28 +133,7 @@ object BpeCount {
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
         if (i > w) {
-          syms.clear()
-          var j = w
-          while (j < i) {
-            val cp = text.codePointAt(j)
-            val len = Character.charCount(cp)
-            syms += text.substring(j, j + len)
-            j += len
-          }
-          var m = 0
-          while (m < Merges.length) {
-            val a = Merges(m)._1
-            val b = Merges(m)._2
-            var k = 0
-            while (k < syms.length - 1) {
-              if (syms(k) == a && syms(k + 1) == b) {
-                syms(k) = a + b
-                syms.remove(k + 1)
-              }
-              k += 1
-            }
-            m += 1
-          }
+          mergeWord(text, w, i, syms)
           total += syms.length
         }
         w = i + 1
@@ -109,18 +143,59 @@ object BpeCount {
     total
   }
 
+  /** [[BpeEncode]]'s kernel: the final symbols in document order. */
+  def encode(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val text = s.toString
+    val n = text.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](32)
+    val syms = new scala.collection.mutable.ArrayBuffer[String](32)
+    var w = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > w) {
+          mergeWord(text, w, i, syms)
+          syms.foreach(t => out += UTF8String.fromString(t))
+        }
+        w = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** The shared token-id vocabulary as a CASE expression: merge outputs
+    * get their rank as the id (0..15), unmerged symbols (always single
+    * code points — anything longer is a merge output) get
+    * 1000 + codepoint. `uniFn` is the engine's first-codepoint function
+    * (`ascii` in Spark, `unicode` in DuckDB); everything else is common
+    * SQL, so the two engines' vocabularies can never drift. */
+  def idCase(tokCol: String, uniFn: String): String = {
+    val arms = Merges.zipWithIndex
+      .map { case ((a, b), m) => s"WHEN '$a$b' THEN $m" }
+      .mkString(" ")
+    s"(CASE $tokCol $arms ELSE 1000 + $uniFn($tokCol) END)"
+  }
+
   /** The DuckDB replica of [[compute]] as a SQL expression over
     * `textCol`, generated FROM [[Merges]] so kernel and oracle share one
     * table: bracket-encode every character, fold the replace chain,
     * count units, subtract the space units. */
-  def duckExpr(textCol: String): String = {
+  /** The bracket-encoded, fully merged form of `textCol` (still
+    * containing the `[ ]` space units) — the common core of the count
+    * and encode oracles. */
+  def duckMerged(textCol: String): String = {
     val enc = s"coalesce(list_aggregate(list_transform(" +
       s"range(1, length($textCol) + 1), " +
       s"i -> '[' || $textCol[CAST(i AS int):CAST(i AS int)] || ']'), " +
       s"'string_agg', ''), '')"
-    val merged = Merges.foldLeft(enc) { case (acc, (a, b)) =>
+    Merges.foldLeft(enc) { case (acc, (a, b)) =>
       s"replace($acc, '[$a][$b]', '[$a$b]')"
     }
+  }
+
+  def duckExpr(textCol: String): String = {
+    val merged = duckMerged(textCol)
     s"(length($merged) - length(replace($merged, '[', '')) - " +
       s"(length($textCol) - length(replace($textCol, ' ', ''))))"
   }

@@ -561,6 +561,7 @@ object TextHash {
     unary("simhash32", classOf[SimHash32], SimHash32(_)),
     unary("simhash60", classOf[SimHash60], SimHash60(_)),
     unary("bpe_count", classOf[BpeCount], BpeCount(_)),
+    unary("bpe_encode", classOf[BpeEncode], BpeEncode(_)),
     shingle("shingle_h60", modP = false),
     shingle("shingle_h60p", modP = true))
 

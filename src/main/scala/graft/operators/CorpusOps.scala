@@ -615,8 +615,28 @@ object CorpusOps {
       "text", windowTokens = 2048, blockDocs = 100)
       .orderBy(col("block"), col("bin"), col("bin_offset"), col("doc_id"))
 
+  /** Token SEQUENCES from the greedy-merge BPE kernel (r9): the encode
+    * form of `q_token_count`'s budget unit — (doc, position, token,
+    * token_id), the rows a packing pipeline actually feeds a trainer.
+    * Ids come from the shared vocabulary ([[graft.functions.BpeCount
+    * .idCase]]): merge outputs carry their rank, unmerged symbols
+    * 1000 + codepoint — generated from the ONE merge table in both
+    * engines. Map-side kernel + posexplode; no shuffle before the
+    * output sort. Bounded to 50 docs (the sequence dump is a
+    * per-document detail view, not a corpus aggregate). */
+  private def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(s)
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(expr("bpe_encode(text)")))
+      .selectExpr("doc_id", "cast(pos + 1 AS int) AS pos", "col AS token",
+        s"cast(${graft.functions.BpeCount.idCase("col", "ascii")} AS bigint) AS token_id")
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_chunks" -> qDocChunks _,
+    "q_bpe_encode" -> qBpeEncode _,
     "q_chunk_dedup" -> qChunkDedup _,
     "q_seq_pack" -> qSeqPack _,
     "q_seq_emit" -> qSeqEmit _,
@@ -638,6 +658,27 @@ object CorpusOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // BPE encode: the count oracle's bracket-fold, kept as a SEQUENCE —
+    // strip the outer brackets, split on '][', drop space units, number
+    // the tokens; ids from the same generated vocabulary CASE.
+    "q_bpe_encode" -> {
+      val merged = graft.functions.BpeCount.duckMerged("text")
+      val idCase = graft.functions.BpeCount.idCase("token", "unicode")
+      s"""WITH enc AS (
+         |  SELECT doc_id, $merged AS m FROM documents WHERE doc_id < 50),
+         |toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(m[2:length(m)-1], ']['),
+         |                     t -> t <> ' ') AS l
+         |  FROM enc),
+         |flat AS (
+         |  SELECT doc_id, unnest(l) AS token,
+         |         unnest(range(1, len(l) + 1)) AS pos
+         |  FROM toks)
+         |SELECT doc_id, cast(pos AS int) AS pos, token,
+         |       cast($idCase AS bigint) AS token_id
+         |FROM flat ORDER BY doc_id, pos""".stripMargin
+    },
     "q_doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),

@@ -409,6 +409,27 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got == Map(1L -> 4L, 2L -> 3L))
   }
 
+  test("bpeEncode emits the merged symbol sequence with shared-vocab ids, " +
+      "consistent with bpeTokenCounts") {
+    val docs = Seq((1L, "the ring"), (2L, "zzz")).toDF("d", "txt")
+    val got = Graft.bpeEncode(docs, "d", "txt")
+      .orderBy($"d", $"pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // the → [the]; ring → [r, ing] (i+n rank 2, then in+g rank 8);
+    // zzz stays three single chars at 1000 + 'z'
+    assert(got.toSeq == Seq(
+      (1L, 1, "the", 1L), (1L, 2, "r", 1000L + 'r'), (1L, 3, "ing", 8L),
+      (2L, 1, "z", 1122L), (2L, 2, "z", 1122L), (2L, 3, "z", 1122L)),
+      got.mkString(","))
+    // sequence length always equals the count kernel's budget number
+    val docs2 = Seq((1L, "the and there quantization"), (2L, "a b  c")).toDF("d", "txt")
+    val lens = Graft.bpeEncode(docs2, "d", "txt")
+      .groupBy($"d").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = Graft.bpeTokenCounts(docs2, "d", "txt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens == counts)
+  }
+
   test("ivfMultiProbe recovers the cross-border neighbor single-probe misses") {
     // vec 3 sits at 45° — assigned (by tie-break) to cluster 10, but it is
     // the TRUE second neighbor of query 4 (0°-pole queries aside). A
