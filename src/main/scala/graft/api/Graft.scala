@@ -826,6 +826,19 @@ object Graft {
                      valCol: String, k: Int): DataFrame =
     ScaleOps.zscoreOutliers(events, groupCol, idCol, valCol, k)
 
+  /** One-pass data profiling — the SUMMARIZE-style quality gate to run
+    * before trusting a new data drop: per column, row/null/distinct
+    * counts and min/max (numeric columns as doubles in min_num/max_num,
+    * string columns lexicographically in min_str/max_str). ONE scan +
+    * one aggregation + a stack unpivot — never per-column rescans.
+    * `exact = false` (the 100 TB form) swaps the distinct counts for
+    * HLL++ sketches: fixed-size mergeable state, no Expand. */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              stringCols: Seq[String], exact: Boolean = true): DataFrame =
+    graft.operators.RelationalQueries.profileCore(df,
+      numericCols.map(c => (c, c, true)) ++ stringCols.map(c => (c, c, false)),
+      exact)
+
   /** Exact heavy hitters: keys of integral `keyCol` whose count exceeds
     * N/`supportDenom`, without shuffling the full key space — per-
     * partition Misra-Gries candidates (superset-guaranteed), then an

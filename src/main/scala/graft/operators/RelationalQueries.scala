@@ -343,8 +343,68 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The profiled columns of `events`, shared by [[qProfile]] and its
+    * generated oracle so the two engines' profile expressions can never
+    * drift: (name, spark expr, duck expr, isNumeric). `ts` profiles as
+    * epoch micros (both engines see the µs-truncated value). */
+  private val ProfileCols: Seq[(String, String, String, Boolean)] = Seq(
+    ("event_id", "event_id", "event_id", true),
+    ("user_id", "user_id", "user_id", true),
+    ("event_type", "event_type", "event_type", false),
+    ("value", "value", "value", true),
+    ("props", "props", "props", false),
+    ("ts", "unix_micros(ts)", "epoch_us(cast(ts AS TIMESTAMP))", true))
+
+  /** One-pass data profiling — the SUMMARIZE-style data-quality gate a
+    * pipeline runs before trusting a new drop: per column, row/null/
+    * distinct counts and min/max (numeric columns in `min_num`/`max_num`,
+    * string columns lexicographically in `min_str`/`max_str`).
+    *
+    * Shape: ONE scan, one aggregation, then a 6-way `stack` unpivot of
+    * the single wide row — never a per-column rescan. The exact
+    * multi-column distinct plans as Spark's Expand (×|cols| rows into
+    * one shuffle); at 100 TB swap `approx_count_distinct` into the same
+    * frame (fixed-size HLL sketches, no Expand) — the demo keeps the
+    * exact form because the oracle can replicate it bit-for-bit. */
+  /** The generic profiler core: `specs` = (name, spark expr, isNumeric).
+    * `exact = false` swaps the distinct counts for HyperLogLog++ sketches
+    * (rsd 2%) — fixed-size mergeable state, no Expand — the form the same
+    * frame runs at 100 TB. */
+  private[graft] def profileCore(df: DataFrame,
+      specs: Seq[(String, String, Boolean)], exact: Boolean): DataFrame = {
+    require(specs.nonEmpty, "profile: no columns given")
+    val aggs = specs.flatMap { case (n, e, isNum) => Seq(
+      expr(s"count($e)").as(s"nn_$n"),
+      expr(if (exact) s"count(DISTINCT $e)"
+        else s"approx_count_distinct($e, 0.02)").as(s"nd_$n"),
+      expr(if (isNum) s"cast(min($e) AS double)" else "cast(NULL AS double)")
+        .as(s"mnn_$n"),
+      expr(if (isNum) s"cast(max($e) AS double)" else "cast(NULL AS double)")
+        .as(s"mxn_$n"),
+      expr(if (isNum) "cast(NULL AS string)" else s"min($e)").as(s"mns_$n"),
+      expr(if (isNum) "cast(NULL AS string)" else s"max($e)").as(s"mxs_$n"))
+    } :+ count(lit(1)).as("n_rows")
+    val unpivot = specs.map { case (n, _, _) =>
+      s"'$n', nn_$n, nd_$n, mnn_$n, mxn_$n, mns_$n, mxs_$n"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${specs.size}, $unpivot) AS " +
+          "(col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
+
+  private def qProfile(s: SparkSession, d: String): DataFrame =
+    profileCore(Tables.events(s, d),
+      ProfileCols.map { case (n, e, _, isNum) => (n, e, isNum) },
+      exact = true)
+      .orderBy(col("col_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_moving_agg" -> qMovingAgg _,
+    "q_profile" -> qProfile _,
     "q_pivot" -> qPivot _,
     "q_percentiles" -> qPercentiles _,
     "q_scan_project" -> qScanProject _,
@@ -365,6 +425,24 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Profile: one UNION ALL arm per profiled column, generated from the
+    // SAME ProfileCols spec as the Spark aggregation.
+    "q_profile" -> {
+      val arms = ProfileCols.map { case (n, _, e, isNum) =>
+        val (mnn, mxn, mns, mxs) =
+          if (isNum) (s"cast(min($e) AS double)", s"cast(max($e) AS double)",
+            "cast(NULL AS varchar)", "cast(NULL AS varchar)")
+          else ("cast(NULL AS double)", "cast(NULL AS double)",
+            s"min($e)", s"max($e)")
+        s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+           |       count(*) - count($e) AS n_null,
+           |       count(DISTINCT $e) AS n_distinct,
+           |       $mnn AS min_num, $mxn AS max_num,
+           |       $mns AS min_str, $mxs AS max_str
+           |FROM events""".stripMargin
+      }
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_moving_agg" ->
       """SELECT user_id, event_id, value,
         |       cast(sum(cast(value AS decimal(18,6))) OVER (

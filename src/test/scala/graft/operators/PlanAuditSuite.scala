@@ -265,6 +265,13 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"))
   }
 
+  test("q_profile is ONE scan + one aggregation — no per-column rescans") {
+    val p = plan("q_profile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(!p.contains("Union"), p.linesIterator.take(8).mkString("\n"))
+  }
+
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
     // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join
