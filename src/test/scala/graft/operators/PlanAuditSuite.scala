@@ -272,6 +272,14 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("Union"), p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("q_bucketed_join joins and aggregates with ZERO exchanges — the " +
+      "bucketed layout carries both the join and the agg") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(8).mkString("\n"))
+    val hashEx = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toList
+    assert(hashEx.isEmpty, s"bucketed join should not shuffle:\n${hashEx.mkString("\n")}")
+  }
+
   test("q_ann_multiprobe bucket probe is a broadcast equi-join, top-k via window") {
     // same pin as q_ann_batch: the bounded (cross-join) stages are the
     // ⌈√N⌉-row centroid broadcasts; the BUCKET probe itself must hash-join
