@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator inventory (SURVEY.md §2.b): scan/project, filter,
@@ -402,9 +403,33 @@ object RelationalQueries {
       exact = true)
       .orderBy(col("col_name"))
 
+  /** The ranking-function family in one pass (r9): rank / dense_rank
+    * over the value ordering (ties share a rank — deterministic), and
+    * percent_rank / cume_dist / ntile over the (value, id) TOTAL order
+    * (ntile assigns by row position, so a tie-broken order is the only
+    * engine-portable form; percent_rank and cume_dist are rank
+    * arithmetic over exact integers, IEEE-identical). Both window specs
+    * share one partition key, so the plan is ONE exchange with the
+    * window passes stacked — the q_scd2 shape. */
+  private def qRankFuncs(s: SparkSession, d: String): DataFrame = {
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"))
+    val total = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rnk", rank().over(byVal))
+      .withColumn("drnk", dense_rank().over(byVal))
+      .withColumn("prnk", round(percent_rank().over(total), 6))
+      .withColumn("cdist", round(cume_dist().over(total), 6))
+      .withColumn("quartile", ntile(4).over(total))
+      .orderBy(col("event_type"), col("value"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_moving_agg" -> qMovingAgg _,
     "q_profile" -> qProfile _,
+    "q_rank_funcs" -> qRankFuncs _,
     "q_pivot" -> qPivot _,
     "q_percentiles" -> qPercentiles _,
     "q_scan_project" -> qScanProject _,
@@ -443,6 +468,17 @@ object RelationalQueries {
       }
       arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "q_rank_funcs" ->
+      """SELECT event_type, event_id, value,
+        |       cast(rank() OVER wv AS int) AS rnk,
+        |       cast(dense_rank() OVER wv AS int) AS drnk,
+        |       round(percent_rank() OVER wt, 6) AS prnk,
+        |       round(cume_dist() OVER wt, 6) AS cdist,
+        |       cast(ntile(4) OVER wt AS int) AS quartile
+        |FROM events
+        |WINDOW wv AS (PARTITION BY event_type ORDER BY value),
+        |       wt AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id""".stripMargin,
     "q_moving_agg" ->
       """SELECT user_id, event_id, value,
         |       cast(sum(cast(value AS decimal(18,6))) OVER (
