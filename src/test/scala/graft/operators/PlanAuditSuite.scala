@@ -547,6 +547,17 @@ class PlanAuditSuite extends AnyFunSuite {
     assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("q_rank_funcs stacks all five ranking functions on ONE key " +
+      "exchange — the second ordering must not add a second shuffle") {
+    val p = plan("q_rank_funcs")
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    val semantic = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toList
+    assert(semantic.size == 1, s"expected 1 key exchange, got:\n${semantic.mkString("\n")}")
+    // two Window nodes (byVal and total specs), zero extra sorts beyond
+    // the per-spec sort + output sort
+    assert("Window\\b".r.findAllIn(p).size >= 2, p)
+  }
+
   test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
