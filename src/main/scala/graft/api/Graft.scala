@@ -316,6 +316,19 @@ object Graft {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     CorpusOps.repetitionStats(docs, idCol, textCol)
 
+  /** Bigram-LM quality score (the CCNet/Gopher perplexity-filter step):
+    * train add-one-smoothed bigram counts on `docs` itself, score each
+    * document by average negative log-likelihood per bigram, in integer
+    * micro-nats so the result is partitioning-independent. LOW `avg_nll`
+    * = corpus-typical (templated/boilerplate), HIGH = unusual or garbled;
+    * the filter threshold is the caller's policy. Count tables join back
+    * on their gram keys (co-partitioned equi-joins, never broadcast);
+    * only (id, w1, w2) gram rows ride the shuffles, never full text.
+    * Returns (idCol, n_bigrams, avg_nll); documents with fewer than two
+    * tokens have no bigrams and are absent. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    LlmQueries.lmScore(docs, idCol, textCol)
+
   /** Per-group embedding outliers: each vector ranked ascending by
     * cosine to its own group's centroid, `k` most-atypical per group —
     * surfaces mislabeled / off-distribution vectors before training.

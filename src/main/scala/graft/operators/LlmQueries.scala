@@ -1233,6 +1233,63 @@ object LlmQueries {
         expr("round(0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio) + 0.2 * least(n_tokens / 200.0, 1.0), 6)"))
       .orderBy(col("doc_id"))
 
+  /** Bigram-LM quality score (`q_lm_score`): the STATISTICAL twin of
+    * [[qQualityScore]]'s fixed heuristics — the perplexity-filter step of
+    * a CCNet/Gopher-style curation pipeline. The corpus itself is the
+    * training set: unigram-context and bigram count tables ARE the LM,
+    * and each document is scored by its average add-one-smoothed negative
+    * log-likelihood per bigram. Templated/boilerplate documents score LOW
+    * (their bigrams are corpus-frequent — the LM has seen them), unusual
+    * or garbled documents score HIGH; filtering is a threshold on
+    * `avg_nll`, which the caller picks (policy, like repetitionStats).
+    *
+    * Determinism: each bigram's log-probability quantizes to integer
+    * MICRO-NATS before the per-doc sum (`round(ln(p)·10⁶)` → long) — long
+    * addition is associative, so partitioning can't move a micro-nat (the
+    * q_rrf_fusion / q_graph_pagerank integer-unit rule). `ln` is the one
+    * libm call on the whole query surface (everything else here is IEEE
+    * exact-rounded + - × ÷): its argument is an exact division of small
+    * integer counts, both engines' `ln` are faithfully rounded, and a
+    * value must land within ~1 ulp of a 0.5-micro-nat boundary to flip a
+    * hash — ~1e-10 per bigram.
+    *
+    * 100 TB shape: the LM derives from the corpus in TWO hash
+    * aggregations and joins back on its gram keys — co-partitioned
+    * equi-joins, never broadcast (the bigram table grows with the corpus;
+    * only the 1-row vocab size V rides a broadcast). The shuffles carry
+    * (doc_id, w1, w2) gram rows — individual tokens, like
+    * q_decontaminate_ngram's inverted index — never document text.
+    * Scoring against a FROZEN reference LM (CCNet trains on Wikipedia,
+    * scores CommonCrawl) is this same plan minus the two training aggs:
+    * pass the pre-built count tables in place of `uni`/`bi`. */
+  private[graft] def lmScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val b = docs
+      .selectExpr(idCol, s"split($textCol, ' ') AS _toks")
+      // sequence(1, 0) would DESCEND, not empty — guard the 1-token doc
+      .filter(expr("size(_toks) >= 2"))
+      .selectExpr(idCol,
+        "explode(transform(sequence(1, size(_toks) - 1), i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))) AS _bg")
+      .selectExpr(idCol, "_bg.w1 AS w1", "_bg.w2 AS w2")
+    val uni = b.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val v = docs.selectExpr(s"explode(split($textCol, ' ')) AS _w")
+      .agg(countDistinct(col("_w")).as("v"))
+    b.join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("_lp",
+        expr("cast(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS bigint)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("_slp"))
+      .withColumn("avg_nll", expr("round(-_slp / n_bigrams / 1000000.0, 6)"))
+      .select(col(idCol), col("n_bigrams"), col("avg_nll"))
+  }
+
+  private def qLmScore(s: SparkSession, d: String): DataFrame =
+    lmScore(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** N-gram-heuristic language ID: count marker-token hits per language
     * profile, argmax with a fixed tiebreak, reported as a confusion matrix
     * against the labeled `lang` column. */
@@ -1363,6 +1420,7 @@ object LlmQueries {
     "q_rrf_fusion" -> qRrfFusion _,
     "q_token_count" -> qTokenCount _,
     "q_quality_score" -> qQualityScore _,
+    "q_lm_score" -> qLmScore _,
     "q_lang_id" -> qLangId _,
     "q_doc_fingerprint" -> qDocFingerprint _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -2008,6 +2066,21 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, stop_ratio, short_ratio,
         |       round(0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio) + 0.2 * least(n_tokens / 200.0, 1.0), 6) AS score
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(toks)), i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        |      FROM t),
+        |b2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |uni AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY 1),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)),
+        |sc AS (SELECT b2.doc_id,
+        |              cast(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS bigint) AS lp
+        |       FROM b2 JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+        |       round(-sum(lp) / count(*) / 1000000.0, 6) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |sc AS (

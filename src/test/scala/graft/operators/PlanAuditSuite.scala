@@ -558,6 +558,14 @@ class PlanAuditSuite extends AnyFunSuite {
     assert("Window\\b".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_lm_score joins the LM count tables on gram keys — the only " +
+      "non-equi join is the 1-row vocab-size broadcast") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
+    // the V cross join must be a broadcast of the 1-row agg, nothing else
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
