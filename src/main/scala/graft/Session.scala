@@ -17,6 +17,7 @@ object Session {
       .master(master)
       .withExtensions(graft.functions.DotF32.install)
       .withExtensions(graft.functions.TextHash.install)
+      .withExtensions(graft.functions.SampleK.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

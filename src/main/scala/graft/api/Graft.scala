@@ -316,6 +316,18 @@ object Graft {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     CorpusOps.repetitionStats(docs, idCol, textCol)
 
+  /** Grouped deterministic bottom-k sampling through the custom
+    * [[graft.functions.SampleK]] Catalyst aggregate: per `strata` group,
+    * the `k` rows with the smallest (hashDraw(id), id) — reservoir-
+    * sampling semantics without rand(), identical to [[groupSample]]'s
+    * window form, but with k-BOUNDED map-side partial buffers: the
+    * shuffle carries |mappers|·|strata|·k fixed-width pairs regardless
+    * of corpus size, and no per-group sort runs. Returns
+    * (strata..., rk, idCol, draw). */
+  def sampleAgg(docs: DataFrame, strata: Seq[String], idCol: String,
+                k: Int): DataFrame =
+    CorpusOps.sampleAgg(docs, strata, idCol, k)
+
   /** Bigram-LM quality score (the CCNet/Gopher perplexity-filter step):
     * train add-one-smoothed bigram counts on `docs` itself, score each
     * document by average negative log-likelihood per bigram, in integer

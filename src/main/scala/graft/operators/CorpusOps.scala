@@ -90,6 +90,34 @@ object CorpusOps {
         col("_draw").as("draw"))
       .orderBy(col("lang"), col("rk"))
 
+  /** [[qGroupSample]]'s exact semantics through the CUSTOM AGGREGATE path
+    * (`q_sample_agg`): [[graft.functions.SampleK]] folds each mapper's
+    * rows into a k-bounded buffer BEFORE the exchange, so the shuffle
+    * carries |mappers|·|strata|·k fixed-width pairs instead of every row,
+    * and no per-group sort runs — the 100 TB form of the window query
+    * (whose plan still sorts each partition under WindowGroupLimit).
+    * Payload order in the aggregate's array IS (draw, id) ascending, so
+    * `posexplode` position + 1 ≡ the window's row_number and the
+    * `q_group_sample` oracle is shared verbatim; the draw rides back via
+    * the same map-side [[hashDraw]], never through the aggregate. */
+  private[graft] def sampleAgg(docs: DataFrame, strata: Seq[String],
+      idCol: String, k: Int): DataFrame = {
+    graft.functions.SampleK.ensureRegistered(docs.sparkSession)
+    docs.withColumn("_draw", hashDraw(col(idCol)))
+      .groupBy(strata.map(col): _*)
+      .agg(expr(s"sample_k(_draw, $idCol, $k)").as("_ids"))
+      .select(strata.map(col) :+
+        posexplode(col("_ids")).as(Seq("_pos", idCol)): _*)
+      .select(strata.map(col) ++ Seq(
+        (col("_pos") + 1).cast("int").as("rk"), col(idCol),
+        hashDraw(col(idCol)).as("draw")): _*)
+  }
+
+  private def qSampleAgg(s: SparkSession, d: String): DataFrame =
+    sampleAgg(Tables.spread(s, Tables.documents(s, d)),
+      Seq("lang"), "doc_id", 10)
+      .orderBy(col("lang"), col("rk"))
+
   /** Deterministic train/val/test assignment: each doc's split follows
     * its [[hashDraw]] residue mod 100 — `< trainPct` → train,
     * `< trainPct + valPct` → val, else test. No rand(): the same doc
@@ -645,6 +673,7 @@ object CorpusOps {
     "q_split_leakage" -> qSplitLeakage _,
     "q_pii_scrub" -> qPiiScrub _,
     "q_group_sample" -> qGroupSample _,
+    "q_sample_agg" -> qSampleAgg _,
     "q_group_topk" -> qGroupTopk _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_ngram" -> qDecontaminateNgram _,
@@ -784,6 +813,19 @@ object CorpusOps {
         |              THEN '<PHONE>' ELSE t END), ' ') AS scrubbed
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_group_sample" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id, ${hashDrawDuck("doc_id")} AS draw
+         |  FROM documents)
+         |SELECT lang,
+         |       cast(row_number() OVER (PARTITION BY lang
+         |                               ORDER BY draw ASC, doc_id ASC) AS int) AS rk,
+         |       doc_id, draw
+         |FROM d QUALIFY rk <= 10
+         |ORDER BY lang, rk""".stripMargin,
+    // sample_k is semantically invisible: the custom aggregate keeps
+    // exactly the window form's first k per stratum, so the oracle is
+    // q_group_sample's, verbatim.
+    "q_sample_agg" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id, ${hashDrawDuck("doc_id")} AS draw
          |  FROM documents)

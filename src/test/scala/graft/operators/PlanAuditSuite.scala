@@ -566,6 +566,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q_sample_agg runs the custom bottom-k aggregate partial+final " +
+      "with no per-group sort — the window machinery is gone") {
+    val p = plan("q_sample_agg")
+    assert(p.contains("ObjectHashAggregate") && p.contains("sample_k"),
+      p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window("), p)
+    // one semantic exchange: the stratum key (spread's repartition is tagged)
+    val semantic = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p)
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toList
+    assert(semantic.size == 1, semantic.mkString("\n"))
+  }
+
   test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
