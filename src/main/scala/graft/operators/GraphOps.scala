@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over bounded edge lists — PageRank beside
@@ -138,9 +139,80 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Synchronous majority-vote LABEL PROPAGATION — semi-supervised
+    * auto-labeling: a seed fraction keeps its known label, and each round
+    * every node adopts the most common label among its in-neighbors
+    * (ties → smallest label; seeds never change; a node with no labeled
+    * neighbor keeps what it had). The training-data use is bootstrapping
+    * labels across the semantic-similarity graph from a small
+    * hand-labeled set — the graph twin of [[LlmQueries.hardNegatives]]'
+    * label-aware mining.
+    *
+    * Determinism: votes are exact long counts; the argmax is a
+    * row_number over (count DESC, label ASC) — a total order, so the
+    * adopted label is partitioning-independent, and rounds are
+    * synchronous (all nodes flip on the previous round's labels), unlike
+    * the classic async LPA whose result is schedule-dependent.
+    *
+    * Scale shape: per round ONE edge⋈labels equi-join + ONE (dst, label)
+    * hash agg + a per-node argmax window (state bounded by |distinct
+    * labels| per node) + a left join back — all keyed exchanges, no
+    * payload. Each round references the previous labels twice (votes +
+    * keep-fallback), so labels materialize per round ([[Materialize]],
+    * the CC pattern) to keep the DAG linear. */
+  private[graft] def labelPropagate(nodes: DataFrame, idCol: String,
+      seedCol: String, edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val es = Materialize(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct())
+    var labs = nodes.select(col(idCol).as("id"),
+      col(seedCol).as("seed_lab"), col(seedCol).as("lab"))
+    for (_ <- 1 to iters) {
+      val votes = es
+        .join(labs.select(col("id").as("_sid"), col("lab").as("_slab"))
+          .filter(col("_slab").isNotNull), col("src") === col("_sid"))
+        .groupBy(col("dst"), col("_slab")).agg(count(lit(1)).as("n"))
+      val best = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("n").desc, col("_slab").asc)))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("_slab").as("new_lab"))
+      labs = Materialize(labs
+        .join(best, labs("id") === best("dst"), "left")
+        .select(col("id"), col("seed_lab"),
+          coalesce(col("seed_lab"), col("new_lab"), col("lab")).as("lab")))
+    }
+    labs.select(col("id"), col("seed_lab"), col("lab"))
+  }
+
+  /** 3 rounds of label propagation from a 20% deterministic seed
+    * (`vec_id % 5 = 0` keeps its true label) over the symmetrized KNN
+    * top-3 graph, reported as the NON-SEED confusion matrix — how well
+    * the similarity graph recovers the held-out labels. */
+  private def qGraphLabelprop(s: SparkSession, d: String): DataFrame = {
+    val assigned = Materialize(LlmQueries.ivfAssigned(s, d))
+    val edges = LlmQueries.knnGraphBucketed(assigned, k = 3)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val nodes = assigned.select(col("vec_id").as("id"),
+      col("label").as("true_lab"),
+      when(col("vec_id") % 5 === 0, col("label")).as("seed"))
+    labelPropagate(nodes, "id", "seed", edges, "src", "dst", iters = 3)
+      .join(nodes.select(col("id"), col("true_lab")), "id")
+      .filter(col("seed_lab").isNull)
+      .groupBy(col("true_lab").as("true_label"),
+        col("lab").as("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("predicted_label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
-    "q_graph_triangles" -> (qGraphTriangles _)
+    "q_graph_triangles" -> (qGraphTriangles _),
+    "q_graph_labelprop" -> (qGraphLabelprop _)
   )
 
   /** Shares [[LlmQueries.knnGraphCte]] verbatim with the `q_knn_join`
@@ -193,6 +265,36 @@ object GraphOps {
          |corners AS (SELECT unnest([u, x, y]) AS id FROM tris)
          |SELECT id AS vec_id, count(*) AS n_tri
          |FROM corners GROUP BY id
-         |ORDER BY n_tri DESC, vec_id LIMIT 20""".stripMargin
+         |ORDER BY n_tri DESC, vec_id LIMIT 20""".stripMargin,
+    // Label propagation: the same synchronous rounds unrolled — votes,
+    // (count DESC, label ASC) argmax, coalesce(seed, new, old).
+    "q_graph_labelprop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (SELECT ed0.dst, l${i - 1}.lab AS slab, count(*) AS n
+           |       FROM ed0 JOIN l${i - 1} ON ed0.src = l${i - 1}.id
+           |       WHERE l${i - 1}.lab IS NOT NULL GROUP BY 1, 2),
+           |b$i AS (SELECT dst, slab FROM (
+           |         SELECT dst, slab, row_number() OVER (
+           |           PARTITION BY dst ORDER BY n DESC, slab ASC) AS rn
+           |         FROM v$i) WHERE rn = 1),
+           |l$i AS (SELECT l.id, l.seed_lab,
+           |               coalesce(l.seed_lab, b$i.slab, l.lab) AS lab
+           |       FROM l${i - 1} l LEFT JOIN b$i ON l.id = b$i.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${LlmQueries.knnGraphCte},
+         |ed0 AS (SELECT vec_id AS src, nbr_id AS dst FROM knnq
+         |        UNION SELECT nbr_id AS src, vec_id AS dst FROM knnq),
+         |nodes AS (SELECT vec_id AS id, label AS true_lab,
+         |                 CASE WHEN vec_id % 5 = 0 THEN label END AS seed_lab
+         |          FROM embeddings),
+         |l0 AS (SELECT id, seed_lab, seed_lab AS lab FROM nodes),
+         |$rounds
+         |SELECT nd.true_lab AS true_label, l3.lab AS predicted_label,
+         |       cast(count(*) AS bigint) AS n
+         |FROM l3 JOIN nodes nd USING (id)
+         |WHERE l3.seed_lab IS NULL
+         |GROUP BY 1, 2
+         |ORDER BY true_label, predicted_label NULLS FIRST""".stripMargin
+    }
   )
 }

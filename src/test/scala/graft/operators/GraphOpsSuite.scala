@@ -105,6 +105,90 @@ class GraphOpsSuite extends AnyFunSuite {
     assert(gotPend == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  /** Sequential reference for [[GraphOps.labelPropagate]]: symmetrize +
+    * dedup edges, then synchronous rounds of majority vote among labeled
+    * neighbors (tie → smallest label), seeds immutable, unlabeled-neighbor
+    * nodes keep their current label. */
+  private def refLabels(nodes: Seq[(Long, Option[Long])],
+                        edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, Option[Long]] = {
+    val es = (edges ++ edges.map(_.swap)).distinct
+    val seed = nodes.toMap
+    var lab = seed
+    for (_ <- 1 to iters) {
+      val votes = es.flatMap { case (u, v) => lab(u).map(l => (v, l)) }
+        .groupBy(identity).map { case ((v, l), hits) => (v, l, hits.size) }
+      val best = votes.groupBy(_._1).map { case (v, vs) =>
+        v -> vs.minBy { case (_, l, n) => (-n, l) }._2
+      }
+      lab = nodes.map { case (id, s) =>
+        id -> s.orElse(best.get(id)).orElse(lab(id))
+      }.toMap
+    }
+    lab
+  }
+
+  private def runLp(nodes: Seq[(Long, Option[Long])],
+                    edges: Seq[(Long, Long)],
+                    iters: Int): Map[Long, Option[Long]] = {
+    val nodesDf = nodes.map { case (id, s) =>
+      (id, s.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+    }.toDF("id", "seed")
+    val edgesDf =
+      if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+    GraphOps.labelPropagate(nodesDf, "id", "seed", edgesDf, "src", "dst", iters)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+  }
+
+  test("labelPropagate matches the sequential recurrence on seeded random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 6) {
+      val n = 5 + rnd.nextInt(12)
+      val nodes = (0L until n.toLong).map(i =>
+        (i, if (rnd.nextInt(4) == 0) Some(rnd.nextInt(3).toLong) else None))
+      val edges = Seq.fill(rnd.nextInt(3 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val want = refLabels(nodes, edges, iters = 3)
+      val got = runLp(nodes, edges, iters = 3)
+      assert(got == want, s"trial $trial: nodes=$nodes edges=$edges")
+    }
+  }
+
+  test("labelPropagate: seeds immutable, ties pick smallest, isolated stay null") {
+    // 0 seeded A(=1), 1 seeded B(=2); node 2 adjacent to both → tie → 1.
+    // Node 3 isolated → stays unlabeled. Node 4 chained off 2 → gets 2's
+    // round-1 label in round 2 (synchronous).
+    val nodes = Seq(0L -> Some(1L), 1L -> Some(2L), 2L -> None,
+                    3L -> None, 4L -> None)
+    val edges = Seq((0L, 2L), (1L, 2L), (2L, 4L))
+    val got = runLp(nodes, edges, iters = 2)
+    assert(got == refLabels(nodes, edges, iters = 2))
+    assert(got(0L) == Some(1L) && got(1L) == Some(2L)) // seeds unchanged
+    assert(got(2L) == Some(1L))                        // tie → smallest
+    assert(got(3L) == None)                            // isolated
+    assert(got(4L) == Some(1L))                        // propagated round 2
+  }
+
+  test("labelPropagate is partitioning-independent") {
+    val rnd = new scala.util.Random(31)
+    val nodes = (0L until 30L).map(i =>
+      (i, if (i % 6 == 0) Some((i % 3) + 1) else None))
+    val edges = Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val base = runLp(nodes, edges, iters = 3)
+    val nodesDf = nodes.map { case (id, s) =>
+      (id, s.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+    }.toDF("id", "seed").repartition(11)
+    val skewed = GraphOps.labelPropagate(nodesDf, "id", "seed",
+        edges.toDF("src", "dst").repartition(5), "src", "dst", iters = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(skewed == base)
+  }
+
   test("q_graph_pagerank: top-50, all ranks >= base, deterministic across runs") {
     val d = "/root/testdata/sf0.001"
     val r1 = GraphOps.queries("q_graph_pagerank")(s, d).collect()
