@@ -647,32 +647,10 @@ object Graft {
       s"transform($cvecCol, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS cq")
     val withRes = graft.operators.PersistedVectorIndex
       .withResiduals(assigned, vecCol, centsInt)
-    val slices = withRes.selectExpr(
-        s"explode(transform(sequence(0, ${m - 1}), " +
-          s"s -> struct(s AS s, slice(r, s * $sub + 1, $sub) AS v))) AS sc")
-      .select(col("sc.s").as("s"), col("sc.v").as("v"))
-    def l2i(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
-    (0 until iters).foldLeft(graft.operators.PersistedVectorIndex
-        .codebookRows(withRes, idCol, m, sub, k)) { case (cbkRows, _) =>
-      val cbk1 = cbkRows.groupBy()
-        .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
-          .as("cbk"))
-      val means = slices.crossJoin(broadcast(cbk1))
-        .withColumn("c", expr(
-          s"array_min(transform(filter(cbk, w -> w.s = s), " +
-            s"w -> struct(${l2i("v", "w.w")} AS d, w.c AS c))).c"))
-        .select(col("s"), col("c"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy(col("s"), col("c"), col("pos"))
-        .agg(expr("sum(val)").as("sv"), count(lit(1)).as("n"))
-        .withColumn("mv", expr("sv div n"))
-        .groupBy(col("s"), col("c"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), x -> x.mv)")
-          .as("_w_new"))
-      cbkRows.join(means, Seq("s", "c"), "left")
-        .select(col("s"), col("c"),
-          coalesce(col("_w_new"), col("w")).as("w"))
-    }
+    graft.operators.PersistedVectorIndex.trainCodebook(withRes,
+      graft.operators.PersistedVectorIndex
+        .codebookRows(withRes, idCol, m, sub, k),
+      m, sub, iters)
   }
 
   /** Batched ANN probe over a [[writePqIndex]] layout — the three-stage

@@ -769,10 +769,12 @@ object LlmQueries {
     * names — the probed cluster ids are bounded driver metadata
     * (|batch| ints, the [[graft.streaming.CdcPipeline.mergeLatest]]
     * touched-bucket pattern), so at 100 TB a probe is a directory
-    * listing + a few-bucket scan instead of a full-corpus scan. Results
-    * are identical to [[qAnnBatch]] (pruning only drops partitions no
-    * candidate lives in), so the oracle is shared verbatim; the plan pin
-    * asserts the PartitionFilters actually reach the scan.
+    * listing + a few-bucket scan instead of a full-corpus scan. The
+    * index cells are TRAINED (r10, [[PersistedVectorIndex]]) — two
+    * Lloyd's iterations from the deterministic seeds — so the oracle
+    * replays the training ([[ivfTrainedAssignCte]]) rather than sharing
+    * [[qAnnBatch]]'s seed-centroid oracle; the plan pin asserts the
+    * PartitionFilters actually reach the scan.
     *
     * The index comes from the build-once [[PersistedVectorIndex]] fixture
     * (VERDICT r8 #4): round 8 rebuilt it inside the query, so the bench
@@ -983,7 +985,7 @@ object LlmQueries {
     * embedding, norm; extra columns carried through) labeled with its
     * max-cosine centroid from `cents` (cid, cv, cnorm) — centroids ride
     * one broadcast, ties break on the lower cid after 6-dp rounding. */
-  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
     e.crossJoin(broadcast(cents))
       .withColumn("csim",
@@ -1457,30 +1459,83 @@ object LlmQueries {
        |         nbr_id, cluster, sim
        |  FROM knn QUALIFY rk <= 3)""".stripMargin
 
+  /** Shared CTE chain (no leading WITH) extending [[ivfKmeansCte]] to
+    * the TRAINED centroid table `c2n(cid, cv, cnorm)` and trained
+    * assignment `a3(vec_id, label, v, cluster)` — shared by the
+    * `q_ann_trained`, `q_ann_persisted`, and IVF × PQ oracles so the
+    * training every trained-index consumer replays can never drift. */
+  private[graft] lazy val ivfTrainedAssignCte: String =
+    s"""$ivfKmeansCte,
+       |c2 AS (SELECT cid,
+       |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
+       |       FROM u2 GROUP BY cid),
+       |c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c2),
+       |s3 AS (SELECT en.vec_id, en.label, en.v, cid,
+       |              row_number() OVER (PARTITION BY en.vec_id
+       |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
+       |                         cid) AS rn
+       |       FROM en, c2n),
+       |a3 AS (SELECT vec_id, label, v, cid AS cluster FROM s3 WHERE rn = 1)""".stripMargin
+
+  /** One per-subspace Lloyd's iteration of the residual-codebook
+    * training in DuckDB: slices `sl(vec_id, s, vs)` assigned to their
+    * argmin codeword of `cb$prev` (L2² over micro-ints, ties on code
+    * id), element-wise truncating-division means, empty codes keeping
+    * the previous codeword — the [[PersistedVectorIndex.trainCodebook]]
+    * arithmetic, iteration by iteration. `trunc(sum / count)` is the
+    * engine-portable spelling of Spark's `div` (both truncate toward
+    * zero; the double division is exact far past oracle scale). */
+  private def pqCbIterCte(x: Int): String = {
+    val prev = s"cb${x - 1}"
+    s"""cd$x AS (SELECT sl.vec_id, sl.s, cb.c,
+       |              CAST(list_sum(list_transform(range(1, 17),
+       |                i -> (sl.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]) *
+       |                     (sl.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]))) AS bigint) AS dd
+       |       FROM sl JOIN $prev cb ON sl.s = cb.s),
+       |ca$x AS (SELECT vec_id, s, c,
+       |               row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+       |        FROM cd$x QUALIFY rn = 1),
+       |cm$x AS (SELECT a.s, a.c, u.i AS pos,
+       |               CAST(trunc(CAST(sum(sl.vs[CAST(u.i AS int)]) AS double) / count(*)) AS bigint) AS mv
+       |        FROM ca$x a JOIN sl ON sl.vec_id = a.vec_id AND sl.s = a.s,
+       |             range(1, 17) u(i)
+       |        GROUP BY a.s, a.c, u.i),
+       |cw$x AS (SELECT s, c, list(mv ORDER BY pos) AS w FROM cm$x GROUP BY s, c),
+       |cb$x AS (SELECT cb.s, cb.c, coalesce(cw$x.w, cb.w) AS w
+       |        FROM $prev cb LEFT JOIN cw$x ON cw$x.s = cb.s AND cw$x.c = cb.c)""".stripMargin
+  }
+
   /** Shared CTE chain (no leading WITH) for the IVF × residual-PQ
-    * oracles, up to `assigned(vec_id, label, v, q, cluster, r)` and the
+    * oracles, up to `assigned(vec_id, label, v, q, cluster, r)`, the
+    * trained centroid table `cents(cid, cv, cq)`, and the TRAINED
     * residual codebook `cb(s, c, w)` — shared verbatim between the
     * `q_ivf_pq` and `q_ivf_pq_multiprobe` oracles so the index the two
-    * probes see can never drift. */
+    * probes see can never drift. Replays the full r10 fixture build:
+    * two Lloyd's IVF iterations ([[ivfTrainedAssignCte]]), residuals
+    * against the trained centroids, then two per-subspace codebook
+    * iterations from the lowest-id residual slices ([[pqCbIterCte]]). */
   private[graft] lazy val ivfPqBaseCte: String =
-    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
-       |  list_transform(embedding::DOUBLE[],
-       |    x -> CAST(round(x * 1000000.0) AS bigint)) AS q FROM embeddings),
-       |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
-       |cents AS (SELECT vec_id AS cid, v AS cv, q AS cq FROM e, kc WHERE vec_id < kv),
-       |scored AS (
-       |  SELECT e.vec_id, e.label, e.v, e.q, cid,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY ${cosDuck("e.v", "cv")} DESC, cid) AS rn
-       |  FROM e, cents),
+    s"""$ivfTrainedAssignCte,
+       |cq2 AS (SELECT cid,
+       |               list_transform(cv, x -> CAST(round(x * 1000000.0) AS bigint)) AS cq
+       |        FROM c2n),
+       |cents AS (SELECT c2n.cid, c2n.cv, cq2.cq FROM c2n JOIN cq2 USING (cid)),
        |assigned AS (
-       |  SELECT s.vec_id, s.label, s.v, s.q, s.cid AS cluster,
+       |  SELECT a3.vec_id, a3.label, a3.v,
+       |         list_transform(a3.v, x -> CAST(round(x * 1000000.0) AS bigint)) AS q,
+       |         a3.cluster,
        |         list_transform(range(1, 65),
-       |           i -> s.q[CAST(i AS int)] - c.cq[CAST(i AS int)]) AS r
-       |  FROM scored s JOIN cents c ON s.cid = c.cid WHERE rn = 1),
-       |cb AS (SELECT s, CAST(vec_id AS int) AS c,
-       |              r[CAST(s*16+1 AS int) : CAST(s*16+16 AS int)] AS w
-       |       FROM assigned, range(4) t(s) WHERE vec_id < 16)""".stripMargin
+       |           i -> q[CAST(i AS int)] - c.cq[CAST(i AS int)]) AS r
+       |  FROM a3 JOIN cq2 c ON a3.cluster = c.cid),
+       |cb0 AS (SELECT t.s, CAST(vec_id AS int) AS c,
+       |               r[CAST(t.s*16+1 AS int) : CAST(t.s*16+16 AS int)] AS w
+       |        FROM assigned, range(4) t(s) WHERE vec_id < 16),
+       |sl AS (SELECT vec_id, t.s,
+       |              r[CAST(t.s*16+1 AS int) : CAST(t.s*16+16 AS int)] AS vs
+       |       FROM assigned, range(4) t(s)),
+       |${pqCbIterCte(1)},
+       |${pqCbIterCte(2)},
+       |cb AS (SELECT s, c, w FROM cb2)""".stripMargin
 
   private val duckShingles3 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), i -> array_to_string(toks[i:i+2], ' ')))"
@@ -1872,9 +1927,21 @@ object LlmQueries {
          |QUALIFY rank <= 5
          |ORDER BY qid, rank""".stripMargin,
     // The persisted-index probe returns EXACTLY the in-memory batch
-    // probe's rows (partition pruning only skips partitions without
-    // candidates), so the oracle is shared verbatim.
-    "q_ann_persisted" -> annBatchOracle,
+    // The persisted index is TRAINED (r10): the oracle replays the two
+    // Lloyd's iterations and probes the trained assignment — q_ann_batch's
+    // seed-centroid oracle no longer applies.
+    "q_ann_persisted" ->
+      s"""WITH $ivfTrainedAssignCte,
+         |q AS (SELECT vec_id AS qid, cluster AS qcluster, v AS qv
+         |      FROM a3 WHERE vec_id < 5)
+         |SELECT qid,
+         |       cast(row_number() OVER (PARTITION BY qid
+         |                               ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
+         |       vec_id, label, CAST(cluster AS bigint) AS cluster,
+         |       ${cosDuck("v", "qv")} AS sim
+         |FROM a3, q WHERE cluster = qcluster
+         |QUALIFY rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
     // IVF × residual-PQ serving funnel: same assignment CTEs as the ann
     // family, same integer-quantization discipline as q_pq_topk, composed —
     // bucket restriction, stored-code ADC, exact re-rank of the top-32.
@@ -1904,8 +1971,8 @@ object LlmQueries {
          |  SELECT a.vec_id, a.label, a.cluster, adc.adc_micro2, a.v
          |  FROM adc JOIN assigned a USING (vec_id)
          |  ORDER BY adc.adc_micro2 DESC, a.vec_id LIMIT 32)
-         |SELECT c.vec_id, c.label, c.cluster, c.adc_micro2,
-         |       ${cosDuck("c.v", "qrow.qv")} AS sim
+         |SELECT c.vec_id, c.label, CAST(c.cluster AS bigint) AS cluster,
+         |       c.adc_micro2, ${cosDuck("c.v", "qrow.qv")} AS sim
          |FROM cand c, qrow
          |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin,
     // Multi-probe IVF × PQ: the same persisted-index arithmetic, but each
@@ -1958,7 +2025,8 @@ object LlmQueries {
          |SELECT qid,
          |       cast(row_number() OVER (PARTITION BY qid
          |         ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
-         |       vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
+         |       vec_id, label, CAST(cluster AS bigint) AS cluster,
+         |       ${cosDuck("v", "qv")} AS sim
          |FROM sc QUALIFY rk <= 3
          |ORDER BY qid, rk""".stripMargin,
     "q_ann_multiprobe" ->
@@ -2017,17 +2085,7 @@ object LlmQueries {
          |FROM f JOIN n2 ON f.cid = n2.cid
          |ORDER BY f.cid, f.pos""".stripMargin,
     "q_ann_trained" ->
-      s"""WITH $ivfKmeansCte,
-         |c2 AS (SELECT cid,
-         |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
-         |       FROM u2 GROUP BY cid),
-         |c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c2),
-         |s3 AS (SELECT en.vec_id, en.label, en.v, cid,
-         |              row_number() OVER (PARTITION BY en.vec_id
-         |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
-         |                         cid) AS rn
-         |       FROM en, c2n),
-         |a3 AS (SELECT vec_id, label, v, cid AS cluster FROM s3 WHERE rn = 1),
+      s"""WITH $ivfTrainedAssignCte,
          |q AS (SELECT cluster AS qcluster, v AS qv FROM a3 WHERE vec_id = 0)
          |SELECT vec_id, label, cluster, ${cosDuck("v", "qv")} AS sim
          |FROM a3, q WHERE cluster = qcluster

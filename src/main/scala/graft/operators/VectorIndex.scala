@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   *   - `_graft_pq_codebook/` — the 64-row (subspace, code, codeword)
   *     table of RESIDUAL codewords (underscore-hidden from partition
   *     discovery).
-  *   - `_GRAFT_BUILT_v2` — the build marker; bump the suffix whenever
+  *   - `_graft_centroids/` — the (cid, cv) trained centroid table the
+  *     multi-probe path ranks cells against. With TRAINED centroids the
+  *     index rows are no longer the centroids, so the table must be
+  *     stored (the [[graft.api.Graft.writePqIndex]] layout).
+  *   - `_GRAFT_BUILT_v3` — the build marker; bump the suffix whenever
   *     the layout changes so a stale cache can never serve a new reader
   *     (the [[graft.streaming.CdcPipeline]] fixture-version discipline).
   *
@@ -37,16 +41,24 @@ import org.apache.spark.sql.functions._
   * codes are how IVF and PQ compose: within one IVF cell the centroid
   * component is common to every vector, so quantizing only the residual
   * spends the 4-byte budget on what actually separates neighbors.
-  * Codebook = the first-16 vectors' residual slices (the
-  * [[LlmQueries.seedCentroids]] seed discipline; production trains
-  * per-subspace k-means with the same [[LlmQueries.kmeansTrain]]
-  * machinery). */
+  *
+  * Both vocabularies are TRAINED (r10, VERDICT r9 #1): IVF cells are two
+  * Lloyd's iterations from the deterministic lowest-id seeds (the same
+  * unrolled [[LlmQueries.kmeansTrain]] the `q_ivf_kmeans` oracle
+  * replicates), and the residual codebook is two per-subspace Lloyd's
+  * iterations over the integer residuals ([[trainCodebook]], the loop
+  * behind [[graft.api.Graft.trainPqCodebook]]). Training is exact
+  * integer arithmetic from deterministic seeds, so two builds — or two
+  * engines — produce identical cells and codewords, which is what lets
+  * the DuckDB oracle replay the whole build. The serving index eats its
+  * own training: production recall depends on trained cells/codewords,
+  * not on whichever rows happened to carry the lowest ids. */
 private[graft] object PersistedVectorIndex {
   val Dim = 64
   val M = 4
   val Sub = Dim / M
   val K = 16
-  private val Marker = "_GRAFT_BUILT_v2"
+  private val Marker = "_GRAFT_BUILT_v3"
 
   private[graft] def intVec(c: String) =
     s"transform($c, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint))"
@@ -147,26 +159,80 @@ private[graft] object PersistedVectorIndex {
     (cbkRows, encodeWithCodebook(withRes, cbkRows, m, sub))
   }
 
-  /** One pass over the corpus: IVF-assign (broadcast centroids), residual
-    * against the assigned centroid, PQ-encode per subspace (argmin over
-    * the 1-row broadcast codebook, ties on code id), write partitioned by
-    * cluster. No shuffle except the assignment window's. */
+  /** `iters` per-subspace Lloyd's iterations over the integer residuals,
+    * from a caller-supplied seed codebook — the loop behind
+    * [[graft.api.Graft.trainPqCodebook]] and the fixture build (one
+    * implementation so the two can never drift). Exact integer
+    * arithmetic throughout: L2² assignment over micro-int slices (ties
+    * on code id), element-wise truncating-division means (`div` — long
+    * quotient, order-independent), so two runs — or two engines —
+    * produce identical codewords. Empty codes keep their previous
+    * codeword (the LEFT-join coalesce). Each iteration is one bounded
+    * codebook broadcast + one (subspace, code, position) hash agg of
+    * integer partial sums — nothing proportional to the corpus rides a
+    * shuffle except the fixed-width slice rows. */
+  private[graft] def trainCodebook(withRes: DataFrame, cbk0: DataFrame,
+      m: Int, sub: Int, iters: Int): DataFrame = {
+    val slices = withRes.selectExpr(
+        s"explode(transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s AS s, slice(r, s * $sub + 1, $sub) AS v))) AS sc")
+      .select(col("sc.s").as("s"), col("sc.v").as("v"))
+    (0 until iters).foldLeft(cbk0) { case (cbkRows, _) =>
+      val cbk1 = cbkRows.groupBy()
+        .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
+          .as("cbk"))
+      val means = slices.crossJoin(broadcast(cbk1))
+        .withColumn("c", expr(
+          s"array_min(transform(filter(cbk, w -> w.s = s), " +
+            s"w -> struct(${l2i("v", "w.w")} AS d, w.c AS c))).c"))
+        .select(col("s"), col("c"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("s"), col("c"), col("pos"))
+        .agg(expr("sum(val)").as("sv"), count(lit(1)).as("n"))
+        .withColumn("mv", expr("sv div n"))
+        .groupBy(col("s"), col("c"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, mv))), x -> x.mv)")
+          .as("_w_new"))
+      cbkRows.join(means, Seq("s", "c"), "left")
+        .select(col("s"), col("c"),
+          coalesce(col("_w_new"), col("w")).as("w"))
+    }
+  }
+
+  /** The build: train IVF cells (two Lloyd's iterations from the
+    * lowest-id seeds), assign every vector to its trained cell, residual
+    * against the TRAINED centroid, train the residual codebook (two
+    * per-subspace iterations from the lowest-id residual slices),
+    * PQ-encode (argmin over the 1-row broadcast trained codebook, ties
+    * on code id), write partitioned by cluster with the codebook and
+    * centroid table beside the partitions. Training unrolls into the one
+    * DAG; the trained centroid table is checkpointed once (it feeds the
+    * assignment join, the residual broadcast, AND the persisted table —
+    * re-deriving it three times would re-run both Lloyd's passes). */
   private def build(s: SparkSession, d: String, dir: String): Unit = {
     graft.functions.DotF32.ensureRegistered(s)
-    val assigned = LlmQueries.ivfAssigned(s, d)
     val e = Tables.embeddings(s, d)
       .withColumn("norm", expr("sqrt(dot_f32(embedding, embedding))"))
-    val centsInt = LlmQueries.seedCentroids(e)
-      .selectExpr("vec_id AS ccid", s"${intVec("embedding")} AS cq")
+    val cents0 = LlmQueries.seedCentroids(e)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cnorm"))
+    val trained = Materialize(LlmQueries.kmeansTrain(e, cents0, iters = 2))
+    val assigned = LlmQueries.kmeansAssign(e, trained)
+      .withColumnRenamed("cid", "cluster")
+    val centsInt = trained.selectExpr("cid AS ccid", s"${intVec("cv")} AS cq")
     val withRes = withResiduals(assigned, "embedding", centsInt)
-    val (cbkRows, encoded) = pqEncode(withRes, "vec_id", M, Sub, K)
-    // index partitions first (overwrite wipes the root), codebook second,
-    // marker last — a crashed build can never look complete.
+    val cbk0 = codebookRows(withRes, "vec_id", M, Sub, K)
+    val cbkRows = trainCodebook(withRes, cbk0, M, Sub, iters = 2)
+    val encoded = encodeWithCodebook(withRes, cbkRows, M, Sub)
+    // index partitions first (overwrite wipes the root), codebook and
+    // centroids second, marker last — a crashed build can never look
+    // complete.
     encoded.select(Seq("vec_id", "label", "embedding", "norm")
         .map(col) ++ (0 until M).map(i => col(s"code$i")) :+ col("cluster"): _*)
       .write.mode("overwrite").partitionBy("cluster").parquet(dir)
     cbkRows.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_graft_pq_codebook")
+    trained.select(col("cid"), col("cv")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_graft_centroids")
   }
 }
 
@@ -199,12 +265,12 @@ private[graft] object VectorIndexQueries {
     * query's probed cells, so each candidate's score carries its own
     * cell's centroid term `q·c` (exact integer micro²) on top of the
     * residual-codeword lookups — dropping it would rank cells, not
-    * vectors. Everything runs off the persisted index: the centroid
-    * table is re-read as the index's own `vec_id < ⌈√N⌉` rows (they ARE
-    * the seed centroids), so the serving plan still never touches the
-    * raw embeddings parquet. Per-query ADC top-32 via a
-    * WindowGroupLimit-pruned window (a global sort would order the
-    * whole probed set), exact re-rank to top-3 per query. */
+    * vectors. Everything runs off the persisted index: the TRAINED
+    * centroid table is the index's own `_graft_centroids` (with trained
+    * cells the index rows are no longer the centroids), so the serving
+    * plan still never touches the raw embeddings parquet. Per-query ADC
+    * top-32 via a WindowGroupLimit-pruned window (a global sort would
+    * order the whole probed set), exact re-rank to top-3 per query. */
   def qIvfPqMultiprobe(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
     val dir = PersistedVectorIndex.ensure(s, d)
@@ -213,13 +279,9 @@ private[graft] object VectorIndexQueries {
       .groupBy()
       .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
         .as("cbk"))
-    // the seed centroids are index rows: first ⌈√N⌉ by id (in-plan count,
-    // one broadcast — the seedCentroids discipline over the index itself)
-    val kDf = idx.agg(ceil(sqrt(count(lit(1)))).as("_k"))
-    val cents = idx.crossJoin(broadcast(kDf))
-      .filter(col("vec_id") < col("_k"))
-      .selectExpr("vec_id AS cid", "embedding AS cv", "norm AS cnorm",
-        s"${intVec("embedding")} AS ccq")
+    val cents = s.read.parquet(s"$dir/_graft_centroids")
+      .selectExpr("cid", "cv", "sqrt(dot_f32(cv, cv)) AS cnorm",
+        s"${intVec("cv")} AS ccq")
     val q = idx.filter(col("vec_id") < 3)
       .selectExpr("vec_id AS qid", "embedding AS qv", "norm AS qnorm",
         s"${intVec("embedding")} AS qq")
