@@ -183,7 +183,16 @@ object BpeCount {
     * count units, subtract the space units. */
   /** The bracket-encoded, fully merged form of `textCol` (still
     * containing the `[ ]` space units) — the common core of the count
-    * and encode oracles. */
+    * and encode oracles.
+    *
+    * Contract: the kernel/oracle parity holds for BMP text only. The
+    * Scala kernel decomposes by CODE POINT (`codePointAt`), while this
+    * replica slices DuckDB characters (`text[i:i]`, grapheme-aware in
+    * some DuckDB versions) — for astral-plane characters (code points
+    * above U+FFFF) the two unit decompositions can diverge, so the demo
+    * vocabulary and the driver corpus are BMP-only by contract. The
+    * kernel itself is well-defined on any input (every code point is a
+    * unit); only the cross-engine parity is BMP-scoped. */
   def duckMerged(textCol: String): String = {
     val enc = s"coalesce(list_aggregate(list_transform(" +
       s"range(1, length($textCol) + 1), " +

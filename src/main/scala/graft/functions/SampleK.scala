@@ -138,6 +138,10 @@ object SampleK {
       case other => throw new IllegalArgumentException(
         s"sample_k: k must be an integral constant, got $other")
     }
+    // Bounds-check the Long BEFORE narrowing: a literal like 4294967297L
+    // would wrap to 1 under toInt and silently under-sample.
+    require(k > 0L && k <= 1000000L,
+      s"sample_k: k must be in (0, 1000000], got $k")
     SampleK(children.head, children(1), k.toInt)
   }
 

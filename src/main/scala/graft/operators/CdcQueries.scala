@@ -140,7 +140,12 @@ object CdcQueries {
     * the same idempotence the reference's monotonic guard enforces at
     * ec:663-771), and each surviving version is valid from its own seq
     * until the next version's seq, open-ended (`valid_to_seq` NULL,
-    * `is_current` 1) for the key's last version.
+    * `is_current` 1) for the key's last version. A key's FIRST image
+    * always opens version 1, even a NULL image (a delete encoded as a
+    * NULL value must not leave the prior state looking current) — the
+    * null-safe compare alone can't tell "first row" from "previous
+    * value was NULL", so the first-row keep is an explicit row_number
+    * guard on the same window.
     *
     * Scale: ONE shuffle on the key; the change-compression lag and the
     * version numbering/lead reuse the same (key, seq) sort order, so
@@ -152,7 +157,8 @@ object CdcQueries {
     val versions = changes
       .select(col(keyCol), col(seqCol), col(valueCol))
       .withColumn("_prev", lag(col(valueCol), 1).over(w))
-      .filter(!(col(valueCol) <=> col("_prev")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || !(col(valueCol) <=> col("_prev")))
     versions
       .withColumn("version", row_number().over(w))
       .withColumn("valid_to_seq", lead(col(seqCol), 1).over(w))
@@ -285,16 +291,20 @@ object CdcQueries {
         |FROM events e LEFT JOIN trunc t ON e.user_id = t.user_id
         |WHERE t.trunc_seq IS NULL OR e.event_id > t.trunc_seq
         |ORDER BY e.event_id""".stripMargin,
-    // SCD2: IS DISTINCT FROM is the SQL spelling of Spark's !(a <=> b).
+    // SCD2: IS DISTINCT FROM is the SQL spelling of Spark's !(a <=> b);
+    // the rn = 1 arm keeps a key's first image unconditionally (a leading
+    // NULL image must still open version 1).
     "q_scd2" ->
       """WITH ch AS (
         |  SELECT user_id, event_id, value,
         |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
-        |           AS prev_value
+        |           AS prev_value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS rn
         |  FROM events),
         |vers AS (
         |  SELECT user_id, event_id, value FROM ch
-        |  WHERE value IS DISTINCT FROM prev_value)
+        |  WHERE rn = 1 OR value IS DISTINCT FROM prev_value)
         |SELECT user_id,
         |       cast(row_number() OVER w AS int) AS version,
         |       event_id AS valid_from_seq,

@@ -213,7 +213,15 @@ object ScaleOps {
     require(supportDenom >= 2, s"supportDenom must be >= 2, got $supportDenom")
     val s = df.sparkSession
     import s.implicits._
-    val keyed = df.select(col(keyCol).cast("long").as("k"))
+    // NULL keys (including values the long cast turns into NULL) are
+    // COUNTED, not crashed on: a null-ish hot key is a classic skew
+    // source (the funnel guard's motivating case), and a bare as[Long]
+    // would throw a deserialization error on the first NULL. Nulls ride
+    // the sketch as a Long.MinValue sentinel and emerge as NULL again in
+    // the output (a real Long.MinValue key would collide — document-level
+    // caveat, it is not a plausible id).
+    val keyed = df.select(coalesce(col(keyCol).cast("long"),
+      lit(Long.MinValue)).as("k"))
     val cands = keyed.as[Long].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[Long, Long]
       it.foreach { k =>
@@ -234,7 +242,8 @@ object ScaleOps {
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(tot))
       .filter(col("cnt") * supportDenom > col("_n"))
-      .select(col("k"), col("cnt"))
+      .select(when(col("k") === Long.MinValue, lit(null).cast("long"))
+        .otherwise(col("k")).as("k"), col("cnt"))
   }
 
   /** Build-once bucketed copies of `orders`/`customer` for

@@ -94,6 +94,19 @@ object VectorIndexStream {
         PersistedVectorIndex.codebookRows(withRes, idCol, pqM, sub, pqK)
           .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
       val cbkRows = spark.read.parquet(codebookPath(indexDir))
+      // Fail fast on a degenerate codebook (bounded driver metadata:
+      // ≤ pqM rows). The seeds are the creating batch's id < pqK rows —
+      // if that batch had none, every subspace is empty and
+      // encodeWithCodebook's argmin over an empty filter would write
+      // NULL code columns for every row: silent recall loss in later
+      // ADC probes. Mirrors the raise_error guard in LlmQueries.pqTopK.
+      val perSub = cbkRows.groupBy(col("s")).agg(count(lit(1)).as("n"))
+        .collect()
+      require(perSub.length == pqM && perSub.forall(_.getLong(1) > 0),
+        s"codebook at ${codebookPath(indexDir)} covers ${perSub.length} " +
+          s"of $pqM subspaces — the creating batch contained no rows " +
+          s"with $idCol < $pqK, so PQ codes would encode as NULL; " +
+          "rebuild the index from a batch that carries the seed ids")
       PersistedVectorIndex.encodeWithCodebook(withRes, cbkRows, pqM, sub)
         .drop("vq", "r", "cq")
     }

@@ -71,4 +71,15 @@ class SampleKSuite extends AnyFunSuite {
       df.groupBy($"g").agg(expr("sample_k(draw, id, draw)")).collect()
     }
   }
+
+  test("an over-range bigint k fails instead of wrapping under toInt") {
+    SampleK.ensureRegistered(spark)
+    val df = rows.toDF("g", "draw", "id")
+    // 4294967297L wraps to 1 under toInt — must be rejected as > 1e6,
+    // not silently under-sample to k = 1
+    val e = intercept[Exception] {
+      df.groupBy($"g").agg(expr("sample_k(draw, id, 4294967297)")).collect()
+    }
+    assert(e.getMessage.contains("1000000"), e.getMessage)
+  }
 }

@@ -113,4 +113,23 @@ class CdcSemanticsSuite extends AnyFunSuite {
     assert(got.groupBy(_._1).forall { case (_, vs) =>
       vs.init.forall(_._6 == 0) && vs.last._6 == 1 && vs.last._4 == -1L })
   }
+
+  test("scd2History: a leading NULL image still opens version 1 — the " +
+      "prior state must never look current past a NULL-encoded delete") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // key 1 starts with a NULL image (delete encoded as NULL), then 5.0;
+    // key 2 is NULL → NULL (the duplicate still collapses)
+    val ch = Seq[(Long, Long, Option[Double])](
+      (1L, 1L, None), (1L, 2L, Some(5.0)),
+      (2L, 1L, None), (2L, 2L, None))
+      .toDF("k", "seq", "v")
+    val got = CdcQueries.scd2History(ch, "k", "seq", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getInt(5)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1, 1L, -1.0, 0), (1L, 2, 2L, 5.0, 1), // NULL opens v1, closed by 5.0
+      (2L, 1, 1L, -1.0, 1)))                     // NULL→NULL collapses to one open version
+  }
 }

@@ -104,4 +104,20 @@ class ScaleOpsSuite extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got5 == Map(1L -> 600L, 2L -> 400L))
   }
+
+  test("heavyHitters counts a hot NULL key instead of crashing, and " +
+      "emits it as NULL") {
+    // 40% NULL keys (a classic skew source) + a 30% hot key + unique tail
+    val rows: Seq[java.lang.Long] = (0 until 1000).map { i =>
+      if (i % 10 < 4) null
+      else if (i % 10 < 7) java.lang.Long.valueOf(7L)
+      else java.lang.Long.valueOf(5000L + i)
+    }
+    val df = rows.toDF("k")
+    val got = ScaleOps.heavyHitters(df, "k", supportDenom = 5)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+      .toMap
+    assert(got == Map(None -> 400L, Some(7L) -> 300L))
+  }
 }
