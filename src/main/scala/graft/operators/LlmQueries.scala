@@ -1410,6 +1410,7 @@ object LlmQueries {
     "q_ann_persisted" -> qAnnPersisted _,
     "q_ivf_pq" -> (VectorIndexQueries.qIvfPq _),
     "q_ivf_pq_multiprobe" -> (VectorIndexQueries.qIvfPqMultiprobe _),
+    "q_ann_recall" -> (VectorIndexQueries.qAnnRecall _),
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_ivf_kmeans" -> qIvfKmeans _,
@@ -1689,9 +1690,89 @@ object LlmQueries {
       |                / (count(*) * 1000000.0) AS m
       |       FROM x2 GROUP BY cid, i)""".stripMargin
 
-  /** The batched bucket-probe oracle, shared by `q_ann_batch` and
-    * `q_ann_persisted` (the persisted index returns identical rows —
-    * partition pruning is a physical, not semantic, change). */
+  /** One funnel arm of the `q_ann_recall` oracle (no leading WITH):
+    * probe selection over the trained `cents`, ADC scoring from the
+    * shared `vcodes` stored-code table (centroid term + codeword
+    * lookups, exact integer micro²), per-query shortlist, exact cosine
+    * re-rank to `re$tag(qid, vec_id, rk)` — the
+    * [[VectorIndexQueries.funnelTopK]] arithmetic, arm by arm. */
+  private def annRecallArmCte(tag: String, nprobe: Int, shortList: Int,
+      topK: Int): String =
+    s"""pr$tag AS (
+       |  SELECT qid, qv, qq, cid AS qcluster, cq AS qcq,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY ${cosDuck("qv", "cv")} DESC, cid) AS prn
+       |  FROM qb, cents QUALIFY prn <= $nprobe),
+       |pc$tag AS (
+       |  SELECT pr.qid, pr.qq, pr.qv, a.vec_id, a.v,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           i -> pr.qq[CAST(i AS int)] * pr.qcq[CAST(i AS int)])) AS bigint) AS qc
+       |  FROM pr$tag pr JOIN assigned a ON a.cluster = pr.qcluster),
+       |lk$tag AS (
+       |  SELECT pc.qid, pc.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 17),
+       |           i -> pc.qq[CAST(v.s*16+i AS int)] * v.w[CAST(i AS int)])) AS bigint) AS pp
+       |  FROM pc$tag pc JOIN vcodes v ON v.vec_id = pc.vec_id),
+       |lks$tag AS (SELECT qid, vec_id, CAST(sum(pp) AS bigint) AS lksum
+       |        FROM lk$tag GROUP BY qid, vec_id),
+       |sc$tag AS (
+       |  SELECT pc.qid, pc.vec_id, pc.v, pc.qv,
+       |         row_number() OVER (PARTITION BY pc.qid
+       |           ORDER BY (pc.qc + lks.lksum) DESC, pc.vec_id) AS arn
+       |  FROM pc$tag pc JOIN lks$tag lks
+       |    ON lks.qid = pc.qid AND lks.vec_id = pc.vec_id
+       |  QUALIFY arn <= $shortList),
+       |re$tag AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS rk
+       |  FROM sc$tag QUALIFY rk <= $topK)""".stripMargin
+
+  /** The `q_ann_recall` oracle: exact top-10, the trained-cell exact
+    * probe, and the two funnel arms, intersected per query — one row per
+    * query × method even at zero hits (the method grid LEFT-joins the
+    * counts). */
+  private def annRecallOracle: String =
+    s"""WITH $ivfPqBaseCte,
+       |vd AS (SELECT sl.vec_id, sl.s, cb.c, cb.w,
+       |       CAST(list_sum(list_transform(range(1, 17),
+       |         i -> (sl.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]) *
+       |              (sl.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]))) AS bigint) AS dd
+       |       FROM sl JOIN cb ON sl.s = cb.s),
+       |vcodes AS (SELECT vec_id, s, w,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+       |           FROM vd QUALIFY rn = 1),
+       |qb AS (SELECT vec_id AS qid, v AS qv, q AS qq, cluster AS qcluster
+       |       FROM assigned WHERE vec_id < 5),
+       |ex AS (SELECT qb.qid, a.vec_id,
+       |         row_number() OVER (PARTITION BY qb.qid
+       |           ORDER BY ${cosDuck("a.v", "qb.qv")} DESC, a.vec_id) AS rk
+       |       FROM assigned a, qb QUALIFY rk <= 10),
+       |iv AS (SELECT qb.qid, a.vec_id,
+       |         row_number() OVER (PARTITION BY qb.qid
+       |           ORDER BY ${cosDuck("a.v", "qb.qv")} DESC, a.vec_id) AS rk
+       |       FROM assigned a JOIN qb ON a.cluster = qb.qcluster
+       |       QUALIFY rk <= 10),
+       |${annRecallArmCte("1", nprobe = 1, shortList = 32, topK = 10)},
+       |${annRecallArmCte("2", nprobe = 2, shortList = 32, topK = 10)},
+       |methods AS (SELECT unnest(['ivf','pq','multiprobe']) AS method),
+       |hm AS (
+       |  SELECT qid, 'ivf' AS method, count(*) AS n
+       |  FROM iv JOIN ex USING (qid, vec_id) GROUP BY qid
+       |  UNION ALL
+       |  SELECT qid, 'pq' AS method, count(*) AS n
+       |  FROM re1 JOIN ex USING (qid, vec_id) GROUP BY qid
+       |  UNION ALL
+       |  SELECT qid, 'multiprobe' AS method, count(*) AS n
+       |  FROM re2 JOIN ex USING (qid, vec_id) GROUP BY qid)
+       |SELECT qb.qid, m.method, coalesce(hm.n, 0) AS hits
+       |FROM qb CROSS JOIN methods m
+       |LEFT JOIN hm ON hm.qid = qb.qid AND hm.method = m.method
+       |ORDER BY qb.qid, m.method""".stripMargin
+
+  /** The batched SEED-centroid bucket-probe oracle (`q_ann_batch`).
+    * Until r10 `q_ann_persisted` shared it; the persisted index is now
+    * trained, so that oracle replays [[ivfTrainedAssignCte]] instead. */
   private def annBatchOracle: String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),
@@ -2029,6 +2110,9 @@ object LlmQueries {
          |       ${cosDuck("v", "qv")} AS sim
          |FROM sc QUALIFY rk <= 3
          |ORDER BY qid, rk""".stripMargin,
+    // Recall@10 audit of the trained serving funnel — exact vs cell-only
+    // vs single-probe PQ vs 2-probe PQ, as integer hit counts.
+    "q_ann_recall" -> annRecallOracle,
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM e),

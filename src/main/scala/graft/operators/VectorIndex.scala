@@ -274,6 +274,22 @@ private[graft] object VectorIndexQueries {
   def qIvfPqMultiprobe(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
     val dir = PersistedVectorIndex.ensure(s, d)
+    funnelTopK(s, dir, nQueries = 3, nprobe = 2, shortList = 32, topK = 3)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The batched IVF × PQ serving funnel over a [[PersistedVectorIndex]]
+    * layout, parameterized: the first `nQueries` stored rows probe their
+    * `nprobe` nearest trained cells, ADC-score the pruned buckets from
+    * stored codes (each candidate carrying its own cell's `q·c` term so
+    * scores compare across cells), keep the per-query top-`shortList`,
+    * and exact-re-rank to `topK`. Returns (qid, rk, vec_id, label,
+    * cluster, sim). Shared by [[qIvfPqMultiprobe]] and the
+    * `q_ann_recall` audit so the funnel the two measure is one code
+    * path. */
+  private[graft] def funnelTopK(s: SparkSession, dir: String,
+      nQueries: Int, nprobe: Int, shortList: Int, topK: Int): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
     val idx = s.read.parquet(dir)
     val cbk = s.read.parquet(s"$dir/_graft_pq_codebook")
       .groupBy()
@@ -282,7 +298,7 @@ private[graft] object VectorIndexQueries {
     val cents = s.read.parquet(s"$dir/_graft_centroids")
       .selectExpr("cid", "cv", "sqrt(dot_f32(cv, cv)) AS cnorm",
         s"${intVec("cv")} AS ccq")
-    val q = idx.filter(col("vec_id") < 3)
+    val q = idx.filter(col("vec_id") < nQueries)
       .selectExpr("vec_id AS qid", "embedding AS qv", "norm AS qnorm",
         s"${intVec("embedding")} AS qq")
     val wp = Window.partitionBy(col("qid"))
@@ -291,7 +307,7 @@ private[graft] object VectorIndexQueries {
       .withColumn("qcsim",
         expr("round(dot_f32(qv, cv) / (qnorm * cnorm), 6)"))
       .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= 2)
+      .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("qnorm"), col("qq"),
         col("cid").as("qcluster"), col("ccq"))
     // bounded driver metadata: ≤ |batch| × nprobe partition ids
@@ -310,13 +326,69 @@ private[graft] object VectorIndexQueries {
       .crossJoin(broadcast(cbk))
       .withColumn("adc_micro2", expr(adcExpr))
       .withColumn("arn", row_number().over(wa))
-      .filter(col("arn") <= 32)
+      .filter(col("arn") <= shortList)
       .withColumn("sim", expr("round(dot_f32(embedding, qv) / (norm * qnorm), 6)"))
       .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= topK)
       .select(col("qid"), col("rk").cast("int").as("rk"), col("vec_id"),
         col("label"), col("cluster").cast("bigint").as("cluster"), col("sim"))
-      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Recall@10 audit of the ANN family (`q_ann_recall`, VERDICT r9 #2):
+    * the one number a serving stack is judged by, measured for each
+    * stage of the trained funnel against the EXACT cosine top-10 over
+    * the same index —
+    *
+    *   - `ivf`: restrict to the query's own trained cell, exact cosine
+    *     inside it (what cell restriction alone costs),
+    *   - `pq`: the single-probe IVF × PQ funnel (what the 4-byte ADC
+    *     approximation additionally costs),
+    *   - `multiprobe`: the same funnel probing 2 cells (what the recall
+    *     knob buys back).
+    *
+    * Output: (qid, method, hits) — integer hit counts (|approx ∩
+    * exact|, k = 10), one row per query × method even when hits = 0
+    * (the method grid LEFT-joins the counts). Hit counts, not ratios:
+    * integers are engine-exact, and k is fixed. The exact arm reads the
+    * whole index once — the audit is a diagnostic run over a query
+    * SAMPLE, not a serving path, which is also the 100 TB shape (sample
+    * queries, audit recall offline, alert on drift). */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val dir = PersistedVectorIndex.ensure(s, d)
+    val idx = s.read.parquet(dir)
+    val q = idx.filter(col("vec_id") < 5)
+      .selectExpr("vec_id AS qid", "embedding AS qv", "norm AS qnorm",
+        "cluster AS qcluster")
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    def topIds(df: DataFrame): DataFrame = df
+      .withColumn("sim", expr("round(dot_f32(embedding, qv) / (norm * qnorm), 6)"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val exact = topIds(idx.crossJoin(broadcast(q)))
+    // bounded driver metadata: the |batch| cells the ivf arm reads
+    val probed = q.select(col("qcluster")).distinct().collect().map(_.get(0))
+    val ivf = topIds(idx.filter(col("cluster").isin(probed.toSeq: _*))
+      .join(broadcast(q), col("cluster") === col("qcluster")))
+    val pq = funnelTopK(s, dir, nQueries = 5, nprobe = 1, shortList = 32,
+      topK = 10).select(col("qid"), col("vec_id"))
+    val mp = funnelTopK(s, dir, nQueries = 5, nprobe = 2, shortList = 32,
+      topK = 10).select(col("qid"), col("vec_id"))
+    def hitsFor(m: DataFrame, name: String): DataFrame = m
+      .join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      .withColumn("method", lit(name))
+    val counts = hitsFor(ivf, "ivf")
+      .unionAll(hitsFor(pq, "pq"))
+      .unionAll(hitsFor(mp, "multiprobe"))
+    val grid = q.select(col("qid")).crossJoin(
+      s.range(1).selectExpr("explode(array('ivf','pq','multiprobe')) AS method"))
+    grid.join(counts, Seq("qid", "method"), "left")
+      .select(col("qid"), col("method"),
+        coalesce(col("n"), lit(0L)).as("hits"))
+      .orderBy(col("qid"), col("method"))
   }
 
   def qIvfPq(s: SparkSession, d: String): DataFrame = {

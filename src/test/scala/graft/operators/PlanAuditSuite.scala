@@ -491,6 +491,17 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("ccq"), p)
   }
 
+  test("q_ann_recall audits the index against itself — no raw embedding " +
+      "scan, windowed top-k everywhere") {
+    val p = plan("q_ann_recall")
+    // every arm (exact, cell, funnel×2) reads the PERSISTED index; the
+    // raw embeddings parquet must not appear in the audit plan
+    assert(!p.contains("embeddings.parquet"), p)
+    // per-query top-k cuts are WindowGroupLimit-pruned windows, never a
+    // global sort of the scored corpus
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_epoch_shuffle moves data once — one hash exchange on the shard " +
       "id, never a corpus-wide total-order sort") {
     val p = plan("q_epoch_shuffle")
