@@ -32,9 +32,12 @@ import org.apache.spark.storage.StorageLevel
   * unpersisted, keeping the lineage one round deep.
   *
   * Scale (100 TB): cost per round is two shuffles keyed by node id — edge
-  * join + pointer jump — with map-side partial mins; the label table is one
-  * row per document and the edge list is the (much smaller) candidate-pair
-  * output of LSH blocking. Dedup-cluster graphs are overwhelmingly tiny
+  * join + pointer jump — with map-side partial mins; the loop's label
+  * table is one row per EDGE-TOUCHED document (r10: singletons are
+  * fixpoints from round 0, so they skip the loop entirely and rejoin at
+  * the end), and the edge list is the (much smaller) candidate-pair
+  * output of LSH blocking — per-round work scales with the duplicate
+  * graph, not the corpus. Dedup-cluster graphs are overwhelmingly tiny
   * components (duplicate groups), so the fixpoint typically lands in 2-4
   * rounds; pointer jumping bounds pathological chains at log₂(n) rounds.
   */
@@ -111,8 +114,25 @@ object ConnectedComponents {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val e = e0.union(e0.select(col("b"), col("a")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ACTIVE-NODE restriction (r10): only nodes an edge touches can ever
+    // leave their self-label — singletons are fixpoints from round 0. So
+    // the iterative loop runs over the edge-touched node set (for dedup
+    // graphs a small fraction of the corpus: LSH emits few candidate
+    // pairs relative to documents), and untouched nodes rejoin as
+    // singleton components at the end. Per-round shuffle width then
+    // scales with the DUPLICATE GRAPH, not the corpus — at 100 TB the
+    // difference between iterating over ~10⁹ label rows and over the
+    // ~10⁷ that are actually in play. `a` already covers both endpoints
+    // (e is symmetrized).
+    // Round-0 fusion (r10): with self-labels, the first round's neighbor
+    // min is just min(neighbor id) — computable straight off the edge
+    // list with no label join. Initializing labels to least(id, min(b))
+    // folds a whole round (join + jump + convergence count) into one
+    // aggregation; the grouping also yields the active-node set for
+    // free (`a` covers both endpoints — e is symmetrized).
     var labels = checkpointRound(
-      nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+      e.groupBy(col("a").as("id")).agg(min(col("b")).as("_nb"))
+        .select(col("id"), least(col("id"), col("_nb")).as("comp")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -141,7 +161,13 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxRounds rounds")
-    labels
+    // Singletons (no incident edge) never entered the loop: one left
+    // join stamps them with their own id. The converged label table is
+    // the small side; at dedup-shaped edge densities AQE broadcasts it.
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("id", "_aid"),
+        col("id") === col("_aid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }
 
