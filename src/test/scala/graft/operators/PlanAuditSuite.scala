@@ -427,6 +427,27 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.substring(collectIdx).contains("_fun_first"), p)
   }
 
+  test("q_retention_cohort: one scan, no self-join of the log, payload " +
+      "columns never read") {
+    val p = plan("q_retention_cohort")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    // ONE events scan — the cohort anchor and the active-week set come
+    // out of the same aggregation, not a first-seen self-join
+    assert(reads.size == 1, reads.mkString("\n"))
+    assert(reads.head.contains("user_id") && reads.head.contains("ts"),
+      reads.head)
+    // only (user_id, ts) leave the reader — event payloads stay columnar
+    assert(!reads.head.contains("value") && !reads.head.contains("props")
+      && !reads.head.contains("event_id") && !reads.head.contains("event_type"),
+      reads.head)
+    // no join anywhere: cohort size is a window over the aggregated grid
+    assert(!p.contains("Join"), p)
+    // the user-keyed aggregate combines map-side (partial collect_set +
+    // min below the exchange)
+    assert(p.contains("partial_collect_set") || p.contains("partial collect_set")
+      || "ObjectHashAggregate[^\\n]*collect_set".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_graph_pagerank iterates over the MATERIALIZED edge list: no " +
       "cartesian rounds, no KNN re-derivation, top-k via TakeOrdered") {
     val p = plan("q_graph_pagerank")
