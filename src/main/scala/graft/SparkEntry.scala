@@ -21,19 +21,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_latest_per_key")(spark, "/root/testdata/sf0.001")
 
+  /** The per-file registration maps behind [[queries]], exposed so the
+    * contract suite can detect a duplicate name silently shadowed by the
+    * `++` fold. */
+  private[graft] def queryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    Seq(
+      operators.RelationalQueries.queries,
+      operators.CdcQueries.queries,
+      operators.LlmQueries.queries,
+      operators.CodecQueries.queries,
+      operators.TemporalJoins.queries,
+      operators.CorpusOps.queries,
+      operators.DedupClusters.queries,
+      operators.GraphOps.queries,
+      operators.ScaleOps.queries,
+      streaming.CdcPipeline.queries,
+      multimodal.MultimodalOps.queries)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.queries ++
-      operators.CdcQueries.queries ++
-      operators.LlmQueries.queries ++
-      operators.CodecQueries.queries ++
-      operators.TemporalJoins.queries ++
-      operators.CorpusOps.queries ++
-      operators.DedupClusters.queries ++
-      operators.GraphOps.queries ++
-      operators.ScaleOps.queries ++
-      streaming.CdcPipeline.queries ++
-      multimodal.MultimodalOps.queries
+    queryMaps.reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
