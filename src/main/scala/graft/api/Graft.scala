@@ -1004,6 +1004,26 @@ object Graft {
     graft.operators.RelationalQueries.funnelStages(
       events, userCol, orderCol, typeCol, stages, window)
 
+  /** Retention cohorts: users grouped by the period of their first
+    * event, with the count still active k periods later and the cohort
+    * size. One entity-keyed exchange derives the anchor AND the active
+    * periods together (no first-seen self-join of the log); see
+    * [[graft.operators.RelationalQueries.retentionCohorts]]. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       period: String = "week"): DataFrame =
+    graft.operators.RelationalQueries.retentionCohorts(
+      events, userCol, tsCol, period)
+
+  /** Compact a streaming index/pair-log root (the `batch=<id>` layouts
+    * of [[graft.streaming.DedupStream]], [[graft.streaming.EmbDedupStream]],
+    * [[graft.streaming.VectorIndexStream]]) into ONE consolidated batch
+    * directory, exactly-once — probe results are identical before and
+    * after, and partition-pruned probes prune the same internal
+    * `sb=`/`cluster=` directories. Run between batches (single-writer).
+    * Returns the number of batch directories compacted (0 = no-op). */
+  def compactIndex(spark: SparkSession, root: String): Int =
+    graft.streaming.IndexCompaction.compact(spark, root)
+
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

@@ -1,0 +1,194 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Compaction for the streaming index/pair-log layouts
+  * ([[DedupStream]], [[EmbDedupStream]], [[VectorIndexStream]]): rewrite
+  * the accumulated `batch=<id>` partition directories into ONE
+  * consolidated `batch=<id>` directory, exactly-once.
+  *
+  * Why it exists (100 TB lifecycle): the streams append one `batch=`
+  * directory per micro-batch forever, so after months of ingestion the
+  * FILE LISTING — not the data — becomes the probe bottleneck (every
+  * partition-discovery pass walks every batch dir; small-file overhead
+  * compounds in the scan). Compaction is the missing third verb of the
+  * index lifecycle (create / append / compact), playing the role the
+  * reference's savepoint truncation plays for CDC state
+  * (sql/informixcdc.sql:7-38 — keep bounded state, not history).
+  *
+  * What is preserved, exactly:
+  *  - the `batch=` partition scheme — readers
+  *    (`spark.read.parquet(root).drop("batch")`) and the streams'
+  *    replay-idempotence filter (`batch =!= batchId`,
+  *    DedupStream.processBatch) keep working. The consolidated directory
+  *    gets a NEGATIVE id (−1, then −2 on re-compaction, …): streaming
+  *    batch ids are non-negative and keep increasing across a
+  *    compaction, so a compacted id can never collide with a live one;
+  *  - the INTERNAL partition scheme (`sb=<n>` for [[EmbDedupStream]],
+  *    `cluster=<c>` for [[VectorIndexStream]]) — detected from the live
+  *    layout and re-applied on the rewrite, so partition-pruned probes
+  *    prune identically after compaction (now against one batch dir
+  *    instead of N);
+  *  - the `_graft_*` metadata tables beside the batch dirs (centroids,
+  *    planes, PQ codebook) — underscore-hidden from discovery and not
+  *    touched: a compaction never changes what any probe returns.
+  *
+  * Exactly-once (write-then-swap, the CdcPipeline sink discipline):
+  * the consolidated data is fully written to an underscore-hidden
+  * staging directory first (invisible to partition discovery), then a
+  * MANIFEST (`_graft_compact_manifest`: consumed dir names + target id)
+  * is created — the commit point — and only then do the renames run:
+  * consumed dirs move into hidden backup, staging promotes to
+  * `batch=<newId>`, backup and manifest are deleted. A crash anywhere
+  * leaves a state [[recover]] resolves deterministically: manifest
+  * present → roll the swap forward (every step is idempotent); manifest
+  * absent → delete the stray staging dir, restore any backup children.
+  * `compact` runs [[recover]] first, so a crashed compaction heals on
+  * the next attempt. During the post-commit renames, readers briefly
+  * miss the moved batches (bounded by a few directory renames) — the
+  * same swap-window concession the CDC merge sink documents; a recall
+  * structure degrades softly there, and never serves duplicate rows.
+  *
+  * Single-writer, like the streams: compaction must not race an active
+  * ingestion of the same root (run it between batches or from the
+  * maintenance path that owns the index).
+  */
+object IndexCompaction {
+
+  private val Manifest = "_graft_compact_manifest"
+  private val Staging = "_graft_compact_tmp"
+  private val Backup = "_graft_compact_backup"
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def batchDirs(fs: FileSystem, root: Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).sorted
+
+  private def batchId(dirName: String): Long =
+    dirName.stripPrefix("batch=").toLong
+
+  /** Internal partition columns under a batch directory (e.g. `sb`,
+    * `cluster`), outermost first — detected from the directory names so
+    * the rewrite re-applies the exact live scheme. */
+  private def internalPartitionCols(fs: FileSystem, dir: Path): Seq[String] = {
+    val sub = fs.listStatus(dir).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    sub.headOption match {
+      case Some(st) =>
+        st.getPath.getName.split("=", 2)(0) +:
+          internalPartitionCols(fs, st.getPath)
+      case None => Seq.empty
+    }
+  }
+
+  private def readManifest(fs: FileSystem, root: Path): Option[(Long, Seq[String])] = {
+    val mp = new Path(root, Manifest)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toByteArray
+      } finally in.close()
+      val lines = new String(bytes, StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      Some((lines.head.toLong, lines.tail))
+    }
+  }
+
+  /** Roll the committed swap forward. Every step is idempotent: renames
+    * whose source is gone are skipped, the promote is skipped if the
+    * target already exists. */
+  private def rollForward(fs: FileSystem, root: Path, newId: Long,
+                          consumed: Seq[String]): Unit = {
+    val backup = new Path(root, Backup)
+    if (!fs.exists(backup)) fs.mkdirs(backup)
+    consumed.foreach { name =>
+      val live = new Path(root, name)
+      if (fs.exists(live))
+        require(fs.rename(live, new Path(backup, name)),
+          s"compaction could not retire $live")
+    }
+    val staging = new Path(root, Staging)
+    val target = new Path(root, s"batch=$newId")
+    if (fs.exists(staging) && !fs.exists(target))
+      require(fs.rename(staging, target),
+        s"compaction could not promote $staging")
+    fs.delete(backup, true)
+    fs.delete(new Path(root, Manifest), false)
+  }
+
+  /** Resolve any crashed compaction of `root`: committed swaps complete,
+    * uncommitted ones abort (staging deleted, backup restored). Safe to
+    * call on a healthy root (no-op). */
+  def recover(spark: SparkSession, root: String): Unit = {
+    val (fs, rp) = fsOf(spark, root)
+    if (!fs.exists(rp)) return
+    readManifest(fs, rp) match {
+      case Some((newId, consumed)) => rollForward(fs, rp, newId, consumed)
+      case None =>
+        fs.delete(new Path(rp, Staging), true)
+        val backup = new Path(rp, Backup)
+        if (fs.exists(backup)) {
+          fs.listStatus(backup).foreach { st =>
+            val live = new Path(rp, st.getPath.getName)
+            if (!fs.exists(live))
+              require(fs.rename(st.getPath, live),
+                s"compaction recovery could not restore ${st.getPath}")
+          }
+          fs.delete(backup, true)
+        }
+    }
+  }
+
+  /** Compact every `batch=<id>` directory under `root` into one.
+    * No-op when the root has fewer than two batch directories or no
+    * rows. Returns the number of directories compacted (0 on no-op).
+    *
+    * `flatFiles` bounds the part-file count when the layout has NO
+    * internal partition scheme (the pair logs, the DedupStream signature
+    * index); internally-partitioned layouts are instead repartitioned BY
+    * the partition columns, which lands each `sb=`/`cluster=` directory
+    * in one task → one file per live partition value. */
+  def compact(spark: SparkSession, root: String, flatFiles: Int = 4): Int = {
+    require(flatFiles > 0, s"flatFiles must be positive, got $flatFiles")
+    recover(spark, root)
+    val (fs, rp) = fsOf(spark, root)
+    val dirs = batchDirs(fs, rp)
+    if (dirs.size < 2) return 0
+    val ids = dirs.map(batchId)
+    val newId = math.min(ids.min, 0L) - 1L
+    val parts = internalPartitionCols(fs, new Path(rp, dirs.head))
+    val all = spark.read.parquet(root)
+      .filter(col("batch").isin(ids: _*))
+      .drop("batch")
+    if (all.isEmpty) return 0
+    val staged =
+      if (parts.nonEmpty) all.repartition(parts.map(col): _*)
+      else all.repartition(flatFiles)
+    val stagingPath = new Path(rp, Staging)
+    fs.delete(stagingPath, true)
+    val writer = staged.write.mode("overwrite")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(stagingPath.toString)
+    // Commit point: once the manifest exists, the swap WILL complete —
+    // by the lines below or by the next recover().
+    val manifest = (newId.toString +: dirs).mkString("\n")
+    val out = fs.create(new Path(rp, Manifest), true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    rollForward(fs, rp, newId, dirs)
+    dirs.size
+  }
+}
