@@ -729,8 +729,10 @@ object Graft {
     * (netpbm P5 via the multimodal codec seam) → 64-bit row-major dHash
     * (brightness-shift invariant) → the SAME hamming-LSH band equi-join
     * as [[simhashNearDupPairs]] (4×16-bit bands, bucket join, never
-    * all-pairs). Payloads that fail to parse are dropped — an
-    * undecodable image has no perceptual fingerprint to compare.
+    * all-pairs). Payloads that fail to parse have no fingerprint to
+    * compare and are excluded HERE — audit them via
+    * [[mediaFingerprints]], whose `reason` column classifies every
+    * skipped payload (`q_media_quarantine` is the driver-checked form).
     * Returns (doc_a, doc_b, hamming) with hamming ≤ `maxHamming` ≤ 3
     * (the 4-band pigeonhole bound). */
   def mediaNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
@@ -738,15 +740,51 @@ object Graft {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3]: 4 bands only guarantee a shared " +
         s"band for <= 3 differing bits (got $maxHamming)")
-    val s = media.sparkSession
-    import s.implicits._
-    val fp = media.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) =>
-        graft.multimodal.MultimodalOps.dHashPgm(p).map(h => (id, h))
-      }).toDF("doc_id", "dhash")
+    val fp = mediaFingerprints(media, idCol, payloadCol)
+      .filter(col("reason").isNull).select(col("doc_id"), col("dhash"))
     LlmQueries.hammingBandPairs(graft.operators.Materialize(fp), "dhash",
       bandBits = 16, maxHamming = maxHamming)
+  }
+
+  /** Image fingerprints WITH the decode verdict — one decode pass, two
+    * streams: rows with `reason IS NULL` carry the 64-bit `dhash` the
+    * near-dup funnel consumes; rows with a reason are the QUARANTINE (a
+    * 100 TB crawl batch must report what it skipped — truncated
+    * downloads, mislabeled codecs — not eat it silently). Reasons:
+    * `empty`, `bad_header`, `bad_pixel_buffer`, `oversize_dims`
+    * ([[graft.multimodal.MultimodalOps.dHashPgmE]]). Returns
+    * (doc_id, dhash, reason). */
+  def mediaFingerprints(media: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        graft.multimodal.MultimodalOps.dHashPgmE(p) match {
+          case Right(h) => (id, Some(h), None: Option[String])
+          case Left(r) => (id, None: Option[Long], Some(r))
+        }
+      }).toDF("doc_id", "dhash", "reason")
+  }
+
+  /** Audio fingerprints WITH the decode verdict — the audio twin of
+    * [[mediaFingerprints]]. Reasons: `empty`, `bad_container`,
+    * `not_mono`, `too_short`
+    * ([[graft.multimodal.MultimodalOps.audioFingerprintE]]). Returns
+    * (doc_id, ahash, reason). */
+  def audioFingerprints(media: DataFrame, idCol: String,
+                        payloadCol: String): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        graft.multimodal.MultimodalOps.audioFingerprintE(p) match {
+          case Right(h) => (id, Some(h), None: Option[String])
+          case Left(r) => (id, None: Option[Long], Some(r))
+        }
+      }).toDF("doc_id", "ahash", "reason")
   }
 
   /** Deterministic epoch shuffle + sharding: each epoch induces a fresh
@@ -763,19 +801,15 @@ object Graft {
     * audio twin of [[mediaNearDupPairs]]: decode (PCM16 WAV via the
     * multimodal container walk) → 64-bit frame-energy-delta fingerprint
     * (gain-invariant, Haitsma-Kalker shape) → the same hamming-LSH band
-    * equi-join. Undecodable or too-short clips drop. */
+    * equi-join. Undecodable or too-short clips are excluded here;
+    * audit them via [[audioFingerprints]]' `reason` column. */
   def audioNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
                         maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3]: 4 bands only guarantee a shared " +
         s"band for <= 3 differing bits (got $maxHamming)")
-    val s = media.sparkSession
-    import s.implicits._
-    val fp = media.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) =>
-        graft.multimodal.MultimodalOps.audioFingerprint(p).map(h => (id, h))
-      }).toDF("doc_id", "ahash")
+    val fp = audioFingerprints(media, idCol, payloadCol)
+      .filter(col("reason").isNull).select(col("doc_id"), col("ahash"))
     LlmQueries.hammingBandPairs(graft.operators.Materialize(fp), "ahash",
       bandBits = 16, maxHamming = maxHamming)
   }

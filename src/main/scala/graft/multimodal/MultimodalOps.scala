@@ -371,13 +371,23 @@ object MultimodalOps {
     * same seam as [[decodePgm]]/[[resizePgm]], so the perceptual hash
     * and the codec can never disagree about what a valid image is.
     * None on parse failure or when (w−1)·h exceeds the 64-bit budget. */
-  private[graft] def dHashPgm(p: Array[Byte]): Option[Long] = {
+  private[graft] def dHashPgm(p: Array[Byte]): Option[Long] =
+    dHashPgmE(p).toOption
+
+  /** [[dHashPgm]] with the failure CLASSIFIED (Left = quarantine reason):
+    * a 100 TB crawl batch must report what it skipped, not eat it —
+    * `empty` (null/zero-length payload), `bad_header` (not a parseable
+    * P5), `bad_pixel_buffer` (header/buffer length mismatch — the
+    * truncated-download shape), `oversize_dims` (valid image, too large
+    * for the 64-bit hash budget). */
+  private[graft] def dHashPgmE(p: Array[Byte]): Either[String, Long] = {
+    if (p == null || p.isEmpty) return Left("empty")
     val (w, h, _, i) = parseNetpbm(p, '5') match {
       case Some(hdr) => hdr
-      case None => return None
+      case None => return Left("bad_header")
     }
-    if (p.length.toLong - i != w * h) return None
-    if ((w - 1) * h > 64) return None
+    if (p.length.toLong - i != w * h) return Left("bad_pixel_buffer")
+    if ((w - 1) * h > 64) return Left("oversize_dims")
     var bits = 0L
     var idx = 0
     var r = 0
@@ -392,7 +402,7 @@ object MultimodalOps {
       }
       r += 1
     }
-    Some(bits)
+    Right(bits)
   }
 
   /** Near-dup WAV fixture family (r9, `q_audio_near_dup`) — the audio
@@ -440,14 +450,23 @@ object MultimodalOps {
     * about what a valid payload is). Robust to uniform gain the way
     * dHash is robust to brightness: scaling all samples preserves every
     * energy comparison. */
-  private[graft] def audioFingerprint(p: Array[Byte]): Option[Long] = {
+  private[graft] def audioFingerprint(p: Array[Byte]): Option[Long] =
+    audioFingerprintE(p).toOption
+
+  /** [[audioFingerprint]] with the failure CLASSIFIED (Left = quarantine
+    * reason), the audio twin of [[dHashPgmE]]: `empty`, `bad_container`
+    * (RIFF/fmt/data walk fails — including the truncated-download shape,
+    * where a chunk declares bytes past the payload end), `not_mono`,
+    * `too_short` (fewer than [[AudioFpSamples]] samples). */
+  private[graft] def audioFingerprintE(p: Array[Byte]): Either[String, Long] = {
+    if (p == null || p.isEmpty) return Left("empty")
     val (channels, _, off, dataBytes) = wavPcm16(p) match {
       case Some(hdr) => hdr
-      case None => return None
+      case None => return Left("bad_container")
     }
-    if (channels != 1) return None
+    if (channels != 1) return Left("not_mono")
     val nSamples = dataBytes / 2
-    if (nSamples < AudioFpSamples) return None
+    if (nSamples < AudioFpSamples) return Left("too_short")
     def s16(i: Int): Long =
       ((p(off + 2 * i) & 0xff) | (p(off + 2 * i + 1) << 8)).toShort.toLong
     var bits = 0L
@@ -459,7 +478,7 @@ object MultimodalOps {
       prev = e
       i += 1
     }
-    Some(bits)
+    Right(bits)
   }
 
   /** First 15 hex chars of md5 as a long — the Scala twin of
@@ -625,7 +644,53 @@ object MultimodalOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Deliberately-corrupted payload fixture for the quarantine gate —
+    * corruption is a PURE FUNCTION of doc_id so the DuckDB oracle can
+    * regenerate the expected verdicts without parsing bytes: base
+    * payload = [[syntheticNoisePgm]] (even ids) / [[syntheticNoiseWav]]
+    * (odd ids); then id%10 ∈ {2,3} → zero-length payload, {6,7} → first
+    * byte overwritten with 'X' (kills the P5 magic / RIFF tag), {8,9} →
+    * last byte dropped (the truncated-download shape: image pixel
+    * buffer one short; WAV data chunk declaring bytes past the end). */
+  private[graft] def corruptPayload(id: Long): Array[Byte] = {
+    val base =
+      if (id % 2 == 0) syntheticNoisePgm(id) else syntheticNoiseWav(id)
+    (id % 10) match {
+      case 2 | 3 => Array.empty[Byte]
+      case 6 | 7 => val b = base.clone(); b(0) = 'X'.toByte; b
+      case 8 | 9 => base.dropRight(1)
+      case _ => base
+    }
+  }
+
+  /** Dirty-input quarantine, driver-checked (r10, VERDICT r9 #7): run
+    * the corrupted fixture through the PRODUCTION fingerprint APIs
+    * ([[graft.api.Graft.mediaFingerprints]]/[[graft.api.Graft.audioFingerprints]])
+    * and report every payload the near-dup funnel skipped as
+    * (doc_id, kind, reason) — what a 100 TB crawl batch publishes
+    * instead of silently eating undecodable media. The oracle
+    * recomputes each verdict from the id formula, so a classifier that
+    * mislabels (or a dispatch that silently drops) breaks the hash. */
+  private def qMediaQuarantine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, corruptPayload(id),
+        if (id % 2 == 0) "image/pgm" else "audio/wav")))
+      .toDF("doc_id", "payload", "kind")
+    val img = graft.api.Graft.mediaFingerprints(
+      media.filter(col("kind") === "image/pgm"), "doc_id", "payload")
+    val aud = graft.api.Graft.audioFingerprints(
+      media.filter(col("kind") === "audio/wav"), "doc_id", "payload")
+    img.select(col("doc_id"), lit("image/pgm").as("kind"), col("reason"))
+      .unionByName(aud.select(col("doc_id"), lit("audio/wav").as("kind"),
+        col("reason")))
+      .filter(col("reason").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_quarantine" -> qMediaQuarantine _,
     "q_media_features" -> qMediaFeatures _,
     "q_media_frames" -> qMediaFrames _,
     "q_media_decode" -> qMediaDecode _,
@@ -635,6 +700,21 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // The corruption is a pure function of doc_id (corruptPayload), so
+    // the oracle regenerates each expected verdict arithmetically: the
+    // engine must classify — not just drop — every corrupt payload.
+    "q_media_quarantine" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image/pgm'
+        |            ELSE 'audio/wav' END AS kind,
+        |       CASE WHEN doc_id % 10 IN (2, 3) THEN 'empty'
+        |            WHEN doc_id % 10 = 6 THEN 'bad_header'
+        |            WHEN doc_id % 10 IN (7, 9) THEN 'bad_container'
+        |            WHEN doc_id % 10 = 8 THEN 'bad_pixel_buffer'
+        |       END AS reason
+        |FROM documents
+        |WHERE doc_id % 10 IN (2, 3, 6, 7, 8, 9)
+        |ORDER BY doc_id""".stripMargin,
     "q_media_features" -> {
       val feats = (0 until FeatureDim).map(j => s"${fakeFeatureDuck(j)} AS f$j")
       s"""SELECT doc_id, source AS kind,

@@ -228,6 +228,68 @@ class MultimodalSuite extends AnyFunSuite {
     assert(got(1L).features.exists(_ != 0.0))
   }
 
+  test("quarantine classifiers: every corrupt-payload class gets its own " +
+      "reason, valid payloads fingerprint identically to the Option path") {
+    // image classes
+    val img = MultimodalOps.syntheticNoisePgm(40L)
+    assert(MultimodalOps.dHashPgmE(img) ==
+      Right(MultimodalOps.dHashPgm(img).get))
+    assert(MultimodalOps.dHashPgmE(Array.emptyByteArray) == Left("empty"))
+    assert(MultimodalOps.dHashPgmE(null) == Left("empty"))
+    val badMagic = img.clone(); badMagic(0) = 'X'.toByte
+    assert(MultimodalOps.dHashPgmE(badMagic) == Left("bad_header"))
+    assert(MultimodalOps.dHashPgmE(img.dropRight(1)) ==
+      Left("bad_pixel_buffer"))
+    // a structurally valid image too large for the 64-bit hash budget
+    val big = s"P5\n12 8\n255\n".getBytes("US-ASCII") ++
+      Array.fill(96)(7.toByte)
+    assert(MultimodalOps.dHashPgmE(big) == Left("oversize_dims"))
+    // audio classes
+    val wav = MultimodalOps.syntheticNoiseWav(71L)
+    assert(MultimodalOps.audioFingerprintE(wav) ==
+      Right(MultimodalOps.audioFingerprint(wav).get))
+    assert(MultimodalOps.audioFingerprintE(Array.emptyByteArray) ==
+      Left("empty"))
+    val badRiff = wav.clone(); badRiff(0) = 'X'.toByte
+    assert(MultimodalOps.audioFingerprintE(badRiff) == Left("bad_container"))
+    assert(MultimodalOps.audioFingerprintE(wav.dropRight(1)) ==
+      Left("bad_container"))
+    assert(MultimodalOps.audioFingerprintE(MultimodalOps.syntheticWav(1L)) ==
+      Left("too_short")) // 24-sample decode fixture < AudioFpSamples
+  }
+
+  test("near-dup pairs over a corpus WITH corrupt payloads equal the " +
+      "pairs over its valid subset; the quarantine partitions the input") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ids = (40L to 59L)
+    val media = ids.map(id => (id, MultimodalOps.corruptPayload(id)))
+      .toDF("doc_id", "payload")
+    val fp = graft.api.Graft.mediaFingerprints(
+      media.filter(col("doc_id") % 2 === 0), "doc_id", "payload")
+    // exactly one stream per row: hash xor reason
+    assert(fp.filter(col("dhash").isNotNull === col("reason").isNotNull)
+      .count() == 0)
+    assert(fp.count() == ids.count(_ % 2 == 0))
+    val quarantined = fp.filter(col("reason").isNotNull)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(quarantined == Set((42L, "empty"), (46L, "bad_header"),
+      (48L, "bad_pixel_buffer"), (52L, "empty"), (56L, "bad_header"),
+      (58L, "bad_pixel_buffer")))
+    // the funnel's pairs are exactly the valid-subset pairs
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withCorrupt = pairSet(graft.api.Graft.mediaNearDupPairs(
+      media.filter(col("doc_id") % 2 === 0), "doc_id", "payload"))
+    val validOnly = pairSet(graft.api.Graft.mediaNearDupPairs(
+      media.filter(col("doc_id") % 2 === 0)
+        .filter(!(col("doc_id") % 10).isin(2, 6, 8)), "doc_id", "payload"))
+    assert(withCorrupt == validOnly)
+    assert(withCorrupt.contains((40L, 44L)), withCorrupt) // same-base survivors pair
+  }
+
   test("media table schema: opaque binary payload + typed metadata") {
     val s = TestSpark.spark
     val sch = MultimodalOps.mediaTable(s, sf).schema
