@@ -885,6 +885,37 @@ object Graft {
   def heavyHitters(df: DataFrame, keyCol: String, supportDenom: Int): DataFrame =
     ScaleOps.heavyHitters(df, keyCol, supportDenom)
 
+  /** Per-segment population-stability-index drift against the whole
+    * input: `Σ_b (p_seg,b − p_all,b)·ln(p_seg,b/p_all,b)` over `nBuckets`
+    * fixed histogram buckets of pre-bucketed `bucketCol` (rule of thumb:
+    * < 0.1 stable, > 0.25 drifted). One real shuffle — the (segment,
+    * bucket) count agg, map-side-bounded at |segments|×nBuckets partials;
+    * probabilities are Laplace-smoothed exact-integer ratios and each
+    * term is quantized to integer nano-nats before the associative sum,
+    * so the score is partitioning-independent. Returns
+    * (seg, n_events, psi). */
+  def driftPsi(rows: DataFrame, segmentCol: String, bucketCol: String,
+               nBuckets: Int): DataFrame =
+    ScaleOps.driftPsi(rows, segmentCol, bucketCol, nBuckets)
+
+  /** CLIP-score curation gate: keep rows of an already-paired frame
+    * whose `aCol`/`bCol` embedding cosine clears `threshold` — the first
+    * cut of a multimodal corpus build (misaligned captions teach the
+    * model noise). Map-side only: codegen'd dot_f32 cosine (rounded to
+    * 6 dp) + filter; adds `clip_score`. */
+  def cosineAlignFilter(paired: DataFrame, aCol: String, bCol: String,
+                        threshold: Double): DataFrame =
+    LlmQueries.cosineAlignFilter(paired, aCol, bCol, threshold)
+
+  /** Pair two modalities of one embedding table (`idCol div 2` = item,
+    * `idCol % 2` = modality) out of ONE scan and ONE shuffle via
+    * conditional FIRSTs — not a two-scan self-join. Items missing a
+    * modality drop. Returns (item_id, iv, tv, img_label, txt_label);
+    * feed to [[cosineAlignFilter]]. */
+  def crossmodalPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame =
+    LlmQueries.crossmodalPairs(vectors, idCol, vecCol, labelCol)
+
   /** Exact-k reproducible sample per stratum (the distributed reservoir
     * replacement): each stratum ordered by the deterministic
     * multiplicative-hash draw, first `k` kept — no rand(), re-runnable.

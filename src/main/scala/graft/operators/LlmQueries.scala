@@ -503,6 +503,59 @@ object LlmQueries {
       "vec_id", "embedding", 4, 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Cross-modal alignment filter (r10) — the CLIP-score curation gate a
+    * multimodal training pipeline runs before anything else: given rows
+    * that carry BOTH an image embedding and a caption/text embedding,
+    * keep only the pairs whose cosine alignment clears `threshold`
+    * (misaligned caption ⇒ the pair teaches the model noise; the
+    * LAION-style corpus cut). Takes an already-paired frame so any
+    * upstream pairing (same row, join on doc id, [[crossmodalPairs]])
+    * feeds it; scoring is map-side only — the codegen'd dot_f32 cosine
+    * plus a filter, no shuffle, no UDF. */
+  private[graft] def cosineAlignFilter(paired: DataFrame, aCol: String,
+      bCol: String, threshold: Double): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(paired.sparkSession)
+    paired
+      .withColumn("clip_score", expr(
+        s"round(${dotSpark(aCol, bCol)} / (sqrt(${dotSpark(aCol, aCol)}) * sqrt(${dotSpark(bCol, bCol)})), 6)"))
+      .filter(col("clip_score") >= threshold)
+  }
+
+  /** Pair the two modalities of each item out of ONE scan and ONE
+    * shuffle: the synthetic convention is `vec_id div 2` = item,
+    * `vec_id % 2` = modality (0 = image, 1 = text). A self-join on the
+    * derived item id would read the table twice and shuffle both sides;
+    * instead a single groupBy(item) with conditional FIRSTs (exactly one
+    * row per modality per item, so first-ignoring-nulls is
+    * deterministic) assembles (item_id, iv, tv, img_label, txt_label)
+    * with map-side partials. Items missing a modality (odd tail row)
+    * drop, matching the oracle's inner join. */
+  private[graft] def crossmodalPairs(vectors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame =
+    vectors
+      .select(expr(s"$idCol div 2").as("item_id"),
+        (col(idCol) % 2 === 0).as("is_img"), col(vecCol).as("_v"),
+        col(labelCol).as("_l"))
+      .groupBy(col("item_id"))
+      .agg(
+        first(when(col("is_img"), col("_v")), ignoreNulls = true).as("iv"),
+        first(when(!col("is_img"), col("_v")), ignoreNulls = true).as("tv"),
+        first(when(col("is_img"), col("_l")), ignoreNulls = true).as("img_label"),
+        first(when(!col("is_img"), col("_l")), ignoreNulls = true).as("txt_label"))
+      .filter(col("iv").isNotNull && col("tv").isNotNull)
+
+  /** Driver binding: CLIP-style cut at alignment >= 0.1 over the paired
+    * synthetic embeddings. Random 64-dim cosines center on 0, so the
+    * threshold keeps a nontrivial minority — the filter is exercised,
+    * not a no-op. */
+  private def qCrossmodalFilter(s: SparkSession, d: String): DataFrame =
+    cosineAlignFilter(
+      crossmodalPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label"),
+      "iv", "tv", threshold = 0.1)
+      .select(col("item_id"), col("img_label"), col("txt_label"),
+        col("clip_score"))
+      .orderBy(col("item_id"))
+
   // ------------------------------------------------------ similarity search
 
   /** Brute-force cosine top-k against one query vector (vec_id = 0),
@@ -1403,6 +1456,7 @@ object LlmQueries {
     "q_simhash_wide" -> qSimhashWide _,
     "q_emb_near_dup" -> qEmbNearDup _,
     "q_cosine_topk" -> qCosineTopk _,
+    "q_crossmodal_filter" -> qCrossmodalFilter _,
     "q_quantized_topk" -> qQuantizedTopk _,
     "q_pq_topk" -> qPqTopk _,
     "q_ann_ivf" -> qAnnIvf _,
@@ -1915,6 +1969,20 @@ object LlmQueries {
          |SELECT vec_id, label, ${cosDuck("v", "qv")} AS sim
          |FROM e, q
          |ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin,
+    // Cross-modal pairing is vec_id div 2 = item / vec_id % 2 = modality;
+    // the inner join mirrors the engine's missing-modality drop.
+    "q_crossmodal_filter" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |img AS (SELECT vec_id // 2 AS item_id, v AS iv, label AS img_label
+         |        FROM e WHERE vec_id % 2 = 0),
+         |txt AS (SELECT vec_id // 2 AS item_id, v AS tv, label AS txt_label
+         |        FROM e WHERE vec_id % 2 = 1),
+         |scored AS (SELECT item_id, img_label, txt_label,
+         |                  ${cosDuck("iv", "tv")} AS clip_score
+         |           FROM img JOIN txt USING (item_id))
+         |SELECT item_id, img_label, txt_label, clip_score
+         |FROM scored WHERE clip_score >= 0.1
+         |ORDER BY item_id""".stripMargin,
     "q_quantized_topk" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |sc AS (SELECT vec_id, label, v,

@@ -320,13 +320,78 @@ object ScaleOps {
       "k", supportDenom = 100)
       .orderBy(col("cnt").desc, col("k"))
 
+  /** Population-stability-index drift monitor (r10): how far each
+    * segment's value distribution sits from the whole corpus's, as the
+    * standard PSI score `Σ_b (p_seg,b − p_all,b) · ln(p_seg,b / p_all,b)`
+    * over `nBuckets` fixed histogram buckets — the number a data-quality
+    * gate alerts on when one source/shard/day of a 100 TB feed starts
+    * looking unlike the rest (industry rule of thumb: < 0.1 stable,
+    * > 0.25 drifted).
+    *
+    * Scale shape: ONE real shuffle — the (segment, bucket) count
+    * aggregate, whose map-side partials bound the exchange at
+    * |segments| × nBuckets rows per map partition regardless of input
+    * size. Everything downstream (the dense segment × bucket grid, the
+    * per-segment / per-bucket / global windowed totals, the PSI fold)
+    * runs on that |segments| × nBuckets-row table. The counts are
+    * [[Materialize]]d once because the grid derives its segment list
+    * from them — without the barrier the segment-distinct branch would
+    * rescan the input.
+    *
+    * Determinism: probabilities are Laplace-smoothed exact-integer
+    * ratios ((c+1)/(n+nBuckets) — smoothing also keeps ln's argument
+    * nonzero for empty buckets), each PSI term is quantized to integer
+    * NANO-nats before the sum (the q_lm_score micro-nat rule: integer
+    * addition is associative, so partitioning can't move the result; a
+    * term must land within ~1 ulp of a 0.5-nano boundary for the two
+    * engines' faithfully-rounded `ln` to disagree). */
+  private[graft] def driftPsi(rows: DataFrame, segmentCol: String,
+      bucketCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val cnt = Materialize(rows
+      .groupBy(col(segmentCol).as("seg"), col(bucketCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("c")))
+    val grid = cnt.select(col("seg")).distinct()
+      .crossJoin(rows.sparkSession.range(nBuckets).select(col("id").as("b")))
+    val w = grid.join(cnt, Seq("seg", "b"), "left")
+      .select(col("seg"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("n_seg", sum(col("c")).over(Window.partitionBy(col("seg"))))
+      .withColumn("c_all", sum(col("c")).over(Window.partitionBy(col("b"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    w.withColumn("pc", expr(s"cast(c + 1 as double) / cast(n_seg + $nBuckets as double)"))
+      .withColumn("pr", expr(s"cast(c_all + 1 as double) / cast(n + $nBuckets as double)"))
+      // 1e9, not 1000000000.0: Spark SQL parses a dotted literal as
+      // DECIMAL, which would silently turn psi into a decimal column
+      // (the no-decimal-outputs oracle rule); 1e9 is a double literal.
+      .withColumn("t_nano", expr(
+        "cast(round((pc - pr) * ln(pc / pr) * 1e9) as bigint)"))
+      .groupBy(col("seg"))
+      .agg(max(col("n_seg")).as("n_events"),
+        expr("round(cast(sum(t_nano) as double) / 1e9, 6)").as("psi"))
+  }
+
+  /** Driver binding of [[driftPsi]]: per-event-type drift of the `value`
+    * distribution against the whole events table, over 10 fixed-width
+    * buckets derived in exact integer cents (`round(value·100) div 5000`,
+    * capped at bucket 9 — the q_zscore_outliers quantization rule, so
+    * bucketing is bit-identical across engines). */
+  private def qDriftPsi(s: SparkSession, d: String): DataFrame =
+    driftPsi(
+      Tables.events(s, d).select(col("event_type").as("seg"),
+        expr("least(cast(9 as bigint), cast(round(value * 100) as bigint) div 5000)")
+          .as("vb")),
+      "seg", "vb", nBuckets = 10)
+      .select(col("seg").as("event_type"), col("n_events"), col("psi"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_join" -> qSkewSaltedJoin _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_zscore_outliers" -> qZscoreOutliers _,
     "q_heavy_hitters" -> qHeavyHitters _,
-    "q_bucketed_join" -> qBucketedJoin _
+    "q_bucketed_join" -> qBucketedJoin _,
+    "q_drift_psi" -> qDriftPsi _
   )
 
   val oracle: Map[String, String] = Map(
@@ -375,6 +440,36 @@ object ScaleOps {
         |FROM keyed, tot GROUP BY k, n
         |HAVING count(*) * 100 > n
         |ORDER BY cnt DESC, k""".stripMargin,
+    // PSI drift: Laplace-smoothed exact-integer probabilities, each term
+    // quantized to integer nano-nats before the (associative) sum — the
+    // oracle replicates the arithmetic literally, so a bucketing or
+    // smoothing drift in either engine breaks the hash.
+    "q_drift_psi" ->
+      """WITH q AS (SELECT event_type AS seg,
+        |                  least(CAST(9 AS bigint),
+        |                        CAST(round(value * 100) AS bigint) // 5000) AS b
+        |           FROM events),
+        |cnt AS (SELECT seg, b, count(*) AS c FROM q GROUP BY seg, b),
+        |grid AS (SELECT s.seg, g.range AS b
+        |         FROM (SELECT DISTINCT seg FROM cnt) s, range(10) g),
+        |f AS (SELECT g.seg, g.b, coalesce(c.c, 0) AS c
+        |      FROM grid g LEFT JOIN cnt c ON g.seg = c.seg AND g.b = c.b),
+        |w AS (SELECT seg, b, c,
+        |             sum(c) OVER (PARTITION BY seg) AS n_seg,
+        |             sum(c) OVER (PARTITION BY b) AS c_all,
+        |             sum(c) OVER () AS n
+        |      FROM f),
+        |t AS (SELECT seg, n_seg,
+        |             CAST(round((CAST(c + 1 AS double) / CAST(n_seg + 10 AS double)
+        |                         - CAST(c_all + 1 AS double) / CAST(n + 10 AS double))
+        |                        * ln((CAST(c + 1 AS double) / CAST(n_seg + 10 AS double))
+        |                             / (CAST(c_all + 1 AS double) / CAST(n + 10 AS double)))
+        |                        * 1000000000.0) AS bigint) AS t_nano
+        |      FROM w)
+        |SELECT seg AS event_type, CAST(max(n_seg) AS bigint) AS n_events,
+        |       round(sum(t_nano) / 1000000000.0, 6) AS psi
+        |FROM t GROUP BY seg
+        |ORDER BY event_type""".stripMargin,
     "q_zscore_outliers" ->
       """WITH q AS (SELECT event_type, event_id, value,
         |                  cast(round(value * 1000.0) AS bigint) AS qv

@@ -610,6 +610,28 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(semantic.size == 1, semantic.mkString("\n"))
   }
 
+  test("q_crossmodal_filter pairs modalities in ONE aggregate — no join, " +
+      "one semantic exchange; scoring stays map-side dot_f32") {
+    val p = plan("q_crossmodal_filter")
+    // the pairing is a groupBy with conditional FIRSTs, never a two-scan
+    // self-join of the embedding table
+    assert(!p.contains("Join"), p.linesIterator.take(10).mkString("\n"))
+    val semantic = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p)
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toList
+    assert(semantic.size == 1, semantic.mkString("\n"))
+    assert(p.contains("dot_f32"), p)
+  }
+
+  test("q_drift_psi runs its grid and windows over the MATERIALIZED " +
+      "segment-bucket counts — the input is never rescanned") {
+    val p = plan("q_drift_psi")
+    // the one real shuffle (the (seg, bucket) count agg) happened before
+    // the Materialize barrier; the visible plan reads only the tiny
+    // materialized count table, so the distinct-segments branch and the
+    // window stack cannot rescan 100 TB of input
+    assert(!p.contains("events.parquet"), p.linesIterator.take(10).mkString("\n"))
+  }
+
   test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
