@@ -219,6 +219,135 @@ object CdcQueries {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Snapshot boundary for [[qSnapshotDiff]] / [[qMvDelta]]: the "old"
+    * state is the stream applied through this LSN. A literal, like
+    * q_filter_seq's threshold — at larger scale factors it simply means
+    * an older base snapshot / bigger delta, which is the interesting
+    * case anyway. */
+  private val SnapshotSeq = 5000L
+
+  /** Derive a change stream by DIFFING two snapshot states — the inverse
+    * of applying one ([[qUpsertMerge]]/[[qDeleteApply]]), and how CDC is
+    * bootstrapped when a source offers only periodic snapshots (the
+    * reference assumes a live log, ec:2228-2393; snapshot-diff is what
+    * replaces it when there isn't one). State at time T = per key, the
+    * latest 'purchase' (upsert) or 'error' (tombstone) at seq <= T;
+    * present iff that record is an upsert. Emits `insert` (absent→present),
+    * `delete` (present→absent), `update` (present in both, value changed);
+    * identical state emits nothing, so re-running the diff against an
+    * unchanged source is a no-op — the idempotence CDC replay needs.
+    *
+    * Scale: BOTH snapshots come out of ONE scan and ONE shuffle — a
+    * conditional `max_by` per bound ranks the old snapshot only over rows
+    * at seq <= T (a NULL ordering key never wins, so keys born later have
+    * NULL old-state), the new over all rows. No self-join of the log, no
+    * second scan, and the shuffle carries one partial per (key, bound)
+    * per map partition — at 100 TB the diff costs exactly one pass over
+    * the log plus a key-cardinality exchange. */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val img = struct(col("event_id"), col("event_type"), col("value"))
+    val st = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(img, when(col("event_id") <= SnapshotSeq, col("event_id")))
+          .as("o"),
+        max_by(img, col("event_id")).as("n"))
+    val oldP = col("o").isNotNull && col("o.event_type") === "purchase"
+    val newP = col("n.event_type") === "purchase"
+    st.select(
+        col("user_id"),
+        when(!oldP && newP, lit("insert"))
+          .when(oldP && !newP, lit("delete"))
+          .when(oldP && newP && col("o.value") =!= col("n.value"),
+            lit("update")).as("op"),
+        when(oldP, col("o.value")).as("old_value"),
+        when(newP, col("n.value")).as("new_value"),
+        when(oldP, col("o.event_id")).as("old_seq"),
+        when(newP, col("n.event_id")).as("new_seq"))
+      .filter(col("op").isNotNull)
+      .orderBy(col("user_id"))
+  }
+
+  /** Merge a materialized aggregate with same-shaped delta contributions:
+    * `unionByName` + one hash aggregate re-combining count-like columns
+    * with `sum` and high-water columns with `max`. The base MV rows and
+    * the delta's unit rows must share the schema (each delta row carries
+    * its unit contribution: 1 for counts, the value for sums/maxes). */
+  private[graft] def mergeAggMv(baseMv: DataFrame, deltaRows: DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String],
+      maxCols: Seq[String]): DataFrame = {
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    baseMv.unionByName(deltaRows)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental materialized-view maintenance: refresh a per-key
+    * count/sum/high-water aggregate from a change stream WITHOUT
+    * recomputing history — the pattern every 100 TB nightly pipeline
+    * lives on (recompute scans the full log forever; IVM scans only the
+    * delta). The base MV (state through [[SnapshotSeq]]) is a build-once
+    * parquet fixture ([[MvBase]] — at scale, yesterday's refresh output);
+    * this query unions those pre-aggregated rows with the delta's raw
+    * unit contributions and re-aggregates. count and sum merge because
+    * they're commutative monoids; avg is DERIVED from them after the
+    * merge (averages of averages would be wrong).
+    *
+    * The oracle is the full recompute over the whole log — the IVM
+    * invariant merge(base, delta) ≡ recompute(all), checked exactly
+    * (sums in decimal, so no float-order drift can hide in the merge).
+    *
+    * Scale: ONE exchange total. The delta scan's pushed filter
+    * (event_id > T) prunes the log read; map-side partial aggregation
+    * folds delta rows before the shuffle, so the exchange carries one
+    * row per key per map partition no matter how big the delta is, and
+    * the base MV (key cardinality, not log cardinality) streams through
+    * the same aggregate unshuffled-in-spirit (its rows are already one
+    * per key). */
+  private def qMvDelta(s: SparkSession, d: String): DataFrame = {
+    val base = s.read.parquet(MvBase.ensure(s, d))
+    val delta = Tables.events(s, d)
+      .filter(col("event_id") > SnapshotSeq)
+      .select(col("user_id"),
+        lit(1L).as("n_events"),
+        col("value").cast("decimal(18,2)").as("sum_dec"),
+        col("event_id").as("last_seq"))
+    mergeAggMv(base, delta, Seq("user_id"),
+        sumCols = Seq("n_events", "sum_dec"), maxCols = Seq("last_seq"))
+      .select(col("user_id"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"),
+        (col("sum_dec").cast("double") / col("n_events")).as("avg_value"),
+        col("last_seq"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Build-once base MV for [[qMvDelta]]: the per-key aggregate of the
+    * stream through [[SnapshotSeq]], persisted as parquet — standing in
+    * for the previous refresh's output. Same serial-harness discipline as
+    * [[ScaleOps.BucketedTables]]; the first call in a JVM pays the build
+    * (covered by the bench warm-up pass). Sum partials stay DECIMAL in
+    * the fixture so the later merge is exact regardless of row order. */
+  private[graft] object MvBase {
+    def ensure(s: SparkSession, d: String): String = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mv_base/$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        Tables.events(s, d)
+          .filter(col("event_id") <= SnapshotSeq)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("sum_dec"),
+            max(col("event_id")).as("last_seq"))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_open_txn_min" -> qOpenTxnMin _,
     "q_last_committed" -> qLastCommitted _,
@@ -232,7 +361,9 @@ object CdcQueries {
     "q_scd2" -> qScd2 _,
     "q_tumbling_window" -> qTumblingWindow _,
     "q_hopping_window" -> qHoppingWindow _,
-    "q_session_window" -> qSessionWindow _
+    "q_session_window" -> qSessionWindow _,
+    "q_snapshot_diff" -> qSnapshotDiff _,
+    "q_mv_delta" -> qMvDelta _
   )
 
   val oracle: Map[String, String] = Map(
@@ -361,6 +492,53 @@ object CdcQueries {
         |       count(*) AS n_events,
         |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    // Snapshot states replayed with window ranking (vs Spark's one-pass
+    // conditional max_by — same states, different plan on purpose). oldp /
+    // newp are never NULL: `x IS NOT NULL AND ...` is FALSE AND NULL =
+    // FALSE when the join side is absent.
+    "q_snapshot_diff" ->
+      """WITH filt AS (
+        |  SELECT user_id, event_id, event_type, value FROM events
+        |  WHERE event_type IN ('purchase', 'error')),
+        |snap_old AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY event_id DESC) AS rn
+        |    FROM filt WHERE event_id <= 5000) t WHERE rn = 1),
+        |snap_new AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY event_id DESC) AS rn
+        |    FROM filt) t WHERE rn = 1),
+        |j AS (
+        |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |         (o.user_id IS NOT NULL AND o.event_type = 'purchase') AS oldp,
+        |         (n.user_id IS NOT NULL AND n.event_type = 'purchase') AS newp,
+        |         o.value AS ov, n.value AS nv,
+        |         o.event_id AS os, n.event_id AS ns
+        |  FROM snap_old o FULL OUTER JOIN snap_new n ON o.user_id = n.user_id),
+        |c AS (
+        |  SELECT user_id,
+        |         CASE WHEN NOT oldp AND newp THEN 'insert'
+        |              WHEN oldp AND NOT newp THEN 'delete'
+        |              WHEN oldp AND newp AND ov <> nv THEN 'update' END AS op,
+        |         CASE WHEN oldp THEN ov END AS old_value,
+        |         CASE WHEN newp THEN nv END AS new_value,
+        |         CASE WHEN oldp THEN os END AS old_seq,
+        |         CASE WHEN newp THEN ns END AS new_seq
+        |  FROM j)
+        |SELECT * FROM c WHERE op IS NOT NULL ORDER BY user_id""".stripMargin,
+    // The IVM invariant: merge(base MV, delta) must equal the full
+    // recompute over the whole log — so the oracle IS the recompute.
+    // Sums ride decimal end-to-end on both sides; avg is derived from the
+    // merged sum/count with the same double division.
+    "q_mv_delta" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) / count(*)
+        |         AS avg_value,
+        |       max(event_id) AS last_seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

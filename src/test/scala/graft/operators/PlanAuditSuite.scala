@@ -632,6 +632,34 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("events.parquet"), p.linesIterator.take(10).mkString("\n"))
   }
 
+  test("q_snapshot_diff: both snapshots from ONE scan and ONE hash " +
+      "exchange — no self-join of the log") {
+    val p = plan("q_snapshot_diff")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(reads.size == 1, reads.mkString("\n"))
+    // payload columns stay columnar — only the diff's inputs leave the scan
+    assert(!reads.head.contains("props") && !reads.head.contains("ts"),
+      reads.head)
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // the presence filter reaches the reader
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("event_type"), pushed)
+  }
+
+  test("q_mv_delta: base MV + raw delta merge in ONE exchange, delta " +
+      "scan pruned by the pushed seq predicate") {
+    val p = plan("q_mv_delta")
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    // union of pre-aggregated MV rows and delta unit rows feeds ONE final
+    // hash aggregate: a single semantic exchange, with map-side partials
+    // folding the delta before the shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // the delta side never rescans history — the seq filter reaches parquet
+    val pushed = "PushedFilters: [^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(pushed.contains("GreaterThan(event_id"), pushed)
+  }
+
   test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
