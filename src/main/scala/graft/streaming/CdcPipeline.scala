@@ -1060,7 +1060,8 @@ object CdcPipeline {
     "s_commit_windows" -> (sCommitWindows _),
     "s_stream_join" -> (sStreamJoin _),
     "s_changelog_dedup" -> (sChangelogDedup _),
-    "s_session_window" -> (sSessionWindow _)
+    "s_session_window" -> (sSessionWindow _),
+    "s_mv_delta" -> (MvStream.sMvDelta _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1126,6 +1127,15 @@ object CdcPipeline {
         |SELECT k, min(seq) AS sess_start_us, count(*) AS n_rows,
         |       min(seq) AS first_seq, max(seq) AS last_seq
         |FROM sess GROUP BY k, sid
-        |ORDER BY k, sess_start_us""".stripMargin
+        |ORDER BY k, sess_start_us""".stripMargin,
+    // The streaming IVM invariant: the stream-maintained MV must equal
+    // the full recompute over the log. Every event contributes exactly
+    // one INSERT/UPDAFT image (purchases' UPDBEF is filtered out), so
+    // the recompute is a plain per-key aggregate of `events`.
+    "s_mv_delta" ->
+      """SELECT user_id AS k, count(*) AS n_rows,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value,
+        |       max(event_id * 4 + 2) AS last_seq
+        |FROM events GROUP BY user_id ORDER BY k""".stripMargin
   )
 }
