@@ -834,6 +834,17 @@ object Graft {
         s"cast(${graft.functions.BpeCount.idCase("col", "ascii")} AS bigint) AS token_id")
   }
 
+  /** LEARN a BPE merge table from the corpus (the training half of the
+    * tokenizer story — [[bpeEncode]] applies such a table). One corpus
+    * pass builds the word histogram; each round then counts adjacent
+    * symbol pairs over the vocab-sized histogram only, picks the
+    * highest-frequency pair ((count DESC, a, b) total tie order), and
+    * applies the merge before the next round. Returns (merge_rank,
+    * pair_a, pair_b, merged, cnt) in rank order. */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      rounds: Int = graft.operators.CorpusOps.BpeTrainRounds): DataFrame =
+    graft.operators.CorpusOps.bpeTrain(docs, textCol, rounds)
+
   /** Reciprocal-rank fusion of `rankings` — any number of ranked lists
     * (each carrying `idCol` and a 1-based `rankCol`), fused by the
     * classic Σ 1/(rrfK + rank) without any score calibration between

@@ -643,6 +643,89 @@ object CorpusOps {
       "text", windowTokens = 2048, blockDocs = 100)
       .orderBy(col("block"), col("bin"), col("bin_offset"), col("doc_id"))
 
+  /** Rounds of BPE merge learning for [[bpeTrain]]/`q_bpe_train` — shared
+    * with the oracle builder so the two engines always unroll the same
+    * count. */
+  private[graft] val BpeTrainRounds = 8
+
+  /** LEARN a BPE merge table from a corpus — the training half of the
+    * tokenizer story ([[graft.functions.BpeCount]] encodes with a merge
+    * table; this is where such a table comes from). Classic BPE: per
+    * round, the highest-frequency adjacent symbol pair (ties broken
+    * (count DESC, a, b) — a total order, engine-portable) becomes the
+    * next merge, applied everywhere before the next round.
+    *
+    * Scale: the trainer's one corpus pass builds the WORD HISTOGRAM
+    * (split + count, one shuffle); every round after that operates on
+    * the vocab-sized histogram only — pair counting is an explode + hash
+    * agg over (word-type, cnt) rows, never a rescan of 100 TB of text
+    * (the same architecture production tokenizer trainers use). The
+    * per-round argmax is a 1-row bounded collect (the merge RULE is
+    * driver metadata by nature), and the merge application is a map-side
+    * array fold on the histogram, materialized per round
+    * ([[Materialize]], the CC-loop discipline) so plans don't nest.
+    * The fold (`aggregate`: append, or coalesce the tail pair into the
+    * merged symbol) is exactly the kernel's left-to-right
+    * non-overlapping single pass: a fresh merge output can never equal
+    * its own left part, so neither form can re-match inside the pair it
+    * just produced. BMP-only parity contract as [[graft.functions
+    * .BpeCount.duckMerged]] (symbols here are Spark characters, oracle
+    * units are DuckDB characters). */
+  private[graft] def bpeTrain(docs: DataFrame, textCol: String,
+      rounds: Int = BpeTrainRounds): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val emptySyms = array().cast("array<string>")
+    var hist = Materialize(docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // characters via substring, not split(w, "") — Spark's regex split
+      // keeps a trailing zero-width field, which would mint a phantom
+      // empty symbol per word
+      .select(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"),
+        col("cnt")))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      val n = size(col("syms"))
+      val top = hist
+        .filter(size(col("syms")) > 1)
+        .select(explode(zip_with(
+            slice(col("syms"), lit(1), n - 1),
+            slice(col("syms"), lit(2), n - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r, a, b, a + b, c))
+        hist = Materialize(hist.select(
+          aggregate(col("syms"), emptySyms, (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt")))
+        r += 1
+      }
+    }
+    learned.toSeq
+      .toDF("merge_rank", "pair_a", "pair_b", "merged", "cnt")
+      .orderBy(col("merge_rank"))
+  }
+
+  private def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(Tables.documents(s, d), "text")
+
   /** Token SEQUENCES from the greedy-merge BPE kernel (r9): the encode
     * form of `q_token_count`'s budget unit — (doc, position, token,
     * token_id), the rows a packing pipeline actually feeds a trainer.
@@ -665,6 +748,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_chunks" -> qDocChunks _,
     "q_bpe_encode" -> qBpeEncode _,
+    "q_bpe_train" -> qBpeTrain _,
     "q_chunk_dedup" -> qChunkDedup _,
     "q_seq_pack" -> qSeqPack _,
     "q_seq_emit" -> qSeqEmit _,
@@ -687,6 +771,48 @@ object CorpusOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // BPE training, unrolled: the same rounds constant as the Spark
+    // trainer, each round = adjacent-pair count over the bracket-encoded
+    // word histogram, argmax with the (count DESC, a, b) tie order, then
+    // a plain-string replace applying the merge (replace IS the
+    // left-to-right non-overlapping pass — the BpeCount.duckMerged
+    // discipline, here with the pattern coming from the round's own
+    // 1-row CTE instead of a fixed table).
+    "q_bpe_train" -> {
+      val bracketize = "list_aggregate(list_transform(" +
+        "range(1, length(w) + 1), " +
+        "i -> '[' || w[CAST(i AS int):CAST(i AS int)] || ']'), " +
+        "'string_agg', '')"
+      val sb = new StringBuilder
+      sb ++= s"""WITH words AS (
+                |  SELECT w, CAST(count(*) AS bigint) AS cnt FROM (
+                |    SELECT unnest(string_split(text, ' ')) AS w
+                |    FROM documents) t
+                |  WHERE length(w) > 0 GROUP BY w),
+                |enc0 AS (SELECT $bracketize AS e, cnt FROM words)""".stripMargin
+      for (r <- 0 until BpeTrainRounds) {
+        sb ++= s""",
+                  |p$r AS (
+                  |  SELECT p[1] AS a, p[2] AS b, cnt FROM (
+                  |    SELECT unnest(list_zip(u[1:n-1], u[2:n])) AS p, cnt
+                  |    FROM (SELECT regexp_extract_all(e, '\\[([^\\]]*)\\]', 1) AS u,
+                  |                 len(regexp_extract_all(e, '\\[([^\\]]*)\\]', 1)) AS n,
+                  |                 cnt
+                  |          FROM enc$r) x) z),
+                  |best$r AS (
+                  |  SELECT a, b, CAST(sum(cnt) AS bigint) AS c FROM p$r
+                  |  GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+                  |enc${r + 1} AS (
+                  |  SELECT replace(e, '[' || a || '][' || b || ']',
+                  |                 '[' || a || b || ']') AS e, cnt
+                  |  FROM enc$r CROSS JOIN best$r)""".stripMargin
+      }
+      val arms = (0 until BpeTrainRounds).map { r =>
+        s"SELECT $r AS merge_rank, a AS pair_a, b AS pair_b, " +
+          s"a || b AS merged, c AS cnt FROM best$r"
+      }.mkString("\nUNION ALL\n")
+      sb.toString + "\n" + arms + "\nORDER BY merge_rank"
+    },
     // BPE encode: the count oracle's bracket-fold, kept as a SEQUENCE —
     // strip the outer brackets, split on '][', drop space units, number
     // the tokens; ids from the same generated vocabulary CASE.
