@@ -31,6 +31,7 @@ object SparkEntry {
       operators.LlmQueries.queries,
       operators.CodecQueries.queries,
       operators.TemporalJoins.queries,
+      operators.FuzzyJoin.queries,
       operators.CorpusOps.queries,
       operators.DedupClusters.queries,
       operators.GraphOps.queries,
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.LlmQueries.oracle ++
       operators.CodecQueries.oracle ++
       operators.TemporalJoins.oracle ++
+      operators.FuzzyJoin.oracle ++
       operators.CorpusOps.oracle ++
       operators.DedupClusters.oracle ++
       operators.GraphOps.oracle ++

@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.cdc.{CdcConfig, CdcSession}
-import graft.operators.{AsOfJoin, CdcQueries, CorpusOps, DedupClusters, LlmQueries, ScaleOps}
+import graft.operators.{AsOfJoin, CdcQueries, CorpusOps, DedupClusters, FuzzyJoin, LlmQueries, ScaleOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -315,6 +315,28 @@ object Graft {
     * threshold set. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     CorpusOps.repetitionStats(docs, idCol, textCol)
+
+  /** Cross-document duplicated-span detection (fixed-width-window
+    * exact-substring dedup): every `w`-token window is hashed map-side;
+    * windows appearing in more than one document mark copied passages.
+    * Per affected doc: (idCol, n_windows, n_dup, max_run, dup_ratio) —
+    * `max_run + w - 1` tokens is the longest copied span a cutter would
+    * excise. Intra-document repeats are NOT flagged (see
+    * [[repetitionStats]]); text never rides a shuffle. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = CorpusOps.SpanW): DataFrame =
+    CorpusOps.duplicatedSpans(docs, idCol, textCol, w)
+
+  /** Fuzzy (edit-distance ≤ 1) similarity join — entity resolution of
+    * dirty string `mentions` against a clean `catalog` via segment
+    * (pigeonhole) blocking: candidates come from an equi-join on
+    * (length, segment-no, segment), never all-pairs, and the exact
+    * `levenshtein` verify runs map-side on candidates only. Lossless
+    * (spec-pinned against the brute-force cross join). Returns
+    * (menId, catId, dist). */
+  def fuzzyJoin(catalog: DataFrame, catId: String, catName: String,
+                mentions: DataFrame, menId: String, menName: String): DataFrame =
+    FuzzyJoin.editJoin1(catalog, catId, catName, mentions, menId, menName)
 
   /** Grouped deterministic bottom-k sampling through the custom
     * [[graft.functions.SampleK]] Catalyst aggregate: per `strata` group,

@@ -309,6 +309,77 @@ object CorpusOps {
         "round(_r.max_2gram_count / _r.n_2grams, 6) AS max_2gram_frac")
   }
 
+  /** Window width for cross-document duplicated-span detection: long
+    * enough that a shared window is a COPY, not vocabulary coincidence
+    * (at w=3 every doc in the synthetic corpus collides; at w=8 only the
+    * planted near-dup spans survive — measured, not guessed). */
+  private[graft] val SpanW = 8
+
+  /** Exact-substring span dedup core, the ONE implementation behind the
+    * driver query and [[graft.api.Graft.duplicatedSpans]]: the
+    * fixed-width-window approximation of suffix-array substring dedup —
+    * the method large-scale corpus builds use to cut verbatim copied
+    * passages that whole-document MinHash can't see (a boilerplate
+    * paragraph inside an otherwise unique page). Every `w`-token window
+    * of every document is hashed in place; a window hash appearing in
+    * MORE THAN ONE document marks a cross-document duplicated span.
+    * Output per affected doc: window count, duplicated-window count, the
+    * longest CONSECUTIVE duplicated run (its token length is
+    * `max_run + w - 1` — the span a cutter would excise), and the
+    * duplicated ratio.
+    *
+    * Scale shape: windows hash MAP-SIDE (h60_array over the positional
+    * window strings — text never rides a shuffle; the explode carries
+    * (id, pos, 8-byte hash) only). The window-frequency aggregation is a
+    * partial+final hash agg on the hash key; the surviving duplicated
+    * hash set is tiny (copies, not the corpus), so AQE broadcasts the
+    * left-semi join back onto the position rows. Run-length analysis is
+    * one exchange on the doc id over ONLY the duplicated positions
+    * (gaps-and-islands), never the full position stream. Intra-document
+    * repeats are deliberately NOT flagged (that is
+    * [[repetitionStats]]'s job): the frequency count is `countDistinct`
+    * over docs, so a chorus repeated 50× inside one song flags nothing. */
+  private[graft] def duplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    // Hashed ONCE, then referenced by both the frequency agg and the
+    // position semi-join: without the materialization the two plan
+    // branches would each re-split + re-hash every document (two full
+    // corpus text passes at 100 TB). One row per doc (id + long array),
+    // far smaller than the corpus text it replaces.
+    val hashed = Materialize(docs
+      .selectExpr(idCol,
+        s"""h60_array(transform(
+           |  sequence(1, greatest(size(split($textCol, ' ')) - ${w - 1}, 1)),
+           |  i -> array_join(slice(split($textCol, ' '), i, $w), ' '))) AS hs"""
+          .stripMargin))
+    val pos = hashed
+      .select(col(idCol), size(col("hs")).cast("bigint").as("n_windows"),
+        posexplode(col("hs")))
+      .select(col(idCol), col("n_windows"), (col("pos") + 1L).as("pos"),
+        col("col").as("g"))
+    val dupG = pos.groupBy(col("g"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("g"))
+    val dup = pos.join(dupG, Seq("g"), "left_semi")
+    val wnd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup.withColumn("island", col("pos") - row_number().over(wnd))
+      .groupBy(col(idCol), col("island"))
+      .agg(max(col("n_windows")).as("n_windows"), count(lit(1)).as("run"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_windows")).as("n_windows"),
+        sum(col("run")).as("n_dup"), max(col("run")).as("max_run"))
+      .select(col(idCol), col("n_windows"), col("n_dup"), col("max_run"),
+        round(col("n_dup") / col("n_windows"), 6).as("dup_ratio"))
+  }
+
+  /** Driver binding of [[duplicatedSpans]] at [[SpanW]]. */
+  private def qSubstringDedup(s: SparkSession, d: String): DataFrame =
+    duplicatedSpans(Tables.spread(s, Tables.documents(s, d)),
+        "doc_id", "text", SpanW)
+      .orderBy(col("doc_id"))
+
   /** Driver binding of [[repetitionStats]] plus the keep decision at the
     * documented thresholds. */
   private def qRepetitionFilter(s: SparkSession, d: String): DataFrame =
@@ -761,6 +832,7 @@ object CorpusOps {
     "q_group_topk" -> qGroupTopk _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontaminate_ngram" -> qDecontaminateNgram _,
+    "q_substring_dedup" -> qSubstringDedup _,
     "q_repetition_filter" -> qRepetitionFilter _,
     "q_domain_mix" -> qDomainMix _,
     "q_common_ngrams" -> qCommonNgrams _,
@@ -991,6 +1063,26 @@ object CorpusOps {
          |FROM ov
          |WHERE round(n_common / n_grams, 6) >= $OverlapThreshold
          |ORDER BY doc_id, eval_id""".stripMargin,
+    "q_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - ${SpanW - 1}, 1) + 1), i -> array_to_string(toks[i:i+${SpanW - 1}], ' ')) AS ws FROM t),
+         |p AS (SELECT doc_id, len(ws) AS n_windows,
+         |             unnest(range(1, len(ws) + 1)) AS pos,
+         |             unnest(list_transform(ws, s -> ${LlmQueries.h60Duck("s")})) AS g
+         |      FROM sh),
+         |dg AS (SELECT g FROM p GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+         |d AS (SELECT doc_id, n_windows, pos FROM p WHERE g IN (SELECT g FROM dg)),
+         |i AS (SELECT doc_id, n_windows, pos,
+         |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |      FROM d),
+         |r AS (SELECT doc_id, max(n_windows) AS n_windows, count(*) AS run
+         |      FROM i GROUP BY doc_id, island),
+         |a AS (SELECT doc_id, max(n_windows) AS n_windows,
+         |             cast(sum(run) AS bigint) AS n_dup, max(run) AS max_run
+         |      FROM r GROUP BY doc_id)
+         |SELECT doc_id, n_windows, n_dup, max_run,
+         |       round(n_dup / n_windows, 6) AS dup_ratio
+         |FROM a ORDER BY doc_id""".stripMargin,
     "q_repetition_filter" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |m AS (SELECT doc_id, toks,

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) similarity join — the entity-resolution /
+  * record-linkage operator: match dirty string mentions against a clean
+  * catalog under edit distance ≤ 1 without comparing every pair.
+  *
+  * The naive plan is mentions × catalog with `levenshtein` on every pair —
+  * quadratic, a non-starter at 100 TB. This is the segment (pigeonhole)
+  * blocking of the PassJoin family: split every catalog name into 2
+  * disjoint segments; ONE edit cannot touch both, so any mention within
+  * distance 1 must contain one segment EXACTLY — seg1 as its prefix (edit
+  * fell in seg2) or seg2 as its suffix (edit fell in seg1). Candidates are
+  * therefore a plain EQUI-JOIN on (catalog length, segment no, segment
+  * text); the mention side probes each compatible catalog length
+  * (|Δlen| ≤ 1 → ≤ 3 lengths × 2 segments = ≤ 6 keys per mention), and the
+  * exact `levenshtein` verify runs map-side on the surviving candidates
+  * only. Zero false negatives by the pigeonhole argument (spec-checked
+  * against the brute-force cross join), never all-pairs: the join is
+  * AQE-sizeable, fan-out per key is the number of catalog entries sharing
+  * a half-name at one exact length.
+  */
+object FuzzyJoin {
+
+  /** Segment-blocked edit-distance-≤-1 join, the ONE implementation behind
+    * the driver query and [[graft.api.Graft.fuzzyJoin]].
+    *
+    * @param catalog  clean side: one row per entity, `catId` + `catName`
+    * @param mentions dirty side: `menId` + `menName`
+    * @return (menId, catId, dist) for every pair with
+    *         levenshtein(menName, catName) ≤ 1, dist ∈ {0, 1}
+    */
+  def editJoin1(catalog: DataFrame, catId: String, catName: String,
+      mentions: DataFrame, menId: String, menName: String): DataFrame = {
+    // Catalog side: 2 segment rows per entity. seg1 = first l div 2 chars,
+    // seg2 = the rest; keys carry the FULL name for the verify step.
+    val eseg = catalog
+      .select(col(catId).as("_cid"), col(catName).as("_cname"),
+        length(col(catName)).as("l"))
+      .select(col("_cid"), col("_cname"), col("l"),
+        explode(array(
+          struct(lit(1).as("segno"),
+            expr(s"substring(_cname, 1, l div 2)").as("seg")),
+          struct(lit(2).as("segno"),
+            expr(s"substring(_cname, l div 2 + 1)").as("seg")))).as("_s"))
+      .select(col("_cid"), col("_cname"), col("l"),
+        col("_s.segno").as("segno"), col("_s.seg").as("seg"))
+    // Mention side: for each compatible catalog length l (own length ± 1),
+    // the prefix of l div 2 chars (segno 1) and the suffix of l - l div 2
+    // chars (segno 2). greatest(…, 1) only guards degenerate tiny strings
+    // — Spark and DuckDB disagree on non-positive substring starts, so
+    // the clamp keeps the formula engine-portable.
+    val mkey = mentions
+      .select(col(menId).as("_mid"), col(menName).as("_mname"))
+      .select(col("_mid"), col("_mname"),
+        explode(expr("transform(sequence(-1, 1), dl -> length(_mname) + dl)"))
+          .as("l"))
+      .filter(col("l") >= 2)
+      .select(col("_mid"), col("_mname"), col("l"),
+        explode(array(lit(1), lit(2))).as("segno"))
+      .withColumn("seg",
+        when(col("segno") === 1, expr("substring(_mname, 1, l div 2)"))
+          .otherwise(expr(
+            "substring(_mname, greatest(length(_mname) - (l - l div 2) + 1, 1))")))
+    // Verify BEFORE deduplicating: a candidate pair appears at most twice
+    // (once per surviving segment), so pre-verify dedup would shuffle
+    // ~every candidate with both full name strings to save almost
+    // nothing; verifying first shrinks the stream to true matches and the
+    // dedup shuffles 3 integers per row. The THRESHOLD levenshtein form
+    // runs the banded O(len·τ) DP and early-exits at τ+1 (returns -1) —
+    // the full O(len²) DP on every candidate was the hot stage.
+    mkey.join(eseg, Seq("l", "segno", "seg"))
+      .select(col("_mid").as(menId), col("_cid").as(catId),
+        levenshtein(col("_mname"), col("_cname"), 1).cast("bigint").as("dist"))
+      .filter(col("dist") >= 0)
+      .distinct()
+  }
+
+  /** Driver binding: catalog = the distinct composite part identity
+    * (brand + name + type, canonical id = min partkey); mentions = every
+    * part row with a DETERMINISTIC single-char deletion for odd partkeys
+    * (position keyed by the partkey — the in-plan dirty-data manufacture
+    * pattern of q_heavy_hitters). Even-key mentions match their entity at
+    * dist 0, odd at dist 1, plus whatever genuine ambiguity the deletion
+    * creates — all of it exact, spec-pinned lossless vs brute force. */
+  private def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat_ws(" ", col("p_brand"), col("p_name"), col("p_type")).as("n"))
+    val catalog = part.groupBy(col("n").as("ename"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+    val mentions = part.select(col("p_partkey").as("mention_id"),
+      when(col("p_partkey") % 2 === 1,
+        expr("concat(substring(n, 1, p_partkey % length(n)), " +
+          "substring(n, p_partkey % length(n) + 2))"))
+        .otherwise(col("n")).as("mname"))
+    // No materialization needed before the ORDER BY: the dedup exchange
+    // directly below it is an AQE stage boundary, so range partitioning
+    // samples the already-materialized shuffle output instead of
+    // re-executing the candidate+verify chain.
+    editJoin1(catalog, "entity_id", "ename", mentions, "mention_id", "mname")
+      .orderBy(col("mention_id"), col("entity_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> qFuzzyJoin _)
+
+  val oracle: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH ent AS (
+        |  SELECT p_brand || ' ' || p_name || ' ' || p_type AS ename,
+        |         min(p_partkey) AS entity_id
+        |  FROM part GROUP BY 1),
+        |men AS (
+        |  SELECT p_partkey AS mention_id,
+        |         CASE WHEN p_partkey % 2 = 1 THEN
+        |           substring(n, 1, p_partkey % len(n)) || substring(n, p_partkey % len(n) + 2)
+        |         ELSE n END AS mname
+        |  FROM (SELECT p_partkey, p_brand || ' ' || p_name || ' ' || p_type AS n FROM part)),
+        |eseg AS (
+        |  SELECT entity_id, ename, len(ename) AS l, 1 AS segno,
+        |         substring(ename, 1, len(ename) // 2) AS seg FROM ent
+        |  UNION ALL
+        |  SELECT entity_id, ename, len(ename) AS l, 2 AS segno,
+        |         substring(ename, len(ename) // 2 + 1) AS seg FROM ent),
+        |mkey AS (
+        |  SELECT mention_id, mname, len(mname) + dl AS l, segno,
+        |         CASE WHEN segno = 1 THEN substring(mname, 1, (len(mname) + dl) // 2)
+        |              ELSE substring(mname, greatest(len(mname) - ((len(mname) + dl) - (len(mname) + dl) // 2) + 1, 1)) END AS seg
+        |  FROM men, (SELECT unnest([-1, 0, 1]) AS dl), (SELECT unnest([1, 2]) AS segno)
+        |  WHERE len(mname) + dl >= 2),
+        |cand AS (
+        |  SELECT DISTINCT mention_id, mname, entity_id, ename
+        |  FROM mkey JOIN eseg USING (l, segno, seg))
+        |SELECT mention_id, entity_id,
+        |       cast(levenshtein(mname, ename) AS bigint) AS dist
+        |FROM cand WHERE levenshtein(mname, ename) <= 1
+        |ORDER BY mention_id, entity_id""".stripMargin)
+}

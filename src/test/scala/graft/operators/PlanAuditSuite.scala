@@ -116,6 +116,28 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("array_distinct"), p)
   }
 
+  test("q_substring_dedup hashes windows once (materialized), joins dup " +
+      "hashes back as a semi-join, and never shuffles text") {
+    val p = plan("q_substring_dedup")
+    // Both branches (window-frequency agg + position semi-join) read the
+    // materialized hash arrays: the final plan re-runs neither the text
+    // scan nor the hash kernel.
+    assert(!p.contains("documents.parquet"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("h60_array"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+  }
+
+  test("q_fuzzy_join candidates come from an equi-join on segment keys, " +
+      "never an all-pairs levenshtein") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the verify predicate exists, but only above a join, not as a join
+    // condition of a theta join
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("q_ann_batch probes buckets via broadcast equi-join, top-k via window") {
     val p = plan("q_ann_batch")
     // the probe must be a hash join on the bucket id (the batch rides a
