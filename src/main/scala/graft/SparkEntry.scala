@@ -32,6 +32,8 @@ object SparkEntry {
       operators.CodecQueries.queries,
       operators.TemporalJoins.queries,
       operators.FuzzyJoin.queries,
+      operators.SeriesOps.queries,
+      operators.TextSignals.queries,
       operators.CorpusOps.queries,
       operators.DedupClusters.queries,
       operators.GraphOps.queries,
@@ -52,6 +54,8 @@ object SparkEntry {
       operators.CodecQueries.oracle ++
       operators.TemporalJoins.oracle ++
       operators.FuzzyJoin.oracle ++
+      operators.SeriesOps.oracle ++
+      operators.TextSignals.oracle ++
       operators.CorpusOps.oracle ++
       operators.DedupClusters.oracle ++
       operators.GraphOps.oracle ++

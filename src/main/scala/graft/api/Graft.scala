@@ -1122,6 +1122,51 @@ object Graft {
   def compactIndex(spark: SparkSession, root: String): Int =
     graft.streaming.IndexCompaction.compact(spark, root)
 
+  /** Gap-filled daily resample with last-observation-carried-forward:
+    * every (entity, day) cell of the entity's active span gets a row,
+    * quiet days carry the last observed daily total (integer micros)
+    * forward. ONE (entity, day) aggregation touches the raw log; the
+    * grid and LOCF window run on the daily grain. Requires columns
+    * `user_id`, `ts`, `value` (see
+    * [[graft.operators.SeriesOps.gapFillDaily]]). */
+  def gapFillDaily(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.gapFillDaily(events)
+
+  /** Pareto-frontier skyline (minimize `priceCol`, maximize `sizeCol`):
+    * bucket-prefilter dominance proof broadcast onto the scan, exact
+    * two-window phase on the O(frontier) survivors — never all-pairs. */
+  def skyline(points: DataFrame, idCol: String, priceCol: String,
+              sizeCol: String): DataFrame =
+    graft.operators.SeriesOps.skyline(points, idCol, priceCol, sizeCol)
+
+  /** Z-order (Morton) layout audit: 8-bit bucket both dimensions with
+    * integer arithmetic, interleave to a 16-bit code, and report each
+    * code-prefix shard's count and min/max bounds on BOTH raw axes —
+    * the two-dimensional data-skipping story as a query. */
+  def zorderShards(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.zorderShards(events)
+
+  /** Top-k bigram collocations by pointwise mutual information with a
+    * min-support floor; micro-nat integer scores, count tables joined on
+    * co-partitioned gram keys (never broadcast). */
+  def pmiTop(docs: DataFrame, textCol: String, minCount: Int = 5,
+             k: Int = 20): DataFrame =
+    graft.operators.TextSignals.pmiTop(docs, textCol, minCount, k)
+
+  /** Vocabulary coverage at each K in `ks`: the fraction of token
+    * occurrences the top-K types capture — one count aggregation + a
+    * TakeOrdered top-max(K); no global sort. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame =
+    graft.operators.TextSignals.vocabCoverage(docs, textCol, ks)
+
+  /** Per-document token Shannon entropy in micro-nats per token — the
+    * information-theoretic degenerate-text gate; pure map-side list
+    * algebra, no shuffle. */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    graft.operators.TextSignals.tokenEntropy(docs, idCol, textCol)
+
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

@@ -682,6 +682,64 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(pushed.contains("GreaterThan(event_id"), pushed)
   }
 
+  test("q_gap_fill: events collapse to the daily grain in one agg; the " +
+      "grid join and LOCF window run on the daily table, never the log") {
+    val p = plan("q_gap_fill")
+    // exchanges: daily (user,day) agg, span (user) agg, the grid⋈daily
+    // join + LOCF window reuse the user hash — nothing re-shuffles the
+    // raw event log, and no global sort appears before the output one
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("props") && !read.contains("event_type"), read)
+  }
+
+  test("q_skyline: both phase tables ride broadcasts onto the " +
+      "MATERIALIZED candidate set — no all-pairs join, base table " +
+      "scanned at most twice") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the exact phase joins the frontier back by broadcast; the
+    // prefilter's own broadcast join ran inside the materialization
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    // the candidate set is a lineage cut: both exact-phase branches read
+    // the materialized RDD — the base table is NOT re-scanned per branch
+    assert(p.contains("Scan ExistingRDD") || p.contains("CheckpointRDD"), p)
+    assert(!p.contains("FileScan parquet"), p)
+  }
+
+  test("q_zorder: morton code is map-side on a broadcast 1-row bounds " +
+      "frame; ONE 32-group hash agg after it") {
+    val p = plan("q_zorder")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // 1-row bounds crossJoin
+    // one semantic exchange: the shard aggregation (plus the output sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p)
+      .count(!_.contains("REPARTITION")) == 1, p)
+  }
+
+  test("q_pmi: count tables join on equi gram keys (the planner may " +
+      "broadcast at toy SF — at scale they shuffle co-partitioned), " +
+      "top-20 via TakeOrderedAndProject") {
+    val p = plan("q_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only non-equi join is the 1-row total broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q_vocab_coverage: top-maxK is TakeOrdered-bounded — no global " +
+      "sort or unbounded window over the vocabulary") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_entropy is pure map-side list algebra — no semantic shuffle, " +
+      "no explode") {
+    val p = plan("q_entropy")
+    assertNoSemanticHashExchange(p)
+    assert(!p.contains("Generate"), p) // no explode: per-row fold only
+  }
+
   test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
