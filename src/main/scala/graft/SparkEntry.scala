@@ -34,6 +34,7 @@ object SparkEntry {
       operators.FuzzyJoin.queries,
       operators.SeriesOps.queries,
       operators.TextSignals.queries,
+      operators.BloomJoin.queries,
       operators.CorpusOps.queries,
       operators.DedupClusters.queries,
       operators.GraphOps.queries,
@@ -56,6 +57,7 @@ object SparkEntry {
       operators.FuzzyJoin.oracle ++
       operators.SeriesOps.oracle ++
       operators.TextSignals.oracle ++
+      operators.BloomJoin.oracle ++
       operators.CorpusOps.oracle ++
       operators.DedupClusters.oracle ++
       operators.GraphOps.oracle ++

@@ -1167,6 +1167,24 @@ object Graft {
                    textCol: String): DataFrame =
     graft.operators.TextSignals.tokenEntropy(docs, idCol, textCol)
 
+  /** Bloom-prune `probe` to rows whose `probeKey` might appear in
+    * `build`'s `buildKey` — a broadcast 8 KiB bitmap tested map-side
+    * BEFORE any join shuffle. No false negatives (result-transparent
+    * ahead of an exact join); false positives are the bloom rate. */
+  def bloomPrune(probe: DataFrame, probeKey: String,
+                 build: DataFrame, buildKey: String): DataFrame =
+    graft.operators.BloomJoin.bloomPrune(probe, probeKey, build, buildKey)
+
+  /** Near-dup clusters with a QUALITY-chosen canonical representative:
+    * `rep_id` = the member with max `qualityCol` (ties to smallest id)
+    * — "keep the best copy", not "keep the first crawled". One extra
+    * component-keyed argmax aggregation over [[dupClusters]]. */
+  def clusterRepresentatives(docs: DataFrame, idCol: String,
+      textCol: String, qualityCol: String,
+      threshold: Double = 0.7): DataFrame =
+    graft.operators.DedupClusters.clusterRepresentatives(
+      docs, idCol, textCol, qualityCol, threshold)
+
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

@@ -217,9 +217,43 @@ object DedupClusters {
       "vec_a", "vec_b")
   }
 
+  /** Quality-based canonical representative per near-dup cluster — the
+    * "keep the BEST copy" policy production dedup actually wants (the
+    * plain `keep = min id` of [[clustersFromPairs]] keeps whichever copy
+    * happened to be crawled first; this keeps the longest). `rep_id` =
+    * the cluster member with max `qualityCol`, ties to the smallest id —
+    * a total order, so the choice is deterministic and engine-portable.
+    *
+    * 100 TB shape: the CC labels are already computed; the rep choice
+    * adds ONE component-keyed aggregation (argmax as a lexicographic
+    * struct max — partial+final, no window over members) and one
+    * broadcast-back join of the comps-sized rep table. The quality join
+    * shuffles (id, quality) pairs only — document text never moves. */
+  private[graft] def clusterRepresentatives(docs: DataFrame, idCol: String,
+      textCol: String, qualityCol: String, threshold: Double): DataFrame = {
+    val labeled = clusters(docs, idCol, textCol, threshold)
+      .select(col(idCol), col("component"), col("cluster_size"))
+      .join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
+    // argmax(quality, then min id) = struct max over (quality, -id)
+    val reps = labeled
+      .groupBy(col("component"))
+      .agg(max(struct(col(qualityCol).as("_q"), (-col(idCol)).as("_nid")))
+        .as("_best"))
+      .select(col("component"), (-col("_best._nid")).as("rep_id"))
+    labeled.join(reps, Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_size"),
+        col(qualityCol), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("keep"))
+  }
+
   private def qDupClusters(s: SparkSession, d: String): DataFrame =
     clusters(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
         LlmQueries.JaccardThreshold)
+      .orderBy(col("doc_id"))
+
+  private def qClusterRep(s: SparkSession, d: String): DataFrame =
+    clusterRepresentatives(Tables.spread(s, Tables.documents(s, d)),
+        "doc_id", "text", "n_chars", LlmQueries.JaccardThreshold)
       .orderBy(col("doc_id"))
 
   private def qEmbClusters(s: SparkSession, d: String): DataFrame =
@@ -229,7 +263,8 @@ object DedupClusters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> qDupClusters _,
-    "q_emb_clusters" -> qEmbClusters _
+    "q_emb_clusters" -> qEmbClusters _,
+    "q_cluster_rep" -> qClusterRep _
   )
 
   val oracle: Map[String, String] = Map(
@@ -252,6 +287,34 @@ object DedupClusters {
          |       count(*) OVER (PARTITION BY component) AS cluster_size,
          |       doc_id = component AS keep
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_cluster_rep" ->
+      s"""WITH RECURSIVE ${LlmQueries.minhashPairsCte},
+         |pairs_ok AS (
+         |  SELECT doc_a, doc_b FROM j
+         |  WHERE jaccard >= ${LlmQueries.JaccardThreshold}),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs_ok
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs_ok),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (
+         |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT c.doc_id, c.component,
+         |         count(*) OVER (PARTITION BY c.component) AS cluster_size,
+         |         d.n_chars
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |reps AS (
+         |  SELECT component, doc_id AS rep_id FROM labeled
+         |  QUALIFY row_number() OVER (PARTITION BY component
+         |                             ORDER BY n_chars DESC, doc_id) = 1)
+         |SELECT l.doc_id, l.component, l.cluster_size, l.n_chars, r.rep_id,
+         |       l.doc_id = r.rep_id AS keep
+         |FROM labeled l JOIN reps r USING (component)
+         |ORDER BY l.doc_id""".stripMargin,
     "q_emb_clusters" -> {
       val cos = "round(list_dot_product(a.v, b.v) / " +
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"

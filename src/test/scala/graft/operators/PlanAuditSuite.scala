@@ -740,6 +740,32 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("Generate"), p) // no explode: per-row fold only
   }
 
+  test("q_bloom_join: the bitmap probe filters map-side BELOW the join " +
+      "exchange; the join itself stays shuffle-merge (dim not broadcast)") {
+    val p = plan("q_bloom_join")
+    // the 1-row bitmap rides the only nested-loop broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    // the exact join is the hinted SMJ — a broadcast join would make the
+    // bloom redundant and hide what it buys at scale
+    assert(p.contains("SortMergeJoin"), p)
+    // the bloom predicate exists as a Filter on the probe stream, and it
+    // sits upstream (printed below) the join's exchange
+    val fi = p.indexOf("element_at(bm")
+    assert(fi >= 0, p)
+    val smjIdx = p.indexOf("SortMergeJoin")
+    assert(smjIdx >= 0 && smjIdx < fi,
+      "bloom filter must be below (upstream of) the join")
+  }
+
+  test("q_cluster_rep: the representative choice is a component-keyed " +
+      "argmax AGGREGATION, not a window over cluster members") {
+    val p = plan("q_cluster_rep")
+    // exactly one Window: clustersFromPairs' cluster_size count — the
+    // rep argmax must not add a per-member sort/window
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(p.contains("max(struct("), p)
+  }
+
   test("sketch-only approxDistinct is a single-pass, single-shuffle agg") {
     val ev = TestSpark.spark.read.parquet(s"$sf/events.parquet")
     val p = graft.api.Graft
