@@ -40,6 +40,8 @@ object SparkEntry {
       operators.GraphOps.queries,
       operators.ScaleOps.queries,
       streaming.CdcPipeline.queries,
+      streaming.BloomStream.queries,
+      streaming.TrendStream.queries,
       multimodal.MultimodalOps.queries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -63,5 +65,7 @@ object SparkEntry {
       operators.GraphOps.oracle ++
       operators.ScaleOps.oracle ++
       streaming.CdcPipeline.oracle ++
+      streaming.BloomStream.oracle ++
+      streaming.TrendStream.oracle ++
       multimodal.MultimodalOps.oracle
 }

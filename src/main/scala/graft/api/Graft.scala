@@ -1185,6 +1185,21 @@ object Graft {
     graft.operators.DedupClusters.clusterRepresentatives(
       docs, idCol, textCol, qualityCol, threshold)
 
+  /** Maintain a streaming Bloom membership index over the CDC stream's
+    * row-image keys: per micro-batch one 8 KiB bitmap partial + the
+    * batch's distinct keys, `batch=<id>` exactly-once. */
+  def maintainBloomIndex(spark: SparkSession, chunkDir: String,
+      checkpointDir: String, root: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.BloomStream.maintain(spark, chunkDir, checkpointDir, root)
+
+  /** Probe the streaming Bloom membership index: candidates fail the
+    * folded bitmap map-side, survivors exact-verify against the key log
+    * — returns exactly the member candidates. */
+  def probeBloomIndex(spark: SparkSession, root: String,
+      candidates: DataFrame, keyCol: String): DataFrame =
+    graft.streaming.BloomStream.probe(spark, root, candidates, keyCol)
+
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  private val M = 65536 // bits (power of two: pmod → bit mask friendly)
-  private val K = 3     // hash functions
+  private[graft] val M = 65536 // bits (power of two: pmod → mask friendly)
+  private[graft] val K = 3     // hash functions
 
   /** k deterministic bit positions for a key: xxhash64 seeded by the
     * probe index (the standard k-independent-hash construction). */
@@ -46,8 +46,9 @@ object BloomJoin {
           "filter(_ps, p -> p div 64 = w), cast(0 AS bigint), " +
           "(acc, p) -> acc | shiftleft(cast(1 AS bigint), cast(p % 64 AS int)))) AS bm")
 
-  /** The probe predicate: every one of the key's k bits is set. */
-  private def mightContain(keyCol: String): Column =
+  /** The probe predicate: every one of the key's k bits is set. Expects
+    * the bitmap in scope as a column named `bm`. */
+  private[graft] def mightContain(keyCol: String): Column =
     (0 until K).map { i =>
       val p = s"pmod(xxhash64($keyCol, $i), $M)"
       expr(s"(element_at(bm, cast($p div 64 AS int) + 1) & " +

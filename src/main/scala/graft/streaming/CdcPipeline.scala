@@ -772,7 +772,7 @@ object CdcPipeline {
     * is why this is safe here; a concurrent deployment should isolate
     * the stream on `SparkSession.newSession()` (own conf, shared
     * catalog/state) instead of scoping the shared conf. */
-  private def withStatePartitions[A](s: SparkSession)(body: => A): A = {
+  private[streaming] def withStatePartitions[A](s: SparkSession)(body: => A): A = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
