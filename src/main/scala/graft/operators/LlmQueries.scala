@@ -1423,6 +1423,64 @@ object LlmQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** N-gram CONTAINMENT near-dup (r11): pairs scored by
+    * `|A ∩ B| / min(|A|, |B|)` over the 4-gram shingle-hash sets — the
+    * ASYMMETRIC twin of [[qNgramJaccard]]. Symmetric Jaccard divides by
+    * the union, so a short document fully embedded in a long one scores
+    * LOW (a 100-gram doc inside a 1000-gram doc has J ≈ 0.1) and
+    * whole-document near-dedup never sees it; containment normalizes by
+    * the smaller set, which is exactly the "quoted post inside a thread",
+    * "article inside its syndicated wrapper" duplication shape.
+    *
+    * 100 TB shape: the candidate generator is the inverted index on the
+    * gram hash — and the load-bearing prune is `df >= 2`: a gram seen in
+    * ONE document can't witness any intersection, and on a web corpus
+    * the unique-gram tail IS most of the index, so the self-join's input
+    * drops by that whole tail before any pairing. The `df <= 100`
+    * boilerplate cap bounds per-gram fan-out (the q_ngram_jaccard
+    * MaxBlock trade — replicated by the oracle, so it is part of the
+    * declared semantics, not an approximation). The (doc, sz, h) explode
+    * materializes ONCE ([[Materialize]]) and feeds the df aggregation
+    * and both self-join sides; shuffles carry (hash, id, size) rows,
+    * never text. The intersection count arrives as a count-per-(a,b)
+    * hash aggregation — no array_intersect over wide sets rides the
+    * join. The score is integer micro-division — engine-exact. */
+  private[graft] val ContainmentCap = 100
+  private[graft] val ContainmentMicro = 600000L
+
+  /** The parameterized containment core ([[qContainment]]'s engine, and
+    * `Graft.containmentPairs`): pairs over `docs` with
+    * `|A∩B| / min(|A|,|B|) ≥ minMicro/10⁶` on `n`-gram shingle hashes,
+    * grams in more than `cap` docs dropped as boilerplate. */
+  private[graft] def containmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minMicro: Long, cap: Int): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    val ex = Materialize(docs
+      .selectExpr(s"$idCol AS doc_id", s"shingle_h60($textCol, $n) AS hs")
+      .selectExpr("doc_id", "cast(size(hs) AS bigint) AS sz",
+        "explode(hs) AS h"))
+    val shared = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= cap)
+      .select(col("h"))
+    val hot = ex.join(shared, Seq("h"))
+    val a = hot.selectExpr("h", "doc_id AS doc_a", "sz AS sz_a")
+    val b = hot.selectExpr("h", "doc_id AS doc_b", "sz AS sz_b")
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment_micro",
+        expr("n_common * 1000000 div least(sz_a, sz_b)"))
+      .filter(col("containment_micro") >= minMicro)
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        col("n_common"), col("containment_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def qContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.spread(s, Tables.documents(s, d)),
+      "doc_id", "text", 4, ContainmentMicro, ContainmentCap)
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column plumbing: documents as opaque `binary`
@@ -1481,6 +1539,7 @@ object LlmQueries {
     "q_lang_id" -> qLangId _,
     "q_doc_fingerprint" -> qDocFingerprint _,
     "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_containment" -> qContainment _,
     "q_multimodal_meta" -> qMultimodalMeta _
   )
 
@@ -1905,6 +1964,26 @@ object LlmQueries {
          |FROM pairs
          |WHERE round(len(list_intersect(hs_a, hs_b)) /
          |            len(list_distinct(list_concat(hs_a, hs_b))), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles4 AS shingles FROM t),
+         |h AS (SELECT doc_id,
+         |             list_distinct(list_transform(shingles, s -> ${h60Duck("s")})) AS hs
+         |      FROM sh),
+         |ex AS (SELECT doc_id, cast(len(hs) AS bigint) AS sz, unnest(hs) AS h FROM h),
+         |shared AS (SELECT h FROM ex GROUP BY h
+         |           HAVING count(*) >= 2 AND count(*) <= $ContainmentCap),
+         |hot AS (SELECT ex.doc_id, ex.sz, ex.h FROM ex JOIN shared USING (h)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sz AS sz_a, b.sz AS sz_b, count(*) AS n_common
+         |  FROM hot a JOIN hot b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, sz_a, sz_b, n_common,
+         |       n_common * 1000000 // least(sz_a, sz_b) AS containment_micro
+         |FROM p
+         |WHERE n_common * 1000000 // least(sz_a, sz_b) >= $ContainmentMicro
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,

@@ -475,7 +475,93 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("value"), col("event_id"))
   }
 
+  /** Last-touch attribution (r11): every purchase attributed to the most
+    * recent PRECEDING click by the same user within a 300-LSN horizon —
+    * the product-analytics staple between `q_funnel` (staged counts) and
+    * `q_asof_join` (two-table as-of): one stream, self-referential,
+    * per-event output. Purchases with no click inside the horizon emit
+    * with a null attribution (they must surface — "unattributed revenue"
+    * is the number the report exists for).
+    *
+    * 100 TB shape: ONE hash exchange on the user key; the carried click
+    * is `last(... ignore nulls)` over the running frame — no self-join of
+    * the log, no per-purchase scan-back. The window state is one value
+    * per user; payload columns beyond (id, type, value) never load. */
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("_last_click",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        when(col("event_id") - col("_last_click") <= 300, col("_last_click"))
+          .as("click_id"),
+        when(col("event_id") - col("_last_click") <= 300,
+          col("event_id") - col("_last_click")).as("gap"),
+        col("value").as("amount"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** The measures [[qCorr]] correlates, and the pair grid. */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val CorrPairs: Seq[(String, String)] =
+    for { i <- CorrCols.indices; j <- CorrCols.indices if i < j }
+      yield (CorrCols(i), CorrCols(j))
+
+  /** The Pearson-r scalar tail, shared TEXT between the Spark arm and the
+    * DuckDB oracle arm: identical IEEE ops in identical order over the
+    * same exact-integer moment sums, so the 6-dp round can't drift. */
+  private def corrFormula(n: String, sx: String, sy: String,
+      sxx: String, syy: String, sxy: String): String =
+    s"round((cast($n AS double) * cast($sxy AS double) - cast($sx AS double) * cast($sy AS double)) / " +
+      s"(sqrt(cast($n AS double) * cast($sxx AS double) - cast($sx AS double) * cast($sx AS double)) * " +
+      s"sqrt(cast($n AS double) * cast($syy AS double) - cast($sy AS double) * cast($sy AS double))), 6)"
+
+  /** Pairwise Pearson correlation matrix over the lineitem measures
+    * (r11) — the dependence panel beside [[qProfile]]'s per-column stats:
+    * which measures move together is the first question a feature audit
+    * or a downstream model owner asks of a new data drop.
+    *
+    * Determinism: every measure quantizes to exact 1e-6-unit integers at
+    * the scan (the q_zscore rule), so ALL ten moment sums (Σx, Σx², Σxy)
+    * are associative integer aggregates carried in decimal(38,0) —
+    * partitioning cannot move them, and double summation order never
+    * arises. The r formula itself is one shared expression text
+    * ([[corrFormula]]) evaluated over the exact sums in both engines.
+    *
+    * 100 TB shape: ONE scan, ONE aggregation — all 4 + 4 + 6 moments fold
+    * map-side into a single row (fixed-width state, map-side combine);
+    * the 6 output rows explode from that row. No per-pair rescan, no
+    * shuffle wider than one row. */
+  private def qCorr(s: SparkSession, d: String): DataFrame = {
+    val quant = CorrCols.map(c => s"cast(round($c * 1000000) AS bigint) AS ${c}_m")
+    val aggs = CorrCols.flatMap(c => Seq(
+      expr(s"sum(cast(${c}_m AS decimal(38,0))) AS s_$c"),
+      expr(s"sum(cast(${c}_m AS decimal(38,0)) * ${c}_m) AS ss_$c"))) ++
+      CorrPairs.map { case (a, b) =>
+        expr(s"sum(cast(${a}_m AS decimal(38,0)) * ${b}_m) AS sp_${a}_$b")
+      } :+ count(lit(1)).as("n")
+    val arms = CorrPairs.map { case (a, b) =>
+      s"struct('$a' AS x_col, '$b' AS y_col, n, " +
+        corrFormula("n", s"s_$a", s"s_$b", s"ss_$a", s"ss_$b", s"sp_${a}_$b") +
+        " AS corr)"
+    }
+    Tables.lineitem(s, d)
+      .selectExpr(quant: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"explode(array(${arms.mkString(", ")})) AS p")
+      .select(col("p.x_col").as("x_col"), col("p.y_col").as("y_col"),
+        col("p.n").as("n"), col("p.corr").as("corr"))
+      .orderBy(col("x_col"), col("y_col"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> qAttribution _,
+    "q_corr" -> qCorr _,
     "q_moving_agg" -> qMovingAgg _,
     "q_profile" -> qProfile _,
     "q_rank_funcs" -> qRankFuncs _,
@@ -500,6 +586,39 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY event_id) AS last_click
+        |  FROM events)
+        |SELECT event_id AS purchase_id, user_id,
+        |       CASE WHEN event_id - last_click <= 300 THEN last_click END AS click_id,
+        |       CASE WHEN event_id - last_click <= 300 THEN event_id - last_click END AS gap,
+        |       value AS amount
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    "q_corr" -> {
+      val quant = CorrCols
+        .map(c => s"cast(round($c * 1000000) AS bigint) AS ${c}_m")
+        .mkString(", ")
+      val sums = (CorrCols.flatMap(c => Seq(
+        s"sum(cast(${c}_m AS hugeint)) AS s_$c",
+        s"sum(cast(${c}_m AS hugeint) * ${c}_m) AS ss_$c")) ++
+        CorrPairs.map { case (a, b) =>
+          s"sum(cast(${a}_m AS hugeint) * ${b}_m) AS sp_${a}_$b"
+        } :+ "count(*) AS n").mkString(", ")
+      val arms = CorrPairs.map { case (a, b) =>
+        s"SELECT '$a' AS x_col, '$b' AS y_col, cast(n AS bigint) AS n, " +
+          corrFormula("n", s"s_$a", s"s_$b", s"ss_$a", s"ss_$b", s"sp_${a}_$b") +
+          " AS corr FROM s"
+      }.mkString(" UNION ALL ")
+      s"""WITH m AS (SELECT $quant FROM lineitem),
+         |s AS (SELECT $sums FROM m)
+         |$arms
+         |ORDER BY x_col, y_col""".stripMargin
+    },
     // Profile: one UNION ALL arm per profiled column, generated from the
     // SAME ProfileCols spec as the Spark aggregation.
     "q_profile" -> {

@@ -125,12 +125,100 @@ object TextSignals {
     tokenEntropy(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** DSIR-style importance weighting for domain-targeted data selection
+    * (r11): each document scored by how much more likely its bigrams are
+    * under a TARGET-domain LM than under the whole-corpus LM — the
+    * published importance-resampling recipe for pulling target-like data
+    * out of a general crawl (hashed-n-gram importance weights; here the
+    * demo target is the `lang = 'en'` subset). Positive = target-like,
+    * negative = corpus-typical-but-not-target; resampling keeps docs
+    * proportionally to the weight. The corpus-relative third leg of the
+    * quality family: `q_quality_score` (fixed heuristics), `q_lm_score`
+    * (corpus-typicality), this (target-domain affinity).
+    *
+    * The load-bearing trick: BOTH LMs come out of the SAME two count
+    * aggregations — the target counts are conditional sums riding next
+    * to the corpus counts, so adding the second LM costs zero extra
+    * passes and zero extra joins. Add-one smoothing over the shared
+    * corpus vocabulary keeps unseen target bigrams finite.
+    *
+    * Determinism: each bigram's two log-probs quantize to integer
+    * micro-nats BEFORE the difference and the per-doc sum (the q_lm_score
+    * rule); the per-bigram average is the one double division at the
+    * output edge, rounded to 6 dp (integer `div` would floor-vs-truncate
+    * differently across engines on negative sums).
+    *
+    * 100 TB shape: identical to q_lm_score — two hash aggregations build
+    * the count tables, the score joins back on co-partitioned gram keys
+    * (never broadcast; the bigram table grows with the corpus), only the
+    * 1-row vocab size broadcasts, and shuffles carry (doc_id, w1, w2)
+    * gram rows, never document text. Scoring against a FROZEN target LM
+    * (the production form: train once on the curated target set, score
+    * every crawl batch) is this plan minus the training aggregations. */
+  private[graft] def dsirWeights(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: String): DataFrame = {
+    val b = docs
+      .selectExpr(idCol, s"$targetPred AS _t", s"split($textCol, ' ') AS _toks")
+      .filter(expr("size(_toks) >= 2"))
+      .selectExpr(idCol, "_t",
+        "explode(transform(sequence(1, size(_toks) - 1), i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))) AS _bg")
+      .selectExpr(idCol, "_t", "_bg.w1 AS w1", "_bg.w2 AS w2")
+    val bi = b.groupBy(col("w1"), col("w2")).agg(
+      count(lit(1)).as("c12"),
+      sum(expr("CASE WHEN _t THEN 1 ELSE 0 END")).as("c12_t"))
+    val uni = b.groupBy(col("w1")).agg(
+      count(lit(1)).as("c1"),
+      sum(expr("CASE WHEN _t THEN 1 ELSE 0 END")).as("c1_t"))
+    val v = docs.selectExpr(s"explode(split($textCol, ' ')) AS _w")
+      .agg(countDistinct(col("_w")).as("v"))
+    b.join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("_term",
+        expr("cast(round(ln((c12_t + 1.0) / (c1_t + v)) * 1000000) AS bigint) - " +
+          "cast(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS bigint)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_term")).as("_s"))
+      .withColumn("avg_weight", expr("round(_s / n_bigrams / 1000000.0, 6)"))
+      .select(col(idCol), col("n_bigrams"), col("avg_weight"))
+  }
+
+  private def qDsir(s: SparkSession, d: String): DataFrame =
+    dsirWeights(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+      "lang = 'en'")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi" -> qPmi _,
     "q_vocab_coverage" -> qVocabCoverage _,
-    "q_entropy" -> qEntropy _)
+    "q_entropy" -> qEntropy _,
+    "q_dsir" -> qDsir _)
 
   val oracle: Map[String, String] = Map(
+    "q_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |                  string_split(text, ' ') AS toks
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, is_t,
+        |             unnest(list_transform(range(1, len(toks)),
+        |               i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        |      FROM t),
+        |bg AS (SELECT doc_id, is_t, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |bi AS (SELECT w1, w2, count(*) AS c12,
+        |              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c12_t
+        |       FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1,
+        |               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c1_t
+        |        FROM bg GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |sc AS (SELECT doc_id,
+        |              cast(round(ln((c12_t + 1.0) / (c1_t + v)) * 1000000) AS bigint) -
+        |              cast(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS bigint) AS term
+        |       FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1), vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(sum(term) / count(*) / 1000000.0, 6) AS avg_weight
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -90,6 +90,49 @@ class DedupSemanticsSuite extends AnyFunSuite {
     assert(r.forall { case (a, b, _) => Set(a, b).subsetOf(Set(0L, 1L, 2L)) })
   }
 
+  test("containment catches a short doc embedded in a long one that " +
+      "Jaccard misses") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // doc 1 is a verbatim 8-token passage inside the 24-token doc 0 —
+    // every 4-gram of doc 1 appears in doc 0, so containment = 1.0,
+    // while Jaccard = 5/21 ≈ 0.24 would never clear a dedup threshold.
+    // doc 2 shares nothing.
+    val long = "a b c d e f g h i j k l m n o p q r s t u v w x"
+    val short = "e f g h i j k l"
+    val docs = Seq((0L, long), (1L, short), (2L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+    val r = LlmQueries.containmentPairs(docs, "doc_id", "text",
+      n = 4, minMicro = 600000L, cap = 100).collect()
+    assert(r.length == 1, r.mkString(";"))
+    val row = r.head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 1L)
+    assert(row.getLong(2) == 21L && row.getLong(3) == 5L) // sz_a, sz_b
+    assert(row.getLong(4) == 5L)                          // n_common
+    assert(row.getLong(5) == 1000000L)                    // full containment
+    // the symmetric-Jaccard check this operator exists to beat:
+    assert(5.0 / 21.0 < 0.8)
+  }
+
+  test("containment df-cap drops boilerplate grams from the declared " +
+      "semantics") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // the shared gram "x y z w" appears in 3 docs; with cap = 2 it is
+    // boilerplate and no pair forms at the 0.6 threshold
+    val docs = Seq(
+      (0L, "x y z w a1 a2 a3"),
+      (1L, "x y z w b1 b2 b3"),
+      (2L, "x y z w c1 c2 c3")).toDF("doc_id", "text")
+    val capped = LlmQueries.containmentPairs(docs, "doc_id", "text",
+      n = 4, minMicro = 100000L, cap = 2).collect()
+    assert(capped.isEmpty, capped.mkString(";"))
+    // with the cap open the gram witnesses all three pairs
+    val open = LlmQueries.containmentPairs(docs, "doc_id", "text",
+      n = 4, minMicro = 100000L, cap = 100).collect()
+    assert(open.length == 3, open.mkString(";"))
+  }
+
   test("q_simhash gives identical fingerprints to identical documents") {
     val r = LlmQueries.queries("q_simhash")(TestSpark.spark, dir)
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap

@@ -470,6 +470,37 @@ class PlanAuditSuite extends AnyFunSuite {
       || "ObjectHashAggregate[^\\n]*collect_set".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_attribution: one user-keyed exchange, no self-join of the log") {
+    val p = plan("q_attribution")
+    // the carried click comes from a running window, never a purchase×click
+    // self-join (which would rescan the log per purchase)
+    assert(!p.contains("Join"), p)
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(reads.size == 1, reads.mkString("\n"))
+    // payload columns beyond (id, user, type, value) stay columnar
+    assert(!reads.head.contains("props") && !reads.head.contains("ts"),
+      reads.head)
+    // exactly one semantic hash exchange — the user-keyed window shuffle
+    val sem = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toSeq
+      .filterNot(_.contains("REPARTITION_BY_NUM"))
+    assert(sem.size == 1, sem.mkString("\n"))
+  }
+
+  test("q_corr: one scan, one aggregation — no per-pair rescan, no join") {
+    val p = plan("q_corr")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    // all 10 moment sums fold out of ONE lineitem scan
+    assert(reads.size == 1, reads.mkString("\n"))
+    assert(!p.contains("Join"), p)
+    // the moments aggregate map-side: a partial HashAggregate runs below
+    // the single-row exchange
+    assert("HashAggregate[^\\n]*partial".r.findFirstIn(p).isDefined
+      || p.contains("partial_sum"), p)
+    // no semantic hash exchange at all — the only exchange is the 1-row
+    // partial→final single partition gather
+    assertNoSemanticHashExchange(p)
+  }
+
   test("q_graph_pagerank iterates over the MATERIALIZED edge list: no " +
       "cartesian rounds, no KNN re-derivation, top-k via TakeOrdered") {
     val p = plan("q_graph_pagerank")
@@ -618,6 +649,21 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
     // the V cross join must be a broadcast of the 1-row agg, nothing else
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q_dsir joins both LM count tables on gram keys — the only " +
+      "non-equi join is the 1-row vocab-size broadcast") {
+    val p = plan("q_dsir")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q_containment pairs via the gram-hash equi-join, never all-pairs") {
+    val p = plan("q_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the intersection arrives as a count aggregation over the join, not
+    // an array_intersect over wide shingle sets
+    assert(!p.contains("array_intersect"), p)
   }
 
   test("q_sample_agg runs the custom bottom-k aggregate partial+final " +

@@ -49,6 +49,29 @@ class TextSignalsSuite extends AnyFunSuite with Matchers {
       (10, 4L, 13L, 13L, 1000000L)))
   }
 
+  test("dsir: target-exclusive docs score 0, corpus-only docs score " +
+      "the closed-form negative ratio") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // target = en. The en bigram "a b" has target counts == corpus counts
+    // (c12=2=c12_t, c1=2=c1_t) → identical smoothed log-probs → weight 0.
+    // The de bigram "c d": target lp = ln((0+1)/(0+4)), corpus
+    // lp = ln((2+1)/(2+4)) → term = ln(1/4) − ln(1/2) = ln(1/2).
+    val docs = Seq(
+      (0L, "a b", "en"), (1L, "a b", "en"),
+      (2L, "c d", "de"), (3L, "c d", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextSignals.dsirWeights(docs, "doc_id", "text", "lang = 'en'")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) == ((1L, 0.0)))
+    val expected = (math.round(math.log(0.25) * 1e6) -
+      math.round(math.log(0.5) * 1e6)) / 1e6
+    assert(out(2L)._2 == BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // directional: target-like above corpus-only
+    assert(out(0L)._2 > out(2L)._2)
+  }
+
   test("entropy: closed forms for degenerate, uniform, and mixed docs") {
     val s = TestSpark.spark
     import s.implicits._
