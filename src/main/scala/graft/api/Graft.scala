@@ -1167,6 +1167,28 @@ object Graft {
                    textCol: String): DataFrame =
     graft.operators.TextSignals.tokenEntropy(docs, idCol, textCol)
 
+  /** Asymmetric n-gram CONTAINMENT near-dup pairs:
+    * `|A∩B| / min(|A|,|B|) ≥ minMicro/10⁶` over `n`-gram shingle-hash
+    * sets — catches a short document embedded verbatim in a long one,
+    * which union-normalized Jaccard scores near zero. Inverted-index
+    * equi-join with the `df ≥ 2` unique-tail prune; grams in more than
+    * `boilerplateCap` docs are dropped from the declared semantics. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 4, minMicro: Long = 600000L,
+                       boilerplateCap: Int = 100): DataFrame =
+    LlmQueries.containmentPairs(docs, idCol, textCol, n, minMicro,
+      boilerplateCap)
+
+  /** DSIR-style importance weights for domain-targeted selection: per
+    * doc, the average per-bigram log-likelihood ratio (micro-nat exact)
+    * between the LM of the `targetPred` subset and the whole-corpus LM.
+    * Positive = target-like. Both LMs come from ONE pair of count
+    * aggregations (conditional sums); resample proportionally to the
+    * weight to shift a crawl toward the target domain. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: String): DataFrame =
+    graft.operators.TextSignals.dsirWeights(docs, idCol, textCol, targetPred)
+
   /** Bloom-prune `probe` to rows whose `probeKey` might appear in
     * `build`'s `buildKey` — a broadcast 8 KiB bitmap tested map-side
     * BEFORE any join shuffle. No false negatives (result-transparent

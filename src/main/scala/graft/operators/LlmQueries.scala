@@ -1481,6 +1481,53 @@ object LlmQueries {
     containmentPairs(Tables.spread(s, Tables.documents(s, d)),
       "doc_id", "text", 4, ContainmentMicro, ContainmentCap)
 
+  /** LSH recall audit (r11): the `q_ann_recall` discipline applied to
+    * the MinHash dedup family — per Jaccard decile, how many TRUE
+    * near-dup pairs the 16-perm/4-band LSH candidate generator actually
+    * surfaces. Banding is probabilistic (P[candidate] = 1-(1-J^4)^4 ≈
+    * 0.66 at J=0.7, ≈ 0.98 at J=0.9), so the production dedup pipeline
+    * is trading recall for never-all-pairs — this query is the number
+    * that trade is judged by, and the alert that fires if the band/perm
+    * geometry drifts below spec.
+    *
+    * Ground truth needs exact Jaccard, and all-pairs truth is quadratic
+    * BY DEFINITION — so the audit is sample-ANCHORED (the q_ann_recall
+    * shape): a deterministic 20% of docs are the audit queries, each
+    * verified exhaustively against the WHOLE corpus, so truth costs
+    * `sample × corpus`, never `corpus²` — the linear-in-corpus audit a
+    * 100 TB pipeline can afford, still measuring the production band
+    * join on every anchored pair. Buckets and the truth threshold are
+    * exact integer arithmetic (`10·|∩| div |∪|`, `10·|∩| ≥ 7·|∪|`) — no
+    * double ever decides membership. The LSH arm is the PRODUCTION pair
+    * pipeline ([[minhashPairsUnordered]]) over the full corpus,
+    * restricted to anchored pairs; hits join on pair identity alone. */
+  private def qLshRecall(s: SparkSession, d: String): DataFrame = {
+    val hsx = Materialize(shingleHashSets(
+      Tables.spread(s, Tables.documents(s, d)), "doc_id", "text"))
+    val samp = hsx.filter(expr("doc_id % 5 = 0"))
+      .selectExpr("doc_id AS doc_s", "hs AS hs_s")
+    val truth = samp
+      .crossJoin(hsx.selectExpr("doc_id AS doc_o", "hs AS hs_o"))
+      .filter(col("doc_s") =!= col("doc_o"))
+      .selectExpr(
+        "least(doc_s, doc_o) AS doc_a", "greatest(doc_s, doc_o) AS doc_b",
+        "cast(size(array_intersect(hs_s, hs_o)) AS bigint) AS li",
+        "cast(size(array_union(hs_s, hs_o)) AS bigint) AS lu")
+      .filter(expr("li * 10 >= lu * 7"))
+      .selectExpr("doc_a", "doc_b", "cast(li * 10 div lu AS int) AS bucket")
+      .distinct()
+    val lsh = minhashPairsUnordered(
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+        JaccardThreshold)
+      .filter(expr("doc_a % 5 = 0 OR doc_b % 5 = 0"))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column plumbing: documents as opaque `binary`
@@ -1540,6 +1587,7 @@ object LlmQueries {
     "q_doc_fingerprint" -> qDocFingerprint _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_containment" -> qContainment _,
+    "q_lsh_recall" -> qLshRecall _,
     "q_multimodal_meta" -> qMultimodalMeta _
   )
 
@@ -1660,7 +1708,11 @@ object LlmQueries {
     * MinHash+LSH pipeline in DuckDB up to `j(doc_a, doc_b, jaccard)` —
     * shared between the pair oracle here and the cluster oracle in
     * [[DedupClusters]]. */
-  private[graft] def minhashPairsCte: String = {
+  private[graft] def minhashPairsCte: String = minhashPairsCteFrom("documents")
+
+  /** The same chain over any source relation exposing (doc_id, text) —
+    * the `q_lsh_recall` oracle runs it over the audit sample. */
+  private[graft] def minhashPairsCteFrom(rel: String): String = {
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, x -> ($a * x + $b) % $P)) AS m$i"
     }.mkString(",\n       ")
@@ -1669,7 +1721,7 @@ object LlmQueries {
         .map(r => s"m${j * RowsPerBand + r}::VARCHAR").mkString(", ")
       s"SELECT doc_id, $j AS band, md5(concat_ws(',', $ms)) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel),
        |sh AS (SELECT doc_id, $duckShingles3 AS shingles FROM t),
        |hsx AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Duck("s")} % $P)) AS hs FROM sh),
        |sig AS (SELECT doc_id, hs,
@@ -1985,6 +2037,25 @@ object LlmQueries {
          |FROM p
          |WHERE n_common * 1000000 // least(sz_a, sz_b) >= $ContainmentMicro
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_lsh_recall" ->
+      s"""WITH ${minhashPairsCte},
+         |smp AS (SELECT doc_id AS doc_s, hs AS hs_s FROM hsx
+         |        WHERE doc_id % 5 = 0),
+         |truth AS (
+         |  SELECT least(doc_s, o.doc_id) AS doc_a,
+         |         greatest(doc_s, o.doc_id) AS doc_b,
+         |         len(list_intersect(hs_s, o.hs)) AS li,
+         |         len(list_distinct(list_concat(hs_s, o.hs))) AS lu
+         |  FROM smp, hsx o WHERE doc_s <> o.doc_id),
+         |tb AS (SELECT DISTINCT doc_a, doc_b, cast(li * 10 // lu AS int) AS bucket
+         |       FROM truth WHERE li * 10 >= lu * 7),
+         |lsh AS (SELECT doc_a, doc_b FROM j
+         |        WHERE jaccard >= $JaccardThreshold
+         |          AND (doc_a % 5 = 0 OR doc_b % 5 = 0))
+         |SELECT bucket, cast(count(*) AS bigint) AS n_true,
+         |       cast(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
+         |FROM tb LEFT JOIN lsh l ON tb.doc_a = l.doc_a AND tb.doc_b = l.doc_b
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_simhash_wide" -> simhashPairsOracleN(60, 15),

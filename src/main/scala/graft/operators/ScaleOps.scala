@@ -384,7 +384,52 @@ object ScaleOps {
       .select(col("seg").as("event_type"), col("n_events"), col("psi"))
       .orderBy(col("event_type"))
 
+  /** Robust (median/MAD) outlier gate (r11): the top-5 values per group
+    * by robust z-score `0.6745·(v − median) / MAD` — the
+    * breakdown-resistant twin of [[qZscoreOutliers]]. Mean/σ move with
+    * the outliers they are supposed to flag (one 1000× bad batch drags
+    * the mean toward itself and masks its neighbors — the masking
+    * effect); the median and the median-absolute-deviation have a 50%
+    * breakdown point, so the gate still fires when half the batch is
+    * garbage. 0.6745 ≈ Φ⁻¹(3/4) rescales MAD to σ under normality, so
+    * thresholds transfer from the z-score world.
+    *
+    * Determinism without quantized moments: values quantize to exact
+    * 1e-6-unit integers FIRST, so every percentile interpolation runs on
+    * exact doubles (midpoints of integers are exact multiples of 0.5 —
+    * `a + 0.5·(b−a)` and `(a+b)/2` are the SAME double, engine
+    * interpolation formula differences can't surface) and the deviation
+    * |v − med| stays exact; the one rounding is the 6-dp output edge.
+    *
+    * 100 TB shape: two bounded hash aggregations (median, then MAD over
+    * the deviations — exact percentile state is per-group sort-based
+    * here; at scale swap `approx_percentile`, same frame), each result
+    * broadcast back onto the scan, and a per-group top-5 window
+    * (WindowGroupLimit prunes to 5 per partition pre-exchange). Groups
+    * with MAD = 0 (over half the group identical) drop — declared
+    * semantics, oracle-replicated. */
+  private def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("vm", expr("cast(round(value * 1000000) AS bigint)"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(vm, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(vm - med), 0.5)").as("mad"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(expr("abs(0.6745 * (vm - med) / mad)").desc, col("event_id"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0)
+      .withColumn("rz", expr("round(0.6745 * (vm - med) / mad, 6)"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 5)
+      .select(col("event_type"), col("event_id"), col("value"), col("rz"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers" -> qMadOutliers _,
     "q_skew_salted_join" -> qSkewSaltedJoin _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_quantiles" -> qApproxQuantiles _,
@@ -395,6 +440,27 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |         cast(round(value * 1000000) AS bigint) AS vm
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(vm, 0.5) AS med
+        |        FROM ev GROUP BY 1),
+        |dev AS (SELECT ev.*, med FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs(vm - med), 0.5) AS mad
+        |        FROM dev GROUP BY 1),
+        |sc AS (
+        |  SELECT dev.event_type, event_id, value,
+        |         round(0.6745 * (vm - med) / mad, 6) AS rz,
+        |         0.6745 * (vm - med) / mad AS rz_raw
+        |  FROM dev JOIN mad USING (event_type)
+        |  WHERE mad > 0)
+        |SELECT event_type, event_id, value, rz
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY abs(rz_raw) DESC, event_id) <= 5
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_skew_salted_join" ->
       """WITH dim AS (
         |  SELECT event_type, count(*) AS n_type,

@@ -188,13 +188,70 @@ object TextSignals {
       "lang = 'en'")
       .orderBy(col("doc_id"))
 
+  /** Tokenizer fertility per language (r11): BPE tokens per whitespace
+    * word and bytes per BPE token — the two numbers that decide whether a
+    * tokenizer is fair to a language (high fertility = the language pays
+    * more sequence length per word, trains and serves slower per unit of
+    * text) and how a byte budget converts to a token budget. Uses the
+    * engine's real greedy-merge `bpe_count` kernel, so the ratios audit
+    * the ACTUAL tokenizer, not a proxy.
+    *
+    * Determinism: all three per-doc counts are integers from map-side
+    * kernels; the per-language ratios are integer micro-divisions over
+    * the summed longs — no double anywhere.
+    *
+    * 100 TB shape: one scan, kernels fold map-side, ONE bounded hash
+    * aggregation on the language key (partials = |langs| per map
+    * partition); text never rides the shuffle. */
+  private[graft] def tokenizerFertility(docs: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(docs.sparkSession)
+    docs
+      .selectExpr(s"$langCol AS lang",
+        s"cast(bpe_count($textCol) AS bigint) AS _nb",
+        s"cast(size(split($textCol, ' ')) AS bigint) AS _nw",
+        s"cast(octet_length($textCol) AS bigint) AS _nbytes")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nb")).as("n_bpe_tokens"),
+        sum(col("_nw")).as("n_words"),
+        sum(col("_nbytes")).as("n_bytes"))
+      .withColumn("fertility_micro",
+        expr("n_bpe_tokens * 1000000 div n_words"))
+      .withColumn("bytes_per_token_micro",
+        expr("n_bytes * 1000000 div n_bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private def qTokFertility(s: SparkSession, d: String): DataFrame =
+    tokenizerFertility(Tables.spread(s, Tables.documents(s, d)), "lang", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi" -> qPmi _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_entropy" -> qEntropy _,
-    "q_dsir" -> qDsir _)
+    "q_dsir" -> qDsir _,
+    "q_tok_fertility" -> qTokFertility _)
 
   val oracle: Map[String, String] = Map(
+    "q_tok_fertility" -> {
+      val bpe = graft.functions.BpeCount.duckExpr("text")
+      s"""WITH d AS (
+         |  SELECT lang, cast($bpe AS bigint) AS nb,
+         |         cast(len(string_split(text, ' ')) AS bigint) AS nw,
+         |         cast(strlen(text) AS bigint) AS nbytes
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, cast(count(*) AS bigint) AS n_docs,
+         |         cast(sum(nb) AS bigint) AS n_bpe_tokens,
+         |         cast(sum(nw) AS bigint) AS n_words,
+         |         cast(sum(nbytes) AS bigint) AS n_bytes
+         |  FROM d GROUP BY lang)
+         |SELECT lang, n_docs, n_bpe_tokens, n_words, n_bytes,
+         |       n_bpe_tokens * 1000000 // n_words AS fertility_micro,
+         |       n_bytes * 1000000 // n_bpe_tokens AS bytes_per_token_micro
+         |FROM g ORDER BY lang""".stripMargin
+    },
     "q_dsir" ->
       """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
         |                  string_split(text, ' ') AS toks

@@ -666,6 +666,41 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("array_intersect"), p)
   }
 
+  test("q_mad_outliers broadcasts the bounded stat tables and prunes " +
+      "the top-5 window") {
+    val p = plan("q_mad_outliers")
+    // median and MAD join back as broadcasts of |groups|-row aggregates
+    // (the med join shows once in the main chain and once inside the MAD
+    // aggregate's own build lineage → 3 occurrences, all broadcast)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q_tok_fertility: kernels fold map-side into one bounded hash agg") {
+    val p = plan("q_tok_fertility")
+    assert(!p.contains("Join"), p)
+    // one semantic exchange: the language-keyed aggregation
+    val sem = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).toSeq
+      .filterNot(_.contains("REPARTITION_BY_NUM"))
+    assert(sem.size == 1, sem.mkString("\n"))
+    // partial aggregation below the exchange — the kernel counts combine
+    // before they move
+    assert("HashAggregate[^\\n]*partial".r.findFirstIn(p).isDefined
+      || p.contains("partial_sum"), p)
+  }
+
+  test("q_lsh_recall: the only nested-loop is the declared truth-arm " +
+      "cross join over the audit sample") {
+    val p = plan("q_lsh_recall")
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size <= 1,
+      p)
+    // the LSH arm stays the banded equi-join pipeline
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_sample_agg runs the custom bottom-k aggregate partial+final " +
       "with no per-group sort — the window machinery is gone") {
     val p = plan("q_sample_agg")
