@@ -35,6 +35,7 @@ object SparkEntry {
       operators.SeriesOps.queries,
       operators.TextSignals.queries,
       operators.BloomJoin.queries,
+      operators.SqlSurface.queries,
       operators.CorpusOps.queries,
       operators.DedupClusters.queries,
       operators.GraphOps.queries,
@@ -60,6 +61,7 @@ object SparkEntry {
       operators.SeriesOps.oracle ++
       operators.TextSignals.oracle ++
       operators.BloomJoin.oracle ++
+      operators.SqlSurface.oracle ++
       operators.CorpusOps.oracle ++
       operators.DedupClusters.oracle ++
       operators.GraphOps.oracle ++

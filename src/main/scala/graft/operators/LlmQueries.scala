@@ -1699,9 +1699,9 @@ object LlmQueries {
        |${pqCbIterCte(2)},
        |cb AS (SELECT s, c, w FROM cb2)""".stripMargin
 
-  private val duckShingles3 =
+  private[graft] val duckShingles3 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), i -> array_to_string(toks[i:i+2], ' ')))"
-  private val duckShingles4 =
+  private[graft] val duckShingles4 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1) + 1), i -> array_to_string(toks[i:i+3], ' ')))"
 
   /** The CTE chain (no leading WITH, no final SELECT) replicating the
@@ -1749,7 +1749,7 @@ object LlmQueries {
   private def simhashBitsDuckN(bits: Int): String = (0 until bits).map { j =>
     s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
-  private def simhashBitsDuck: String = simhashBitsDuckN(32)
+  private[graft] def simhashBitsDuck: String = simhashBitsDuckN(32)
 
   private def simhashOracle: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -550,8 +550,10 @@ object RelationalQueries {
         corrFormula("n", s"s_$a", s"s_$b", s"ss_$a", s"ss_$b", s"sp_${a}_$b") +
         " AS corr)"
     }
-    Tables.lineitem(s, d)
-      .selectExpr(quant: _*)
+    // spread: the test files are single-row-group parquet (one scan
+    // partition), and the decimal moment arithmetic is the per-row cost —
+    // without redistribution the whole aggregation runs on one core
+    Tables.spread(s, Tables.lineitem(s, d).selectExpr(quant: _*))
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"explode(array(${arms.mkString(", ")})) AS p")
       .select(col("p.x_col").as("x_col"), col("p.y_col").as("y_col"),
