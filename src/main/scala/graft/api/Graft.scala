@@ -1167,6 +1167,17 @@ object Graft {
                    textCol: String): DataFrame =
     graft.operators.TextSignals.tokenEntropy(docs, idCol, textCol)
 
+  /** Incremental cluster maintenance: yesterday's labels (id, component)
+    * + the batch-touching pair discoveries → today's labels, identical
+    * to a full recompute (star edges preserve old connectivity exactly),
+    * without re-pairing the old corpus against itself. Compose with
+    * `nearDupPairsIncremental` for the pair side. */
+  def clustersIncrement(nodes: DataFrame, idCol: String, labels: DataFrame,
+                        newPairs: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame =
+    DedupClusters.clustersIncrement(nodes, idCol, labels, newPairs,
+      srcCol, dstCol)
+
   /** Asymmetric n-gram CONTAINMENT near-dup pairs:
     * `|A∩B| / min(|A|,|B|) ≥ minMicro/10⁶` over `n`-gram shingle-hash
     * sets — catches a short document embedded verbatim in a long one,

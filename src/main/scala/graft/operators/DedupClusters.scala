@@ -246,6 +246,69 @@ object DedupClusters {
         (col(idCol) === col("rep_id")).as("keep"))
   }
 
+  /** INCREMENTAL cluster maintenance (r11): yesterday's cluster labels +
+    * today's batch-touching pairs → today's labels, WITHOUT re-pairing
+    * the old corpus against itself — the IVM step that completes the
+    * incremental-dedup story (`q_dedup_increment` discovers the new
+    * PAIRS cheaply; this folds them into the maintained CLUSTER state).
+    *
+    * The old state enters as STAR EDGES (component → member, one edge
+    * per non-singleton member): a component's transitive closure is
+    * connectivity-equivalent to its star, so CC over star ∪ new-pairs
+    * yields EXACTLY the labels a full recompute over all pairs would —
+    * increment ≡ recompute is the invariant, and the oracle (the full
+    * recursive-CTE recompute) checks it literally, min-ids and all.
+    *
+    * 100 TB shape: pair DISCOVERY — the expensive half — is batch-scoped
+    * (|batch| × bucket band probes, `minhashPairsTouching`; production
+    * probes the persisted signature index, the demo recomputes corpus
+    * signatures like q_dedup_increment). The CC loop's edge list is
+    * |old non-singletons| star edges + |new pairs| — the duplicate
+    * graph, never the corpus — and converges in O(log diameter) rounds
+    * like every CC consumer here. */
+  private[graft] def clustersIncrement(nodes: DataFrame, idCol: String,
+      labels: DataFrame, newPairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val star = labels.filter(col(idCol) =!= col("component"))
+      .select(col("component").as(srcCol), col(idCol).as(dstCol))
+    clustersFromPairs(nodes, idCol,
+      star.union(newPairs.select(col(srcCol), col(dstCol))), srcCol, dstCol)
+  }
+
+  /** Build-once label fixture for [[qClusterIncrement]]: yesterday's
+    * cluster state (the corpus minus the incoming `doc_id % 5 = 4`
+    * batch), persisted as parquet — standing in for the previous run's
+    * label table (the [[graft.operators.CdcQueries]] MvBase discipline;
+    * first call in a JVM pays the build, covered by the bench warm-up). */
+  private[graft] object LabelBase {
+    def ensure(s: SparkSession, d: String): String = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_label_base/$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        clusters(
+            Tables.spread(s, Tables.documents(s, d))
+              .filter(expr("doc_id % 5 <> 4")),
+            "doc_id", "text", LlmQueries.JaccardThreshold)
+          .select(col("doc_id"), col("component"))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+  }
+
+  private def qClusterIncrement(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(s)
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    val labels = s.read.parquet(LabelBase.ensure(s, d))
+    val newPairs = LlmQueries.minhashPairsTouching(docs, "doc_id", "text",
+        docs.filter(expr("doc_id % 5 = 4")).select(col("doc_id")),
+        LlmQueries.JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    clustersIncrement(docs.select(col("doc_id")), "doc_id", labels,
+        newPairs, "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+  }
+
   private def qDupClusters(s: SparkSession, d: String): DataFrame =
     clusters(Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
         LlmQueries.JaccardThreshold)
@@ -262,31 +325,38 @@ object DedupClusters {
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_increment" -> qClusterIncrement _,
     "q_dup_clusters" -> qDupClusters _,
     "q_emb_clusters" -> qEmbClusters _,
     "q_cluster_rep" -> qClusterRep _
   )
 
+  /** Shared by `q_dup_clusters` AND `q_cluster_increment`: the increment's
+    * whole claim is increment ≡ full recompute, so its oracle IS the
+    * recompute — one string, zero drift. */
+  private val dupClustersOracle: String =
+    s"""WITH RECURSIVE ${LlmQueries.minhashPairsCte},
+       |pairs_ok AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE jaccard >= ${LlmQueries.JaccardThreshold}),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs_ok
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs_ok),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+       |comp AS (
+       |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT doc_id, component,
+       |       count(*) OVER (PARTITION BY component) AS cluster_size,
+       |       doc_id = component AS keep
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE ${LlmQueries.minhashPairsCte},
-         |pairs_ok AS (
-         |  SELECT doc_a, doc_b FROM j
-         |  WHERE jaccard >= ${LlmQueries.JaccardThreshold}),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs_ok
-         |  UNION ALL
-         |  SELECT doc_b AS a, doc_a AS b FROM pairs_ok),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a),
-         |comp AS (
-         |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
-         |SELECT doc_id, component,
-         |       count(*) OVER (PARTITION BY component) AS cluster_size,
-         |       doc_id = component AS keep
-         |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_cluster_increment" -> dupClustersOracle,
+    "q_dup_clusters" -> dupClustersOracle,
     "q_cluster_rep" ->
       s"""WITH RECURSIVE ${LlmQueries.minhashPairsCte},
          |pairs_ok AS (

@@ -118,4 +118,41 @@ class ConnectedComponentsSuite extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("clustersIncrement over star-compressed old labels equals the " +
+      "full recompute, including a batch doc bridging two old clusters") {
+    // old corpus: clusters {1,2} and {3,4}; batch docs 5, 6.
+    // new pairs: (2,5) and (5,4) — 5 BRIDGES the two old clusters;
+    // 6 arrives with no pairs and must stay a singleton.
+    val nodes = (1L to 6L).toDF("id")
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "component")
+    val newPairs = Seq((2L, 5L), (5L, 4L)).toDF("a", "b")
+    val inc = DedupClusters
+      .clustersIncrement(nodes, "id", oldLabels, newPairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toList.sortBy(_._1)
+    // full recompute over the ORIGINAL pair set + the new pairs
+    val allPairs = Seq((1L, 2L), (3L, 4L), (2L, 5L), (5L, 4L)).toDF("a", "b")
+    val full = DedupClusters
+      .clustersFromPairs(nodes, "id", allPairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toList.sortBy(_._1)
+    assert(inc == full, s"inc=$inc full=$full")
+    val comp = inc.map(t => t._1 -> t._2).toMap
+    assert((1L to 5L).forall(comp(_) == 1L), comp)   // merged under min id
+    assert(comp(6L) == 6L && inc.find(_._1 == 6L).get._4) // singleton keeps
+  }
+
+  test("clustersIncrement with no new pairs reproduces the old labels " +
+      "extended by the batch singletons") {
+    val nodes = (1L to 5L).toDF("id")
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "component")
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = DedupClusters
+      .clustersIncrement(nodes, "id", oldLabels, none, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L), got)
+  }
+
 }
