@@ -42,6 +42,7 @@ object SparkEntry {
       operators.ScaleOps.queries,
       streaming.CdcPipeline.queries,
       streaming.BloomStream.queries,
+      streaming.DriftStream.queries,
       streaming.TrendStream.queries,
       multimodal.MultimodalOps.queries)
 
@@ -68,6 +69,7 @@ object SparkEntry {
       operators.ScaleOps.oracle ++
       streaming.CdcPipeline.oracle ++
       streaming.BloomStream.oracle ++
+      streaming.DriftStream.oracle ++
       streaming.TrendStream.oracle ++
       multimodal.MultimodalOps.oracle
 }

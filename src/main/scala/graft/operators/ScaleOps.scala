@@ -346,13 +346,23 @@ object ScaleOps {
     * term must land within ~1 ulp of a 0.5-nano boundary for the two
     * engines' faithfully-rounded `ln` to disagree). */
   private[graft] def driftPsi(rows: DataFrame, segmentCol: String,
-      bucketCol: String, nBuckets: Int): DataFrame = {
+      bucketCol: String, nBuckets: Int): DataFrame =
+    driftPsiFromCounts(
+      Materialize(rows
+        .groupBy(col(segmentCol).as("seg"), col(bucketCol).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))),
+      nBuckets)
+
+  /** The PSI tail over an ALREADY-AGGREGATED (seg, b, c) count grid — the
+    * seam that lets a maintained histogram (the streaming `s_drift` MV)
+    * feed the same windowed-totals + nano-nat fold as the in-plan batch
+    * form; `cnt` must be materialized / re-readable (the grid derives its
+    * segment list from it). */
+  private[graft] def driftPsiFromCounts(cnt: DataFrame,
+      nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val cnt = Materialize(rows
-      .groupBy(col(segmentCol).as("seg"), col(bucketCol).cast("long").as("b"))
-      .agg(count(lit(1)).as("c")))
     val grid = cnt.select(col("seg")).distinct()
-      .crossJoin(rows.sparkSession.range(nBuckets).select(col("id").as("b")))
+      .crossJoin(cnt.sparkSession.range(nBuckets).select(col("id").as("b")))
     val w = grid.join(cnt, Seq("seg", "b"), "left")
       .select(col("seg"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
       .withColumn("n_seg", sum(col("c")).over(Window.partitionBy(col("seg"))))
@@ -439,6 +449,37 @@ object ScaleOps {
     "q_drift_psi" -> qDriftPsi _
   )
 
+  /** Shared by `q_drift_psi` AND the streaming `s_drift`
+    * ([[graft.streaming.DriftStream]]): the streaming claim is that the
+    * stream-maintained histogram reproduces the batch PSI exactly (the
+    * IVM invariant, monitoring edition) — one oracle string, zero drift. */
+  private[graft] val driftPsiOracle: String =
+    """WITH q AS (SELECT event_type AS seg,
+      |                  least(CAST(9 AS bigint),
+      |                        CAST(round(value * 100) AS bigint) // 5000) AS b
+      |           FROM events),
+      |cnt AS (SELECT seg, b, count(*) AS c FROM q GROUP BY seg, b),
+      |grid AS (SELECT s.seg, g.range AS b
+      |         FROM (SELECT DISTINCT seg FROM cnt) s, range(10) g),
+      |f AS (SELECT g.seg, g.b, coalesce(c.c, 0) AS c
+      |      FROM grid g LEFT JOIN cnt c ON g.seg = c.seg AND g.b = c.b),
+      |w AS (SELECT seg, b, c,
+      |             sum(c) OVER (PARTITION BY seg) AS n_seg,
+      |             sum(c) OVER (PARTITION BY b) AS c_all,
+      |             sum(c) OVER () AS n
+      |      FROM f),
+      |t AS (SELECT seg, n_seg,
+      |             CAST(round((CAST(c + 1 AS double) / CAST(n_seg + 10 AS double)
+      |                         - CAST(c_all + 1 AS double) / CAST(n + 10 AS double))
+      |                        * ln((CAST(c + 1 AS double) / CAST(n_seg + 10 AS double))
+      |                             / (CAST(c_all + 1 AS double) / CAST(n + 10 AS double)))
+      |                        * 1000000000.0) AS bigint) AS t_nano
+      |      FROM w)
+      |SELECT seg AS event_type, CAST(max(n_seg) AS bigint) AS n_events,
+      |       round(sum(t_nano) / 1000000000.0, 6) AS psi
+      |FROM t GROUP BY seg
+      |ORDER BY event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_mad_outliers" ->
       """WITH ev AS (
@@ -510,32 +551,7 @@ object ScaleOps {
     // quantized to integer nano-nats before the (associative) sum — the
     // oracle replicates the arithmetic literally, so a bucketing or
     // smoothing drift in either engine breaks the hash.
-    "q_drift_psi" ->
-      """WITH q AS (SELECT event_type AS seg,
-        |                  least(CAST(9 AS bigint),
-        |                        CAST(round(value * 100) AS bigint) // 5000) AS b
-        |           FROM events),
-        |cnt AS (SELECT seg, b, count(*) AS c FROM q GROUP BY seg, b),
-        |grid AS (SELECT s.seg, g.range AS b
-        |         FROM (SELECT DISTINCT seg FROM cnt) s, range(10) g),
-        |f AS (SELECT g.seg, g.b, coalesce(c.c, 0) AS c
-        |      FROM grid g LEFT JOIN cnt c ON g.seg = c.seg AND g.b = c.b),
-        |w AS (SELECT seg, b, c,
-        |             sum(c) OVER (PARTITION BY seg) AS n_seg,
-        |             sum(c) OVER (PARTITION BY b) AS c_all,
-        |             sum(c) OVER () AS n
-        |      FROM f),
-        |t AS (SELECT seg, n_seg,
-        |             CAST(round((CAST(c + 1 AS double) / CAST(n_seg + 10 AS double)
-        |                         - CAST(c_all + 1 AS double) / CAST(n + 10 AS double))
-        |                        * ln((CAST(c + 1 AS double) / CAST(n_seg + 10 AS double))
-        |                             / (CAST(c_all + 1 AS double) / CAST(n + 10 AS double)))
-        |                        * 1000000000.0) AS bigint) AS t_nano
-        |      FROM w)
-        |SELECT seg AS event_type, CAST(max(n_seg) AS bigint) AS n_events,
-        |       round(sum(t_nano) / 1000000000.0, 6) AS psi
-        |FROM t GROUP BY seg
-        |ORDER BY event_type""".stripMargin,
+    "q_drift_psi" -> driftPsiOracle,
     "q_zscore_outliers" ->
       """WITH q AS (SELECT event_type, event_id, value,
         |                  cast(round(value * 1000.0) AS bigint) AS qv
