@@ -561,7 +561,61 @@ object RelationalQueries {
       .orderBy(col("x_col"), col("y_col"))
   }
 
+  /** Event-type transition matrix (r11): counts and probabilities of
+    * `from_type → to_type` over each user's LSN-ordered event sequence —
+    * the first-order Markov view of user behavior (what follows a view?
+    * how often does an error precede churn?), the aggregate the funnel
+    * and attribution queries are point-reads of.
+    *
+    * 100 TB shape: ONE hash exchange on the user key for the `lead`
+    * window, then one bounded (|types|²) hash aggregation; the
+    * probability is an integer micro-division against the from-type row
+    * total (a window over the tiny matrix). Payload columns never load. */
+  private def qTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("_next", lead(col("event_type"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_micro",
+        expr("n * 1000000 div sum(n) OVER (PARTITION BY from_type)"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Two-proportion A/B significance gate (r11): conversion (purchase
+    * share) of variant A (`user_id % 2 = 0`) vs B, with the pooled
+    * two-proportion z statistic — the go/no-go number an experiment
+    * readout leads with. Counts are exact integers out of ONE
+    * aggregation (variant splits as conditional sums — the q_dsir
+    * trick); the z formula is one shared expression text over those
+    * integers, IEEE-identical in both engines, rounded at the edge. */
+  private val abZFormula: String =
+    // p1 = x1/n1, p2 = x2/n2, pooled p = (x1+x2)/(n1+n2)
+    "round((cast(x1 AS double) / cast(n1 AS double) - cast(x2 AS double) / cast(n2 AS double)) / " +
+      "sqrt((cast(x1 + x2 AS double) / cast(n1 + n2 AS double)) * " +
+      "(1.0 - cast(x1 + x2 AS double) / cast(n1 + n2 AS double)) * " +
+      "(1.0 / cast(n1 AS double) + 1.0 / cast(n2 AS double))), 6)"
+
+  private def qAbTest(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        (col("user_id") % 2 === 0).as("_a"),
+        (col("event_type") === "purchase").as("_c"))
+      .agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_a") && col("_c"), 1L).otherwise(0L)).as("x1"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("_a") && col("_c"), 1L).otherwise(0L)).as("x2"))
+      .withColumn("z", expr(abZFormula))
+      .withColumn("significant_95", expr("abs(z) >= 1.959964"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"), col("z"),
+        col("significant_95"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transitions" -> qTransitions _,
+    "q_ab_test" -> qAbTest _,
     "q_attribution" -> qAttribution _,
     "q_corr" -> qCorr _,
     "q_moving_agg" -> qMovingAgg _,
@@ -588,6 +642,28 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY event_id) AS nxt
+        |  FROM events),
+        |m AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+        |      FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       n * 1000000 // (sum(n) OVER (PARTITION BY from_type)) AS p_micro
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "q_ab_test" -> {
+      s"""WITH c AS (
+         |  SELECT cast(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS bigint) AS n1,
+         |         cast(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS x1,
+         |         cast(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS bigint) AS n2,
+         |         cast(sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS x2
+         |  FROM events)
+         |SELECT n1, x1, n2, x2, $abZFormula AS z,
+         |       abs($abZFormula) >= 1.959964 AS significant_95
+         |FROM c""".stripMargin
+    },
     "q_attribution" ->
       """WITH t AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -165,12 +165,70 @@ object SeriesOps {
   private def qZorder(s: SparkSession, d: String): DataFrame =
     zorderShards(Tables.events(s, d)).orderBy(col("shard"))
 
+  /** Moving-average trend/residual decomposition (r11): each event
+    * type's daily total split into a 7-day centered moving-average trend
+    * and its residual — the detrending step between the raw series and
+    * any seasonality/anomaly analysis (a spike reads as a LARGE RESIDUAL
+    * once the slow trend is removed; comparing raw values across a
+    * drifting baseline reads noise).
+    *
+    * Entirely integer-exact: daily totals are micro-quantized long sums
+    * (the gap-fill rule), the trend is `window-sum div window-count`
+    * (integer division over a ROWS frame), and the residual is a long
+    * subtraction — no double anywhere, so engines cannot drift.
+    *
+    * 100 TB shape: ONE (type, day) hash aggregation collapses the log to
+    * the daily grain; the centered window runs per type over the bounded
+    * daily table (ROWS frames over days, never events). The frame is the
+    * OBSERVED day grid — compose with [[gapFillDaily]] first when the
+    * calendar has holes and strict 7-calendar-day windows are needed. */
+  private[graft] def detrendDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("_vm")).as("day_micro"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("_sw", sum(col("day_micro")).over(w))
+      .withColumn("_cw", count(lit(1)).over(w))
+      // integer div, not `/`+cast: `/` is double division (inexact past
+      // 2^53 micros). Spark `div` truncates while DuckDB `//` floors —
+      // equal only on non-negative sums, which `value >= 0` guarantees
+      // here; a signed-value deployment must offset before dividing.
+      .withColumn("trend_micro", expr("_sw div _cw"))
+      .withColumn("resid_micro", col("day_micro") - col("trend_micro"))
+      .drop("_sw", "_cw")
+  }
+
+  private def qDetrend(s: SparkSession, d: String): DataFrame =
+    detrendDaily(Tables.events(s, d))
+      .orderBy(col("event_type"), col("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_detrend" -> qDetrend _,
     "q_gap_fill" -> qGapFill _,
     "q_skyline" -> qSkyline _,
     "q_zorder" -> qZorder _)
 
   val oracle: Map[String, String] = Map(
+    "q_detrend" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |         sum(cast(round(value * 1000000) AS bigint)) AS day_micro
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, day_micro,
+        |         sum(day_micro) OVER (PARTITION BY event_type ORDER BY day
+        |                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sw,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY day
+        |                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cw
+        |  FROM daily)
+        |SELECT event_type, day, day_micro,
+        |       sw // cw AS trend_micro,
+        |       day_micro - sw // cw AS resid_micro
+        |FROM w ORDER BY event_type, day""".stripMargin,
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, ts::DATE AS day, count(*) AS n,
