@@ -206,13 +206,51 @@ object SeriesOps {
     detrendDaily(Tables.events(s, d))
       .orderBy(col("event_type"), col("day"))
 
+  /** Rolling MEDIAN smoother (r11): each event's 50-row trailing median
+    * per type — the robust line a latency/metric dashboard draws (a
+    * rolling MEAN chases every spike; the rolling median rides through
+    * them — the windowed form of the `q_mad_outliers` robustness
+    * argument).
+    *
+    * Why median and not an arbitrary rolling quantile: over integer
+    * micro inputs the median's interpolation factor is ALWAYS 0 or
+    * exactly 0.5 (position `0.5·(n−1)` for any window length n), and
+    * integer midpoints are exact in IEEE — so the rolling median is
+    * engine-exact at every row including the ramp-up partial windows,
+    * where a p95's factor (`0.95·(n−1)` fractional part) is inexact and
+    * its last-ulp evaluation-order differences could flip a 6-dp hash
+    * across 10⁵ output rows. A production p95 wants the sketch form
+    * (`Graft.approxQuantiles`) anyway.
+    *
+    * 100 TB shape: one hash exchange on the type key; the ROWS frame
+    * keeps 50 values of state per partition slot. */
+  private def qRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(-49, 0)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .withColumn("med_micro", expr("percentile(_vm, 0.5)").over(w))
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("med_micro"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> qRollingMedian _,
     "q_detrend" -> qDetrend _,
     "q_gap_fill" -> qGapFill _,
     "q_skyline" -> qSkyline _,
     "q_zorder" -> qZorder _)
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" ->
+      """SELECT event_type, event_id, value,
+        |       quantile_cont(cast(round(value * 1000000) AS bigint), 0.5)
+        |         OVER (PARTITION BY event_type ORDER BY event_id
+        |               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS med_micro
+        |FROM events
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_detrend" ->
       """WITH daily AS (
         |  SELECT event_type, ts::DATE AS day,
