@@ -1528,6 +1528,47 @@ object LlmQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Sign-sketch recall audit (r11): [[qLshRecall]]'s discipline applied
+    * to the EMBEDDING near-dup family — per cosine decile, how many true
+    * near-dup pairs the 4-plane sign-sketch bucket join surfaces. The
+    * three approximate similarity engines (MinHash LSH for text, sign
+    * sketches for embeddings, IVF/PQ for serving) now each carry their
+    * own recall audit; together they are the drift alarm for every
+    * "never all-pairs" claim in the dedup story.
+    *
+    * Sample-anchored exactly like `q_lsh_recall` (20% of vectors audited
+    * against the whole corpus — truth costs sample × corpus); truth
+    * similarity is the SAME rounded-cosine convention every embedding
+    * query uses, and the bucket floors the rounded double identically in
+    * both engines. The measured arm is the PRODUCTION
+    * [[embNearDupPairsCore]] pipeline restricted to anchored pairs. */
+  private def qEmbRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Materialize(Tables.spread(s, Tables.embeddings(s, d))
+      .selectExpr("vec_id", "embedding",
+        s"sqrt(${dotSpark("embedding", "embedding")}) AS norm"))
+    val samp = e.filter(expr("vec_id % 5 = 0"))
+      .selectExpr("vec_id AS vec_s", "embedding AS vs", "norm AS norm_s")
+    val truth = samp
+      .crossJoin(e.selectExpr("vec_id AS vec_o", "embedding AS vo",
+        "norm AS norm_o"))
+      .filter(col("vec_s") =!= col("vec_o"))
+      .selectExpr(
+        "least(vec_s, vec_o) AS vec_a", "greatest(vec_s, vec_o) AS vec_b",
+        s"round(${dotSpark("vs", "vo")} / (norm_s * norm_o), 6) AS sim")
+      .filter(col("sim") >= 0.35)
+      .selectExpr("vec_a", "vec_b", "cast(floor(sim * 10) AS int) AS bucket")
+      .distinct()
+    val lsh = embNearDupPairsCore(Tables.spread(s, Tables.embeddings(s, d)),
+        "vec_id", "embedding", 4, 0.35)
+      .filter(expr("vec_a % 5 = 0 OR vec_b % 5 = 0"))
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
+    truth.join(lsh, Seq("vec_a", "vec_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column plumbing: documents as opaque `binary`
@@ -1588,6 +1629,7 @@ object LlmQueries {
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_containment" -> qContainment _,
     "q_lsh_recall" -> qLshRecall _,
+    "q_emb_recall" -> qEmbRecall _,
     "q_multimodal_meta" -> qMultimodalMeta _
   )
 
@@ -2055,6 +2097,31 @@ object LlmQueries {
          |SELECT bucket, cast(count(*) AS bigint) AS n_true,
          |       cast(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
          |FROM tb LEFT JOIN lsh l ON tb.doc_a = l.doc_a AND tb.doc_b = l.doc_b
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_emb_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |smp AS (SELECT vec_id AS vec_s, v AS vs FROM e WHERE vec_id % 5 = 0),
+         |tr AS (SELECT least(vec_s, o.vec_id) AS vec_a,
+         |              greatest(vec_s, o.vec_id) AS vec_b,
+         |              ${cosDuck("vs", "o.v")} AS sim
+         |       FROM smp, e o WHERE vec_s <> o.vec_id),
+         |tb AS (SELECT DISTINCT vec_a, vec_b,
+         |              cast(floor(sim * 10) AS int) AS bucket
+         |       FROM tr WHERE sim >= 0.35),
+         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
+         |sk AS (
+         |  SELECT e.vec_id, e.v,
+         |         cast(sum(CASE WHEN list_dot_product(e.v, pv) > 0
+         |                       THEN cast(pow(2, pid) AS bigint) ELSE 0 END) AS bigint) AS sketch
+         |  FROM e, planes GROUP BY e.vec_id, e.v),
+         |lsh AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+         |  WHERE ${cosDuck("a.v", "b.v")} >= 0.35
+         |    AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0))
+         |SELECT bucket, cast(count(*) AS bigint) AS n_true,
+         |       cast(sum(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
+         |FROM tb LEFT JOIN lsh l ON tb.vec_a = l.vec_a AND tb.vec_b = l.vec_b
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
