@@ -1528,6 +1528,48 @@ object LlmQueries {
       .orderBy(col("bucket"))
   }
 
+  /** SEMANTIC eval decontamination (r11): drop training vectors whose
+    * embedding sits within cosine 0.5 of ANY eval vector — the
+    * embedding-space leg of the decontamination family.
+    * `q_decontaminate` catches verbatim eval copies and
+    * `q_decontaminate_ngram` catches near-verbatim variants, but a
+    * PARAPHRASED eval item (reworded question, translated passage)
+    * shares no n-grams at all — it only shows up in embedding space,
+    * which is exactly the leakage mode rephrase-style contamination
+    * studies document. Output is per-train-vector (hit count, max
+    * similarity, keep), so the drop is auditable, not silent.
+    *
+    * 100 TB shape: both sides sketch with ONE shared plane set (the
+    * persisted-index discipline — per-side planes would bucket
+    * incompatibly and zero the probe's recall); candidates are the
+    * sketch equi-join (train × eval per bucket, never train × eval
+    * all-pairs), the cosine verify is map-side on candidates, and the
+    * flag join back to the train side carries (id, count, sim) only. */
+  private def qDecontaminateEmb(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.spread(s, Tables.embeddings(s, d))
+    val sk = Materialize(signSketch(all, "vec_id", "embedding",
+      derivePlanes(all, "vec_id", "embedding", 4)))
+    val train = sk.filter(expr("vec_id % 10 <> 7"))
+    val evalS = sk.filter(expr("vec_id % 10 = 7"))
+    val hits = train
+      .selectExpr("vec_id AS t_id", "sketch", "embedding AS vt",
+        "norm AS norm_t")
+      .join(evalS.selectExpr("vec_id AS e_id", "sketch", "embedding AS ve",
+        "norm AS norm_e"), Seq("sketch"))
+      .withColumn("sim",
+        expr(s"round(${dotSpark("vt", "ve")} / (norm_t * norm_e), 6)"))
+      .filter(col("sim") >= 0.5)
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+    train.select(col("vec_id"))
+      .join(hits, col("vec_id") === col("t_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_sim"),
+        col("t_id").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Sign-sketch recall audit (r11): [[qLshRecall]]'s discipline applied
     * to the EMBEDDING near-dup family — per cosine decile, how many true
     * near-dup pairs the 4-plane sign-sketch bucket join surfaces. The
@@ -1630,6 +1672,7 @@ object LlmQueries {
     "q_containment" -> qContainment _,
     "q_lsh_recall" -> qLshRecall _,
     "q_emb_recall" -> qEmbRecall _,
+    "q_decontaminate_emb" -> qDecontaminateEmb _,
     "q_multimodal_meta" -> qMultimodalMeta _
   )
 
@@ -2098,6 +2141,26 @@ object LlmQueries {
          |       cast(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
          |FROM tb LEFT JOIN lsh l ON tb.doc_a = l.doc_a AND tb.doc_b = l.doc_b
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_decontaminate_emb" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
+         |sk AS (
+         |  SELECT e.vec_id, e.v,
+         |         cast(sum(CASE WHEN list_dot_product(e.v, pv) > 0
+         |                       THEN cast(pow(2, pid) AS bigint) ELSE 0 END) AS bigint) AS sketch
+         |  FROM e, planes GROUP BY e.vec_id, e.v),
+         |tr AS (SELECT * FROM sk WHERE vec_id % 10 <> 7),
+         |ev AS (SELECT * FROM sk WHERE vec_id % 10 = 7),
+         |hits AS (
+         |  SELECT t.vec_id AS t_id, count(*) AS n_hits,
+         |         max(${cosDuck("t.v", "ev.v")}) AS max_sim
+         |  FROM tr t JOIN ev ON t.sketch = ev.sketch
+         |  WHERE ${cosDuck("t.v", "ev.v")} >= 0.5
+         |  GROUP BY t.vec_id)
+         |SELECT tr.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_sim,
+         |       h.t_id IS NULL AS keep
+         |FROM tr LEFT JOIN hits h ON tr.vec_id = h.t_id
+         |ORDER BY tr.vec_id""".stripMargin,
     "q_emb_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |smp AS (SELECT vec_id AS vec_s, v AS vs FROM e WHERE vec_id % 5 = 0),
