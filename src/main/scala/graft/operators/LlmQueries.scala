@@ -1503,16 +1503,25 @@ object LlmQueries {
     * restricted to anchored pairs; hits join on pair identity alone. */
   private def qLshRecall(s: SparkSession, d: String): DataFrame = {
     val hsx = Materialize(shingleHashSets(
-      Tables.spread(s, Tables.documents(s, d)), "doc_id", "text"))
-    val samp = hsx.filter(expr("doc_id % 5 = 0"))
-      .selectExpr("doc_id AS doc_s", "hs AS hs_s")
+        Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
+      .selectExpr("doc_id", "hs", "cast(size(hs) AS bigint) AS sz"))
+    val samp = hsx
+      .selectExpr("doc_id AS doc_s", "hs AS hs_s", "sz AS sz_s")
+      .filter(expr("doc_s % 5 = 0"))
     val truth = samp
-      .crossJoin(hsx.selectExpr("doc_id AS doc_o", "hs AS hs_o"))
+      .crossJoin(hsx.selectExpr("doc_id AS doc_o", "hs AS hs_o", "sz AS sz_o"))
       .filter(col("doc_s") =!= col("doc_o"))
+      // size-ratio prune BEFORE any array work: J = |∩|/|∪| ≤ min/max of
+      // the set sizes, so min·10 < max·7 already caps J below 0.7 — on a
+      // real corpus this integer compare kills almost every
+      // sample × corpus pair without touching the arrays
+      .filter(expr("sz_s * 10 >= sz_o * 7 AND sz_o * 10 >= sz_s * 7"))
+      // |∪| = |A| + |B| − |∩| (hs are distinct sets): one array pass, not two
       .selectExpr(
         "least(doc_s, doc_o) AS doc_a", "greatest(doc_s, doc_o) AS doc_b",
         "cast(size(array_intersect(hs_s, hs_o)) AS bigint) AS li",
-        "cast(size(array_union(hs_s, hs_o)) AS bigint) AS lu")
+        "sz_s", "sz_o")
+      .selectExpr("doc_a", "doc_b", "li", "sz_s + sz_o - li AS lu")
       .filter(expr("li * 10 >= lu * 7"))
       .selectExpr("doc_a", "doc_b", "cast(li * 10 div lu AS int) AS bucket")
       .distinct()
