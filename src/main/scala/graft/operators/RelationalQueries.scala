@@ -514,8 +514,10 @@ object RelationalQueries {
 
   /** The Pearson-r scalar tail, shared TEXT between the Spark arm and the
     * DuckDB oracle arm: identical IEEE ops in identical order over the
-    * same exact-integer moment sums, so the 6-dp round can't drift. */
-  private def corrFormula(n: String, sx: String, sy: String,
+    * same exact-integer moment sums, so the 6-dp round can't drift.
+    * Shared with [[SeriesOps]]' lag-autocorrelation, which is the same
+    * formula over (y_t, y_t−k) pairs. */
+  private[operators] def corrFormula(n: String, sx: String, sy: String,
       sxx: String, syy: String, sxy: String): String =
     s"round((cast($n AS double) * cast($sxy AS double) - cast($sx AS double) * cast($sy AS double)) / " +
       s"(sqrt(cast($n AS double) * cast($sxx AS double) - cast($sx AS double) * cast($sx AS double)) * " +
@@ -613,7 +615,113 @@ object RelationalQueries {
       .select(col("n1"), col("x1"), col("n2"), col("x2"), col("z"),
         col("significant_95"))
 
+  /** Equi-width histogram of the value measure (r11): 20 data-driven bins
+    * over the micro-quantized domain — the distribution panel beside
+    * [[qProfile]]'s min/max (a profile says the range; the histogram says
+    * where the mass sits, which is what sizing a skew strategy or choosing
+    * bucket bounds actually needs).
+    *
+    * Exactness: bin assignment is pure integer arithmetic over
+    * micro-quantized longs — `(vm − v0) · 20 div (v1 − v0 + 1)` — with the
+    * `+1` guaranteeing the max value lands in bin 19 (the q_zorder bucket
+    * formula); per-bin min/max report the OBSERVED micro bounds, so no
+    * derived-edge float ever appears. Empty bins are absent in both
+    * engines by the same rule.
+    *
+    * 100 TB shape: one 1-row bounds aggregation broadcast onto the scan,
+    * the bin code map-side, then ONE ≤20-group hash aggregation with
+    * map-side combine. Nothing sorts, nothing shuffles wider than the
+    * bins. */
+  private[graft] def valueHistogram(events: DataFrame, nBins: Int): DataFrame = {
+    val q = events
+      .select(expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+    val bounds = q.agg(min(col("_vm")).as("_v0"), max(col("_vm")).as("_v1"))
+    q.crossJoin(broadcast(bounds))
+      .groupBy(expr(s"(_vm - _v0) * $nBins div (_v1 - _v0 + 1)").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_vm")).as("min_micro"), max(col("_vm")).as("max_micro"))
+  }
+
+  private def qHistogram(s: SparkSession, d: String): DataFrame =
+    valueHistogram(Tables.events(s, d), 20).orderBy(col("bin"))
+
+  /** Top opening paths (r11): each user's first three event types joined
+    * `a>b>c`, counted across users, top-10 — the "how do journeys start"
+    * product-analytics read beside the funnel (which fixes the stages) and
+    * the transition matrix (which forgets position).
+    *
+    * Determinism: the prefix cut is `row_number ≤ 3` over the (user,
+    * event_id) total order; the path string assembles from
+    * `array_sort(struct(event_id, type))`, so collect order can't matter;
+    * the top-10 cut orders by (count DESC, path) — total.
+    *
+    * 100 TB shape: the window's user-key exchange is the one data-scaled
+    * shuffle, and WindowGroupLimit prunes each user's stream to 3 rows
+    * inside it; the per-user path agg REUSES that partitioning (no second
+    * exchange before the path roll-up, which shuffles ≤ |users| short
+    * strings); top-10 is TakeOrderedAndProject. Payload columns never
+    * load. */
+  private[graft] def pathTopk(events: DataFrame, prefixLen: Int,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= prefixLen)
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(event_id, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
+  private def qPathTopk(s: SparkSession, d: String): DataFrame =
+    pathTopk(Tables.events(s, d), 3, 10)
+
+  /** The k thresholds [[qKAnonymity]] reports. */
+  private val AnonKs: Seq[Int] = Seq(2, 5, 10, 100)
+
+  /** k-anonymity audit (r11): the privacy gate beside `q_pii_scrub`'s
+    * redaction — bucket every event into its quasi-identifier class
+    * (event type × day × value decile-ish band: the attributes a linkage
+    * attacker joins on) and report, for each k, how many classes and rows
+    * sit below k-anonymity. A release gate reads one row of this and
+    * decides whether the QI grain needs coarsening.
+    *
+    * 100 TB shape: ONE hash aggregation to the QI-class grain (the only
+    * data-scaled shuffle — counts, never payloads), then one single-row
+    * conditional-sum aggregation over the class table with the per-k rows
+    * exploded from that row (the q_corr arms trick — no per-k rescan of
+    * anything). */
+  private[graft] def kAnonymityCurve(events: DataFrame): DataFrame = {
+    val classes = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("_day"),
+        expr("cast(round(value * 1000000) AS bigint) div 100000000").as("_vb"))
+      .agg(count(lit(1)).as("_n"))
+    val aggs = count(lit(1)).as("n_classes") +:
+      AnonKs.flatMap(k => Seq(
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as(s"_cb$k"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L)).as(s"_rb$k")))
+    val arms = AnonKs
+      .map(k => s"struct($k AS k, n_classes, _cb$k AS classes_below, _rb$k AS rows_at_risk)")
+      .mkString(", ")
+    classes.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"explode(array($arms)) AS p")
+      .select(col("p.k").as("k"), col("p.n_classes").as("n_classes"),
+        col("p.classes_below").as("classes_below"),
+        col("p.rows_at_risk").as("rows_at_risk"))
+      .orderBy(col("k"))
+  }
+
+  private def qKAnonymity(s: SparkSession, d: String): DataFrame =
+    kAnonymityCurve(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> qHistogram _,
+    "q_path_topk" -> qPathTopk _,
+    "q_k_anonymity" -> qKAnonymity _,
     "q_transitions" -> qTransitions _,
     "q_ab_test" -> qAbTest _,
     "q_attribution" -> qAttribution _,
@@ -642,6 +750,44 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """WITH q AS (
+        |  SELECT cast(round(value * 1000000) AS bigint) AS vm FROM events),
+        |b AS (SELECT min(vm) AS v0, max(vm) AS v1 FROM q)
+        |SELECT (vm - v0) * 20 // (v1 - v0 + 1) AS bin, count(*) AS n,
+        |       min(vm) AS min_micro, max(vm) AS max_micro
+        |FROM q, b GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_path_topk" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, '>' ORDER BY event_id) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    "q_k_anonymity" -> {
+      val arms = AnonKs.map(k =>
+        s"""SELECT $k AS k, n_classes, cb$k AS classes_below,
+           |       rb$k AS rows_at_risk FROM s""".stripMargin)
+        .mkString(" UNION ALL ")
+      val sums = AnonKs.flatMap(k => Seq(
+        s"cast(sum(CASE WHEN n < $k THEN 1 ELSE 0 END) AS bigint) AS cb$k",
+        s"cast(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS bigint) AS rb$k"))
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT event_type, ts::DATE AS day,
+         |         cast(round(value * 1000000) AS bigint) // 100000000 AS vb,
+         |         count(*) AS n
+         |  FROM events GROUP BY 1, 2, 3),
+         |s AS (SELECT count(*) AS n_classes, $sums FROM c)
+         |$arms
+         |ORDER BY k""".stripMargin
+    },
     "q_transitions" ->
       """WITH t AS (
         |  SELECT event_type,

@@ -236,14 +236,149 @@ object SeriesOps {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Exponentially weighted moving average (r11): each event's trailing
+    * EWMA per type with decay α = 1/2 over a 30-row horizon — the smoother
+    * a live metrics view runs when recent points should dominate (the
+    * rolling mean weighs a 50-row-old spike as much as the last point;
+    * EWMA halves a point's influence every step).
+    *
+    * Exact by construction: α = 1/2 makes every weight a power of two, so
+    * the weighted sum is `Σ xᵢ·2^i` over the frame (oldest first, newest
+    * weight 2^(n−1)) — a LONG shift-and-add fold — and the normalizer is
+    * the closed-form `2^n − 1`; one integer division at the end, no double
+    * anywhere. The 30-row truncation drops weight 2⁻³⁰ ≈ 1e-9 of the
+    * signal — below the 1-micro output grain. Overflow headroom: max
+    * |x| ≈ 5e8 micros · 2³⁰ ≈ 5.4e17 < 2⁶³. An arbitrary-α EWMA is a
+    * geometric double recursion — order-sensitive and engine-unportable;
+    * the power-of-two decay is the hash-stable form.
+    *
+    * 100 TB shape: ONE hash exchange on the type key; the frame keeps 30
+    * longs of state per partition slot; the fold is map-side list algebra
+    * over the frame (no join, no second shuffle). */
+  private[graft] def ewmaTrailing(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(-29, 0)
+    events
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .withColumn("_l", collect_list(col("_vm")).over(w))
+      .withColumn("ewma_micro", expr(
+        """aggregate(
+          |  zip_with(_l, sequence(0, size(_l) - 1),
+          |           (x, i) -> x * shiftleft(cast(1 AS bigint), i)),
+          |  cast(0 AS bigint), (a, x) -> a + x)
+          |div (shiftleft(cast(1 AS bigint), size(_l)) - 1)""".stripMargin))
+      .select(col("event_type"), col("event_id"), col("ewma_micro"))
+  }
+
+  private def qEwma(s: SparkSession, d: String): DataFrame =
+    ewmaTrailing(Tables.events(s, d))
+      .orderBy(col("event_type"), col("event_id"))
+
+  /** The lag grid [[qAutocorr]] reports. */
+  private val AcfLags: Seq[Int] = 1 to 7
+
+  /** Lag-k autocorrelation of the daily series (r11): per event type, the
+    * Pearson correlation of (dayₜ, dayₜ₋ₖ) for k = 1..7 — the ACF panel
+    * that answers "is there a weekly cycle?" before any seasonality model,
+    * completing the series toolkit (detrend isolates the residual; the ACF
+    * says whether the residual still carries structure).
+    *
+    * Determinism: the q_corr discipline verbatim — daily totals are
+    * micro-quantized long sums, all moment sums (Σx, Σy, Σx², Σy², Σxy)
+    * carry in decimal(38,0) (products of two ~1e13-micro day totals are
+    * ~1e26 — past long, inside decimal 38), and the r formula is the
+    * SHARED [[RelationalQueries.corrFormula]] text evaluated over the
+    * exact sums in both engines, rounded at the edge.
+    *
+    * 100 TB shape: ONE (type, day) hash aggregation collapses the log to
+    * the daily grain; all 7 lag columns stack on ONE window exchange per
+    * type; the unpivot explodes map-side and the moment aggregation is
+    * bounded by types × 7 groups. Nothing after the daily agg scales with
+    * events. */
+  private[graft] def autocorrDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("_vm")).as("_y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = AcfLags.foldLeft(daily) { (df, k) =>
+      df.withColumn(s"_l$k", lag(col("_y"), k).over(w))
+    }
+    val arms = AcfLags
+      .map(k => s"struct($k AS lag, _y AS y, _l$k AS yl)").mkString(", ")
+    lagged
+      .selectExpr("event_type", s"explode(array($arms)) AS p")
+      .filter(col("p.yl").isNotNull)
+      .groupBy(col("event_type"), col("p.lag").as("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(p.y AS decimal(38,0))")).as("_sx"),
+        sum(expr("cast(p.yl AS decimal(38,0))")).as("_sy"),
+        sum(expr("cast(p.y AS decimal(38,0)) * p.y")).as("_sxx"),
+        sum(expr("cast(p.yl AS decimal(38,0)) * p.yl")).as("_syy"),
+        sum(expr("cast(p.y AS decimal(38,0)) * p.yl")).as("_sxy"))
+      .withColumn("acf", expr(RelationalQueries.corrFormula(
+        "n", "_sx", "_sy", "_sxx", "_syy", "_sxy")))
+      .select(col("event_type"), col("lag"), col("n"), col("acf"))
+  }
+
+  private def qAutocorr(s: SparkSession, d: String): DataFrame =
+    autocorrDaily(Tables.events(s, d))
+      .orderBy(col("event_type"), col("lag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> qEwma _,
+    "q_autocorr" -> qAutocorr _,
     "q_rolling_median" -> qRollingMedian _,
     "q_detrend" -> qDetrend _,
     "q_gap_fill" -> qGapFill _,
     "q_skyline" -> qSkyline _,
     "q_zorder" -> qZorder _)
 
+  /** The autocorrelation oracle's per-lag arm, generated from the same
+    * [[AcfLags]] grid so the two engines can't disagree on the panel. */
+  private def acfOracleArm(k: Int): String =
+    s"""SELECT event_type, $k AS lag, y, lag(y, $k) OVER (
+       |  PARTITION BY event_type ORDER BY day) AS yl
+       |FROM daily""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id,
+        |         cast(round(value * 1000000) AS bigint) AS vm
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, event_id,
+        |         list(vm) OVER (PARTITION BY event_type ORDER BY event_id
+        |                        ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS l
+        |  FROM t)
+        |SELECT event_type, event_id,
+        |       cast(list_sum(list_transform(l,
+        |              (x, i) -> x * (cast(1 AS bigint) << (i - 1)))) AS bigint)
+        |         // ((cast(1 AS bigint) << len(l)) - 1) AS ewma_micro
+        |FROM w ORDER BY event_type, event_id""".stripMargin,
+    "q_autocorr" -> {
+      val arms = AcfLags.map(acfOracleArm).mkString(" UNION ALL ")
+      s"""WITH daily AS (
+         |  SELECT event_type, ts::DATE AS day,
+         |         sum(cast(round(value * 1000000) AS bigint)) AS y
+         |  FROM events GROUP BY 1, 2),
+         |pairs AS ($arms),
+         |m AS (
+         |  SELECT event_type, lag, count(*) AS n,
+         |         sum(cast(y AS hugeint)) AS sx,
+         |         sum(cast(yl AS hugeint)) AS sy,
+         |         sum(cast(y AS hugeint) * y) AS sxx,
+         |         sum(cast(yl AS hugeint) * yl) AS syy,
+         |         sum(cast(y AS hugeint) * yl) AS sxy
+         |  FROM pairs WHERE yl IS NOT NULL GROUP BY 1, 2)
+         |SELECT event_type, lag, n,
+         |       ${RelationalQueries.corrFormula("n", "sx", "sy", "sxx", "syy", "sxy")} AS acf
+         |FROM m ORDER BY event_type, lag""".stripMargin
+    },
     "q_rolling_median" ->
       """SELECT event_type, event_id, value,
         |       quantile_cont(cast(round(value * 1000000) AS bigint), 0.5)

@@ -226,7 +226,48 @@ object TextSignals {
   private def qTokFertility(s: SparkSession, d: String): DataFrame =
     tokenizerFertility(Tables.spread(s, Tables.documents(s, d)), "lang", "text")
 
+  /** Exact phrase search via positional postings (r11): documents
+    * containing the token phrase, with occurrence count and first
+    * position — the capability BM25's bag-of-words ranking cannot express
+    * (order matters) and the reason real search indexes store positions.
+    *
+    * 100 TB shape, inside-out: a `contains(text, "w1 w2 …")` prefilter
+    * runs AT THE SCAN — sound because a token-level match implies the
+    * space-joined substring appears (tokens are space-delimited), so it
+    * never false-drops; only surviving docs explode into postings, and
+    * postings are built for the PHRASE'S terms only (the isin filter sits
+    * under the explode projection, so the posting shuffle carries the two
+    * terms' lists, never the corpus vocabulary). Adjacency is then one
+    * (doc, pos) equi-join per additional term — each join key already
+    * co-partitioned on doc_id — and the final per-doc count is a bounded
+    * hash agg. Text never rides a shuffle; position ints do. */
+  private[graft] def phraseSearch(docs: DataFrame, idCol: String,
+      textCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val pre = docs.filter(col(textCol).contains(phrase.mkString(" ")))
+    val posts = pre
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+    val first = posts.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(posts.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
+  private def qPhraseSearch(s: SparkSession, d: String): DataFrame =
+    phraseSearch(Tables.documents(s, d), "doc_id", "text",
+      Seq("value", "table"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> qPhraseSearch _,
     "q_pmi" -> qPmi _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_entropy" -> qEntropy _,
@@ -234,6 +275,20 @@ object TextSignals {
     "q_tok_fertility" -> qTokFertility _)
 
   val oracle: Map[String, String] = Map(
+    "q_phrase_search" ->
+      """WITH f AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE contains(text, 'value table')),
+        |w AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |           i -> struct_pack(p := i - 1, w := toks[i]))) AS u
+        |  FROM f),
+        |p AS (SELECT doc_id, u.p AS pos, u.w AS term FROM w),
+        |a AS (SELECT doc_id, pos FROM p WHERE term = 'value'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'table')
+        |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+        |FROM a JOIN b USING (doc_id, pos)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tok_fertility" -> {
       val bpe = graft.functions.BpeCount.duckExpr("text")
       s"""WITH d AS (

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import java.sql.Timestamp
+
+/** Controlled fixtures for the r11 analytics panel: the EWMA shift-and-add
+  * fold against hand arithmetic, the ACF's exact ±1 on a periodic series,
+  * histogram edge-bin placement, path prefix/tie semantics, the
+  * k-anonymity curve, and phrase search's token-boundary correctness
+  * (including the substring false-positive the scan prefilter admits and
+  * the position join must kill). */
+class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
+
+  private def ts(day: Int, h: Int = 12): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("ewma: shift-and-add fold matches hand arithmetic on the ramp-up") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = Seq(("a", 1L, 4.0), ("a", 2L, 8.0), ("a", 3L, 16.0),
+      ("b", 1L, 7.0))
+      .toDF("event_type", "event_id", "value")
+    val out = SeriesOps.ewmaTrailing(ev)
+      .orderBy("event_type", "event_id").collect()
+    // micros 4e6, 8e6, 16e6; weights oldest→newest 1,2,4; norm 2^n − 1:
+    //   n=1: 4e6/1 = 4e6
+    //   n=2: (4e6 + 16e6)/3 = 6666666 (floor)
+    //   n=3: (4e6 + 16e6 + 64e6)/7 = 12e6
+    assert(out.map(_.getLong(2)).toSeq ===
+      Seq(4000000L, 6666666L, 12000000L, 7000000L))
+  }
+
+  test("ewma: constant series is a fixed point at every window length") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = (1 to 40).map(i => ("a", i.toLong, 3.25))
+      .toDF("event_type", "event_id", "value")
+    val got = SeriesOps.ewmaTrailing(ev).collect().map(_.getLong(2)).distinct
+    // Σ c·2^i over i<n = c·(2^n − 1), so ewma = c exactly for ANY n —
+    // including the 30-row saturated frames at the tail.
+    assert(got.toSeq === Seq(3250000L))
+  }
+
+  test("autocorr: period-2 series has ACF exactly −1 at lag 1 and +1 at lag 2") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 9 alternating days: lag-1 pairs are 4×(10,20) + 4×(20,10) → r = −1
+    // exactly; lag-2 pairs are all equal-valued → r = +1 exactly. The
+    // decimal-moment + shared-formula path must land on the exact pole.
+    val ev = (1 to 9).map(i =>
+      ("a", ts(i), if (i % 2 == 1) 10.0 else 20.0))
+      .toDF("event_type", "ts", "value")
+    val acf = SeriesOps.autocorrDaily(ev).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(acf(1) === -1.0)
+    assert(acf(2) === 1.0)
+  }
+
+  test("histogram: min lands in bin 0, max in the last bin, counts total") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = (0 to 100).map(i => Tuple1(i.toDouble)).toDF("value")
+    val out = RelationalQueries.valueHistogram(ev, 20)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(1)).sum === 101L)
+    assert(out.head.getLong(0) === 0L && out.head.getLong(2) === 0L)
+    assert(out.last.getLong(0) === 19L && out.last.getLong(3) === 100000000L)
+    // observed per-bin bounds nest inside the bin order
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2))
+    }
+  }
+
+  test("path_topk: prefix cut, short-history users, and the tie order") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = Seq(
+      // two users with the same 3-prefix (4th event must not matter)
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"), (1L, 4L, "error"),
+      (2L, 1L, "view"), (2L, 2L, "click"), (2L, 3L, "purchase"),
+      // a 2-event user keeps a 2-step path
+      (3L, 1L, "view"), (3L, 2L, "error"),
+      // two singleton paths tie at 1 — the (n DESC, path) order breaks it
+      (4L, 1L, "signup"))
+      .toDF("user_id", "event_id", "event_type")
+    val out = RelationalQueries.pathTopk(ev, 3, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head === ("view>click>purchase", 2L))
+    assert(out.tail.toSeq === Seq(("signup", 1L), ("view>error", 1L)))
+  }
+
+  test("k_anonymity: curve counts classes and rows below each k") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // Three QI classes (same day, value band 0): sizes 1, 3, 12.
+    val ev = Seq.fill(1)(("a", ts(1), 5.0)) ++
+      Seq.fill(3)(("b", ts(1), 5.0)) ++
+      Seq.fill(12)(("c", ts(1), 5.0))
+    val out = RelationalQueries.kAnonymityCurve(
+      ev.toDF("event_type", "ts", "value")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (2, 3L, 1L, 1L),     // only the singleton class is below 2
+      (5, 3L, 2L, 4L),     // sizes 1 and 3 → 4 rows at risk
+      (10, 3L, 2L, 4L),
+      (100, 3L, 3L, 16L))) // everything below 100
+  }
+
+  test("phrase_search: token boundaries, overlaps, and multi-word phrases") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "value table"),                  // 1 match at pos 0
+      (2L, "x value table y value table"),  // 2 matches, first at 1
+      (3L, "myvalue table"),                // substring hit, NOT a token hit
+      (4L, "value value table"),            // 1 match at pos 1
+      (5L, "table value"),                  // reversed: no match
+      (6L, "nothing here"))
+      .toDF("doc_id", "text")
+    val out = TextSignals.phraseSearch(docs, "doc_id", "text",
+      Seq("value", "table")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 1L, 0), (2L, 2L, 1), (4L, 1L, 1)))
+    val tri = TextSignals.phraseSearch(docs, "doc_id", "text",
+      Seq("value", "value", "table")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(tri.toSeq === Seq((4L, 1L, 0)))
+  }
+
+  test("plan pins: path_topk group-limits the window and phrase_search " +
+      "pushes the contains prefilter to the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val pPath = SparkEntry.queries("q_path_topk")(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pPath.contains("WindowGroupLimit"), pPath.linesIterator.take(8).mkString("\n"))
+    assert(pPath.contains("TakeOrderedAndProject"))
+    val pPhrase = SparkEntry.queries("q_phrase_search")(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(pPhrase).getOrElse("")
+    assert(pushed.contains("StringContains"), pushed)
+    val pHist = SparkEntry.queries("q_histogram")(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pHist.contains("BroadcastNestedLoopJoin") ||
+      pHist.contains("BroadcastExchange"), "histogram bounds must broadcast")
+  }
+}
