@@ -41,6 +41,7 @@ object SparkEntry {
       operators.GraphOps.queries,
       operators.ScaleOps.queries,
       streaming.CdcPipeline.queries,
+      streaming.EnrichStream.queries,
       streaming.BloomStream.queries,
       streaming.DriftStream.queries,
       streaming.TrendStream.queries,
@@ -68,6 +69,7 @@ object SparkEntry {
       operators.GraphOps.oracle ++
       operators.ScaleOps.oracle ++
       streaming.CdcPipeline.oracle ++
+      streaming.EnrichStream.oracle ++
       streaming.BloomStream.oracle ++
       streaming.DriftStream.oracle ++
       streaming.TrendStream.oracle ++

@@ -1132,6 +1132,54 @@ object Graft {
   def gapFillDaily(events: DataFrame): DataFrame =
     graft.operators.SeriesOps.gapFillDaily(events)
 
+  /** Trailing EWMA with decay 1/2 over a 30-row horizon, exact by
+    * construction: power-of-two weights make the weighted sum a long
+    * shift-and-add fold with a closed-form normalizer — no double
+    * recursion. Requires columns `event_type`, `event_id`, `value`. */
+  def ewmaTrailing(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.ewmaTrailing(events)
+
+  /** Lag-1..7 autocorrelation of the per-type daily totals: decimal-exact
+    * moment sums, all lags on one window exchange, Pearson r evaluated
+    * once over the exact sums. Requires `event_type`, `ts`, `value`. */
+  def autocorrDaily(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.autocorrDaily(events)
+
+  /** Equi-width histogram of `value` in `nBins` bins: integer micro bin
+    * arithmetic, 1-row bounds broadcast, one bounded aggregation. */
+  def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame =
+    graft.operators.RelationalQueries.valueHistogram(events, nBins)
+
+  /** Top-k opening event-type paths (first `prefixLen` events per user):
+    * WindowGroupLimit-pruned prefix, path agg on the window's own
+    * partitioning, TakeOrdered top-k. Requires `user_id`, `event_id`,
+    * `event_type`. */
+  def pathTopk(events: DataFrame, prefixLen: Int = 3,
+               k: Int = 10): DataFrame =
+    graft.operators.RelationalQueries.pathTopk(events, prefixLen, k)
+
+  /** k-anonymity risk curve over the (type, day, value-band)
+    * quasi-identifier grid: classes/rows below each k in one class
+    * aggregation + one single-row roll-up. */
+  def kAnonymityCurve(events: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.kAnonymityCurve(events)
+
+  /** Exact token-phrase search via positional postings: sound
+    * `contains` scan prefilter, postings for the phrase's terms only,
+    * one (doc, pos) equi-join per extra term. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame =
+    graft.operators.TextSignals.phraseSearch(docs, idCol, textCol, phrase)
+
+  /** Stream-static dimension enrichment: the stateless streaming join —
+    * apply images broadcast-joined to a bounded dim per micro-batch,
+    * exactly-once through the checkpointed file sink. */
+  def enrichStream(spark: SparkSession, chunkDir: String,
+                   dim: DataFrame, checkpointDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EnrichStream.enrich(spark, chunkDir, dim,
+      checkpointDir, outDir)
+
   /** Pareto-frontier skyline (minimize `priceCol`, maximize `sizeCol`):
     * bucket-prefilter dominance proof broadcast onto the scan, exact
     * two-window phase on the O(frontier) survivors — never all-pairs. */
