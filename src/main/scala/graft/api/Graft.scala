@@ -1145,6 +1145,23 @@ object Graft {
   def autocorrDaily(events: DataFrame): DataFrame =
     graft.operators.SeriesOps.autocorrDaily(events)
 
+  /** Naive vs seasonal-naive forecast backtest over the daily series:
+    * exact long error sums, integer micro MAEs + skill ratio, NULL skill
+    * on a constant series. Requires `event_type`, `ts`, `value`. */
+  def backtestDaily(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.backtestDaily(events)
+
+  /** RFM segmentation at the user grain: one log-collapsing aggregation,
+    * then ntile(5) scores over total orders on the user table. */
+  def rfmScores(events: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.rfmScores(events)
+
+  /** Benford leading-digit audit: string-algebra digit extraction over
+    * exact micros, one ≤9-group aggregation, micro shares vs the
+    * log10(1+1/d) expectation. */
+  def benfordDigits(events: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.benfordDigits(events)
+
   /** Equi-width histogram of `value` in `nBins` bins: integer micro bin
     * arithmetic, 1-row bounds broadcast, one bounded aggregation. */
   def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame =

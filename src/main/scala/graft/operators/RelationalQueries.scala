@@ -718,10 +718,94 @@ object RelationalQueries {
   private def qKAnonymity(s: SparkSession, d: String): DataFrame =
     kAnonymityCurve(Tables.events(s, d))
 
+  /** RFM segmentation (r11): each user scored 1-5 on Recency (days since
+    * last event vs the corpus anchor), Frequency (event count), and
+    * Monetary (purchase micros), 5 = best — the classic customer-value
+    * grid a lifecycle team reads before any churn/upsell targeting;
+    * the per-user roll-up the retention cohort aggregates away.
+    *
+    * Determinism: scores are `ntile(5)` over TOTAL orders (each metric
+    * tie-broken by user_id — ntile assigns by row position, so only a
+    * total order is engine-portable, the q_rank_funcs rule); monetary
+    * sums are exact micros.
+    *
+    * 100 TB shape: ONE user-keyed hash aggregation collapses the log to
+    * the user grain (recency/frequency/monetary in one pass, conditional
+    * sum for purchases — the q_ab_test trick); the 1-row anchor
+    * broadcasts. The three ntile windows then sort the USER table, not
+    * the log — the bounded-but-large demo form; at extreme user counts
+    * the scores come from sketch-quantile cut points
+    * (`Graft.approxQuantiles`) broadcast onto the same user scan. */
+  private[graft] def rfmScores(events: DataFrame): DataFrame = {
+    val anchor = events.agg(max(to_date(col("ts"))).as("_d1"))
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          expr("cast(round(value * 1000000) AS bigint)")).otherwise(0L))
+          .as("monetary_micro"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("_d1"), col("_last")).cast("bigint"))
+    users
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary_micro"), col("user_id"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_micro"), col("r_score"), col("f_score"),
+        col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_code"))
+  }
+
+  private def qRfm(s: SparkSession, d: String): DataFrame =
+    rfmScores(Tables.events(s, d)).orderBy(col("user_id"))
+
+  /** Benford first-digit audit (r11): the observed share of each leading
+    * significant digit of the value measure against Benford's law — the
+    * classic fabricated-data / fraud screen (organically-grown magnitudes
+    * follow log-uniform leading digits; invented numbers don't). A large
+    * deviation on a financial column is the cheapest red flag a data
+    * audit can raise. The demo column is synthetic-uniform, so the
+    * OUTPUT shows a strong deviation — which is the audit working.
+    *
+    * Exactness: the leading digit is the first character of the micro
+    * long's decimal string — pure string algebra on an exact integer, no
+    * float log in the digit extraction (values ≥ 1 micro make it the
+    * first SIGNIFICANT digit); shares are integer micro-divisions; the
+    * Benford expectation is one shared `log10(1 + 1/d)` text over the
+    * nine constant digits, rounded at the edge.
+    *
+    * 100 TB shape: map-side digit extraction, ONE ≤9-group hash agg, a
+    * 1-row total broadcast. */
+  private[graft] def benfordDigits(events: DataFrame): DataFrame = {
+    val digits = events
+      .select(expr(
+        "cast(substring(cast(cast(round(value * 1000000) AS bigint) AS string), 1, 1) AS int)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("_nt"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div _nt").as("obs_micro"),
+        expr("cast(round(log10(1.0 + 1.0 / digit) * 1000000) AS bigint)")
+          .as("exp_micro"))
+      .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
+  }
+
+  private def qBenford(s: SparkSession, d: String): DataFrame =
+    benfordDigits(Tables.events(s, d)).orderBy(col("digit"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram" -> qHistogram _,
     "q_path_topk" -> qPathTopk _,
     "q_k_anonymity" -> qKAnonymity _,
+    "q_rfm" -> qRfm _,
+    "q_benford" -> qBenford _,
     "q_transitions" -> qTransitions _,
     "q_ab_test" -> qAbTest _,
     "q_attribution" -> qAttribution _,
@@ -750,6 +834,45 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm" ->
+      """WITH a AS (SELECT max(ts::DATE) AS d1 FROM events),
+        |u AS (
+        |  SELECT user_id, max(ts::DATE) AS last_day,
+        |         cast(count(*) AS bigint) AS frequency,
+        |         cast(sum(CASE WHEN event_type = 'purchase'
+        |                  THEN cast(round(value * 1000000) AS bigint)
+        |                  ELSE 0 END) AS bigint) AS monetary_micro
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, cast(date_diff('day', last_day, d1) AS bigint)
+        |           AS recency_days,
+        |         frequency, monetary_micro
+        |  FROM u, a),
+        |t AS (
+        |  SELECT *,
+        |         ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+        |         ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+        |         ntile(5) OVER (ORDER BY monetary_micro, user_id) AS m_score
+        |  FROM s)
+        |SELECT user_id, recency_days, frequency, monetary_micro,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM t ORDER BY user_id""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT cast(substring(cast(cast(round(value * 1000000) AS bigint)
+        |           AS varchar), 1, 1) AS integer) AS digit
+        |  FROM events),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n) AS nt FROM g)
+        |SELECT digit, n,
+        |       n * 1000000 // nt AS obs_micro,
+        |       cast(round(log10(1.0 + 1.0 / digit) * 1000000) AS bigint)
+        |         AS exp_micro,
+        |       n * 1000000 // nt -
+        |         cast(round(log10(1.0 + 1.0 / digit) * 1000000) AS bigint)
+        |         AS dev_micro
+        |FROM g, t ORDER BY digit""".stripMargin,
     "q_histogram" ->
       """WITH q AS (
         |  SELECT cast(round(value * 1000000) AS bigint) AS vm FROM events),

@@ -328,7 +328,50 @@ object SeriesOps {
     autocorrDaily(Tables.events(s, d))
       .orderBy(col("event_type"), col("lag"))
 
+  /** Forecast-skill backtest (r11): the two zero-parameter baselines every
+    * forecasting effort must beat — naive (yesterday's value) and
+    * seasonal-naive (the value one week ago) — backtested over the daily
+    * series per type, reported as MAE plus their ratio ("skill": < 1e6
+    * micro means weekly seasonality is real signal). This is the go/no-go
+    * read BEFORE buying a model: if seasonal-naive doesn't beat naive,
+    * there is no weekly cycle worth modeling (and [[autocorrDaily]] says
+    * the same thing from the correlation side).
+    *
+    * Exactness: forecasts are lagged micro longs, errors are long
+    * |subtractions| summed associatively, MAEs and the skill ratio are
+    * integer micro-divisions; a zero naive-MAE (constant series) yields
+    * NULL skill by the same guard in both engines.
+    *
+    * 100 TB shape: ONE daily hash aggregation collapses the log; both
+    * lags ride one window exchange per type; the final agg is bounded by
+    * |types|. */
+  private[graft] def backtestDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("_vm")).as("_y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("_p1", lag(col("_y"), 1).over(w))
+      .withColumn("_p7", lag(col("_y"), 7).over(w))
+      .filter(col("_p1").isNotNull && col("_p7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("_y") - col("_p1"))).as("_e1"),
+        sum(abs(col("_y") - col("_p7"))).as("_e7"))
+      .select(col("event_type"), col("n_days"),
+        expr("_e1 div n_days").as("mae_naive_micro"),
+        expr("_e7 div n_days").as("mae_seasonal_micro"),
+        expr("CASE WHEN _e1 = 0 THEN NULL ELSE _e7 * 1000000 div _e1 END")
+          .as("skill_micro"))
+  }
+
+  private def qBacktest(s: SparkSession, d: String): DataFrame =
+    backtestDaily(Tables.events(s, d)).orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_backtest" -> qBacktest _,
     "q_ewma" -> qEwma _,
     "q_autocorr" -> qAutocorr _,
     "q_rolling_median" -> qRollingMedian _,
@@ -345,6 +388,26 @@ object SeriesOps {
        |FROM daily""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |         sum(cast(round(value * 1000000) AS bigint)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, y,
+        |         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+        |         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |         sum(abs(y - p1)) AS e1, sum(abs(y - p7)) AS e7
+        |  FROM l WHERE p1 IS NOT NULL AND p7 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_days,
+        |       e1 // n_days AS mae_naive_micro,
+        |       e7 // n_days AS mae_seasonal_micro,
+        |       CASE WHEN e1 = 0 THEN NULL
+        |            ELSE e7 * 1000000 // e1 END AS skill_micro
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_ewma" ->
       """WITH t AS (
         |  SELECT event_type, event_id,

@@ -129,6 +129,62 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     assert(tri.toSeq === Seq((4L, 1L, 0)))
   }
 
+  test("backtest: hand-checked MAEs and the zero-naive-MAE NULL guard") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // type a: days 1..9 with totals 1,2,1,2,... (alternating micros):
+    //   |y−p1| = 1e6 every day (8 usable? only days 8,9 have lag-7);
+    //   day 8: y=2, p1=1, p7=1 → e1 += 1e6, e7 += 1e6
+    //   day 9: y=1, p1=2, p7=2 → e1 += 1e6, e7 += 1e6
+    //   n=2, mae both 1e6, skill = 1e6 (equal skill)
+    // type b: constant 5.0 → e1 = 0 → NULL skill.
+    val ev = (1 to 9).flatMap { i =>
+      Seq(("a", ts(i), if (i % 2 == 1) 1.0 else 2.0), ("b", ts(i), 5.0))
+    }.toDF("event_type", "ts", "value")
+    val out = SeriesOps.backtestDaily(ev).orderBy("event_type").collect()
+    val a = out(0)
+    assert(a.getLong(1) === 2L)
+    assert(a.getLong(2) === 1000000L && a.getLong(3) === 1000000L)
+    assert(a.getLong(4) === 1000000L)
+    val b = out(1)
+    assert(b.getLong(2) === 0L && b.isNullAt(4))
+  }
+
+  test("rfm: one-pass metrics and the 5-is-best score orientation") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 5 users with strictly increasing activity: user 5 is most recent,
+    // most frequent, and biggest spender → scores (5,5,5).
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, ts(u), "purchase", u * 10.0)) :+
+        ((u.toLong, ts(u), "view", 0.5))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = RelationalQueries.rfmScores(ev).orderBy("user_id").collect()
+    val u5 = out(4)
+    assert(u5.getLong(1) === 0L)                   // recency vs anchor day 5
+    assert(u5.getLong(2) === 6L)                   // 5 purchases + 1 view
+    assert(u5.getLong(3) === 250000000L)           // 5 × 50.0 in micros
+    assert((u5.getInt(4), u5.getInt(5), u5.getInt(6)) === ((5, 5, 5)))
+    assert(u5.getInt(7) === 555)
+    val u1 = out(0)
+    assert((u1.getInt(4), u1.getInt(5), u1.getInt(6)) === ((1, 1, 1)))
+  }
+
+  test("benford: digit extraction is the first significant digit and " +
+      "shares sum to ~1e6") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // values whose micro strings lead with known digits: 1.0 → 1000000
+    // (digit 1), 0.25 → 250000 (2), 93.5 → 93500000 (9), 0.01 → 10000 (1)
+    val ev = Seq(1.0, 0.25, 93.5, 0.01).map(Tuple1(_)).toDF("value")
+    val out = RelationalQueries.benfordDigits(ev).orderBy("digit").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 2L), (2, 1L), (9, 1L)))
+    assert(out.map(_.getLong(2)).sum === 1000000L)
+    // expectation column carries Benford's constants
+    assert(out.head.getLong(3) === 301030L)  // log10(2)
+  }
+
   test("plan pins: path_topk group-limits the window and phrase_search " +
       "pushes the contains prefilter to the scan") {
     val sf = "/root/testdata/sf0.001"
