@@ -63,6 +63,44 @@ object CdcQueries {
       .orderBy(col("user_id"))
   }
 
+  /** AS-OF-LSN time travel (r11): the table's state at three historical
+    * log positions (25/50/75% of the head LSN, derived in-plan) in one
+    * read — "what did this row look like before the incident?" is the
+    * FIRST question a CDC consumer asks of its history; the reference's
+    * restart machinery reads state as of a savepoint seq the same way
+    * (ec:2172-2194 resolves a position, then state is everything at or
+    * below it).
+    *
+    * Shape: the 3-row snapshot frame broadcasts onto the scan with a
+    * `seq ≤ snap` band (BroadcastNestedLoopJoin over 3 rows — bounded),
+    * then ONE (snap, key) window picks each key's latest image per
+    * snapshot. This is the REPLAY read — cost |log| × |snapshots|, the
+    * honest price of reading history from a raw log; a consumer that
+    * asks often should maintain checkpoints instead (`q_snapshot_diff` /
+    * `s_mv_delta` are that maintained form, and `q_scd2` materializes
+    * EVERY version so any as-of read becomes an interval probe). */
+  private[graft] def asofSnapshots(events: DataFrame,
+      snaps: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("snap_seq"), col("user_id"))
+      .orderBy(col("event_id").desc)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .join(broadcast(snaps), col("event_id") <= col("snap_seq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("snap_seq"), col("user_id"),
+        col("event_id").as("last_seq"), col("event_type"), col("value"))
+  }
+
+  private def qAsofSnapshot(s: SparkSession, d: String): DataFrame = {
+    val snaps = Tables.events(s, d)
+      .agg(max(col("event_id")).as("_m"))
+      .selectExpr(
+        "explode(array(_m div 4, _m div 2, (_m * 3) div 4)) AS snap_seq")
+    asofSnapshots(Tables.events(s, d), snaps)
+      .orderBy(col("snap_seq"), col("user_id"))
+  }
+
   /** Pair update before/after images (records 42/43, ec:1848-1856): each
     * change sees the previous image's value via lag over (key, seq). */
   private def qUpdbefUpdaftPair(s: SparkSession, d: String): DataFrame = {
@@ -353,6 +391,7 @@ object CdcQueries {
     "q_last_committed" -> qLastCommitted _,
     "q_txn_stats" -> qTxnStats _,
     "q_latest_per_key" -> qLatestPerKey _,
+    "q_asof_snapshot" -> qAsofSnapshot _,
     "q_updbef_updaft_pair" -> qUpdbefUpdaftPair _,
     "q_rollback_filter" -> qRollbackFilter _,
     "q_delete_apply" -> qDeleteApply _,
@@ -380,6 +419,17 @@ object CdcQueries {
         |       max(event_id) AS last_seq,
         |       max(event_id) - min(event_id) AS seq_span
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_snapshot" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |s AS (SELECT unnest([mx // 4, mx // 2, (mx * 3) // 4]) AS snap_seq
+        |      FROM m),
+        |r AS (
+        |  SELECT s.snap_seq, e.user_id, e.event_id, e.event_type, e.value,
+        |         row_number() OVER (PARTITION BY s.snap_seq, e.user_id
+        |                            ORDER BY e.event_id DESC) AS rn
+        |  FROM events e JOIN s ON e.event_id <= s.snap_seq)
+        |SELECT snap_seq, user_id, event_id AS last_seq, event_type, value
+        |FROM r WHERE rn = 1 ORDER BY snap_seq, user_id""".stripMargin,
     "q_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -1096,6 +1096,57 @@ object LlmQueries {
       .orderBy(col("cid"), col("pos"))
   }
 
+  /** Clustering-quality audit of the trained IVF cells (r11): per cluster,
+    * the average cosine to the OWN centroid vs the average cosine to the
+    * runner-up centroid — the simplified-silhouette separation read that
+    * answers "did Lloyd's produce real cells or arbitrary partitions?"
+    * before the index serves (the fourth quality audit beside the three
+    * recall audits: a cell structure can have perfect recall mechanics
+    * and still be a useless partition of the space).
+    *
+    * Determinism: assignments and runner-ups come from ONE row_number
+    * window over the 6-dp-rounded cosine with the cid tie-break (the
+    * kmeansAssign total order, positions 1 and 2 of the same window);
+    * per-vector sims quantize to micro ints before the per-cluster sums,
+    * averages are integer micro-divisions.
+    *
+    * 100 TB shape: training is the shared 2-iteration Lloyd's
+    * (broadcast centroids, exact-integer recompute); the audit itself is
+    * one K-row broadcast onto the vector scan + ONE (vec) window over K
+    * in-row candidates + ONE K-group hash agg. Nothing pairs vectors
+    * with vectors. */
+  private def qClusterQuality(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val e = Tables.spread(s, Tables.embeddings(s, d))
+      .withColumn("norm", expr(s"sqrt(${dotSpark("embedding", "embedding")})"))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val cents0 = seedCentroids(e)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
+        col("norm").as("cnorm"))
+    val c2 = kmeansTrain(e, cents0, 2)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val sims = e.crossJoin(broadcast(c2))
+      .withColumn("csim",
+        expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .withColumn("_m", expr("cast(round(csim * 1000000) AS bigint)"))
+    val own = sims.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("_m").as("_om"))
+    val nxt = sims.filter(col("rn") === 2)
+      .select(col("vec_id"), col("_m").as("_nm"))
+    own.join(nxt, Seq("vec_id"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_om")).as("_so"), sum(col("_nm")).as("_sn"))
+      .select(col("cid"), col("n"),
+        expr("_so div n").as("avg_own_micro"),
+        expr("_sn div n").as("avg_next_micro"),
+        (expr("_so div n") - expr("_sn div n")).as("sep_micro"))
+      .orderBy(col("cid"))
+  }
+
   // ----------------------------------------------------------- text analysis
 
   /** Corpus statistics per language: doc/token/char counts, averages as a
@@ -1665,6 +1716,7 @@ object LlmQueries {
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_hard_negatives" -> qHardNegatives _,
     "q_ivf_kmeans" -> qIvfKmeans _,
+    "q_cluster_quality" -> qClusterQuality _,
     "q_ann_trained" -> qAnnTrained _,
     "q_emb_outliers" -> qEmbOutliers _,
     "q_knn_join" -> qKnnJoin _,
@@ -2516,6 +2568,31 @@ object LlmQueries {
       s"""WITH $knnGraphCte
          |SELECT vec_id, rk, nbr_id, cluster, sim FROM knnq
          |ORDER BY vec_id, rk""".stripMargin,
+    "q_cluster_quality" ->
+      s"""WITH $ivfKmeansCte,
+         |c2 AS (SELECT cid,
+         |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
+         |       FROM u2 GROUP BY cid),
+         |c2n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |        FROM c2),
+         |s3 AS (SELECT en.vec_id, cid,
+         |              round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) AS csim,
+         |              row_number() OVER (PARTITION BY en.vec_id
+         |                ORDER BY round(list_dot_product(en.v, cv) / (nrm * cnorm), 6) DESC,
+         |                         cid) AS rn
+         |       FROM en, c2n),
+         |own AS (SELECT vec_id, cid,
+         |               cast(round(csim * 1000000) AS bigint) AS om
+         |        FROM s3 WHERE rn = 1),
+         |nxt AS (SELECT vec_id,
+         |               cast(round(csim * 1000000) AS bigint) AS nm
+         |        FROM s3 WHERE rn = 2)
+         |SELECT own.cid, count(*) AS n,
+         |       sum(om) // count(*) AS avg_own_micro,
+         |       sum(nm) // count(*) AS avg_next_micro,
+         |       sum(om) // count(*) - sum(nm) // count(*) AS sep_micro
+         |FROM own JOIN nxt USING (vec_id)
+         |GROUP BY own.cid ORDER BY cid""".stripMargin,
     "q_ivf_kmeans" ->
       s"""WITH $ivfKmeansCte,
          |f AS (SELECT cid, pos,

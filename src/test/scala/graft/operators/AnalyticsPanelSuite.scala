@@ -185,6 +185,39 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     assert(out.head.getLong(3) === 301030L)  // log10(2)
   }
 
+  test("asof_snapshot: keys appear only once visible, values travel back") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // key 1 changes at seq 10 (a=1.0) and 30 (b=3.0); key 2 first
+    // appears at seq 25. Snapshots at 20 and 40.
+    val ev = Seq(
+      (10L, 1L, "view", 1.0), (30L, 1L, "click", 3.0),
+      (25L, 2L, "view", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val snaps = Seq(20L, 40L).toDF("snap_seq")
+    val out = CdcQueries.asofSnapshots(ev, snaps)
+      .orderBy("snap_seq", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (20L, 1L, 10L, 1.0),              // key 2 not yet visible at 20
+      (40L, 1L, 30L, 3.0), (40L, 2L, 25L, 2.0)))
+  }
+
+  test("cluster_quality: separation is non-negative by the window order " +
+      "and sizes cover every vector") {
+    val s = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_cluster_quality")(s, sf).collect()
+    val nVecs = graft.Tables.embeddings(s, sf).count()
+    assert(out.map(_.getLong(1)).sum === nVecs)
+    // own is position 1 and next position 2 of ONE ordered window, so
+    // per-vector own ≥ next, hence every cluster's averages separate.
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), r.toString)
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+    }
+  }
+
   test("plan pins: path_topk group-limits the window and phrase_search " +
       "pushes the contains prefilter to the scan") {
     val sf = "/root/testdata/sf0.001"
