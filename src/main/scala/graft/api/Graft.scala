@@ -1162,6 +1162,29 @@ object Graft {
   def benfordDigits(events: DataFrame): DataFrame =
     graft.operators.RelationalQueries.benfordDigits(events)
 
+  /** DAU/WAU/MAU engagement panel: the log collapses to distinct
+    * (user, day) pairs once, each pair contributes to its trailing
+    * report days via a bounded id-pair explode — no sliding distinct
+    * window state. Requires `user_id`, `ts`. */
+  def activeUsers(events: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.activeUsers(events)
+
+  /** Key-bounded interval-overlap join: each overlapping unordered pair
+    * of (key, id, start, end) DATE intervals within a key, once, with
+    * the inclusive overlap length in days. Unbounded key groups should
+    * bucket the time axis instead (the q_range_join scheme). */
+  def intervalOverlapJoin(rows: DataFrame, keyCol: String, idCol: String,
+                          startCol: String, endCol: String): DataFrame =
+    graft.operators.TemporalJoins.intervalOverlapJoin(
+      rows, keyCol, idCol, startCol, endCol)
+
+  /** Multi-snapshot AS-OF-LSN read: each key's latest image at every
+    * snapshot seq in `snaps` (a 1-column `snap_seq` frame, broadcast).
+    * The replay form — maintained checkpoints are the frequent-reader
+    * path. Requires `event_id`, `user_id`, `event_type`, `value`. */
+  def asofSnapshots(events: DataFrame, snaps: DataFrame): DataFrame =
+    graft.operators.CdcQueries.asofSnapshots(events, snaps)
+
   /** Equi-width histogram of `value` in `nBins` bins: integer micro bin
     * arithmetic, 1-row bounds broadcast, one bounded aggregation. */
   def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame =

@@ -775,17 +775,21 @@ object RelationalQueries {
     *
     * Exactness: the leading digit is the first character of the micro
     * long's decimal string — pure string algebra on an exact integer, no
-    * float log in the digit extraction (values ≥ 1 micro make it the
-    * first SIGNIFICANT digit); shares are integer micro-divisions; the
-    * Benford expectation is one shared `log10(1 + 1/d)` text over the
-    * nine constant digits, rounded at the edge.
+    * float log in the digit extraction; shares are integer
+    * micro-divisions; the Benford expectation is one shared
+    * `log10(1 + 1/d)` text over the nine constant digits, rounded at the
+    * edge. EXACT ZEROS are excluded before anything else (standard
+    * Benford practice — zero has no leading significant digit, and an
+    * unexcluded zero feeds `1/0` to the expectation: sf0.1 carries six
+    * literal 0.0 values that proved it).
     *
     * 100 TB shape: map-side digit extraction, ONE ≤9-group hash agg, a
     * 1-row total broadcast. */
   private[graft] def benfordDigits(events: DataFrame): DataFrame = {
     val digits = events
-      .select(expr(
-        "cast(substring(cast(cast(round(value * 1000000) AS bigint) AS string), 1, 1) AS int)")
+      .select(expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .filter(col("_vm") > 0)
+      .select(expr("cast(substring(cast(_vm AS string), 1, 1) AS int)")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = digits.agg(sum(col("n")).as("_nt"))
@@ -800,12 +804,58 @@ object RelationalQueries {
   private def qBenford(s: SparkSession, d: String): DataFrame =
     benfordDigits(Tables.events(s, d)).orderBy(col("digit"))
 
+  /** DAU/WAU/MAU + stickiness (r11): per calendar day, the exact distinct
+    * users active that day, in the trailing 7 days, and in the trailing
+    * 28 days, plus DAU/WAU stickiness — THE engagement panel every
+    * product dashboard leads with.
+    *
+    * The scale trick: a trailing-window COUNT DISTINCT is not a window
+    * function you can run at 100 TB (per-day state = the union of 28
+    * days of user sets). Instead the log first collapses to distinct
+    * (user, day) pairs — the only data-scaled shuffle — and each pair
+    * then CONTRIBUTES itself to the ≤ 7 (resp. 28) trailing report days
+    * it is visible in: a bounded map-side explode of id-pairs (the
+    * q_retention_cohort shape), one distinct, one count. Day grid comes
+    * from the observed span (1-row broadcast), so quiet days report 0;
+    * contributions past the span fall out of the grid's left join.
+    *
+    * Stickiness is an integer micro-division with the shared zero guard
+    * (a WAU of 0 only happens on an all-quiet week — NULL, not an
+    * error, in both engines). */
+  private[graft] def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val grid = ud.agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .selectExpr("explode(sequence(_d0, _d1, interval 1 day)) AS day")
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    def trailing(n: Int, name: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${n - 1}), interval 1 day)"))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as(name))
+    grid
+      .join(dau, Seq("day"), "left")
+      .join(trailing(7, "wau"), Seq("day"), "left")
+      .join(trailing(28, "mau"), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness_micro",
+        expr("CASE WHEN wau = 0 THEN NULL ELSE dau * 1000000 div wau END"))
+  }
+
+  private def qActiveUsers(s: SparkSession, d: String): DataFrame =
+    activeUsers(Tables.events(s, d)).orderBy(col("day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram" -> qHistogram _,
     "q_path_topk" -> qPathTopk _,
     "q_k_anonymity" -> qKAnonymity _,
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
+    "q_active_users" -> qActiveUsers _,
     "q_transitions" -> qTransitions _,
     "q_ab_test" -> qAbTest _,
     "q_attribution" -> qAttribution _,
@@ -834,6 +884,34 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |grid AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |w7 AS (
+        |  SELECT day, count(*) AS wau FROM (
+        |    SELECT DISTINCT user_id,
+        |           unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS day
+        |    FROM ud) GROUP BY day),
+        |w28 AS (
+        |  SELECT day, count(*) AS mau FROM (
+        |    SELECT DISTINCT user_id,
+        |           unnest(generate_series(day, day + 27, INTERVAL 1 DAY))::DATE AS day
+        |    FROM ud) GROUP BY day)
+        |SELECT g.day, coalesce(dau, 0) AS dau, coalesce(wau, 0) AS wau,
+        |       coalesce(mau, 0) AS mau,
+        |       CASE WHEN coalesce(wau, 0) = 0 THEN NULL
+        |            ELSE coalesce(dau, 0) * 1000000 // wau END
+        |         AS stickiness_micro
+        |FROM grid g
+        |LEFT JOIN dau USING (day)
+        |LEFT JOIN w7 USING (day)
+        |LEFT JOIN w28 USING (day)
+        |ORDER BY g.day""".stripMargin,
     "q_rfm" ->
       """WITH a AS (SELECT max(ts::DATE) AS d1 FROM events),
         |u AS (
@@ -859,10 +937,12 @@ object RelationalQueries {
         |       r_score * 100 + f_score * 10 + m_score AS rfm_code
         |FROM t ORDER BY user_id""".stripMargin,
     "q_benford" ->
-      """WITH d AS (
-        |  SELECT cast(substring(cast(cast(round(value * 1000000) AS bigint)
-        |           AS varchar), 1, 1) AS integer) AS digit
-        |  FROM events),
+      """WITH v AS (
+        |  SELECT cast(round(value * 1000000) AS bigint) AS vm FROM events),
+        |d AS (
+        |  SELECT cast(substring(cast(vm AS varchar), 1, 1) AS integer)
+        |           AS digit
+        |  FROM v WHERE vm > 0),
         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |t AS (SELECT sum(n) AS nt FROM g)
         |SELECT digit, n,

@@ -135,9 +135,66 @@ object TemporalJoins {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  /** Interval-OVERLAP join (r11): both sides are intervals — the third
+    * temporal-join shape beside as-of (point→latest point) and band
+    * (point→window). Here: each customer's order fulfillment windows
+    * [orderdate, orderdate + deterministic duration] that overlap each
+    * other — "which of this customer's orders were open at the same
+    * time", the concurrency read behind credit-exposure and
+    * fulfillment-contention analyses. Durations are manufactured in-plan
+    * (`o_orderkey % 30` days — the q_heavy_hitters deterministic-data
+    * pattern) since the demo schema carries one date.
+    *
+    * Scale shape: overlap is a theta predicate, but the CUSTOMER KEY
+    * bounds the group (orders per customer), so the pair space composes
+    * as a plain shuffled EQUI-join on the key with the overlap verified
+    * in-group — candidates per key are group², never table². The
+    * (a < b) order-key tie keeps each unordered pair once. When no key
+    * bounds the group, the TIME AXIS itself must be bucketed — exactly
+    * [[qRangeJoin]]'s bucket-and-verify applied to intervals: explode
+    * each interval to the width-w buckets it touches (w ≥ max interval
+    * length keeps the explode ≤ 2) and dedup pairs that met in both.
+    *
+    * Overlap length is exact date arithmetic: `least(ends) −
+    * greatest(starts)` in days, inclusive. */
+  /** The reusable key-bounded form behind [[qIntervalJoin]] and
+    * [[graft.api.Graft.intervalOverlapJoin]]: `rows` needs one interval
+    * per row as (key, id, start, end) DATE columns; returns each
+    * overlapping unordered pair within a key once, with the inclusive
+    * overlap length in days. */
+  private[graft] def intervalOverlapJoin(rows: DataFrame, keyCol: String,
+      idCol: String, startCol: String, endCol: String): DataFrame = {
+    val o = rows.select(col(keyCol).as("_k"), col(idCol).as("_id"),
+      col(startCol).as("_s"), col(endCol).as("_e"))
+    val a = o.select(col("_k"), col("_id").as("id_a"),
+      col("_s").as("s_a"), col("_e").as("e_a"))
+    val b = o.select(col("_k"), col("_id").as("id_b"),
+      col("_s").as("s_b"), col("_e").as("e_b"))
+    a.join(b, Seq("_k"))
+      .filter(col("id_a") < col("id_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("_k").as(keyCol), col("id_a"), col("id_b"),
+        (datediff(least(col("e_a"), col("e_b")),
+          greatest(col("s_a"), col("s_b"))) + 1).cast("bigint")
+          .as("overlap_days"))
+  }
+
+  private def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("_sd"),
+        expr("date_add(to_date(o_orderdate), cast(o_orderkey % 30 AS int))")
+          .as("_ed"))
+    intervalOverlapJoin(o, "o_custkey", "o_orderkey", "_sd", "_ed")
+      .withColumnRenamed("id_a", "order_a")
+      .withColumnRenamed("id_b", "order_b")
+      .orderBy(col("o_custkey"), col("order_a"), col("order_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin _,
-    "q_range_join" -> qRangeJoin _
+    "q_range_join" -> qRangeJoin _,
+    "q_interval_join" -> qIntervalJoin _
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +218,19 @@ object TemporalJoins {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate::DATE AS s,
+        |         o_orderdate::DATE + cast(o_orderkey % 30 AS integer) AS e
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+        |       cast(date_diff('day', greatest(a.s, b.s),
+        |                      least(a.e, b.e)) + 1 AS bigint) AS overlap_days
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey
+        | AND a.o_orderkey < b.o_orderkey
+        | AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.o_custkey, order_a, order_b""".stripMargin,
     "q_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, cast(ts AS TIMESTAMP) AS ts, event_type

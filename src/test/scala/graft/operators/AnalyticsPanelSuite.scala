@@ -176,13 +176,69 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     import s.implicits._
     // values whose micro strings lead with known digits: 1.0 → 1000000
     // (digit 1), 0.25 → 250000 (2), 93.5 → 93500000 (9), 0.01 → 10000 (1)
-    val ev = Seq(1.0, 0.25, 93.5, 0.01).map(Tuple1(_)).toDF("value")
+    // the 0.0 row must be EXCLUDED (no leading significant digit; an
+    // unexcluded zero feeds 1/0 to the expectation — the sf0.1 failure)
+    val ev = Seq(1.0, 0.25, 93.5, 0.01, 0.0).map(Tuple1(_)).toDF("value")
     val out = RelationalQueries.benfordDigits(ev).orderBy("digit").collect()
     assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
       Seq((1, 2L), (2, 1L), (9, 1L)))
     assert(out.map(_.getLong(2)).sum === 1000000L)
     // expectation column carries Benford's constants
     assert(out.head.getLong(3) === 301030L)  // log10(2)
+  }
+
+  test("active_users: contribution-explode equals a brute-force trailing " +
+      "distinct, quiet days report zero") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // user 1 on days 1 and 10; user 2 on days 1-2; user 3 on day 9.
+    val ev = Seq((1L, ts(1)), (1L, ts(10)), (2L, ts(1)), (2L, ts(2)),
+      (3L, ts(9)), (1L, ts(1, 13)))
+      .map { case (u, t) => (u, t, 1.0) }
+      .toDF("user_id", "ts", "value")
+    val out = RelationalQueries.activeUsers(ev).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)                       // full span grid
+    val byDay = out.map(x => x._1 -> x).toMap
+    assert(byDay("2024-01-01") === (("2024-01-01", 2L, 2L, 2L)))
+    // day 5: nobody active, but users 1,2 were active within 7 days
+    assert(byDay("2024-01-05") === (("2024-01-05", 0L, 2L, 2L)))
+    // day 9: user 3 today; user 2's last activity (day 2) fell out of
+    // the 7-day window (days 3-8), stays in the 28-day window
+    assert(byDay("2024-01-09") === (("2024-01-09", 1L, 1L, 3L)))
+    assert(byDay("2024-01-10") === (("2024-01-10", 1L, 2L, 3L)))
+    // brute-force cross-check of every day's WAU
+    val pairs = Seq((1L, 1), (1L, 10), (2L, 1), (2L, 2), (3L, 9))
+    out.zipWithIndex.foreach { case ((_, _, wau, _), i) =>
+      val d = i + 1
+      val want = pairs.filter(p => p._2 <= d && p._2 > d - 7).map(_._1).distinct.size
+      assert(wau === want.toLong, s"day $d")
+    }
+  }
+
+  test("interval_join matches brute-force overlap within each customer") {
+    val s = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_interval_join")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orders = graft.Tables.orders(s, sf)
+      .selectExpr("o_custkey", "o_orderkey",
+        "to_date(o_orderdate) AS sd",
+        "date_add(to_date(o_orderdate), cast(o_orderkey % 30 AS int)) AS ed")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate,
+        r.getDate(3).toLocalDate))
+    val brute = for {
+      a <- orders; b <- orders
+      if a._1 == b._1 && a._2 < b._2
+      if !a._3.isAfter(b._4) && !b._3.isAfter(a._4)
+    } yield (a._1, a._2, b._2,
+      java.time.temporal.ChronoUnit.DAYS.between(
+        Seq(a._3, b._3).max[java.time.LocalDate](Ordering.fromLessThan(_ isBefore _)),
+        Seq(a._4, b._4).min[java.time.LocalDate](Ordering.fromLessThan(_ isBefore _))) + 1)
+    assert(got.length === brute.length)
+    assert(got.toSet === brute.toSet)
+    assert(got.nonEmpty)
   }
 
   test("asof_snapshot: keys appear only once visible, values travel back") {
