@@ -274,6 +274,26 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     }
   }
 
+  test("plan pins: active_users runs without window state, asof_snapshot " +
+      "broadcasts the snapshot frame, rfm collapses the log once") {
+    val sf = "/root/testdata/sf0.001"
+    val pAu = SparkEntry.queries("q_active_users")(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+    // the whole panel is aggregations — no Window operator, no sliding
+    // distinct state (the 100 TB argument for the contribution explode)
+    assert(!pAu.contains("Window"), pAu.linesIterator.take(8).mkString("\n"))
+    val pAs = SparkEntry.queries("q_asof_snapshot")(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pAs.contains("BroadcastNestedLoopJoin"),
+      pAs.linesIterator.take(8).mkString("\n"))
+    val pRfm = SparkEntry.queries("q_rfm")(TestSpark.spark, sf)
+      .queryExecution.executedPlan.toString
+    // two scans only: the 1-row anchor and the user-grain aggregation —
+    // all three metrics fold in the SAME aggregation (no per-metric
+    // rescan), and the ntile windows run above the user grain
+    assert("events\\.parquet".r.findAllIn(pRfm).size <= 2, pRfm)
+  }
+
   test("plan pins: path_topk group-limits the window and phrase_search " +
       "pushes the contains prefilter to the scan") {
     val sf = "/root/testdata/sf0.001"
