@@ -105,38 +105,169 @@ object FuzzyJoin {
       .orderBy(col("mention_id"), col("entity_id"))
   }
 
+  /** End-to-end ENTITY RESOLUTION (r11): the three-stage pipeline every
+    * record-linkage deployment runs, composed from the engine's own
+    * operators — (1) BLOCK + VERIFY: segment-blocked edit-≤-1 candidate
+    * pairs ([[editJoin1]], never all-pairs); (2) CLUSTER: connected
+    * components over the ENTITY PROJECTION of the link graph
+    * ([[ConnectedComponents.components]] — two entities claimed by one
+    * ambiguous mention merge transitively, the classic ER closure);
+    * (3) SURVIVORSHIP: one canonical entity per cluster, the entity with
+    * the most supporting mentions (ties to the smallest id — a total
+    * order). Output: every dirty mention with its cluster and resolved
+    * canonical entity — the golden-record assignment table.
+    *
+    * 100 TB shape: stage 1 is the equi-join blocking (pair stream ≈
+    * matches, not mentions × catalog); the pair list MATERIALIZES once
+    * and feeds the projection, assignment, and support counts (without
+    * it the whole blocking chain re-executes per consumer). The CC does
+    * NOT run over the bipartite link graph — it runs over its ENTITY
+    * PROJECTION (entities sharing an ambiguous mention, a pairs⋈pairs
+    * equi-join on the mention key): unambiguous mentions (the
+    * overwhelming majority) project to NO edge, so the CC loop's
+    * edge-touched node set is only the genuinely conflicted entities —
+    * near-empty on a realistically-sparse catalog — instead of every
+    * mention. A mention's entities are all
+    * connected through the mention itself, so assigning each mention
+    * the min component over its linked entities is exact. Survivorship
+    * is one component-keyed argmax as a lexicographic struct max
+    * (partial+final, no window over members). Names never ride a
+    * shuffle after the verify. */
+  private def qErPipeline(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+      .filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey"),
+        concat_ws(" ", col("p_brand"), col("p_name"), col("p_type")).as("n"))
+    val catalog = part.groupBy(col("n").as("ename"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+    val mentions = part.select(col("p_partkey").as("mention_id"),
+      when(col("p_partkey") % 8 === 4,
+        expr("concat(substring(n, 1, p_partkey % length(n)), " +
+          "substring(n, p_partkey % length(n) + 2))"))
+        .otherwise(col("n")).as("mname"))
+    val pairs = Materialize(
+      editJoin1(catalog, "entity_id", "ename", mentions, "mention_id", "mname"))
+    val eedges = pairs.select(col("mention_id"), col("entity_id").as("e1"))
+      .join(pairs.select(col("mention_id"), col("entity_id").as("e2")),
+        Seq("mention_id"))
+      .filter(col("e1") < col("e2"))
+      .select(col("e1"), col("e2")).distinct()
+    val comp = ConnectedComponents.components(
+      catalog.select(col("entity_id").as("id")), "id", eedges, "e1", "e2")
+    val mres = pairs
+      .join(comp.select(col("id").as("entity_id"), col("comp")),
+        Seq("entity_id"))
+      .groupBy(col("mention_id")).agg(min(col("comp")).as("component"))
+    val csize = mres.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val reps = pairs.groupBy(col("entity_id")).agg(count(lit(1)).as("_n"))
+      .join(comp.select(col("id").as("entity_id"),
+        col("comp").as("component")), Seq("entity_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("_n").as("_q"), (-col("entity_id")).as("_nid")))
+        .as("_m"))
+      .select(col("component"), (-col("_m._nid")).as("rep_entity"))
+    mres.join(csize, Seq("component")).join(reps, Seq("component"))
+      .select(col("mention_id"), col("component"), col("cluster_size"),
+        col("rep_entity"))
+      .orderBy(col("mention_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fuzzy_join" -> qFuzzyJoin _)
+    "q_fuzzy_join" -> qFuzzyJoin _,
+    "q_er_pipeline" -> qErPipeline _)
 
   val oracle: Map[String, String] = Map(
+    "q_er_pipeline" ->
+      s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4")},
+         |ee AS (
+         |  SELECT DISTINCT a.entity_id AS e1, b.entity_id AS e2
+         |  FROM fpairs a JOIN fpairs b USING (mention_id)
+         |  WHERE a.entity_id < b.entity_id),
+         |edges AS (
+         |  SELECT e1 AS a, e2 AS b FROM ee
+         |  UNION ALL
+         |  SELECT e2 AS a, e1 AS b FROM ee),
+         |reach(id, r) AS (
+         |  SELECT entity_id, entity_id FROM ent
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |mres AS (
+         |  SELECT mention_id, min(component) AS component
+         |  FROM fpairs JOIN comp ON comp.id = fpairs.entity_id
+         |  GROUP BY mention_id),
+         |csize AS (SELECT component, count(*) AS cluster_size FROM mres
+         |          GROUP BY component),
+         |ecnt AS (SELECT entity_id, count(*) AS n FROM fpairs
+         |         GROUP BY entity_id),
+         |elab AS (SELECT entity_id, component, n
+         |         FROM ecnt JOIN comp ON comp.id = ecnt.entity_id),
+         |reps AS (
+         |  SELECT component, entity_id AS rep_entity FROM (
+         |    SELECT component, entity_id,
+         |           row_number() OVER (PARTITION BY component
+         |                              ORDER BY n DESC, entity_id) AS rn
+         |    FROM elab) t WHERE rn = 1)
+         |SELECT m.mention_id, m.component, s.cluster_size, r.rep_entity
+         |FROM mres m JOIN csize s USING (component)
+         |JOIN reps r USING (component)
+         |ORDER BY mention_id""".stripMargin,
     "q_fuzzy_join" ->
-      """WITH ent AS (
-        |  SELECT p_brand || ' ' || p_name || ' ' || p_type AS ename,
-        |         min(p_partkey) AS entity_id
-        |  FROM part GROUP BY 1),
-        |men AS (
-        |  SELECT p_partkey AS mention_id,
-        |         CASE WHEN p_partkey % 2 = 1 THEN
-        |           substring(n, 1, p_partkey % len(n)) || substring(n, p_partkey % len(n) + 2)
-        |         ELSE n END AS mname
-        |  FROM (SELECT p_partkey, p_brand || ' ' || p_name || ' ' || p_type AS n FROM part)),
-        |eseg AS (
-        |  SELECT entity_id, ename, len(ename) AS l, 1 AS segno,
-        |         substring(ename, 1, len(ename) // 2) AS seg FROM ent
-        |  UNION ALL
-        |  SELECT entity_id, ename, len(ename) AS l, 2 AS segno,
-        |         substring(ename, len(ename) // 2 + 1) AS seg FROM ent),
-        |mkey AS (
-        |  SELECT mention_id, mname, len(mname) + dl AS l, segno,
-        |         CASE WHEN segno = 1 THEN substring(mname, 1, (len(mname) + dl) // 2)
-        |              ELSE substring(mname, greatest(len(mname) - ((len(mname) + dl) - (len(mname) + dl) // 2) + 1, 1)) END AS seg
-        |  FROM men, (SELECT unnest([-1, 0, 1]) AS dl), (SELECT unnest([1, 2]) AS segno)
-        |  WHERE len(mname) + dl >= 2),
-        |cand AS (
-        |  SELECT DISTINCT mention_id, mname, entity_id, ename
-        |  FROM mkey JOIN eseg USING (l, segno, seg))
-        |SELECT mention_id, entity_id,
-        |       cast(levenshtein(mname, ename) AS bigint) AS dist
-        |FROM cand WHERE levenshtein(mname, ename) <= 1
-        |ORDER BY mention_id, entity_id""".stripMargin)
+      s"""WITH $fuzzyPairsCte
+         |SELECT mention_id, entity_id, dist
+         |FROM fpairs
+         |ORDER BY mention_id, entity_id""".stripMargin)
+
+  /** Shared CTE chain (no leading WITH) producing
+    * `fpairs(mention_id, entity_id, dist)` — the segment-blocked
+    * edit-≤-1 pairs of the driver binding. One string for the
+    * `q_fuzzy_join` oracle AND the `q_er_pipeline` oracle's blocking
+    * stage, so the linkage arithmetic can never drift between them. */
+  // a def, not a val: the oracle Map above interpolates this during
+  // object init, and a later-declared val would still be null there
+  private[operators] def fuzzyPairsCte: String =
+    fuzzyPairsCte("TRUE", "p_partkey % 2 = 1")
+
+  /** Parameterized form: `subsetPred` scopes the catalog (TRUE → the
+    * full-table stress form of `q_fuzzy_join`; `q_er_pipeline` resolves
+    * the quarter-catalog `p_partkey % 4 = 0` slice, whose name-space
+    * density matches a realistic catalog — at full density the synthetic
+    * part names sit within edit 1 of each other en masse and every
+    * mention drags in dozens of entities) and `dirtyPred` picks which
+    * mentions get the single-char deletion. */
+  private[operators] def fuzzyPairsCte(subsetPred: String,
+      dirtyPred: String): String =
+    """base AS (SELECT * FROM part WHERE SUBSETPRED),
+      |ent AS (
+      |  SELECT p_brand || ' ' || p_name || ' ' || p_type AS ename,
+      |         min(p_partkey) AS entity_id
+      |  FROM base GROUP BY 1),
+      |men AS (
+      |  SELECT p_partkey AS mention_id,
+      |         CASE WHEN DIRTYPRED THEN
+      |           substring(n, 1, p_partkey % len(n)) || substring(n, p_partkey % len(n) + 2)
+      |         ELSE n END AS mname
+      |  FROM (SELECT p_partkey, p_brand || ' ' || p_name || ' ' || p_type AS n FROM base)),
+      |eseg AS (
+      |  SELECT entity_id, ename, len(ename) AS l, 1 AS segno,
+      |         substring(ename, 1, len(ename) // 2) AS seg FROM ent
+      |  UNION ALL
+      |  SELECT entity_id, ename, len(ename) AS l, 2 AS segno,
+      |         substring(ename, len(ename) // 2 + 1) AS seg FROM ent),
+      |mkey AS (
+      |  SELECT mention_id, mname, len(mname) + dl AS l, segno,
+      |         CASE WHEN segno = 1 THEN substring(mname, 1, (len(mname) + dl) // 2)
+      |              ELSE substring(mname, greatest(len(mname) - ((len(mname) + dl) - (len(mname) + dl) // 2) + 1, 1)) END AS seg
+      |  FROM men, (SELECT unnest([-1, 0, 1]) AS dl), (SELECT unnest([1, 2]) AS segno)
+      |  WHERE len(mname) + dl >= 2),
+      |cand AS (
+      |  SELECT DISTINCT mention_id, mname, entity_id, ename
+      |  FROM mkey JOIN eseg USING (l, segno, seg)),
+      |fpairs AS (
+      |  SELECT mention_id, entity_id,
+      |         cast(levenshtein(mname, ename) AS bigint) AS dist
+      |  FROM cand WHERE levenshtein(mname, ename) <= 1)""".stripMargin
+      .replace("SUBSETPRED", subsetPred)
+      .replace("DIRTYPRED", dirtyPred)
 }
