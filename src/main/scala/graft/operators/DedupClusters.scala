@@ -143,7 +143,12 @@ object ConnectedComponents {
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
       // Pointer jump: l(x) ← min(l(x), l(l(x))) — follow the label's own
-      // label so long chains halve every round.
+      // label so long chains halve every round. (A DOUBLE jump per round
+      // — log₄ convergence — was tried in r11 and measured WORSE on
+      // every CC consumer (dup_clusters 2.3→2.9 s, er_pipeline
+      // 4.0→6.0 s at sf0.1): dedup-shaped graphs converge in 2-3 rounds
+      // either way, so the second self-join per round is pure added
+      // shuffle, not saved rounds. Single jump is the right trade.)
       val byId = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
       val next = checkpointRound( // eager: materializes the round, truncates lineage
         stepped.join(byId, stepped("comp") === byId("jid"), "left")
