@@ -346,6 +346,50 @@ object RelationalQueries {
     retentionCohorts(Tables.events(s, d), "user_id", "ts", "week")
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** Cohort LTV curve (r11): cumulative purchase revenue per weekly
+    * cohort by week offset, normalized per cohort member — the
+    * lifetime-value read that prices acquisition (`q_retention_cohort`
+    * says WHO comes back; this says what their return is WORTH). A
+    * cohort's LTV at offset k = cumulative revenue through week k over
+    * the cohort's size, in exact micros.
+    *
+    * 100 TB shape: one (user, week) hash aggregation collapses purchases
+    * to the weekly grain; one user-keyed aggregation anchors each user's
+    * cohort (ALL events, not just purchases — a non-buying member still
+    * dilutes LTV); the grid join carries (user, week, micros) only.
+    * Everything after runs on the cohort × offset grid: the cumulative
+    * sum is a window over ≤ weeks rows per cohort, cohort size joins
+    * from the anchor aggregation. */
+  private[graft] def cohortLtv(events: DataFrame): DataFrame = {
+    val anchors = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("_w"))
+      .groupBy(col("user_id")).agg(min(col("_w")).as("cohort_week"))
+    val sizes = anchors.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val uw = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("_w"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("user_id"), col("_w")).agg(sum(col("_vm")).as("_rev"))
+    val grid = uw.join(anchors, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("cast(datediff(_w, cohort_week) div 7 AS bigint)")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_buyers"), sum(col("_rev")).as("rev_micro"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_rev_micro", sum(col("rev_micro")).over(w))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_buyers"),
+        col("rev_micro"), col("cum_rev_micro"), col("cohort_size"),
+        expr("cum_rev_micro div cohort_size").as("ltv_micro"))
+  }
+
+  private def qLtv(s: SparkSession, d: String): DataFrame =
+    cohortLtv(Tables.events(s, d))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   /** PIVOT: per-user event-type counts as columns. Spark's `pivot` with an
     * explicit value list compiles to one hash aggregation with conditional
     * partials (no extra shuffle, no value-discovery pass) — same plan the
@@ -856,6 +900,7 @@ object RelationalQueries {
     "q_rfm" -> qRfm _,
     "q_benford" -> qBenford _,
     "q_active_users" -> qActiveUsers _,
+    "q_ltv" -> qLtv _,
     "q_transitions" -> qTransitions _,
     "q_ab_test" -> qAbTest _,
     "q_attribution" -> qAttribution _,
@@ -884,6 +929,35 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ltv" ->
+      """WITH fw AS (
+        |  SELECT user_id, cast(min(date_trunc('week', ts)) AS date)
+        |           AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM fw
+        |       GROUP BY cohort_week),
+        |uw AS (
+        |  SELECT user_id, cast(date_trunc('week', ts) AS date) AS wk,
+        |         sum(cast(round(value * 1000000) AS bigint)) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT f.cohort_week,
+        |         cast(date_diff('day', f.cohort_week, u.wk) // 7 AS bigint)
+        |           AS week_offset,
+        |         count(*) AS n_buyers, sum(rev) AS rev_micro
+        |  FROM uw u JOIN fw f USING (user_id)
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, sum(rev_micro) OVER (PARTITION BY cohort_week
+        |           ORDER BY week_offset
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_rev_micro
+        |  FROM grid)
+        |SELECT c.cohort_week, week_offset, n_buyers, rev_micro,
+        |       cum_rev_micro, cohort_size,
+        |       cum_rev_micro // cohort_size AS ltv_micro
+        |FROM c JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),

@@ -241,6 +241,25 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     assert(got.nonEmpty)
   }
 
+  test("ltv: cumulative revenue per cohort, diluted by non-buying members") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // Cohort of week Jan-1 (Monday): users 1, 2, 3 first seen that week;
+    // only user 1 buys — 10.0 in week 0 and 2.0 in week 2 (offset 2 has
+    // no offset-1 row in between: the cumsum must carry across the gap).
+    val ev = Seq(
+      (1L, ts(1), "purchase", 10.0), (2L, ts(2), "view", 0.0),
+      (3L, ts(3), "view", 0.0), (1L, ts(15), "purchase", 2.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = RelationalQueries.cohortLtv(ev)
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 10000000L, 10000000L, 3L, 3333333L),
+      (2L, 1L, 2000000L, 12000000L, 3L, 4000000L)))
+  }
+
   test("asof_snapshot: keys appear only once visible, values travel back") {
     val s = TestSpark.spark
     import s.implicits._
