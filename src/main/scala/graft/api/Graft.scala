@@ -1185,6 +1185,18 @@ object Graft {
   def asofSnapshots(events: DataFrame, snaps: DataFrame): DataFrame =
     graft.operators.CdcQueries.asofSnapshots(events, snaps)
 
+  /** Cohort LTV curve: cumulative purchase revenue per weekly cohort by
+    * week offset, normalized per cohort member in exact micros; cohorts
+    * anchor on all events so non-buying members dilute LTV. */
+  def cohortLtv(events: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.cohortLtv(events)
+
+  /** Revenue concentration: share of total purchase revenue held by the
+    * top 1/5/10/20% of users — one log-collapsing aggregation, rank and
+    * cumulative windows on the user grain. */
+  def revenueConcentration(events: DataFrame): DataFrame =
+    graft.operators.RelationalQueries.revenueConcentration(events)
+
   /** Equi-width histogram of `value` in `nBins` bins: integer micro bin
     * arithmetic, 1-row bounds broadcast, one bounded aggregation. */
   def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame =

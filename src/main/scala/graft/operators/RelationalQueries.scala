@@ -390,6 +390,49 @@ object RelationalQueries {
     cohortLtv(Tables.events(s, d))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** The percentile cuts [[qConcentration]] reports. */
+  private val ConcPcts: Seq[Int] = Seq(1, 5, 10, 20)
+
+  /** Revenue concentration (r11): the share of total purchase revenue
+    * held by the top 1/5/10/20% of users — the "do whales carry the
+    * business" read that decides whether churn risk is a tail problem or
+    * a head problem (and the same shape that finds skewed keys before a
+    * join strategy is chosen).
+    *
+    * Determinism: users rank on the (revenue DESC, user_id) TOTAL order;
+    * the top-N cut is `ceil(n·p/100)` in integer arithmetic
+    * (`(n·p + 99) div 100`); shares are integer micro-divisions of exact
+    * long cumulative sums.
+    *
+    * 100 TB shape: ONE user-keyed hash aggregation collapses the log;
+    * the rank + cumulative windows then sort the USER table (the q_rfm
+    * caveat — at extreme user counts the cuts come from sketch
+    * quantiles); the report join probes 4 rank positions. */
+  private[graft] def revenueConcentration(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("cast(round(value * 1000000) AS bigint)")).otherwise(0L))
+        .as("_rev"))
+    val w = Window.orderBy(col("_rev").desc, col("user_id"))
+    val ranked = users
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cum", sum(col("_rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = users.agg(count(lit(1)).as("_n"), sum(col("_rev")).as("_r"))
+    val ks = events.sparkSession.createDataFrame(ConcPcts.map(Tuple1(_)))
+      .toDF("pct")
+    ks.crossJoin(broadcast(totals))
+      .withColumn("top_n", expr("(_n * pct + 99) div 100"))
+      .join(ranked, col("_rn") === col("top_n"))
+      .select(col("pct"), col("top_n"),
+        expr("_cum * 1000000 div _r").as("rev_share_micro"))
+      .orderBy(col("pct"))
+  }
+
+  private def qConcentration(s: SparkSession, d: String): DataFrame =
+    revenueConcentration(Tables.events(s, d))
+
   /** PIVOT: per-user event-type counts as columns. Spark's `pivot` with an
     * explicit value list compiles to one hash aggregation with conditional
     * partials (no extra shuffle, no value-discovery pass) — same plan the
@@ -901,6 +944,7 @@ object RelationalQueries {
     "q_benford" -> qBenford _,
     "q_active_users" -> qActiveUsers _,
     "q_ltv" -> qLtv _,
+    "q_concentration" -> qConcentration _,
     "q_transitions" -> qTransitions _,
     "q_ab_test" -> qAbTest _,
     "q_attribution" -> qAttribution _,
@@ -929,6 +973,26 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_concentration" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         cast(sum(CASE WHEN event_type = 'purchase'
+        |                  THEN cast(round(value * 1000000) AS bigint)
+        |                  ELSE 0 END) AS bigint) AS rev
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT rev,
+        |         row_number() OVER (ORDER BY rev DESC, user_id) AS rn,
+        |         sum(rev) OVER (ORDER BY rev DESC, user_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM u),
+        |t AS (SELECT count(*) AS n, sum(rev) AS tot FROM u),
+        |ks AS (SELECT unnest([1, 5, 10, 20]) AS pct)
+        |SELECT cast(pct AS integer) AS pct,
+        |       (n * pct + 99) // 100 AS top_n,
+        |       cum * 1000000 // tot AS rev_share_micro
+        |FROM ks, t JOIN r ON r.rn = (n * pct + 99) // 100
+        |ORDER BY pct""".stripMargin,
     "q_ltv" ->
       """WITH fw AS (
         |  SELECT user_id, cast(min(date_trunc('week', ts)) AS date)

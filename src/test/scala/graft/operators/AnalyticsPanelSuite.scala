@@ -260,6 +260,24 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
       (2L, 1L, 2000000L, 12000000L, 3L, 4000000L)))
   }
 
+  test("concentration: top-percent cuts on a hand-built whale distribution") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 100 users: user 1 earns 910 micros-worth, users 2-100 earn 10 each
+    // → total 1900. top 1% = user 1 → share 910·1e6/1900 div.
+    val ev = (1 to 100).map { u =>
+      (u.toLong, ts(1), "purchase", if (u == 1) 0.00091 else 0.00001)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = RelationalQueries.revenueConcentration(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1, 5, 10, 20))
+    assert(out.map(_._2).toSeq === Seq(1L, 5L, 10L, 20L))
+    assert(out(0)._3 === 910L * 1000000L / 1900L)
+    assert(out(3)._3 === (910L + 19L * 10L) * 1000000L / 1900L)
+    // shares are monotone in the cut
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+  }
+
   test("asof_snapshot: keys appear only once visible, values travel back") {
     val s = TestSpark.spark
     import s.implicits._

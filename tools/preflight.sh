@@ -5,7 +5,7 @@
 #   tools/preflight.sh                 # compile main+test sources only (fast)
 #   tools/preflight.sh q_foo q_bar     # compile, then run Verify + DuckDB
 #                                      # oracle compare for the named queries
-#   tools/preflight.sh --all           # compile, then the full 82-query gate
+#   tools/preflight.sh --all           # compile, then the full all-query gate
 #
 # Exit nonzero on any failure. Run this before EVERY commit that touches
 # src/main — round 7 shipped an uncompilable snapshot because its final
