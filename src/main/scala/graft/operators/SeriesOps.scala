@@ -370,7 +370,49 @@ object SeriesOps {
   private def qBacktest(s: SparkSession, d: String): DataFrame =
     backtestDaily(Tables.events(s, d)).orderBy(col("event_type"))
 
+  /** Weekday seasonality profile (r11): per event type, each weekday's
+    * average daily total and its micro-ratio to the type's overall daily
+    * average — the seasonality FINGERPRINT behind the ACF's yes/no (the
+    * ACF says "a weekly cycle exists"; this says WHICH days carry it,
+    * the shape a capacity planner or anomaly baseline actually loads).
+    *
+    * Exactness: daily totals are micro-quantized long sums; both
+    * averages are integer micro-divisions; the ratio divides the two
+    * exact averages in integer micro-units. Weekday numbering is pinned
+    * to ISO (1 = Monday): Spark spells it `weekday() + 1`, DuckDB
+    * `isodow` — same integers, no locale dependence (Spark's
+    * `dayofweek`/DuckDB's `dow` both start Sunday but disagree with the
+    * ISO convention analysts read).
+    *
+    * 100 TB shape: ONE (type, day) hash aggregation collapses the log;
+    * the weekday roll-up and the per-type totals are two aggregations
+    * over the bounded daily table; the 1-row-per-type overall average
+    * joins back on the type key. */
+  private[graft] def weekdayProfile(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("_vm")).as("_y"))
+    val byDow = daily
+      .groupBy(col("event_type"),
+        expr("weekday(day) + 1").cast("int").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(_y) div count(1)").as("avg_micro"))
+    val overall = daily.groupBy(col("event_type"))
+      .agg(expr("sum(_y) div count(1)").as("_base"))
+    byDow.join(overall, Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("avg_micro"),
+        expr("avg_micro * 1000000 div _base").as("ratio_micro"))
+  }
+
+  private def qWeekdayProfile(s: SparkSession, d: String): DataFrame =
+    weekdayProfile(Tables.events(s, d))
+      .orderBy(col("event_type"), col("dow"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weekday_profile" -> qWeekdayProfile _,
     "q_backtest" -> qBacktest _,
     "q_ewma" -> qEwma _,
     "q_autocorr" -> qAutocorr _,
@@ -388,6 +430,21 @@ object SeriesOps {
        |FROM daily""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_weekday_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |         sum(cast(round(value * 1000000) AS bigint)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, cast(isodow(day) AS integer) AS dow,
+        |         count(*) AS n_days, sum(y) // count(*) AS avg_micro
+        |  FROM daily GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, sum(y) // count(*) AS b FROM daily GROUP BY 1)
+        |SELECT event_type, dow, n_days, avg_micro,
+        |       avg_micro * 1000000 // b AS ratio_micro
+        |FROM dw JOIN base USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
     "q_backtest" ->
       """WITH daily AS (
         |  SELECT event_type, ts::DATE AS day,

@@ -129,6 +129,24 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     assert(tri.toSeq === Seq((4L, 1L, 0)))
   }
 
+  test("weekday_profile: ISO numbering and exact ratios on a known cycle") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // Jan 2024: the 1st is a Monday. Two weeks, Mondays heavy (30.0),
+    // all other days 10.0 → base avg = (2·30 + 12·10)/14 micros.
+    val ev = (1 to 14).map(i =>
+      ("a", ts(i), if ((i - 1) % 7 == 0) 30.0 else 10.0))
+      .toDF("event_type", "ts", "value")
+    val out = SeriesOps.weekdayProfile(ev).orderBy("dow").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq === (1 to 7))
+    assert(out.forall(_._2 == 2L))
+    val base = (2L * 30000000L + 12L * 10000000L) / 14L
+    assert(out.head._3 === 30000000L)           // Monday avg
+    assert(out.head._4 === 30000000L * 1000000L / base)
+    assert(out.last._3 === 10000000L)           // Sunday avg
+  }
+
   test("backtest: hand-checked MAEs and the zero-naive-MAE NULL guard") {
     val s = TestSpark.spark
     import s.implicits._
