@@ -206,6 +206,42 @@ object SeriesOps {
     detrendDaily(Tables.events(s, d))
       .orderBy(col("event_type"), col("day"))
 
+  /** Daily anomaly flags (r11): each (type, day) flagged when its
+    * detrended residual deviates from the type's residual median by more
+    * than 3 robust units (3 × MAD) — the alerting composition the series
+    * family builds to ([[detrendDaily]] removes the baseline so a spike
+    * is a LARGE RESIDUAL; the MAD gate makes the threshold immune to the
+    * spikes it is hunting, the `q_mad_outliers` argument, here applied
+    * to the residual series instead of raw values).
+    *
+    * Exactness: residuals are exact long micros; the median and MAD are
+    * exact binary doubles (integer inputs ⇒ interpolation factor 0 or
+    * exactly 0.5 — the rolling-median argument), so the subtraction and
+    * the `> 3·MAD` comparison are IEEE-exact in both engines; no
+    * rounding is needed anywhere. MAD = 0 (an over-regular series)
+    * flags exactly the rows with any deviation — the natural limit.
+    *
+    * 100 TB shape: the detrend's one daily hash agg is the only
+    * data-scaled shuffle; medians aggregate the bounded daily table per
+    * type and broadcast back as 1-row-per-type frames. */
+  private[graft] def anomalyDays(events: DataFrame): DataFrame = {
+    val daily = detrendDaily(events)
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(resid_micro, 0.5)").as("_med"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(resid_micro - _med), 0.5)").as("_mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_anomaly",
+        expr("abs(resid_micro - _med) > 3 * _mad"))
+      .select(col("event_type"), col("day"), col("day_micro"),
+        col("trend_micro"), col("resid_micro"), col("is_anomaly"))
+  }
+
+  private def qAnomaly(s: SparkSession, d: String): DataFrame =
+    anomalyDays(Tables.events(s, d))
+      .orderBy(col("event_type"), col("day"))
+
   /** Rolling MEDIAN smoother (r11): each event's 50-row trailing median
     * per type — the robust line a latency/metric dashboard draws (a
     * rolling MEAN chases every spike; the rolling median rides through
@@ -418,9 +454,33 @@ object SeriesOps {
     "q_autocorr" -> qAutocorr _,
     "q_rolling_median" -> qRollingMedian _,
     "q_detrend" -> qDetrend _,
+    "q_anomaly" -> qAnomaly _,
     "q_gap_fill" -> qGapFill _,
     "q_skyline" -> qSkyline _,
     "q_zorder" -> qZorder _)
+
+  /** The detrend oracle's shared CTE chain (no leading WITH), ending in
+    * `det(event_type, day, day_micro, trend_micro, resid_micro)` — one
+    * string for `q_detrend` and the `q_anomaly` composition built on it.
+    * A def, not a val: the oracle map interpolates it during object
+    * init (the FuzzyJoin lesson). */
+  private def detrendCte: String =
+    """daily AS (
+      |  SELECT event_type, ts::DATE AS day,
+      |         sum(cast(round(value * 1000000) AS bigint)) AS day_micro
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, day_micro,
+      |         sum(day_micro) OVER (PARTITION BY event_type ORDER BY day
+      |                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sw,
+      |         count(*) OVER (PARTITION BY event_type ORDER BY day
+      |                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cw
+      |  FROM daily),
+      |det AS (
+      |  SELECT event_type, day, day_micro,
+      |         sw // cw AS trend_micro,
+      |         day_micro - sw // cw AS resid_micro
+      |  FROM w)""".stripMargin
 
   /** The autocorrelation oracle's per-lag arm, generated from the same
     * [[AcfLags]] grid so the two engines can't disagree on the panel. */
@@ -507,21 +567,23 @@ object SeriesOps {
         |FROM events
         |ORDER BY event_type, event_id""".stripMargin,
     "q_detrend" ->
-      """WITH daily AS (
-        |  SELECT event_type, ts::DATE AS day,
-        |         sum(cast(round(value * 1000000) AS bigint)) AS day_micro
-        |  FROM events GROUP BY 1, 2),
-        |w AS (
-        |  SELECT event_type, day, day_micro,
-        |         sum(day_micro) OVER (PARTITION BY event_type ORDER BY day
-        |                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sw,
-        |         count(*) OVER (PARTITION BY event_type ORDER BY day
-        |                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cw
-        |  FROM daily)
-        |SELECT event_type, day, day_micro,
-        |       sw // cw AS trend_micro,
-        |       day_micro - sw // cw AS resid_micro
-        |FROM w ORDER BY event_type, day""".stripMargin,
+      s"""WITH $detrendCte
+         |SELECT event_type, day, day_micro, trend_micro, resid_micro
+         |FROM det ORDER BY event_type, day""".stripMargin,
+    "q_anomaly" ->
+      s"""WITH $detrendCte,
+         |med AS (
+         |  SELECT event_type, quantile_cont(resid_micro, 0.5) AS med
+         |  FROM det GROUP BY event_type),
+         |mad AS (
+         |  SELECT d.event_type,
+         |         quantile_cont(abs(resid_micro - med), 0.5) AS mad
+         |  FROM det d JOIN med USING (event_type)
+         |  GROUP BY d.event_type)
+         |SELECT d.event_type, day, day_micro, trend_micro, resid_micro,
+         |       abs(resid_micro - med) > 3 * mad AS is_anomaly
+         |FROM det d JOIN med USING (event_type) JOIN mad USING (event_type)
+         |ORDER BY d.event_type, day""".stripMargin,
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, ts::DATE AS day, count(*) AS n,

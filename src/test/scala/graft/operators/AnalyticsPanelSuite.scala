@@ -147,6 +147,24 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     assert(out.last._3 === 10000000L)           // Sunday avg
   }
 
+  test("anomaly: a manufactured spike is flagged, the steady days are not") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 21 days at 10.0 with one 300.0 spike on day 11: the spike's
+    // residual dwarfs 3×MAD of the residual series; steady days do not.
+    val ev = (1 to 21).map(i =>
+      ("a", ts(i), if (i == 11) 300.0 else 10.0))
+      .toDF("event_type", "ts", "value")
+    val out = SeriesOps.anomalyDays(ev).orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getBoolean(5)))
+    assert(out.count(_._2) >= 1)
+    assert(out.find(_._1 == "2024-01-11").exists(_._2))
+    // far-from-spike steady days (outside the 7-day MA window) are clean
+    Seq("2024-01-02", "2024-01-03", "2024-01-20").foreach { d =>
+      assert(!out.find(_._1 == d).get._2, d)
+    }
+  }
+
   test("backtest: hand-checked MAEs and the zero-naive-MAE NULL guard") {
     val s = TestSpark.spark
     import s.implicits._
