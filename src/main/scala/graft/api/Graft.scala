@@ -1132,6 +1132,17 @@ object Graft {
   def gapFillDaily(events: DataFrame): DataFrame =
     graft.operators.SeriesOps.gapFillDaily(events)
 
+  /** Robust daily anomaly flags: detrended residuals gated at 3 × MAD of
+    * the per-type residual series — exact-integer residuals, IEEE-exact
+    * median/MAD comparison. Requires `event_type`, `ts`, `value`. */
+  def anomalyDays(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.anomalyDays(events)
+
+  /** Weekday seasonality profile: per type, each ISO weekday's average
+    * daily total and its micro-ratio to the overall daily average. */
+  def weekdayProfile(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.weekdayProfile(events)
+
   /** Trailing EWMA with decay 1/2 over a 30-row horizon, exact by
     * construction: power-of-two weights make the weighted sum a long
     * shift-and-add fold with a closed-form normalizer — no double
