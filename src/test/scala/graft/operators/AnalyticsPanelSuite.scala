@@ -347,6 +347,43 @@ class AnalyticsPanelSuite extends AnyFunSuite with Matchers {
     }
   }
 
+  test("layout invariance: ewma, histogram, and path_topk are identical " +
+      "across 1, 3, and 16 input partitions") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = (1 to 500).map { i =>
+      (("t" + (i % 3)), i.toLong, (i % 97) * 0.5 + 0.01)
+    }.toDF("event_type", "event_id", "value")
+    val pev = (1 to 500).map { i =>
+      ((i % 41).toLong, i.toLong, Seq("view", "click", "purchase")(i % 3))
+    }.toDF("user_id", "event_id", "event_type")
+    def runs[A](f: org.apache.spark.sql.DataFrame => Array[A],
+        df: org.apache.spark.sql.DataFrame): Seq[Array[A]] =
+      Seq(1, 3, 16).map(n => f(df.repartition(n)))
+    val e = runs(d => SeriesOps.ewmaTrailing(d)
+      .orderBy("event_type", "event_id").collect().map(_.getLong(2)), ev)
+    assert(e(0).sameElements(e(1)) && e(0).sameElements(e(2)))
+    val h = runs(d => RelationalQueries.valueHistogram(d, 20)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1))), ev)
+    assert(h(0).sameElements(h(1)) && h(0).sameElements(h(2)))
+    val p = runs(d => RelationalQueries.pathTopk(d, 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))), pev)
+    assert(p(0).sameElements(p(1)) && p(0).sameElements(p(2)))
+  }
+
+  test("autocorr values always lie in [-1, 1] on randomized daily shapes") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // deterministic pseudo-random series via a multiplicative hash
+    val ev = (1 to 28).flatMap { i =>
+      Seq(("a", ts(i), ((i * 2654435761L) % 1000) / 10.0),
+        ("b", ts(i), ((i * 40503L) % 700) / 7.0))
+    }.toDF("event_type", "ts", "value")
+    val acf = SeriesOps.autocorrDaily(ev).collect().map(_.getDouble(3))
+    acf.foreach(r => assert(r >= -1.0 && r <= 1.0, r))
+    assert(acf.length === 2 * 7)
+  }
+
   test("plan pins: active_users runs without window state, asof_snapshot " +
       "broadcasts the snapshot frame, rfm collapses the log once") {
     val sf = "/root/testdata/sf0.001"
