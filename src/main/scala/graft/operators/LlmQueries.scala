@@ -2588,9 +2588,10 @@ object LlmQueries {
          |               cast(round(csim * 1000000) AS bigint) AS nm
          |        FROM s3 WHERE rn = 2)
          |SELECT own.cid, count(*) AS n,
-         |       sum(om) // count(*) AS avg_own_micro,
-         |       sum(nm) // count(*) AS avg_next_micro,
-         |       sum(om) // count(*) - sum(nm) // count(*) AS sep_micro
+         |       cast(sum(om) // count(*) AS bigint) AS avg_own_micro,
+         |       cast(sum(nm) // count(*) AS bigint) AS avg_next_micro,
+         |       cast(sum(om) // count(*) AS bigint)
+         |         - cast(sum(nm) // count(*) AS bigint) AS sep_micro
          |FROM own JOIN nxt USING (vec_id)
          |GROUP BY own.cid ORDER BY cid""".stripMargin,
     "q_ivf_kmeans" ->

@@ -983,10 +983,11 @@ object RelationalQueries {
         |r AS (
         |  SELECT rev,
         |         row_number() OVER (ORDER BY rev DESC, user_id) AS rn,
-        |         sum(rev) OVER (ORDER BY rev DESC, user_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |         cast(sum(rev) OVER (ORDER BY rev DESC, user_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+        |           AS cum
         |  FROM u),
-        |t AS (SELECT count(*) AS n, sum(rev) AS tot FROM u),
+        |t AS (SELECT count(*) AS n, cast(sum(rev) AS bigint) AS tot FROM u),
         |ks AS (SELECT unnest([1, 5, 10, 20]) AS pct)
         |SELECT cast(pct AS integer) AS pct,
         |       (n * pct + 99) // 100 AS top_n,
@@ -1008,13 +1009,13 @@ object RelationalQueries {
         |  SELECT f.cohort_week,
         |         cast(date_diff('day', f.cohort_week, u.wk) // 7 AS bigint)
         |           AS week_offset,
-        |         count(*) AS n_buyers, sum(rev) AS rev_micro
+        |         count(*) AS n_buyers, cast(sum(rev) AS bigint) AS rev_micro
         |  FROM uw u JOIN fw f USING (user_id)
         |  GROUP BY 1, 2),
         |c AS (
-        |  SELECT *, sum(rev_micro) OVER (PARTITION BY cohort_week
+        |  SELECT *, cast(sum(rev_micro) OVER (PARTITION BY cohort_week
         |           ORDER BY week_offset
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
         |           AS cum_rev_micro
         |  FROM grid)
         |SELECT c.cohort_week, week_offset, n_buyers, rev_micro,
@@ -1082,7 +1083,7 @@ object RelationalQueries {
         |           AS digit
         |  FROM v WHERE vm > 0),
         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
-        |t AS (SELECT sum(n) AS nt FROM g)
+        |t AS (SELECT cast(sum(n) AS bigint) AS nt FROM g)
         |SELECT digit, n,
         |       n * 1000000 // nt AS obs_micro,
         |       cast(round(log10(1.0 + 1.0 / digit) * 1000000) AS bigint)
@@ -1138,7 +1139,9 @@ object RelationalQueries {
         |m AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
         |      FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |       n * 1000000 // (sum(n) OVER (PARTITION BY from_type)) AS p_micro
+        |       n * 1000000
+        |         // cast(sum(n) OVER (PARTITION BY from_type) AS bigint)
+        |         AS p_micro
         |FROM m ORDER BY from_type, to_type""".stripMargin,
     "q_ab_test" -> {
       s"""WITH c AS (

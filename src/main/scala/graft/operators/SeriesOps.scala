@@ -463,11 +463,16 @@ object SeriesOps {
     * `det(event_type, day, day_micro, trend_micro, resid_micro)` — one
     * string for `q_detrend` and the `q_anomaly` composition built on it.
     * A def, not a val: the oracle map interpolates it during object
-    * init (the FuzzyJoin lesson). */
+    * init (the FuzzyJoin lesson). Every `sum`/`//`-derived integer that
+    * reaches an output column is cast back to BIGINT: DuckDB widens
+    * integer sums to HUGEINT, which pandas renders as float64 — equal in
+    * value to Spark's long but a different TYPE, so the driver's hash
+    * (type-sensitive) fails while a pure value compare passes. */
   private def detrendCte: String =
     """daily AS (
       |  SELECT event_type, ts::DATE AS day,
-      |         sum(cast(round(value * 1000000) AS bigint)) AS day_micro
+      |         cast(sum(cast(round(value * 1000000) AS bigint)) AS bigint)
+      |           AS day_micro
       |  FROM events GROUP BY 1, 2),
       |w AS (
       |  SELECT event_type, day, day_micro,
@@ -478,8 +483,8 @@ object SeriesOps {
       |  FROM daily),
       |det AS (
       |  SELECT event_type, day, day_micro,
-      |         sw // cw AS trend_micro,
-      |         day_micro - sw // cw AS resid_micro
+      |         cast(sw // cw AS bigint) AS trend_micro,
+      |         day_micro - cast(sw // cw AS bigint) AS resid_micro
       |  FROM w)""".stripMargin
 
   /** The autocorrelation oracle's per-lag arm, generated from the same
@@ -497,10 +502,12 @@ object SeriesOps {
         |  FROM events GROUP BY 1, 2),
         |dw AS (
         |  SELECT event_type, cast(isodow(day) AS integer) AS dow,
-        |         count(*) AS n_days, sum(y) // count(*) AS avg_micro
+        |         count(*) AS n_days,
+        |         cast(sum(y) // count(*) AS bigint) AS avg_micro
         |  FROM daily GROUP BY 1, 2),
         |base AS (
-        |  SELECT event_type, sum(y) // count(*) AS b FROM daily GROUP BY 1)
+        |  SELECT event_type, cast(sum(y) // count(*) AS bigint) AS b
+        |  FROM daily GROUP BY 1)
         |SELECT event_type, dow, n_days, avg_micro,
         |       avg_micro * 1000000 // b AS ratio_micro
         |FROM dw JOIN base USING (event_type)
@@ -517,7 +524,8 @@ object SeriesOps {
         |  FROM daily),
         |m AS (
         |  SELECT event_type, count(*) AS n_days,
-        |         sum(abs(y - p1)) AS e1, sum(abs(y - p7)) AS e7
+        |         cast(sum(abs(y - p1)) AS bigint) AS e1,
+        |         cast(sum(abs(y - p7)) AS bigint) AS e7
         |  FROM l WHERE p1 IS NOT NULL AND p7 IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_days,
         |       e1 // n_days AS mae_naive_micro,
@@ -587,7 +595,8 @@ object SeriesOps {
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, ts::DATE AS day, count(*) AS n,
-        |         sum(cast(round(value * 1000000) AS bigint)) AS day_micro
+        |         cast(sum(cast(round(value * 1000000) AS bigint)) AS bigint)
+        |           AS day_micro
         |  FROM events GROUP BY 1, 2),
         |span AS (
         |  SELECT user_id, min(day) AS d0, max(day) AS d1

@@ -83,6 +83,20 @@ def main():
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_fail += 1
             continue
+        # Dtype KIND must match too: the driver's hash is type-sensitive,
+        # so DuckDB HUGEINT (sum of BIGINT, widened; pandas float64) vs
+        # Spark long (int64) fails its hash even when every VALUE is equal
+        # — the round-11 lesson (10 oracles leaked un-cast sums). Kinds:
+        # i=int, f=float, b=bool, O=object, M=datetime.
+        kind_bad = [
+            (c, got[c].dtype.kind, exp[c].dtype.kind)
+            for c in gc if got[c].dtype.kind != exp[c].dtype.kind
+        ]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch (spark vs duck): "
+                  f"{kind_bad} — un-cast HUGEINT in the oracle?")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
