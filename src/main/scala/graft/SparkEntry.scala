@@ -33,6 +33,7 @@ object SparkEntry {
       operators.TemporalJoins.queries,
       operators.FuzzyJoin.queries,
       operators.SeriesOps.queries,
+      operators.AuditOps.queries,
       operators.TextSignals.queries,
       operators.BloomJoin.queries,
       operators.SqlSurface.queries,
@@ -61,6 +62,7 @@ object SparkEntry {
       operators.TemporalJoins.oracle ++
       operators.FuzzyJoin.oracle ++
       operators.SeriesOps.oracle ++
+      operators.AuditOps.oracle ++
       operators.TextSignals.oracle ++
       operators.BloomJoin.oracle ++
       operators.SqlSurface.oracle ++

@@ -1345,5 +1345,84 @@ object Graft {
     graft.streaming.BloomStream.probe(spark, root, candidates, keyCol)
 
   /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
+  /** CUSUM mean-shift changepoint per type over the daily micro series:
+    * the day maximizing |n·S_k − k·S| with before/after means — pure
+    * long arithmetic, argmax tie to the earliest day. Requires
+    * `event_type`, `ts`, `value`. */
+  def changepointDaily(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.changepointDaily(events)
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per type — first vs
+    * second stream half by LSN order; max |F₁−F₂| held as the integer
+    * numerator until one micro-division. Requires `event_type`,
+    * `event_id`, `value`. */
+  def ksDrift(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.ksDrift(events)
+
+  /** Gini concentration per type over positive micro values —
+    * decimal-exact rank·value sums, one integral division at the edge. */
+  def giniByGroup(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.giniByGroup(events)
+
+  /** Winsorized robust summary per type: rank-based p05/p95 clamp
+    * bounds (no quantile interpolation — integer rank ceil), clamp
+    * counts, and the winsorized micro mean. */
+  def winsorize(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.winsorize(events)
+
+  /** Inter-arrival burstiness per type: CV² of consecutive-event gaps
+    * in exact microseconds (1e6 micro = Poisson). Requires
+    * `event_type`, `event_id`, `ts`. */
+  def burstiness(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.burstiness(events)
+
+  /** Audience-overlap Jaccard for every event-type pair over distinct
+    * user sets; disjoint pairs are absent. Requires `event_type`,
+    * `user_id`. */
+  def userOverlap(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.userOverlap(events)
+
+  /** Seasonally adjusted daily series: each (type, day) total divided
+    * by its weekday micro-index (the [[weekdayProfile]] arithmetic,
+    * derived from one shared daily frame). */
+  def seasonalAdjust(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.seasonalAdjust(events)
+
+  /** Sequence-continuity audit per type: missing LSN ranges — count,
+    * total missing, and the largest gap with its start. */
+  def seqGaps(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.seqGaps(events)
+
+  /** Heaps-law vocabulary growth: distinct-token count after each fifth
+    * of the corpus in doc-id order. Requires `doc_id`, `text`. */
+  def vocabGrowth(docs: DataFrame): DataFrame =
+    graft.operators.AuditOps.vocabGrowth(docs)
+
+  /** Dedup-threshold yield curve: near-dup pairs / removed / kept at
+    * Jaccard 50–90% under the keep-smallest-id policy; pairs computed
+    * once by the shared MinHash+LSH engine. */
+  def dedupYield(docs: DataFrame): DataFrame =
+    graft.operators.AuditOps.dedupYield(docs)
+
+  /** Batch sessionization (30-min gaps-and-islands) rolled up by each
+    * session's entry event type: sessions, bounce rate, events and
+    * duration per session. Requires `user_id`, `event_id`,
+    * `event_type`, `ts`. */
+  def sessionStats(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.sessionStats(events)
+
+  /** First-view → first-purchase conversion funnel timing: viewer /
+    * converter counts, conversion micro-rate, and rank-ceil
+    * p25/p50/p75/p90 delays (exact demo form; at scale read the same
+    * report off [[approxQuantiles]]). */
+  def convertDelay(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.convertDelay(events)
+
+  /** Stationary distribution of the event-type Markov chain: three
+    * integer-micro power-iteration rounds over the lead-pair transition
+    * matrix. */
+  def markovStationary(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.markovStationary(events)
+
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

@@ -78,6 +78,31 @@ class PlanAuditSuite extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(mat).size <= 1, mat)
   }
 
+  test("q_gini: the rank window and the moment aggregation share ONE " +
+      "type-keyed exchange") {
+    val p = plan("q_gini")
+    // partitionBy(event_type) for the window hash-partitions on the same
+    // key the groupBy needs — a second hashpartitioning exchange would
+    // mean the reuse broke (the final total-order sort is a RANGE
+    // exchange and doesn't count).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_ks_drift: rank window + tiny totals are the only hash " +
+      "exchanges; the ECDF window and final agg reuse the partitioning") {
+    val p = plan("q_ks_drift")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p) // totals ride a broadcast
+  }
+
+  test("q_seasonal_adjust broadcasts the weekday index onto the daily table") {
+    val p = plan("q_seasonal_adjust")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the adjustment join must never shuffle the daily table for the
+    // 7-rows-per-type index
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_cosine_topk scores with the native dot_f32 kernel, not " +
       "interpreted higher-order lambdas") {
     val p = plan("q_cosine_topk")
