@@ -45,6 +45,7 @@ object SparkEntry {
       streaming.EnrichStream.queries,
       streaming.BloomStream.queries,
       streaming.DriftStream.queries,
+      streaming.GapStream.queries,
       streaming.TrendStream.queries,
       multimodal.MultimodalOps.queries)
 
@@ -74,6 +75,7 @@ object SparkEntry {
       streaming.EnrichStream.oracle ++
       streaming.BloomStream.oracle ++
       streaming.DriftStream.oracle ++
+      streaming.GapStream.oracle ++
       streaming.TrendStream.oracle ++
       multimodal.MultimodalOps.oracle
 }

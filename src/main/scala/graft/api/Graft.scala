@@ -1424,5 +1424,21 @@ object Graft {
   def markovStationary(events: DataFrame): DataFrame =
     graft.operators.AuditOps.markovStationary(events)
 
+  /** Deterministic multiplier-bootstrap CI of the value mean: 16
+    * hash-weighted replicas in one scan/one aggregation; rank-based
+    * interval picks over the replica means. Requires `event_id`,
+    * `value`. */
+  def bootstrapCi(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.bootstrapCi(events)
+
+  /** Start the online sequence-continuity monitor over a CDC chunk
+    * stream: one long of state per type, each missing id range emitted
+    * the moment the id after it arrives (append + checkpoint =
+    * exactly-once). */
+  def monitorSeqGaps(spark: SparkSession, chunkDir: String,
+      checkpointDir: String, outDir: String) =
+    graft.streaming.GapStream.monitor(spark, chunkDir, checkpointDir,
+      outDir)
+
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

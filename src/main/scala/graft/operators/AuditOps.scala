@@ -572,6 +572,79 @@ object AuditOps {
   private def qMarkovStationary(s: SparkSession, d: String): DataFrame =
     markovStationary(Tables.events(s, d)).orderBy(col("event_type"))
 
+  /** Bootstrap replica count. 16 replicas put the rank-2/rank-15 picks
+    * at the ~6%/94% tails — a ~87.5% interval. */
+  private val BootB = 16
+
+  /** One replica weight: 8 three-bit fields of a 60-bit hash (starting
+    * at bit `base`), each contributing 1 when zero — Binomial(8, 1/8),
+    * mean 1, variance 7/8: the integer multiplier-bootstrap weight (the
+    * deterministic stand-in for Poisson(1) resampling). A replica uses
+    * 24 bits, so ONE hash seeds TWO replicas (base 0 and 24) — half the
+    * per-row hashing. */
+  private def bootWeight(h: String, base: Int,
+      shift: (String, Int) => String): String =
+    (0 until 8).map { k =>
+      s"(CASE WHEN ${shift(h, base + 3 * k)} & 7 = 0 THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Deterministic multiplier-bootstrap confidence interval (r12): the
+    * corpus mean with error bars from 16 hash-weighted replicas in ONE
+    * scan — how a 100 TB metric gets a confidence interval without 16
+    * resampling passes (the online/Poisson bootstrap, made
+    * deterministic: each row's replica-b multiplicity is a
+    * Binomial(8,1/8) function of a shared 60-bit hash of (id, b), so
+    * both engines — and any re-run — draw identical pseudo-samples).
+    *
+    * Exactness: weights are small exact integers; every replica's Σw·v
+    * and Σw are associative long sums folded in the SAME aggregation
+    * (33 aggregates, one map-side pass); replica means are integer
+    * micro-divisions; the interval picks are rank-based over the 16
+    * sorted replica means (the q_winsorize convention — no
+    * interpolation).
+    *
+    * 100 TB shape: one scan, ONE aggregation with fixed-width state;
+    * everything after runs on 16 rows. The md5-per-(row, replica) demo
+    * hash would swap for xxhash64 in production — the plan shape doesn't
+    * change. */
+  private[graft] def bootstrapCi(events: DataFrame): DataFrame = {
+    val sparkShift = (e: String, n: Int) => s"shiftright($e, $n)"
+    // The per-row hashing is the CPU-heavy stage — spread the narrow
+    // (id, vm) projection so a single-row-group input doesn't serialize
+    // 8 md5s/row onto one core (the Tables.spread rationale).
+    val t = Tables.spread(events.sparkSession,
+      events.select(col("event_id"),
+        expr("cast(round(value * 1000000) AS bigint)").as("vm")))
+    val withH = t.select(col("vm") +: (0 until BootB / 2).map { j =>
+      expr(LlmQueries.h60Spark(
+        s"concat(cast(event_id AS string), ':b$j')")).as(s"_h$j")
+    }: _*)
+    val withW = withH.select(col("vm") +: (0 until BootB).map { b =>
+      expr(bootWeight(s"_h${b % (BootB / 2)}", if (b < BootB / 2) 0 else 24,
+        sparkShift)).as(s"_w$b")
+    }: _*)
+    val aggs = sum(col("vm")).as("_s") +: (0 until BootB).flatMap(b => Seq(
+      sum(expr(s"_w$b * vm")).as(s"_sv$b"),
+      sum(col(s"_w$b")).as(s"_sw$b")))
+    val m = withW.agg(count(lit(1)).as("n"), aggs: _*)
+    val arms = (0 until BootB).map(b =>
+      s"CASE WHEN _sw$b = 0 THEN NULL ELSE _sv$b div _sw$b END")
+      .mkString(", ")
+    val means = m
+      .selectExpr("n", "_s div n AS mean_micro",
+        s"explode(array($arms)) AS _m")
+      .withColumn("_rk", row_number().over(Window.orderBy(col("_m"))))
+    means.groupBy(col("n"), col("mean_micro"))
+      .agg(min(when(col("_rk") === 2, col("_m"))).as("boot_lo_micro"),
+        min(when(col("_rk") === BootB - 1, col("_m"))).as("boot_hi_micro"))
+      .select(col("n"), col("mean_micro"), col("boot_lo_micro"),
+        col("boot_hi_micro"),
+        (col("boot_hi_micro") - col("boot_lo_micro")).as("spread_micro"))
+  }
+
+  private def qBootstrapCi(s: SparkSession, d: String): DataFrame =
+    bootstrapCi(Tables.events(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changepoint" -> qChangepoint _,
     "q_ks_drift" -> qKsDrift _,
@@ -585,7 +658,8 @@ object AuditOps {
     "q_dedup_yield" -> qDedupYield _,
     "q_session_stats" -> qSessionStats _,
     "q_convert_delay" -> qConvertDelay _,
-    "q_markov_stationary" -> qMarkovStationary _)
+    "q_markov_stationary" -> qMarkovStationary _,
+    "q_bootstrap_ci" -> qBootstrapCi _)
 
   /** Shared daily CTE (no leading WITH) — the [[dailyMicro]] twin, with
     * the HUGEINT→BIGINT cast at the sum. */
@@ -929,5 +1003,51 @@ object AuditOps {
          |     JOIN pi1 USING (event_type) JOIN pi2 USING (event_type)
          |     JOIN pi3 USING (event_type)
          |ORDER BY sp.event_type""".stripMargin
+    },
+    "q_bootstrap_ci" -> {
+      val duckShift = (e: String, n: Int) => s"($e >> $n)"
+      val hs = (0 until BootB / 2).map { j =>
+        s"${LlmQueries.h60Duck(
+          s"concat(cast(event_id AS varchar), ':b$j')")} AS h$j"
+      }.mkString(",\n       ")
+      val ws = (0 until BootB).map { b =>
+        s"${bootWeight(s"h${b % (BootB / 2)}",
+          if (b < BootB / 2) 0 else 24, duckShift)} AS w$b"
+      }.mkString(",\n       ")
+      val sums = (0 until BootB).map(b =>
+        s"cast(sum(w$b * vm) AS bigint) AS sv$b, " +
+          s"cast(sum(w$b) AS bigint) AS sw$b").mkString(",\n       ")
+      val arms = (0 until BootB).map(b =>
+        s"SELECT n, mean_micro, CASE WHEN sw$b = 0 THEN NULL " +
+          s"ELSE sv$b // sw$b END AS m FROM m").mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (
+         |  SELECT event_id, cast(round(value * 1000000) AS bigint) AS vm
+         |  FROM events),
+         |hh AS (
+         |  SELECT vm,
+         |       $hs
+         |  FROM t),
+         |w AS (
+         |  SELECT vm,
+         |       $ws
+         |  FROM hh),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |       cast(sum(vm) AS bigint) // count(*) AS mean_micro,
+         |       $sums
+         |  FROM w),
+         |reps AS (
+         |  $arms),
+         |r AS (
+         |  SELECT n, mean_micro, m,
+         |         row_number() OVER (ORDER BY m) AS rk
+         |  FROM reps)
+         |SELECT n, mean_micro,
+         |       min(CASE WHEN rk = 2 THEN m END) AS boot_lo_micro,
+         |       min(CASE WHEN rk = ${BootB - 1} THEN m END)
+         |         AS boot_hi_micro,
+         |       min(CASE WHEN rk = ${BootB - 1} THEN m END)
+         |         - min(CASE WHEN rk = 2 THEN m END) AS spread_micro
+         |FROM r GROUP BY n, mean_micro""".stripMargin
     })
 }

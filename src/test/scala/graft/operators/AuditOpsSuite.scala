@@ -238,6 +238,24 @@ class AuditOpsSuite extends AnyFunSuite with Matchers {
     assert(m("b") === List(500000L, 666666L, 777776L, 851849L))
   }
 
+  test("bootstrap_ci: deterministic, ordered bounds, means inside the value range") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val ev = (1 to 400).map(i => (i.toLong, 1.0 + rnd.nextDouble() * 99))
+      .toDF("event_id", "value")
+    val r1 = AuditOps.bootstrapCi(ev).collect().head
+    val r2 = AuditOps.bootstrapCi(ev).collect().head
+    assert(r1 === r2) // hash-seeded replicas: same input, same interval
+    val (lo, hi) = (r1.getLong(2), r1.getLong(3))
+    assert(lo <= hi && r1.getLong(4) === hi - lo)
+    // replica means are weighted means of the same values — bounded by them
+    assert(lo >= 1000000L && hi <= 100000000L)
+    // the interval brackets a neighborhood of the point estimate
+    val mean = r1.getLong(1)
+    assert(lo <= mean + r1.getLong(4) && hi >= mean - r1.getLong(4))
+  }
+
   test("dedup_yield: consistent with the pair engine and monotone in the threshold") {
     val s = TestSpark.spark
     val docs = Tables.documents(s, "/root/testdata/sf0.001")

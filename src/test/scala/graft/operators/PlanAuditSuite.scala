@@ -78,6 +78,23 @@ class PlanAuditSuite extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(mat).size <= 1, mat)
   }
 
+  test("GLOBAL SWEEP: no batch query plans a CartesianProduct") {
+    // The one unconditional scale rule: an unkeyed physical cross join of
+    // two data-scaled relations is never acceptable. (1-row bounds frames
+    // broadcast as BroadcastNestedLoopJoin — a different operator — and
+    // stay subject to the per-query pins above.) Streaming queries are
+    // excluded because building them EXECUTES the stream; their plans are
+    // pinned in their own suites.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("s_"))
+      .flatMap { name =>
+        val p = plan(name)
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("q_gini: the rank window and the moment aggregation share ONE " +
       "type-keyed exchange") {
     val p = plan("q_gini")
