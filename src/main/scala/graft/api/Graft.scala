@@ -1424,6 +1424,12 @@ object Graft {
   def markovStationary(events: DataFrame): DataFrame =
     graft.operators.AuditOps.markovStationary(events)
 
+  /** Seasonal-naive 7-day forecast with empirical p10/p90 error bands
+    * from the historical signed 7-lag errors. Requires `event_type`,
+    * `ts`, `value`. */
+  def forecastDaily(events: DataFrame): DataFrame =
+    graft.operators.SeriesOps.forecastDaily(events)
+
   /** Deterministic multiplier-bootstrap CI of the value mean: 16
     * hash-weighted replicas in one scan/one aggregation; rank-based
     * interval picks over the replica means. Requires `event_id`,

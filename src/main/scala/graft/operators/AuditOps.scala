@@ -124,6 +124,11 @@ object AuditOps {
       .groupBy(col("event_type"), col("_n1").as("n1"), col("_n2").as("n2"))
       .agg(max(abs(col("_cc1") * col("_n2") - col("_cc2") * col("_n1")))
         .as("ks_num"))
+      // A 1-event type has an empty first half — a one-sided KS is
+      // meaningless AND its n1·n2 = 0 denominator is an ERROR in DuckDB
+      // (Spark's div yields NULL): degenerate groups are excluded, not
+      // reported as noise.
+      .filter(col("n1") > 0)
       .select(col("event_type"), col("n1"), col("n2"), col("ks_num"),
         expr("ks_num * 1000000 div (n1 * n2)").as("ks_micro"))
   }
@@ -243,9 +248,13 @@ object AuditOps {
         sum(expr("cast(_g AS decimal(38,0)) * _g")).as("_sg2"))
       .select(col("event_type"), col("n_gaps"),
         expr("_sg div n_gaps").as("mean_gap_us"),
-        expr("""(cast(n_gaps AS decimal(38,0)) * _sg2
+        // all-zero gaps (every event at one instant) → NULL, not a
+        // divide-by-zero (an ERROR in DuckDB, NULL in Spark — the same
+        // guard keeps both engines on the NULL branch)
+        expr("""CASE WHEN _sg = 0 THEN NULL ELSE
+               | (cast(n_gaps AS decimal(38,0)) * _sg2
                |  - cast(_sg AS decimal(38,0)) * _sg) * 1000000
-               | div (cast(_sg AS decimal(38,0)) * _sg)""".stripMargin)
+               | div (cast(_sg AS decimal(38,0)) * _sg) END""".stripMargin)
           .as("cv2_micro"))
   }
 
@@ -732,7 +741,8 @@ object AuditOps {
         |       cast(max(abs(cc1 * n2 - cc2 * n1)) AS bigint) AS ks_num,
         |       cast(max(abs(cc1 * n2 - cc2 * n1)) AS bigint) * 1000000
         |         // (n1 * n2) AS ks_micro
-        |FROM cum GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+        |FROM cum WHERE n1 > 0
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
     "q_gini" ->
       """WITH t AS (
         |  SELECT event_type, cast(round(value * 1000000) AS bigint) AS vm
@@ -798,9 +808,11 @@ object AuditOps {
         |         sum(cast(gp AS hugeint) * gp) AS sg2
         |  FROM g WHERE gp IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_gaps, sg // n_gaps AS mean_gap_us,
-        |       cast((cast(n_gaps AS hugeint) * sg2
-        |             - cast(sg AS hugeint) * sg) * 1000000
-        |            // (cast(sg AS hugeint) * sg) AS bigint) AS cv2_micro
+        |       CASE WHEN sg = 0 THEN NULL ELSE
+        |         cast((cast(n_gaps AS hugeint) * sg2
+        |               - cast(sg AS hugeint) * sg) * 1000000
+        |              // (cast(sg AS hugeint) * sg) AS bigint) END
+        |         AS cv2_micro
         |FROM m ORDER BY event_type""".stripMargin,
     "q_user_overlap" ->
       """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -406,6 +406,62 @@ object SeriesOps {
   private def qBacktest(s: SparkSession, d: String): DataFrame =
     backtestDaily(Tables.events(s, d)).orderBy(col("event_type"))
 
+  /** Seasonal-naive 7-day forecast with empirical error bands (r12): per
+    * type, the next week's daily totals forecast as "same weekday last
+    * week" — the zero-parameter baseline [[backtestDaily]] scores —
+    * with lo/hi bands from the rank-ceil p10/p90 of the HISTORICAL
+    * signed 7-lag errors (the same errors the backtest sums). The
+    * product end of the series family: profile says the shape, backtest
+    * says the skill, this emits the numbers a capacity plan loads.
+    *
+    * Exactness: points are observed micro longs; bands add the exact
+    * error VALUES at ranks ⌈0.1n⌉/⌈0.9n⌉ (the q_winsorize rank-ceil —
+    * no interpolation, well-defined under ties); horizons with no
+    * observation one week back (sparse tail) are absent in both engines
+    * (inner join on the source day).
+    *
+    * 100 TB shape: ONE daily hash aggregation; the lag window, per-type
+    * error ranks, and the 7-row-per-type forecast join all run on the
+    * bounded daily table; per-type anchors broadcast. */
+  private[graft] def forecastDaily(events: DataFrame): DataFrame = {
+    val daily = Materialize(events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("_vm")).as("_y")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val errs = daily
+      .withColumn("_p7", lag(col("_y"), 7).over(w))
+      .filter(col("_p7").isNotNull)
+      .select(col("event_type"), (col("_y") - col("_p7")).as("_e"))
+    val tot = errs.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
+      .select(col("event_type"),
+        expr("(10 * _n + 99) div 100").as("_lo_r"),
+        expr("(90 * _n + 99) div 100").as("_hi_r"))
+    val band = errs
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("_e"))).cast("long"))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("_r") === col("_lo_r"), col("_e"))).as("_elo"),
+        max(when(col("_r") === col("_hi_r"), col("_e"))).as("_ehi"))
+    val anchor = daily.groupBy(col("event_type")).agg(max(col("day")).as("_d1"))
+    daily.join(broadcast(anchor), Seq("event_type"))
+      .filter(col("day") > date_add(col("_d1"), -7))
+      .join(broadcast(band), Seq("event_type"))
+      .select(col("event_type"),
+        date_add(col("day"), 7).as("day"),
+        (datediff(date_add(col("day"), 7), col("_d1"))).cast("long")
+          .as("horizon"),
+        col("_y").as("point_micro"),
+        (col("_y") + col("_elo")).as("lo_micro"),
+        (col("_y") + col("_ehi")).as("hi_micro"))
+  }
+
+  private def qForecast(s: SparkSession, d: String): DataFrame =
+    forecastDaily(Tables.events(s, d))
+      .orderBy(col("event_type"), col("day"))
+
   /** Weekday seasonality profile (r11): per event type, each weekday's
     * average daily total and its micro-ratio to the type's overall daily
     * average — the seasonality FINGERPRINT behind the ACF's yes/no (the
@@ -450,6 +506,7 @@ object SeriesOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_weekday_profile" -> qWeekdayProfile _,
     "q_backtest" -> qBacktest _,
+    "q_forecast" -> qForecast _,
     "q_ewma" -> qEwma _,
     "q_autocorr" -> qAutocorr _,
     "q_rolling_median" -> qRollingMedian _,
@@ -567,6 +624,41 @@ object SeriesOps {
          |       ${RelationalQueries.corrFormula("n", "sx", "sy", "sxx", "syy", "sxy")} AS acf
          |FROM m ORDER BY event_type, lag""".stripMargin
     },
+    "q_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |         cast(sum(cast(round(value * 1000000) AS bigint)) AS bigint)
+        |           AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, y,
+        |         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |           AS p7
+        |  FROM daily),
+        |e AS (SELECT event_type, y - p7 AS e FROM l WHERE p7 IS NOT NULL),
+        |tot AS (
+        |  SELECT event_type, (10 * count(*) + 99) // 100 AS lo_r,
+        |         (90 * count(*) + 99) // 100 AS hi_r
+        |  FROM e GROUP BY 1),
+        |rk AS (
+        |  SELECT event_type, e,
+        |         cast(row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY e) AS bigint) AS r
+        |  FROM e),
+        |band AS (
+        |  SELECT rk.event_type,
+        |         min(CASE WHEN r = lo_r THEN e END) AS elo,
+        |         max(CASE WHEN r = hi_r THEN e END) AS ehi
+        |  FROM rk JOIN tot USING (event_type) GROUP BY 1),
+        |anchor AS (SELECT event_type, max(day) AS d1 FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day + 7 AS day,
+        |       cast(date_diff('day', a.d1, d.day + 7) AS bigint)
+        |         AS horizon,
+        |       y AS point_micro, y + elo AS lo_micro, y + ehi AS hi_micro
+        |FROM daily d JOIN anchor a USING (event_type)
+        |     JOIN band USING (event_type)
+        |WHERE d.day > a.d1 - 7
+        |ORDER BY d.event_type, day""".stripMargin,
     "q_rolling_median" ->
       """SELECT event_type, event_id, value,
         |       quantile_cont(cast(round(value * 1000000) AS bigint), 0.5)

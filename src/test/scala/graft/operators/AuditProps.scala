@@ -78,6 +78,61 @@ class AuditProps extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs: 1-event types leave ks_drift; an instantaneous " +
+      "burst gets NULL CV^2 instead of a divide-by-zero") {
+    val ev = Seq(("solo", 1L, 5.0), ("pair", 2L, 1.0), ("pair", 3L, 9.0))
+      .toDF("event_type", "event_id", "value")
+    val ks = AuditOps.ksDrift(ev).collect()
+    assert(ks.map(_.getString(0)).toSeq === Seq("pair"))
+    // all events of a type at the SAME instant: gaps exist but sum to 0
+    val burst = (1 to 4).map(i => ("b", i.toLong, day(1)))
+      .toDF("event_type", "event_id", "ts")
+    val r = AuditOps.burstiness(burst).collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 0L)
+    assert(r.isNullAt(3))
+  }
+
+  test("layout invariance: the audit panel is identical across 1, 3, and " +
+      "16 input partitions") {
+    val ev = (1 to 400).map { i =>
+      (Seq("view", "click", "purchase")(i % 3), i.toLong,
+        day(1 + i % 40), (i % 97) * 0.5 + 0.01, (i % 23).toLong)
+    }.toDF("event_type", "event_id", "ts", "value", "user_id")
+    def runs(f: org.apache.spark.sql.DataFrame => Array[String]): Unit = {
+      val rs = Seq(1, 3, 16).map(n => f(ev.repartition(n)))
+      assert(rs(0).sameElements(rs(1)) && rs(0).sameElements(rs(2)))
+    }
+    runs(d => AuditOps.changepointDaily(d).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.ksDrift(d).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.giniByGroup(d).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.winsorize(d).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.burstiness(d).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.userOverlap(d).orderBy("type_a", "type_b")
+      .collect().map(_.toString))
+    runs(d => AuditOps.seasonalAdjust(d).orderBy("event_type", "day")
+      .collect().map(_.toString))
+    runs(d => AuditOps.seqGaps(d).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.sessionStats(d).orderBy("entry_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.markovStationary(d).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => AuditOps.convertDelay(d).collect().map(_.toString))
+    runs(d => AuditOps.bootstrapCi(d).collect().map(_.toString))
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"tok${i % 17} tok${i % 5} tok${(i * 7) % 29}"))
+      .toDF("doc_id", "text")
+    val vg = Seq(1, 3, 16).map(n =>
+      AuditOps.vocabGrowth(docs.repartition(n)).orderBy("ckpt")
+        .collect().map(_.toString))
+    assert(vg(0).sameElements(vg(1)) && vg(0).sameElements(vg(2)))
+  }
+
   test("markov stationary mass never exceeds 1e6 and is conserved on a closed chain") {
     val rnd = new scala.util.Random(31)
     for (_ <- 0 until 5) {

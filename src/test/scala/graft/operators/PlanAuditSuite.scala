@@ -112,6 +112,21 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p) // totals ride a broadcast
   }
 
+  test("q_session_stats: the session window and the (user, session) " +
+      "aggregation share the user-keyed exchange") {
+    val p = plan("q_session_stats")
+    // partitionBy(user_id) co-locates every (user_id, _sid) group, so the
+    // per-session aggregation must not add its own exchange; the only
+    // other hash exchange allowed is the bounded entry-type roll-up.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_forecast: bands and anchors broadcast onto the daily table") {
+    val p = plan("q_forecast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_seasonal_adjust broadcasts the weekday index onto the daily table") {
     val p = plan("q_seasonal_adjust")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -88,4 +88,34 @@ class SeriesOpsSuite extends AnyFunSuite with Matchers {
       assert(v1 - v0 <= 32.0, s"value span too wide: $r")
     }
   }
+
+  test("forecast: an exactly weekly-periodic series forecasts itself with " +
+      "zero-width bands; horizons cover 1..7") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 28 days of a strict weekly pattern: value depends only on weekday.
+    val ev = (1 to 28).map(d => ("x", ts(d), 10.0 + (d % 7)))
+      .toDF("event_type", "ts", "value")
+    val out = SeriesOps.forecastDaily(ev).orderBy("day").collect()
+    assert(out.length === 7)
+    assert(out.map(_.getLong(2)).toSeq === (1L to 7L))
+    out.foreach { r =>
+      // every 7-lag error in history is 0 -> lo == point == hi
+      assert(r.getLong(4) === r.getLong(3) && r.getLong(5) === r.getLong(3))
+      // the forecast value equals the same weekday one week earlier
+      val srcDay = r.getDate(1).toLocalDate.minusDays(7)
+      val src = ev.selectExpr("cast(ts AS date) AS d",
+          "cast(round(value * 1000000) AS bigint) AS vm")
+        .where(s"d = date '$srcDay'")
+        .collect().head.getLong(1)
+      assert(r.getLong(3) === src)
+    }
+    // a noisy series still yields ordered bands: lo <= point forecastable
+    val rnd = new scala.util.Random(5)
+    val ev2 = (1 to 28).map(d => ("y", ts(d), 10.0 + rnd.nextInt(40)))
+      .toDF("event_type", "ts", "value")
+    SeriesOps.forecastDaily(ev2).collect().foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5)) // elo rank <= ehi rank
+    }
+  }
 }
