@@ -1424,6 +1424,12 @@ object Graft {
   def markovStationary(events: DataFrame): DataFrame =
     graft.operators.AuditOps.markovStationary(events)
 
+  /** Neyman variance-optimal split of a fixed sample budget across
+    * strata (∝ N·σ, exact largest-remainder apportionment — allocations
+    * always sum to the budget). */
+  def neymanAlloc(events: DataFrame, budget: Long = 1000L): DataFrame =
+    graft.operators.AuditOps.neymanAlloc(events, budget)
+
   /** Seasonal-naive 7-day forecast with empirical p10/p90 error bands
     * from the historical signed 7-lag errors. Requires `event_type`,
     * `ts`, `value`. */

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * changepoints, two-sample KS drift, Gini concentration, winsorized
   * robust means, inter-arrival burstiness, cross-surface audience
   * overlap, seasonal adjustment, sequence-continuity gaps, Heaps-law
-  * vocabulary growth, and the dedup-threshold yield curve.
+  * vocabulary growth, the dedup-threshold yield curve, sessionization
+  * with entry-type bounce reporting, conversion-delay quantiles, the
+  * Markov stationary distribution, a deterministic multiplier-bootstrap
+  * CI, and Neyman sample-budget allocation.
   *
   * Reference grounding: the reference's core loop is integrity over an
   * ordered sequence (restart LSN bookkeeping, monotonic commit guards —
@@ -654,6 +657,70 @@ object AuditOps {
   private def qBootstrapCi(s: SparkSession, d: String): DataFrame =
     bootstrapCi(Tables.events(s, d))
 
+  /** Sample budget for [[neymanAlloc]]'s driver binding. */
+  private val NeymanBudget = 1000L
+
+  /** The shared corrected-sample-SD formula text (n ≥ 2): both engines
+    * evaluate the SAME division/sqrt sequence over exact integer moment
+    * sums — IEEE sqrt and division are correctly rounded, so the double
+    * is bit-identical (the corrFormula discipline; contrast ln/exp,
+    * which are NOT portable across libm implementations). */
+  private def sdFormula(n: String, sx: String, sxx: String): String =
+    s"sqrt((cast($n AS double) * cast($sxx AS double) - " +
+      s"cast($sx AS double) * cast($sx AS double)) / " +
+      s"(cast($n AS double) * (cast($n AS double) - 1)))"
+
+  /** Neyman (variance-optimal) sample allocation (r12): how a fixed
+    * label/review/eval budget should split across strata — allocate
+    * ∝ Nᵢ·σᵢ, the split that minimizes the variance of the stratified
+    * mean estimator. The statistics-driven companion to the mechanical
+    * samplers (`q_stratified_sample` rates, `q_group_sample` fixed k):
+    * a high-variance stratum EARNS samples; a near-constant one needs
+    * almost none. Zero-variance corner: if every stratum is constant
+    * (Σw = 0) the weights fall back to plain size-proportional.
+    *
+    * Exactness: moment sums are exact integers (decimal(38,0) for Σx²);
+    * σ is the one shared double formula above; weights round to exact
+    * longs; the allocation itself is INTEGER largest-remainder
+    * apportionment — base = ⌊budget·wᵢ/Σw⌋, the leftover goes to the
+    * largest remainders (ties to the earlier type) — so allocations sum
+    * to the budget EXACTLY, in both engines, always.
+    *
+    * 100 TB shape: ONE moment aggregation (map-side partials) collapses
+    * the log; the apportionment runs on |strata| rows with a 1-row total
+    * broadcast. */
+  private[graft] def neymanAlloc(events: DataFrame,
+      budget: Long = NeymanBudget): DataFrame = {
+    val m = events
+      .select(col("event_type"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("_vm")).as("_sx"),
+        sum(expr("cast(_vm AS decimal(38,0)) * _vm")).as("_sxx"))
+      .filter(col("n") > 1)
+      .withColumn("_sd", expr(sdFormula("n", "_sx", "_sxx")))
+      .withColumn("sd_micro", expr("cast(round(_sd) AS bigint)"))
+      .withColumn("_w", expr("cast(round(cast(n AS double) * _sd) AS bigint)"))
+    val tot = m.agg(sum(col("_w")).as("_tw"), sum(col("n")).as("_tn"))
+    val j = m.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        expr("CASE WHEN _tw = 0 THEN n ELSE _w END"))
+      .withColumn("_den", expr("CASE WHEN _tw = 0 THEN _tn ELSE _tw END"))
+      .withColumn("base", expr(s"$budget * weight div _den"))
+      .withColumn("_rem", expr(s"$budget * weight % _den"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    j.withColumn("_rn", row_number().over(
+        Window.orderBy(col("_rem").desc, col("event_type"))).cast("long"))
+      .withColumn("_left", lit(budget) - sum(col("base")).over(wAll))
+      .select(col("event_type"), col("n"), col("sd_micro"), col("weight"),
+        (col("base") + when(col("_rn") <= col("_left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  private def qNeymanAlloc(s: SparkSession, d: String): DataFrame =
+    neymanAlloc(Tables.events(s, d)).orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changepoint" -> qChangepoint _,
     "q_ks_drift" -> qKsDrift _,
@@ -668,7 +735,8 @@ object AuditOps {
     "q_session_stats" -> qSessionStats _,
     "q_convert_delay" -> qConvertDelay _,
     "q_markov_stationary" -> qMarkovStationary _,
-    "q_bootstrap_ci" -> qBootstrapCi _)
+    "q_bootstrap_ci" -> qBootstrapCi _,
+    "q_neyman_alloc" -> qNeymanAlloc _)
 
   /** Shared daily CTE (no leading WITH) — the [[dailyMicro]] twin, with
     * the HUGEINT→BIGINT cast at the sum. */
@@ -1061,5 +1129,44 @@ object AuditOps {
          |       min(CASE WHEN rk = ${BootB - 1} THEN m END)
          |         - min(CASE WHEN rk = 2 THEN m END) AS spread_micro
          |FROM r GROUP BY n, mean_micro""".stripMargin
-    })
+    },
+    "q_neyman_alloc" ->
+      s"""WITH t AS (
+         |  SELECT event_type, cast(round(value * 1000000) AS bigint) AS vm
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, count(*) AS n,
+         |         cast(sum(vm) AS bigint) AS sx,
+         |         sum(cast(vm AS hugeint) * vm) AS sxx
+         |  FROM t GROUP BY 1 HAVING count(*) > 1),
+         |sdd AS (
+         |  SELECT event_type, n,
+         |         ${sdFormula("n", "sx", "sxx")} AS sd
+         |  FROM m),
+         |w AS (
+         |  SELECT event_type, n, cast(round(sd) AS bigint) AS sd_micro,
+         |         cast(round(cast(n AS double) * sd) AS bigint) AS w0
+         |  FROM sdd),
+         |tot AS (
+         |  SELECT cast(sum(w0) AS bigint) AS tw,
+         |         cast(sum(n) AS bigint) AS tn
+         |  FROM w),
+         |j AS (
+         |  SELECT event_type, n, sd_micro,
+         |         CASE WHEN tw = 0 THEN n ELSE w0 END AS weight,
+         |         CASE WHEN tw = 0 THEN tn ELSE tw END AS den
+         |  FROM w, tot),
+         |b AS (
+         |  SELECT event_type, n, sd_micro, weight,
+         |         $NeymanBudget * weight // den AS base,
+         |         $NeymanBudget * weight % den AS rem
+         |  FROM j),
+         |r AS (
+         |  SELECT *, cast(row_number() OVER (ORDER BY rem DESC, event_type)
+         |                 AS bigint) AS rn,
+         |         $NeymanBudget - cast(sum(base) OVER () AS bigint) AS lft
+         |  FROM b)
+         |SELECT event_type, n, sd_micro, weight,
+         |       base + CASE WHEN rn <= lft THEN 1 ELSE 0 END AS alloc
+         |FROM r ORDER BY event_type""".stripMargin)
 }

@@ -256,6 +256,29 @@ class AuditOpsSuite extends AnyFunSuite with Matchers {
     assert(lo <= mean + r1.getLong(4) && hi >= mean - r1.getLong(4))
   }
 
+  test("neyman_alloc: budget conserved exactly; variance earns samples; " +
+      "constant strata fall back proportional") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    // 'wide' has ~10x the spread of 'narrow'; 'flat' is constant.
+    val ev = ((1 to 300).map(i => ("wide", 50.0 + rnd.nextGaussian() * 20)) ++
+      (1 to 300).map(i => ("narrow", 50.0 + rnd.nextGaussian() * 2)) ++
+      (1 to 300).map(_ => ("flat", 7.0)))
+      .toDF("event_type", "value")
+    val out = AuditOps.neymanAlloc(ev, 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out.values.sum === 100L)
+    assert(out("flat") === 0L)          // zero variance -> zero budget
+    assert(out("wide") > out("narrow") * 5) // ~10x sd -> ~10x allocation
+    // All-constant strata: weights fall back to size-proportional.
+    val const = ((1 to 30).map(_ => ("a", 1.0)) ++
+      (1 to 60).map(_ => ("b", 2.0))).toDF("event_type", "value")
+    val c = AuditOps.neymanAlloc(const, 9L).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(c("a") === 3L && c("b") === 6L)
+  }
+
   test("dedup_yield: consistent with the pair engine and monotone in the threshold") {
     val s = TestSpark.spark
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
