@@ -124,6 +124,10 @@ class AuditProps extends AnyFunSuite {
       .collect().map(_.toString))
     runs(d => AuditOps.convertDelay(d).collect().map(_.toString))
     runs(d => AuditOps.bootstrapCi(d).collect().map(_.toString))
+    runs(d => AuditOps.neymanAlloc(d, 100L).orderBy("event_type")
+      .collect().map(_.toString))
+    runs(d => SeriesOps.forecastDaily(d).orderBy("event_type", "day")
+      .collect().map(_.toString))
     val docs = (1 to 60).map(i =>
       (i.toLong, s"tok${i % 17} tok${i % 5} tok${(i * 7) % 29}"))
       .toDF("doc_id", "text")
