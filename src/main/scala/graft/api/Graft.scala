@@ -1424,6 +1424,16 @@ object Graft {
   def markovStationary(events: DataFrame): DataFrame =
     graft.operators.AuditOps.markovStationary(events)
 
+  /** Hour-of-week activity heatmap: per type, each (ISO weekday, hour)
+    * cell's count, value total, and micro-share of the type's value. */
+  def hourProfile(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.hourProfile(events)
+
+  /** Lorenz curve deciles per type — the curve whose area [[giniByGroup]]
+    * reports as one number. */
+  def lorenzDeciles(events: DataFrame): DataFrame =
+    graft.operators.AuditOps.lorenzDeciles(events)
+
   /** Neyman variance-optimal split of a fixed sample budget across
     * strata (∝ N·σ, exact largest-remainder apportionment — allocations
     * always sum to the budget). */

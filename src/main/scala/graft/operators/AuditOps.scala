@@ -721,6 +721,72 @@ object AuditOps {
   private def qNeymanAlloc(s: SparkSession, d: String): DataFrame =
     neymanAlloc(Tables.events(s, d)).orderBy(col("event_type"))
 
+  /** Hour-of-week activity heatmap (r12): per type, each (ISO weekday,
+    * hour) cell's event count, value total, and micro-share of the
+    * type's overall value — the finer grain under
+    * [[SeriesOps.weekdayProfile]] (capacity planning and anomaly
+    * baselines key on the hour-of-week, not just the day).
+    *
+    * 100 TB shape: ONE (type, dow, hour) hash aggregation — ≤ 168
+    * cells per type — with the 1-row-per-type totals broadcast back.
+    * Exactness: micro-quantized long sums, integer share division. */
+  private[graft] def hourProfile(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        expr("cast(weekday(to_date(ts)) + 1 AS int)").as("dow"),
+        expr("cast(hour(ts) AS int)").as("hour"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("_vm")).as("value_micro"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("value_micro")).as("_tv"))
+    cells.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("hour"), col("n"),
+        col("value_micro"),
+        expr("value_micro * 1000000 div _tv").as("share_micro"))
+  }
+
+  private def qHourProfile(s: SparkSession, d: String): DataFrame =
+    hourProfile(Tables.events(s, d))
+      .orderBy(col("event_type"), col("dow"), col("hour"))
+
+  /** Lorenz curve deciles (r12): per type, the cumulative micro-share of
+    * total value held by the bottom d/10 of rows in ascending value
+    * order — the CURVE whose enclosed area `q_gini` reports as one
+    * number (the shape an inequality review actually plots: "the bottom
+    * half of events carries X% of the value").
+    *
+    * Exactness: boundary rows are rank-ceil picks (⌈d·n/10⌉ — the
+    * winsorize convention, well-defined under ties because the running
+    * sum at a FIXED rank over sorted values is tie-permutation
+    * invariant); shares are integer micro-divisions of exact long
+    * running sums.
+    *
+    * 100 TB shape: one rank+prefix window on the type key (shared
+    * exchange), boundary filter to ≤ 10 rows per type, totals broadcast. */
+  private[graft] def lorenzDeciles(events: DataFrame): DataFrame = {
+    val t = events.select(col("event_type"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .filter(col("_vm") > 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("_vm"))
+    val ranked = t
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col("_vm")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = t.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"), sum(col("_vm")).as("_tv"))
+    ranked.join(broadcast(tot), Seq("event_type"))
+      .crossJoin(broadcast(tot.sparkSession.range(1, 11)
+        .select(col("id").as("decile"))))
+      .filter(col("_r") === expr("(decile * _n + 9) div 10"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(min(expr("_cum * 1000000 div _tv")).as("cum_share_micro"))
+  }
+
+  private def qLorenz(s: SparkSession, d: String): DataFrame =
+    lorenzDeciles(Tables.events(s, d))
+      .orderBy(col("event_type"), col("decile"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changepoint" -> qChangepoint _,
     "q_ks_drift" -> qKsDrift _,
@@ -736,7 +802,9 @@ object AuditOps {
     "q_convert_delay" -> qConvertDelay _,
     "q_markov_stationary" -> qMarkovStationary _,
     "q_bootstrap_ci" -> qBootstrapCi _,
-    "q_neyman_alloc" -> qNeymanAlloc _)
+    "q_neyman_alloc" -> qNeymanAlloc _,
+    "q_hour_profile" -> qHourProfile _,
+    "q_lorenz" -> qLorenz _)
 
   /** Shared daily CTE (no leading WITH) — the [[dailyMicro]] twin, with
     * the HUGEINT→BIGINT cast at the sum. */
@@ -1168,5 +1236,41 @@ object AuditOps {
          |  FROM b)
          |SELECT event_type, n, sd_micro, weight,
          |       base + CASE WHEN rn <= lft THEN 1 ELSE 0 END AS alloc
-         |FROM r ORDER BY event_type""".stripMargin)
+         |FROM r ORDER BY event_type""".stripMargin,
+    "q_hour_profile" ->
+      """WITH c AS (
+        |  SELECT event_type, cast(isodow(ts::DATE) AS integer) AS dow,
+        |         cast(hour(ts) AS integer) AS hour,
+        |         count(*) AS n,
+        |         cast(sum(cast(round(value * 1000000) AS bigint))
+        |              AS bigint) AS value_micro
+        |  FROM events GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT event_type, cast(sum(value_micro) AS bigint) AS tv
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, dow, hour, n, value_micro,
+        |       value_micro * 1000000 // tv AS share_micro
+        |FROM c JOIN tot USING (event_type)
+        |ORDER BY event_type, dow, hour""".stripMargin,
+    "q_lorenz" ->
+      """WITH t AS (
+        |  SELECT event_type, cast(round(value * 1000000) AS bigint) AS vm
+        |  FROM events WHERE round(value * 1000000) > 0),
+        |r AS (
+        |  SELECT event_type, vm,
+        |         cast(row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY vm) AS bigint) AS rk,
+        |         cast(sum(vm) OVER (PARTITION BY event_type ORDER BY vm
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS bigint) AS cum
+        |  FROM t),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n, cast(sum(vm) AS bigint) AS tv
+        |  FROM t GROUP BY 1),
+        |d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+        |SELECT r.event_type, decile,
+        |       min(cum * 1000000 // tv) AS cum_share_micro
+        |FROM r JOIN tot USING (event_type) CROSS JOIN d
+        |WHERE rk = (decile * n + 9) // 10
+        |GROUP BY 1, 2 ORDER BY r.event_type, decile""".stripMargin)
 }

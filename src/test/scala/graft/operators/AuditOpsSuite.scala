@@ -279,6 +279,38 @@ class AuditOpsSuite extends AnyFunSuite with Matchers {
     assert(c("a") === 3L && c("b") === 6L)
   }
 
+  test("lorenz: known decile shares on 1..10; curve monotone, ends at 1e6") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = (1 to 10).map(i => ("x", i.toDouble))
+      .toDF("event_type", "value")
+    val out = AuditOps.lorenzDeciles(ev).orderBy("decile").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1) === (1L to 10L))
+    // decile d boundary is rank d; share = (1+..+d)/55
+    (1 to 10).foreach { d =>
+      val expect = BigInt((1 to d).sum) * 1000000 / 55
+      assert(out(d - 1)._2 === expect.toLong, s"decile $d")
+    }
+    assert(out.last._2 === 1000000L)
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 <= b._2 })
+  }
+
+  test("hour_profile: cells land on the event hours; shares sum to ~1e6") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = Seq(
+      ("x", ts(1, 9), 10.0), ("x", ts(1, 9, 30), 30.0), // Mon 09
+      ("x", ts(7, 23), 60.0))                           // Sun 23
+      .toDF("event_type", "ts", "value")
+    val out = AuditOps.hourProfile(ev).orderBy("dow", "hour").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq === Seq((1, 9, 2L, 40000000L, 400000L),
+      (7, 23, 1L, 60000000L, 600000L)))
+    assert(out.map(_._5).sum === 1000000L)
+  }
+
   test("dedup_yield: consistent with the pair engine and monotone in the threshold") {
     val s = TestSpark.spark
     val docs = Tables.documents(s, "/root/testdata/sf0.001")
