@@ -126,6 +126,10 @@ class AuditProps extends AnyFunSuite {
     runs(d => AuditOps.bootstrapCi(d).collect().map(_.toString))
     runs(d => AuditOps.neymanAlloc(d, 100L).orderBy("event_type")
       .collect().map(_.toString))
+    runs(d => AuditOps.hourProfile(d).orderBy("event_type", "dow", "hour")
+      .collect().map(_.toString))
+    runs(d => AuditOps.lorenzDeciles(d).orderBy("event_type", "decile")
+      .collect().map(_.toString))
     runs(d => SeriesOps.forecastDaily(d).orderBy("event_type", "day")
       .collect().map(_.toString))
     val docs = (1 to 60).map(i =>
