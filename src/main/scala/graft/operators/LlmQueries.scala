@@ -59,6 +59,35 @@ object LlmQueries {
   private[graft] val perms: Seq[(Long, Long)] = graft.functions.MinHashFamily.perms
   private[graft] val JaccardThreshold = 0.7
 
+  /** Fixed COUNT of recall-audit anchor rows (r13). The audits'
+    * exhaustive truth arm costs anchors × corpus, so a constant anchor
+    * count makes the audit LINEAR in corpus size; r12's fraction anchor
+    * (`id % 5 = 0`) made it 0.2·n² — quadratic, contradicting the
+    * claim the audit exists to verify. 128 anchors keep multinomial
+    * noise on the per-bucket recall under ~10% while the anchor set
+    * stays a trivially broadcastable 1 KiB. */
+  private[graft] val RecallAnchors = 128
+
+  /** Deterministic pseudo-random anchor key: multiplicative hash
+    * `(id mod P)·48271 mod P` (MINSTD multiplier, P = 999983 prime).
+    * Reduced mod P BEFORE the multiply so the product stays < 2^46 —
+    * exact signed-64 arithmetic in both engines for ANY id, identical
+    * text in Spark SQL and DuckDB SQL. */
+  private[graft] def anchorKeySql(idCol: String) =
+    s"(($idCol % 999983) * 48271) % 999983"
+
+  /** The audit anchor set: the [[RecallAnchors]] lowest-keyed ids of the
+    * corpus, as a one-column `a_id` frame. Selection is a
+    * TakeOrderedAndProject (linear scan, K-row driver heap), then
+    * materialized once so the three consumers (sample join, two
+    * restrict semi-joins) reuse it instead of re-ranking the corpus. */
+  private[graft] def recallAnchors(df: DataFrame, idCol: String): DataFrame =
+    Materialize(df
+      .selectExpr(s"$idCol AS a_id", s"${anchorKeySql(idCol)} AS ak")
+      .orderBy(col("ak"), col("a_id"))
+      .limit(RecallAnchors)
+      .select(col("a_id")))
+
   /** Exact cosine similarity of two float arrays, computed in double and
     * rounded to 6 dp (see oracle-parity note above).
     *
@@ -1542,12 +1571,18 @@ object LlmQueries {
     * geometry drifts below spec.
     *
     * Ground truth needs exact Jaccard, and all-pairs truth is quadratic
-    * BY DEFINITION — so the audit is sample-ANCHORED (the q_ann_recall
-    * shape): a deterministic 20% of docs are the audit queries, each
-    * verified exhaustively against the WHOLE corpus, so truth costs
-    * `sample × corpus`, never `corpus²` — the linear-in-corpus audit a
-    * 100 TB pipeline can afford, still measuring the production band
-    * join on every anchored pair. Buckets and the truth threshold are
+    * BY DEFINITION — so the audit is anchored on a fixed COUNT of docs
+    * (r13; r12's `doc_id % 5` FRACTION anchor made the truth arm
+    * `0.2·n²` — still quadratic): the [[RecallAnchors]] docs whose
+    * multiplicative-hash key `(doc_id mod P)·48271 mod P` sorts lowest
+    * (ties by doc_id — a total order, so selection is deterministic in
+    * both engines) are the audit queries, each verified exhaustively
+    * against the WHOLE corpus. Truth costs `K × corpus` with K constant
+    * — genuinely linear in corpus size, the audit a 100 TB pipeline can
+    * afford — and anchor selection itself is a TakeOrdered (one linear
+    * scan, constant driver memory), with the K-row anchor set
+    * broadcast back for the sample/restrict joins.
+    * Buckets and the truth threshold are
     * exact integer arithmetic (`10·|∩| div |∪|`, `10·|∩| ≥ 7·|∪|`) — no
     * double ever decides membership. The LSH arm is the PRODUCTION pair
     * pipeline ([[minhashPairsUnordered]]) over the full corpus,
@@ -1556,9 +1591,10 @@ object LlmQueries {
     val hsx = Materialize(shingleHashSets(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text")
       .selectExpr("doc_id", "hs", "cast(size(hs) AS bigint) AS sz"))
+    val anchors = recallAnchors(hsx, "doc_id")
     val samp = hsx
+      .join(broadcast(anchors), col("doc_id") === col("a_id"))
       .selectExpr("doc_id AS doc_s", "hs AS hs_s", "sz AS sz_s")
-      .filter(expr("doc_s % 5 = 0"))
     val truth = samp
       .crossJoin(hsx.selectExpr("doc_id AS doc_o", "hs AS hs_o", "sz AS sz_o"))
       .filter(col("doc_s") =!= col("doc_o"))
@@ -1576,10 +1612,18 @@ object LlmQueries {
       .filter(expr("li * 10 >= lu * 7"))
       .selectExpr("doc_a", "doc_b", "cast(li * 10 div lu AS int) AS bucket")
       .distinct()
-    val lsh = minhashPairsUnordered(
+    val lshAll = minhashPairsUnordered(
         Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
         JaccardThreshold)
-      .filter(expr("doc_a % 5 = 0 OR doc_b % 5 = 0"))
+      .select(col("doc_a"), col("doc_b"))
+    // restrict the production pair set to anchored pairs via two broadcast
+    // HASH semi-joins (one per endpoint) + distinct — never a nested-loop
+    // OR-predicate scan of every pair against the anchor list
+    val lsh = lshAll
+      .join(broadcast(anchors), col("doc_a") === col("a_id"), "left_semi")
+      .unionByName(lshAll
+        .join(broadcast(anchors), col("doc_b") === col("a_id"), "left_semi"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     truth.join(lsh, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("bucket"))
@@ -1638,8 +1682,11 @@ object LlmQueries {
     * own recall audit; together they are the drift alarm for every
     * "never all-pairs" claim in the dedup story.
     *
-    * Sample-anchored exactly like `q_lsh_recall` (20% of vectors audited
-    * against the whole corpus — truth costs sample × corpus); truth
+    * Anchored exactly like `q_lsh_recall`: a fixed COUNT of
+    * [[RecallAnchors]] vectors (lowest [[anchorKeySql]] key, ties by
+    * vec_id) audited against the whole corpus — truth costs K × corpus
+    * with K constant, linear in corpus size (r13; was the quadratic
+    * `% 5` fraction anchor); truth
     * similarity is the SAME rounded-cosine convention every embedding
     * query uses, and the bucket floors the rounded double identically in
     * both engines. The measured arm is the PRODUCTION
@@ -1648,7 +1695,8 @@ object LlmQueries {
     val e = Materialize(Tables.spread(s, Tables.embeddings(s, d))
       .selectExpr("vec_id", "embedding",
         s"sqrt(${dotSpark("embedding", "embedding")}) AS norm"))
-    val samp = e.filter(expr("vec_id % 5 = 0"))
+    val anchors = recallAnchors(e, "vec_id")
+    val samp = e.join(broadcast(anchors), col("vec_id") === col("a_id"))
       .selectExpr("vec_id AS vec_s", "embedding AS vs", "norm AS norm_s")
     val truth = samp
       .crossJoin(e.selectExpr("vec_id AS vec_o", "embedding AS vo",
@@ -1660,9 +1708,14 @@ object LlmQueries {
       .filter(col("sim") >= 0.35)
       .selectExpr("vec_a", "vec_b", "cast(floor(sim * 10) AS int) AS bucket")
       .distinct()
-    val lsh = embNearDupPairsCore(Tables.spread(s, Tables.embeddings(s, d)),
+    val lshAll = embNearDupPairsCore(Tables.spread(s, Tables.embeddings(s, d)),
         "vec_id", "embedding", 4, 0.35)
-      .filter(expr("vec_a % 5 = 0 OR vec_b % 5 = 0"))
+      .select(col("vec_a"), col("vec_b"))
+    val lsh = lshAll
+      .join(broadcast(anchors), col("vec_a") === col("a_id"), "left_semi")
+      .unionByName(lshAll
+        .join(broadcast(anchors), col("vec_b") === col("a_id"), "left_semi"))
+      .distinct()
       .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
     truth.join(lsh, Seq("vec_a", "vec_b"), "left")
       .groupBy(col("bucket"))
@@ -2185,8 +2238,11 @@ object LlmQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_lsh_recall" ->
       s"""WITH ${minhashPairsCte},
-         |smp AS (SELECT doc_id AS doc_s, hs AS hs_s FROM hsx
-         |        WHERE doc_id % 5 = 0),
+         |ak AS (SELECT doc_id FROM hsx
+         |       ORDER BY ${anchorKeySql("doc_id")}, doc_id
+         |       LIMIT $RecallAnchors),
+         |smp AS (SELECT h.doc_id AS doc_s, hs AS hs_s
+         |        FROM hsx h JOIN ak USING (doc_id)),
          |truth AS (
          |  SELECT least(doc_s, o.doc_id) AS doc_a,
          |         greatest(doc_s, o.doc_id) AS doc_b,
@@ -2197,7 +2253,8 @@ object LlmQueries {
          |       FROM truth WHERE li * 10 >= lu * 7),
          |lsh AS (SELECT doc_a, doc_b FROM j
          |        WHERE jaccard >= $JaccardThreshold
-         |          AND (doc_a % 5 = 0 OR doc_b % 5 = 0))
+         |          AND (doc_a IN (SELECT doc_id FROM ak)
+         |               OR doc_b IN (SELECT doc_id FROM ak)))
          |SELECT bucket, cast(count(*) AS bigint) AS n_true,
          |       cast(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
          |FROM tb LEFT JOIN lsh l ON tb.doc_a = l.doc_a AND tb.doc_b = l.doc_b
@@ -2224,7 +2281,11 @@ object LlmQueries {
          |ORDER BY tr.vec_id""".stripMargin,
     "q_emb_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |smp AS (SELECT vec_id AS vec_s, v AS vs FROM e WHERE vec_id % 5 = 0),
+         |ak AS (SELECT vec_id FROM e
+         |       ORDER BY ${anchorKeySql("vec_id")}, vec_id
+         |       LIMIT $RecallAnchors),
+         |smp AS (SELECT ee.vec_id AS vec_s, v AS vs
+         |        FROM e ee JOIN ak USING (vec_id)),
          |tr AS (SELECT least(vec_s, o.vec_id) AS vec_a,
          |              greatest(vec_s, o.vec_id) AS vec_b,
          |              ${cosDuck("vs", "o.v")} AS sim
@@ -2242,7 +2303,8 @@ object LlmQueries {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
          |  WHERE ${cosDuck("a.v", "b.v")} >= 0.35
-         |    AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0))
+         |    AND (a.vec_id IN (SELECT vec_id FROM ak)
+         |         OR b.vec_id IN (SELECT vec_id FROM ak)))
          |SELECT bucket, cast(count(*) AS bigint) AS n_true,
          |       cast(sum(CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
          |FROM tb LEFT JOIN lsh l ON tb.vec_a = l.vec_a AND tb.vec_b = l.vec_b

@@ -164,6 +164,28 @@ class DedupSemanticsSuite extends AnyFunSuite {
     assert(kept0.getString(2) == dup.head.getString(2) && kept0.getBoolean(3))
   }
 
+  test("recallAnchors is a fixed COUNT, independent of corpus size — " +
+      "the audits' truth arm is K×n, never a fraction of n²") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val small = (0L until 200L).toDF("doc_id")
+    val big = (0L until 4000L).toDF("doc_id")
+    val aSmall = LlmQueries.recallAnchors(small, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val aBig = LlmQueries.recallAnchors(big, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(aSmall.size == LlmQueries.RecallAnchors, aSmall.size)
+    // 20× the corpus, SAME anchor count — the linearity claim itself
+    assert(aBig.size == LlmQueries.RecallAnchors, aBig.size)
+    // deterministic: re-selection returns the identical set
+    val again = LlmQueries.recallAnchors(big, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == aBig)
+    // a corpus smaller than K anchors everything
+    val tiny = (0L until 10L).toDF("doc_id")
+    assert(LlmQueries.recallAnchors(tiny, "doc_id").count() == 10L)
+  }
+
   test("q_doc_fingerprint shares fingerprints exactly within the dup cluster") {
     val r = LlmQueries.queries("q_doc_fingerprint")(TestSpark.spark, dir)
       .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap

@@ -749,13 +749,17 @@ class PlanAuditSuite extends AnyFunSuite {
   }
 
   test("q_lsh_recall: the only nested-loop is the declared truth-arm " +
-      "cross join over the audit sample") {
+      "cross join over the FIXED-COUNT anchor set") {
     val p = plan("q_lsh_recall")
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size <= 1,
       p)
     // the LSH arm stays the banded equi-join pipeline
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
+    // anchor restriction of the production pair set is broadcast HASH
+    // semi-joins on the K-row anchor frame, never an OR-predicate
+    // nested-loop scan of every pair
+    assert(p.contains("LeftSemi"), p)
   }
 
   test("q_sample_agg runs the custom bottom-k aggregate partial+final " +
