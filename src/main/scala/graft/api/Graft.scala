@@ -1344,7 +1344,6 @@ object Graft {
       candidates: DataFrame, keyCol: String): DataFrame =
     graft.streaming.BloomStream.probe(spark, root, candidates, keyCol)
 
-  /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   /** CUSUM mean-shift changepoint per type over the daily micro series:
     * the day maximizing |n·S_k − k·S| with before/after means — pure
     * long arithmetic, argmax tie to the earliest day. Requires
@@ -1462,5 +1461,6 @@ object Graft {
     graft.streaming.GapStream.monitor(spark, chunkDir, checkpointDir,
       outDir)
 
+  /** CDC capture lifecycle entry point (reference: `InformixCdc(...)`). */
   def cdcSession(config: CdcConfig = CdcConfig()): CdcSession = CdcSession(config)
 }

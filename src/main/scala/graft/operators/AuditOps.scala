@@ -60,9 +60,12 @@ object AuditOps {
     *
     * 100 TB shape: the daily aggregation is the only data-scaled
     * shuffle; the prefix window, 1-row-per-type totals (broadcast), and
-    * the argmax window all run on the bounded daily table. */
+    * the argmax window all run on the bounded daily table. The shared
+    * daily frame is a Materialize barrier (the [[seasonalAdjust]]
+    * convention), so its two consumers (`run`, `tot`) reuse one
+    * aggregation by construction, not by optimistic exchange reuse. */
   private[graft] def changepointDaily(events: DataFrame): DataFrame = {
-    val daily = dailyMicro(events)
+    val daily = Materialize(dailyMicro(events))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val run = daily
       .withColumn("_k", row_number().over(w).cast("long"))
@@ -98,8 +101,15 @@ object AuditOps {
     *
     * Exactness: the ECDF difference at value v is |C₁·n₂ − C₂·n₁| /
     * (n₁·n₂) — held as the exact integer numerator until one final
-    * micro-division. The half-split is row_number ≤ n div 2 over the
-    * unique (event_id) order, so both engines label identical rows.
+    * micro-division, with the cross products carried in decimal(38,0)
+    * (Spark) / HUGEINT (DuckDB) like `q_gini`: at ~3·10⁹ rows per type
+    * the C·n products pass 2⁶³, so plain-long arithmetic would wrap
+    * exactly where the audit matters most. `ks_micro` ≤ 10⁶ is always
+    * exact; the reported `ks_num` numerator is cast to long at the
+    * output edge (exceeds 2⁶³ only past ~3·10⁹ rows per type — the
+    * statistic itself never does). The half-split is row_number ≤
+    * n div 2 over the unique (event_id) order, so both engines label
+    * identical rows.
     *
     * 100 TB shape: one rank window and one (type, value) aggregation —
     * both on the type key; the cumulative window runs over the DISTINCT
@@ -125,15 +135,17 @@ object AuditOps {
     g.withColumn("_cc1", sum(col("_c1")).over(wc))
       .withColumn("_cc2", sum(col("_c2")).over(wc))
       .groupBy(col("event_type"), col("_n1").as("n1"), col("_n2").as("n2"))
-      .agg(max(abs(col("_cc1") * col("_n2") - col("_cc2") * col("_n1")))
-        .as("ks_num"))
+      .agg(max(abs(expr("cast(_cc1 AS decimal(38,0)) * _n2")
+          - expr("cast(_cc2 AS decimal(38,0)) * _n1"))).as("_ksd"))
       // A 1-event type has an empty first half — a one-sided KS is
       // meaningless AND its n1·n2 = 0 denominator is an ERROR in DuckDB
       // (Spark's div yields NULL): degenerate groups are excluded, not
       // reported as noise.
       .filter(col("n1") > 0)
-      .select(col("event_type"), col("n1"), col("n2"), col("ks_num"),
-        expr("ks_num * 1000000 div (n1 * n2)").as("ks_micro"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        col("_ksd").cast("long").as("ks_num"),
+        expr("_ksd * 1000000 div (cast(n1 AS decimal(38,0)) * n2)")
+          .as("ks_micro"))
   }
 
   private def qKsDrift(s: SparkSession, d: String): DataFrame =
@@ -645,7 +657,12 @@ object AuditOps {
     val means = m
       .selectExpr("n", "_s div n AS mean_micro",
         s"explode(array($arms)) AS _m")
-      .withColumn("_rk", row_number().over(Window.orderBy(col("_m"))))
+      // NULL arms (Σw=0, degenerate tiny inputs only) rank explicitly
+      // LAST: Spark's ASC default is NULLS FIRST but DuckDB's is NULLS
+      // LAST, so an unpinned order would let the rank-2/rank-15 interval
+      // picks diverge between engine and oracle on such inputs.
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("_m").asc_nulls_last)))
     means.groupBy(col("n"), col("mean_micro"))
       .agg(min(when(col("_rk") === 2, col("_m"))).as("boot_lo_micro"),
         min(when(col("_rk") === BootB - 1, col("_m"))).as("boot_hi_micro"))
@@ -874,9 +891,12 @@ object AuditOps {
         |           AS bigint) AS cc2
         |  FROM g)
         |SELECT event_type, n1, n2,
-        |       cast(max(abs(cc1 * n2 - cc2 * n1)) AS bigint) AS ks_num,
-        |       cast(max(abs(cc1 * n2 - cc2 * n1)) AS bigint) * 1000000
-        |         // (n1 * n2) AS ks_micro
+        |       cast(max(abs(cast(cc1 AS hugeint) * n2
+        |                    - cast(cc2 AS hugeint) * n1)) AS bigint)
+        |         AS ks_num,
+        |       cast(max(abs(cast(cc1 AS hugeint) * n2
+        |                    - cast(cc2 AS hugeint) * n1)) * 1000000
+        |            // (cast(n1 AS hugeint) * n2) AS bigint) AS ks_micro
         |FROM cum WHERE n1 > 0
         |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
     "q_gini" ->
@@ -1188,7 +1208,7 @@ object AuditOps {
          |  $arms),
          |r AS (
          |  SELECT n, mean_micro, m,
-         |         row_number() OVER (ORDER BY m) AS rk
+         |         row_number() OVER (ORDER BY m NULLS LAST) AS rk
          |  FROM reps)
          |SELECT n, mean_micro,
          |       min(CASE WHEN rk = 2 THEN m END) AS boot_lo_micro,

@@ -796,6 +796,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("events.parquet"), p.linesIterator.take(10).mkString("\n"))
   }
 
+  test("q_changepoint: prefix run and per-type totals both read the " +
+      "MATERIALIZED daily frame — one data-scaled aggregation, no rescan") {
+    val p = plan("q_changepoint")
+    // the daily (type, day) aggregation — the only data-scaled shuffle —
+    // happened before the Materialize barrier; its two consumers (the
+    // prefix-sum run and the 1-row-per-type totals) reuse the bounded
+    // daily table by construction instead of relying on Catalyst
+    // exchange reuse to avoid a second scan of the event log
+    assert(!p.contains("events.parquet"), p.linesIterator.take(10).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_snapshot_diff: both snapshots from ONE scan and ONE hash " +
       "exchange — no self-join of the log") {
     val p = plan("q_snapshot_diff")
