@@ -6,8 +6,7 @@ import org.apache.spark.sql.DataFrame
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Harness rules (VERDICT r1 fixes):
-  *  - deterministic query order (sorted by name) + one untimed warm-up pass,
-  *    so JVM/Spark startup cost doesn't land on an arbitrary query;
+  *  - deterministic query order (sorted by name);
   *  - queries are materialized via the `noop` datasource, not `count()` —
   *    count() lets Catalyst eliminate the final sort and skip column
   *    materialization, under-measuring the real work;
@@ -18,6 +17,22 @@ import org.apache.spark.sql.DataFrame
   *    ±30% round-over-round, which repeatedly muddied the perf trend; the
   *    median of 3 drops the one-off GC/scheduling outlier while staying
   *    cheap. The reported total is the sum of medians.
+  *
+  * Per-query isolation (VERDICT r12 #3): every query gets a FRESH
+  * SparkContext. r8's in-place cleanup (clearCache + unpersist +
+  * System.gc) was not enough — ContextCleaner drains asynchronously, so
+  * under a 128 GiB heap that rarely GCs, block-manager entries, shuffle
+  * files and broadcast state still accumulated across ~760 executions,
+  * and ten untouched queries swung 1.5–2.4× between r11 and r12 while
+  * fresh-JVM ProfileQ showed no code regression. A measurement that
+  * swings ±2× can hide a real 2× regression. The restart resets
+  * block-manager / shuffle / broadcast state to exactly what a per-job
+  * cluster submission starts from; the JVM's JIT and the static codegen
+  * cache survive the restart, so one untimed warm rep after each restart
+  * (executions per query stay 4: 1 warm + 3 timed) restores the warm
+  * state the old global warm-up pass provided — without the shared-fate
+  * pollution. Restart cost (~0.5 s × |queries|) is untimed wall-clock,
+  * never part of any rep.
   */
 object Bench {
   private def run(df: DataFrame): Unit =
@@ -26,38 +41,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Session.build(s"local[$cpus]", cpus)
-    spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Shared-JVM pressure control (VERDICT r8 #1): the bench executes every
-    // query 4× in ONE JVM (~400+ executions). Operators that materialize an
-    // intermediate via localCheckpoint/persist leave their blocks pinned in
-    // the block manager until the RDD is GC'd AND the ContextCleaner runs —
-    // and with a 128 GiB heap a GC may not happen for the whole bench, so
-    // blocks (and shuffle/broadcast metadata) accumulate across queries,
-    // evicting and spilling later queries' state. That is what made
-    // q_decontaminate_ngram read 2.76 s in BENCH_r08 while the same build
-    // runs it at 0.8 s in a fresh JVM (graft.tools.ProfileQ). Dropping
-    // persistent RDDs + cached plans and nudging the cleaner between
-    // queries (never inside a timed rep) restores per-query isolation —
-    // the same state a per-job cluster submission would start from.
-    def cleanup(): Unit = {
-      try {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-      } catch { case _: Throwable => () }
-    }
-    // Warm-up: execute everything once, untimed (ignore failures here; the
-    // timed pass records and reports them).
-    ordered.foreach { case (_, fn) =>
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      cleanup()
-    }
     var failed = List.empty[String]
     val Reps = 3
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
+      val spark = Session.build(s"local[$cpus]", cpus)
+      spark.sparkContext.setLogLevel("WARN")
+      // warm rep: JIT + codegen-cache + parquet footer warmth, untimed
+      // (a failure here is ignored; the timed pass records and reports it)
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       val times = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -67,7 +59,7 @@ object Bench {
         }
       }
       if (times.length < Reps) failed ::= name
-      cleanup()
+      try spark.stop() catch { case _: Throwable => () }
       // median of 3 (or -1 if any rep failed — a flaky query is a failure)
       name -> (if (times.length == Reps) times.sorted.apply(Reps / 2) else -1.0)
     }
@@ -103,13 +95,9 @@ object Bench {
       .mkString("{", ",", "}")
     val qv = results.map { case (_, v) => fmt(v) }.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$headline,"qv":$qv,"qn":${results.size},"sf":"$sfDir","failed":${failed.size}}"""
-    // Print AFTER spark.stop() so the one JSON line sits as close to the
-    // tail of the captured output as possible (only sbt's [success]
-    // trailer follows it in the driver's tail window). stop() failures must
-    // not eat the result line — all queries already succeeded by here.
-    try spark.stop() catch { case e: Throwable =>
-      System.err.println(s"[bench] spark.stop() failed (ignored): ${e.getMessage}")
-    }
+    // Every per-query session is already stopped, so the one JSON line
+    // sits at the tail of the captured output (only sbt's [success]
+    // trailer follows it in the driver's tail window).
     println(line)
     if (failed.nonEmpty) sys.exit(1)
   }
