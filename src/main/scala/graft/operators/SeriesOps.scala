@@ -242,6 +242,70 @@ object SeriesOps {
     anomalyDays(Tables.events(s, d))
       .orderBy(col("event_type"), col("day"))
 
+  /** Distributed scaffold for per-event TRAILING windows (r13): rows of
+    * the event log tagged with a bounded-size bucket key such that a
+    * `ROWS BETWEEN (tail) PRECEDING AND CURRENT ROW` window over
+    * `(event_type, _bkt)` ordered by `_rn` is EXACTLY the global
+    * per-type trailing window — without ever sorting a whole type in
+    * one task (the r12 verdict's scale-killer: a handful of types means
+    * a handful of tasks, however large the log).
+    *
+    * Three bounded passes:
+    *  1. chunk rows by id range (`event_id div 65536` — ≤ 65536 rows per
+    *     (type, chunk)) and count each chunk;
+    *  2. exclusive prefix-sum the per-chunk counts with a per-type
+    *     window over the CHUNK SUMMARY (65536× smaller than the data;
+    *     were even that too large, the same scaffold applies to the
+    *     summary recursively) — joining the offsets back gives every
+    *     row its exact per-type row number `_rn` from a window over
+    *     bounded (type, chunk) partitions only;
+    *  3. bucket by row number (`(_rn−1) div bucketRows` — buckets are
+    *     CONTIGUOUS in `_rn` by construction, so unlike id-range buckets
+    *     they stay adjacent under arbitrarily sparse types), and
+    *     replicate each bucket's last `tail` rows into the NEXT bucket
+    *     as non-home context.
+    *
+    * Every home row then sees its full `tail` predecessors inside its
+    * own partition (context + in-bucket rows), partitions are ≤
+    * bucketRows + tail rows, and the global ramp-up rows (fewer than
+    * `tail` predecessors exist) ramp up exactly as the single-exchange
+    * window would — equality is suite-pinned (SeriesBucketedSuite).
+    * Callers window over [[trailingWindow]] and drop `_home = false`. */
+  private[graft] def bucketedTrailingFrame(events: DataFrame, tail: Int,
+      bucketRows: Long = 8192L): DataFrame = {
+    require(bucketRows > tail, s"bucketRows $bucketRows must exceed tail $tail")
+    val t = events.select(col("event_type"), col("event_id"), col("value"),
+        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
+      .withColumn("_ck", expr("event_id div 65536"))
+    val cnt = t.groupBy(col("event_type"), col("_ck"))
+      .agg(count(lit(1)).as("_c"))
+    val off = cnt.withColumn("_off",
+      coalesce(sum(col("_c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("_ck"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val rn = t
+      .join(off.select(col("event_type"), col("_ck"), col("_off")),
+        Seq("event_type", "_ck"))
+      .withColumn("_rn", col("_off") + row_number().over(
+        Window.partitionBy(col("event_type"), col("_ck"))
+          .orderBy(col("event_id"))).cast("long"))
+      .drop("_ck", "_off")
+    val home = rn.withColumn("_bkt", expr(s"(_rn - 1) div $bucketRows"))
+      .withColumn("_home", lit(true))
+    val carry = home
+      .filter(expr(s"(_rn - 1) % $bucketRows >= $bucketRows - $tail"))
+      .withColumn("_bkt", col("_bkt") + 1)
+      .withColumn("_home", lit(false))
+    home.unionByName(carry)
+  }
+
+  /** The trailing frame over a [[bucketedTrailingFrame]]: identical
+    * contents to the global per-type `ROWS (tail) PRECEDING` window for
+    * every `_home` row. */
+  private def trailingWindow(tail: Int) =
+    Window.partitionBy(col("event_type"), col("_bkt"))
+      .orderBy(col("_rn")).rowsBetween(-tail, 0)
+
   /** Rolling MEDIAN smoother (r11): each event's 50-row trailing median
     * per type — the robust line a latency/metric dashboard draws (a
     * rolling MEAN chases every spike; the rolling median rides through
@@ -258,19 +322,22 @@ object SeriesOps {
     * across 10⁵ output rows. A production p95 wants the sketch form
     * (`Graft.approxQuantiles`) anyway.
     *
-    * 100 TB shape: one hash exchange on the type key; the ROWS frame
-    * keeps 50 values of state per partition slot. */
-  private def qRollingMedian(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(-49, 0)
-    Tables.events(s, d)
-      .select(col("event_type"), col("event_id"), col("value"),
-        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
-      .withColumn("med_micro", expr("percentile(_vm, 0.5)").over(w))
+    * 100 TB shape (r13): the [[bucketedTrailingFrame]] scaffold — no
+    * single task ever sorts a whole type; the window runs over ≤
+    * bucketRows + 49 rows per partition with the 49-row boundary tail
+    * carried between buckets. */
+  private[graft] def rollingMedian(events: DataFrame,
+      bucketRows: Long = 8192L): DataFrame =
+    bucketedTrailingFrame(events, 49, bucketRows)
+      .withColumn("med_micro", expr("percentile(_vm, 0.5)").over(
+        trailingWindow(49)))
+      .filter(col("_home"))
       .select(col("event_type"), col("event_id"), col("value"),
         col("med_micro"))
+
+  private def qRollingMedian(s: SparkSession, d: String): DataFrame =
+    rollingMedian(Tables.events(s, d))
       .orderBy(col("event_type"), col("event_id"))
-  }
 
   /** Exponentially weighted moving average (r11): each event's trailing
     * EWMA per type with decay α = 1/2 over a 30-row horizon — the smoother
@@ -288,24 +355,23 @@ object SeriesOps {
     * geometric double recursion — order-sensitive and engine-unportable;
     * the power-of-two decay is the hash-stable form.
     *
-    * 100 TB shape: ONE hash exchange on the type key; the frame keeps 30
-    * longs of state per partition slot; the fold is map-side list algebra
-    * over the frame (no join, no second shuffle). */
-  private[graft] def ewmaTrailing(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(-29, 0)
-    events
-      .select(col("event_type"), col("event_id"),
-        expr("cast(round(value * 1000000) AS bigint)").as("_vm"))
-      .withColumn("_l", collect_list(col("_vm")).over(w))
+    * 100 TB shape (r13): the [[bucketedTrailingFrame]] scaffold — the
+    * frame keeps 30 longs of state per row over ≤ bucketRows + 29 row
+    * partitions, the 29-row boundary tail carried between buckets; the
+    * fold is map-side list algebra over the frame (no per-type global
+    * sort task anywhere). */
+  private[graft] def ewmaTrailing(events: DataFrame,
+      bucketRows: Long = 8192L): DataFrame =
+    bucketedTrailingFrame(events, 29, bucketRows)
+      .withColumn("_l", collect_list(col("_vm")).over(trailingWindow(29)))
       .withColumn("ewma_micro", expr(
         """aggregate(
           |  zip_with(_l, sequence(0, size(_l) - 1),
           |           (x, i) -> x * shiftleft(cast(1 AS bigint), i)),
           |  cast(0 AS bigint), (a, x) -> a + x)
           |div (shiftleft(cast(1 AS bigint), size(_l)) - 1)""".stripMargin))
+      .filter(col("_home"))
       .select(col("event_type"), col("event_id"), col("ewma_micro"))
-  }
 
   private def qEwma(s: SparkSession, d: String): DataFrame =
     ewmaTrailing(Tables.events(s, d))
