@@ -125,74 +125,102 @@ object CodecQueries {
   // ------------------------------------------------- schema evolution
 
   val EvolveTabid = 9
-  val EvolveV1Ddl: String = "k bigint, nm varchar(64), price float"
+  val EvolveV1Ddl: String = "k int, nm varchar(64), price smallfloat"
   val EvolveV2Ddl: String = EvolveV1Ddl + ", extra bigint"
+  /** v3 REPLACES wholesale: DROPS `nm` and WIDENS `k` int→bigint and
+    * `price` smallfloat→float — the evolution modes that break a naive
+    * decoder keyed on column count or cached offsets. */
+  val EvolveV3Ddl: String = "k bigint, price float, extra bigint"
   val EvolveV1: TableSchema = DdlParser.parse(EvolveTabid, "evolve_test", EvolveV1Ddl)
   val EvolveV2: TableSchema = DdlParser.parse(EvolveTabid, "evolve_test", EvolveV2Ddl)
+  val EvolveV3: TableSchema = DdlParser.parse(EvolveTabid, "evolve_test", EvolveV3Ddl)
 
   final case class EvolvedRow(segment: Int, seq_number: Long, n_cols: Int,
       k: java.lang.Long, nm: String, price: java.lang.Double,
       extra: java.lang.Long)
 
-  /** In-band schema EVOLUTION under the oracle gate (r11): the
-    * registrar's UPDATE path (add_tabschema re-registering a tabid,
-    * ec:1722-1804) driven through the stateful [[FrameBuffer]] walk — an
-    * ALTER TABLE ADD COLUMN arrives as a second TABSCHEM for the same
-    * tabid mid-stream, and rows decode under whichever schema version is
-    * in force at their position. Each segment's byte stream is
-    * v1-TABSCHEM → 3-column rows → v2-TABSCHEM → 4-column rows; the
-    * decoded arity (`n_cols`) and the new column's null-before /
-    * value-after shape are what the oracle checks (a registrar that
-    * failed to re-register, or applied v2 retroactively, breaks the
-    * hash).
+  /** In-band schema EVOLUTION under the oracle gate (r11, extended r13):
+    * the registrar's UPDATE path (add_tabschema re-registering a tabid,
+    * ec:1722-1804) driven through the stateful [[FrameBuffer]] walk. The
+    * reference registrar REPLACES the schema wholesale on
+    * re-registration (drop + re-describe), so ALL evolution modes arrive
+    * the same way — and this query now exercises the three that matter:
+    * each segment's byte stream is v1-TABSCHEM → 3-column rows →
+    * v2-TABSCHEM (ADD COLUMN `extra`) → 4-column rows → v3-TABSCHEM
+    * (DROP COLUMN `nm`, WIDEN `k` int→bigint and `price`
+    * smallfloat→float — a SMALLER, retyped layout) → 3-column rows,
+    * with rows decoding under whichever version is in force at their
+    * position. Decoded arity (`n_cols`), the added column's
+    * null-before/value-after shape, the dropped column's
+    * value-before/null-after shape, and the float32-vs-float64 price
+    * values on either side of the widen are what the oracle checks —
+    * a registrar that failed to re-register, applied a version
+    * retroactively, or kept stale column offsets breaks the hash.
+    * Decode extraction is BY NAME (the only stable identity across
+    * versions), normalizing narrow decoded values up (int→long,
+    * float→double is exact in IEEE).
     *
     * Scale shape: segments decode INDEPENDENTLY on the executors
     * (`flatMapGroups` — each group is one bounded chunk of the stream,
     * the reference's segment size, so group state is O(chunk)); the
     * registry is per-segment walk state, exactly as the pull loop holds
     * it. No shuffle after the group exchange; output order is the
-    * roundtrip query's verified-unique (seq, k, price) total order. */
+    * roundtrip query's (seq, k, price) key — verified unique at every
+    * SF including under the v1/v2 float32 price rounding. */
   private def qSchemaEvolve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = Tables.lineitem(s, d).select(
       (col("l_orderkey") % 64).cast("int").as("segment"),
       (col("l_orderkey") * 8 + col("l_linenumber")).as("seq"),
-      (col("l_linenumber") <= 3).as("phase1"),
+      when(col("l_linenumber") <= 2, 1)
+        .when(col("l_linenumber") <= 4, 2).otherwise(3).as("phase"),
       col("l_partkey").as("k"),
       concat_ws("_", col("l_returnflag"), col("l_linestatus")).as("nm"),
       col("l_extendedprice").as("price"),
       col("l_suppkey").as("extra"))
     val names = Map(EvolveTabid -> "evolve_test")
     Tables.spread(s, src)
-      .as[(Int, Long, Boolean, Long, String, Double, Long)]
+      .as[(Int, Long, Int, Long, String, Double, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (seg, it) =>
         val rows = it.toArray
-        val (p1, p2) = rows.partition(_._3)
         val out = new java.io.ByteArrayOutputStream()
         out.write(CdcCodec.encodeFrame(
-          TabSchema(EvolveTabid, 0, 16, 2, 1, EvolveV1Ddl)))
-        p1.sortBy(t => (t._2, t._4, t._6)).foreach { t =>
+          TabSchema(EvolveTabid, 0, 8, 2, 1, EvolveV1Ddl)))
+        rows.filter(_._3 == 1).sortBy(t => (t._2, t._4, t._6)).foreach { t =>
           out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, EvolveV1,
-            t._2, seg, 0, IndexedSeq(t._4, t._5, t._6)))
+            t._2, seg, 0, IndexedSeq(t._4.toInt, t._5, t._6.toFloat)))
         }
         out.write(CdcCodec.encodeFrame(
-          TabSchema(EvolveTabid, 0, 24, 3, 1, EvolveV2Ddl)))
-        p2.sortBy(t => (t._2, t._4, t._6)).foreach { t =>
+          TabSchema(EvolveTabid, 0, 16, 3, 1, EvolveV2Ddl)))
+        rows.filter(_._3 == 2).sortBy(t => (t._2, t._4, t._6)).foreach { t =>
           out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, EvolveV2,
-            t._2, seg, 0, IndexedSeq(t._4, t._5, t._6, t._7)))
+            t._2, seg, 0, IndexedSeq(t._4.toInt, t._5, t._6.toFloat, t._7)))
+        }
+        out.write(CdcCodec.encodeFrame(
+          TabSchema(EvolveTabid, 0, 24, 3, 0, EvolveV3Ddl)))
+        rows.filter(_._3 == 3).sortBy(t => (t._2, t._4, t._6)).foreach { t =>
+          out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, EvolveV3,
+            t._2, seg, 0, IndexedSeq[Any](t._4, t._6, t._7)))
         }
         val fb = new FrameBuffer(SchemaRegistry(names))
         val recs = fb.append(out.toByteArray)
         require(fb.pendingBytes == 0, "evolve segment ends mid-frame")
         recs.iterator.collect { case r: RowImage =>
-          EvolvedRow(seg, r.seqNumber, r.columns.length,
-            r.columns(0).value.asInstanceOf[java.lang.Long],
-            r.columns(1).value.asInstanceOf[String],
-            r.columns(2).value.asInstanceOf[java.lang.Double],
-            if (r.columns.length > 3)
-              r.columns(3).value.asInstanceOf[java.lang.Long]
-            else null)
+          val byName = r.columns.map(c => c.name -> c.value).toMap
+          val kL: java.lang.Long = byName("k") match {
+            case null => null
+            case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+            case l: java.lang.Long => l
+          }
+          val priceD: java.lang.Double = byName("price") match {
+            case null => null
+            case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
+            case d: java.lang.Double => d
+          }
+          EvolvedRow(seg, r.seqNumber, r.columns.length, kL,
+            byName.getOrElse("nm", null).asInstanceOf[String], priceD,
+            byName.getOrElse("extra", null).asInstanceOf[java.lang.Long])
         }
       }
       .toDF()
@@ -208,11 +236,15 @@ object CodecQueries {
     "q_schema_evolve" ->
       """SELECT CAST(l_orderkey % 64 AS integer) AS segment,
         |       l_orderkey * 8 + l_linenumber AS seq_number,
-        |       CASE WHEN l_linenumber <= 3 THEN 3 ELSE 4 END AS n_cols,
+        |       CASE WHEN l_linenumber <= 2 THEN 3
+        |            WHEN l_linenumber <= 4 THEN 4 ELSE 3 END AS n_cols,
         |       l_partkey AS k,
-        |       l_returnflag || '_' || l_linestatus AS nm,
-        |       l_extendedprice AS price,
-        |       CASE WHEN l_linenumber <= 3 THEN NULL ELSE l_suppkey END AS extra
+        |       CASE WHEN l_linenumber <= 4
+        |            THEN l_returnflag || '_' || l_linestatus END AS nm,
+        |       CASE WHEN l_linenumber <= 4
+        |            THEN CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)
+        |            ELSE l_extendedprice END AS price,
+        |       CASE WHEN l_linenumber <= 2 THEN NULL ELSE l_suppkey END AS extra
         |FROM lineitem
         |ORDER BY seq_number, k, price, segment""".stripMargin,
     "q_cdc_roundtrip" ->

@@ -144,6 +144,28 @@ class CodecSuite extends AnyFunSuite {
     }
   }
 
+  test("re-registration REPLACES the schema wholesale: DROP + widen mid-stream") {
+    // The reference registrar drops and re-describes on a repeated tabid
+    // (ec:1722-1804) — so DROP COLUMN and type-widen arrive exactly like
+    // ADD COLUMN: a second TABSCHEM. Rows after it must decode under the
+    // NEW layout (new offsets, new widths), not cached v1 offsets.
+    val v1 = DdlParser.parse(7, "t", "k int, nm varchar(8), price smallfloat")
+    val v2 = DdlParser.parse(7, "t", "k bigint, price float")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(CdcCodec.encodeFrame(TabSchema(7, 0, 8, 2, 1, "k int, nm varchar(8), price smallfloat")))
+    out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, v1, 1L, 1, 0,
+      IndexedSeq[Any](11, "a", 1.5f)))
+    out.write(CdcCodec.encodeFrame(TabSchema(7, 0, 16, 2, 0, "k bigint, price float")))
+    out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, v2, 2L, 1, 0,
+      IndexedSeq[Any](1L << 40, 2.25)))
+    val (recs, reg) = CdcCodec.decodeAll(out.toByteArray, SchemaRegistry(Map(7 -> "t")))
+    val rows = recs.collect { case r: RowImage => r }
+    assert(rows.map(_.columns.map(c => c.name -> c.value)) == Vector(
+      Vector("k" -> 11, "nm" -> "a", "price" -> 1.5f),
+      Vector("k" -> (1L << 40), "price" -> 2.25)))
+    assert(reg(7).cols == v2.cols)            // v1 is gone, not merged
+  }
+
   test("TABSCHEM round-trip carries the DDL text NUL-terminated") {
     val ts = TabSchema(5, 0, 44, 18, 2, fixtureDdl)
     val frame = CdcCodec.encodeFrame(ts)
