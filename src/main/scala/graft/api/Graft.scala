@@ -338,6 +338,37 @@ object Graft {
                 mentions: DataFrame, menId: String, menName: String): DataFrame =
     FuzzyJoin.editJoin1(catalog, catId, catName, mentions, menId, menName)
 
+  /** Batch entity resolution over a verified link table
+    * `pairs(mention_id, entity_id, …)` (e.g. [[fuzzyJoin]] output with
+    * its id columns named canonically): clusters entities claimed by a
+    * shared mention (CC over the entity projection), assigns every
+    * mention its component, and picks the max-support survivor. Returns
+    * (mention_id, component, cluster_size, rep_entity). Persist this
+    * run's `pairs` and [[erLabels]] to feed [[erIncrement]]. */
+  def erResolve(entities: DataFrame, entityId: String,
+                pairs: DataFrame): DataFrame =
+    FuzzyJoin.resolve(entities, entityId, pairs)
+
+  /** Entity-component labels `(id, comp)` of a link table — the compact
+    * persistable connectivity state of a resolution run (one row per
+    * entity; star-edge re-entry makes the next increment's closure
+    * converge in ~2 rounds). */
+  def erLabels(entities: DataFrame, entityId: String,
+               pairs: DataFrame): DataFrame =
+    FuzzyJoin.erLabels(entities, entityId, pairs)
+
+  /** Incremental entity resolution: yesterday's persisted state
+    * (`oldPairs` link table + `oldLabels` from [[erLabels]]) merged with
+    * the NEW batch's link table only — blocking/verify never re-runs on
+    * the old corpus, old connectivity re-enters as star edges, and
+    * cross-batch component merges fall out of the closure exactly
+    * (increment ≡ recompute, oracle-pinned by `q_er_increment`). */
+  def erIncrement(entities: DataFrame, entityId: String,
+                  oldPairs: DataFrame, oldLabels: DataFrame,
+                  newPairs: DataFrame): DataFrame =
+    FuzzyJoin.resolveIncrement(entities, entityId, oldPairs, oldLabels,
+      newPairs)
+
   /** Grouped deterministic bottom-k sampling through the custom
     * [[graft.functions.SampleK]] Catalyst aggregate: per `strata` group,
     * the `k` rows with the smallest (hashDraw(id), id) — reservoir-

@@ -134,6 +134,53 @@ object FuzzyJoin {
     * (partial+final, no window over members). Names never ride a
     * shuffle after the verify. */
   private def qErPipeline(s: SparkSession, d: String): DataFrame = {
+    val (catalog, mentions) = erFixture(s, d)
+    resolve(catalog, "entity_id",
+      editJoin1(catalog, "entity_id", "ename", mentions, "mention_id", "mname"))
+  }
+
+  /** Batch resolution over a canonical link table `pairs(mention_id,
+    * entity_id, …)` — the reusable form behind [[qErPipeline]] and
+    * [[graft.api.Graft.erResolve]]. Materializes the link table once
+    * (it feeds the projection, assignment, and support counts). */
+  private[graft] def resolve(entities: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val p = Materialize(pairs)
+    resolveTail(p, erLabels(entities, idCol, p))
+  }
+
+  /** Entity-component labels `(id, comp)` of a link table: connected
+    * components over its entity projection — the persistable half of the
+    * incremental-ER state. */
+  private[graft] def erLabels(entities: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    ConnectedComponents.components(entities.select(col(idCol).as("id")),
+      "id", entityProjection(pairs), "e1", "e2")
+
+  /** Incremental resolution: yesterday's state (`oldPairs` + `oldLabels`,
+    * both persisted from a prior [[resolve]]/[[erLabels]] run) + the new
+    * batch's link table. Old connectivity re-enters as star edges; only
+    * the new batch's entity projection is computed fresh. */
+  private[graft] def resolveIncrement(entities: DataFrame, idCol: String,
+      oldPairs: DataFrame, oldLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val np = Materialize(newPairs)
+    val star = oldLabels.filter(col("id") =!= col("comp"))
+      .select(col("comp").as("e1"), col("id").as("e2"))
+    val comp = ConnectedComponents.components(
+      entities.select(col(idCol).as("id")), "id",
+      star.union(entityProjection(np)), "e1", "e2")
+    resolveTail(oldPairs.unionByName(np.select(oldPairs.columns.map(col): _*)),
+      comp)
+  }
+
+  /** Driver ER fixture shared by `q_er_pipeline` and `q_er_increment`:
+    * catalog = distinct composite part identities on the quarter-table
+    * slice (realistic name-space density — see [[fuzzyPairsCte]]);
+    * mentions = every slice row, with a deterministic single-char
+    * deletion for `p_partkey % 8 = 4`. One definition, so the batch and
+    * incremental resolvers can never drift onto different inputs. */
+  private[operators] def erFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val part = Tables.part(s, d)
       .filter(col("p_partkey") % 4 === 0)
       .select(col("p_partkey"),
@@ -145,15 +192,26 @@ object FuzzyJoin {
         expr("concat(substring(n, 1, p_partkey % length(n)), " +
           "substring(n, p_partkey % length(n) + 2))"))
         .otherwise(col("n")).as("mname"))
-    val pairs = Materialize(
-      editJoin1(catalog, "entity_id", "ename", mentions, "mention_id", "mname"))
-    val eedges = pairs.select(col("mention_id"), col("entity_id").as("e1"))
+    (catalog, mentions)
+  }
+
+  /** Entity projection of a (mention_id, entity_id) link table: one
+    * undirected edge per entity pair claimed by the same mention — the
+    * pairs⋈pairs equi-join on the mention key. Unambiguous mentions (the
+    * overwhelming majority) project to NO edge. */
+  private def entityProjection(pairs: DataFrame): DataFrame =
+    pairs.select(col("mention_id"), col("entity_id").as("e1"))
       .join(pairs.select(col("mention_id"), col("entity_id").as("e2")),
         Seq("mention_id"))
       .filter(col("e1") < col("e2"))
       .select(col("e1"), col("e2")).distinct()
-    val comp = ConnectedComponents.components(
-      catalog.select(col("entity_id").as("id")), "id", eedges, "e1", "e2")
+
+  /** Shared resolution tail: mention→component assignment (min component
+    * over the mention's linked entities — exact, the mention connects
+    * them all), cluster sizes, and survivorship (max support, ties to
+    * smallest id, as a lexicographic struct max — partial+final, no
+    * window over members). Linear aggregations over the link table. */
+  private def resolveTail(pairs: DataFrame, comp: DataFrame): DataFrame = {
     val mres = pairs
       .join(comp.select(col("id").as("entity_id"), col("comp")),
         Seq("entity_id"))
@@ -173,11 +231,109 @@ object FuzzyJoin {
       .orderBy(col("mention_id"))
   }
 
+  /** Yesterday's persisted ER state for [[qErIncrement]]: the verified
+    * link table and the entity-component labels of the corpus minus the
+    * incoming `(mention_id div 4) % 5 = 4` batch — standing in for the
+    * previous run's outputs (the [[DedupClusters.LabelBase]] /
+    * CdcQueries MvBase discipline; first call in a JVM pays the build,
+    * covered by the bench warm-up). Production ER deployments persist
+    * exactly these two tables: re-blocking the whole corpus per batch is
+    * the thing incremental ER exists to avoid. */
+  private[graft] object ErBase {
+    def ensure(s: SparkSession, d: String): (String, String) = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_er_base/$tag"
+      val (pairsPath, labelsPath) = (s"$root/pairs", s"$root/labels")
+      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
+          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+        val (catalog, mentions) = erFixture(s, d)
+        editJoin1(catalog, "entity_id", "ename",
+            mentions.filter(expr("(mention_id div 4) % 5 <> 4")),
+            "mention_id", "mname")
+          .write.mode("overwrite").parquet(pairsPath)
+        erLabels(catalog, "entity_id", s.read.parquet(pairsPath))
+          .write.mode("overwrite").parquet(labelsPath)
+      }
+      (pairsPath, labelsPath)
+    }
+  }
+
+  /** INCREMENTAL entity resolution (r13 — closes the "ER is batch-only"
+    * gap): a new mention batch arrives against yesterday's resolved
+    * state, and the expensive stage — segment-blocked BLOCK + VERIFY —
+    * runs on the NEW BATCH ONLY. Yesterday's connectivity re-enters the
+    * closure as STAR EDGES (component → member, depth 1, one edge per
+    * non-root entity — the [[DedupClusters.clustersIncrement]] state
+    * encoding), so the CC loop converges in ~2 rounds over
+    * star ∪ (entity projection of the new batch's links); cross-batch
+    * component MERGES (a new ambiguous mention claiming entities from
+    * two old components) fall out of the closure exactly. The
+    * assignment/size/survivorship tail re-aggregates the full link table
+    * — linear, and unavoidable since a merge relabels old mentions too.
+    *
+    * Increment ≡ recompute is the whole claim, so the oracle IS
+    * `q_er_pipeline`'s full-recompute SQL (the cluster_increment
+    * discipline — one string, zero drift).
+    *
+    * 100 TB shape: per-batch cost = blocking O(batch) + CC over only the
+    * conflicted-entity star graph + the linear tail; the corpus-sized
+    * blocking join never re-runs. State on disk is (links, labels) —
+    * both bounded by matches, not by mentions × catalog. */
+  private def qErIncrement(s: SparkSession, d: String): DataFrame = {
+    val (catalog, mentions) = erFixture(s, d)
+    val (pairsPath, labelsPath) = ErBase.ensure(s, d)
+    resolveIncrement(catalog, "entity_id",
+      s.read.parquet(pairsPath), s.read.parquet(labelsPath),
+      editJoin1(catalog, "entity_id", "ename",
+        mentions.filter(expr("(mention_id div 4) % 5 = 4")),
+        "mention_id", "mname"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin _,
-    "q_er_pipeline" -> qErPipeline _)
+    "q_er_pipeline" -> qErPipeline _,
+    "q_er_increment" -> qErIncrement _)
+
+  /** `q_er_increment`'s oracle IS the full recompute — increment ≡
+    * recompute is the operator's contract (see [[qErIncrement]]). */
+  private def erRecomputeOracle: String =
+    s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4")},
+       |ee AS (
+       |  SELECT DISTINCT a.entity_id AS e1, b.entity_id AS e2
+       |  FROM fpairs a JOIN fpairs b USING (mention_id)
+       |  WHERE a.entity_id < b.entity_id),
+       |edges AS (
+       |  SELECT e1 AS a, e2 AS b FROM ee
+       |  UNION ALL
+       |  SELECT e2 AS a, e1 AS b FROM ee),
+       |reach(id, r) AS (
+       |  SELECT entity_id, entity_id FROM ent
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |mres AS (
+       |  SELECT mention_id, min(component) AS component
+       |  FROM fpairs JOIN comp ON comp.id = fpairs.entity_id
+       |  GROUP BY mention_id),
+       |csize AS (SELECT component, count(*) AS cluster_size FROM mres
+       |          GROUP BY component),
+       |ecnt AS (SELECT entity_id, count(*) AS n FROM fpairs
+       |         GROUP BY entity_id),
+       |elab AS (SELECT entity_id, component, n
+       |         FROM ecnt JOIN comp ON comp.id = ecnt.entity_id),
+       |reps AS (
+       |  SELECT component, entity_id AS rep_entity FROM (
+       |    SELECT component, entity_id,
+       |           row_number() OVER (PARTITION BY component
+       |                              ORDER BY n DESC, entity_id) AS rn
+       |    FROM elab) t WHERE rn = 1)
+       |SELECT m.mention_id, m.component, s.cluster_size, r.rep_entity
+       |FROM mres m JOIN csize s USING (component)
+       |JOIN reps r USING (component)
+       |ORDER BY mention_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_er_increment" -> erRecomputeOracle,
     "q_er_pipeline" ->
       s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4")},
          |ee AS (

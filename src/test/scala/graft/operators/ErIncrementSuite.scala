@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[FuzzyJoin.qErIncrement]] — incremental ≡ recompute, the operator's
+  * whole contract: resolving yesterday's state + the new batch through
+  * the star-edge closure must equal running the full batch pipeline from
+  * scratch, row for row. Plus the fixture-shape guards that make the
+  * equality non-vacuous. */
+class ErIncrementSuite extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("increment equals the full-recompute pipeline row for row") {
+    val inc = SparkEntry.queries("q_er_increment")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = SparkEntry.queries("q_er_pipeline")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(inc.length === full.length)
+    assert(inc.toSeq === full.toSeq)
+  }
+
+  test("the fixture split is non-vacuous: both batches land in the output") {
+    val out = SparkEntry.queries("q_er_increment")(s, sf)
+      .withColumn("is_new", expr("(mention_id div 4) % 5 = 4"))
+    val byBatch = out.groupBy(col("is_new")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byBatch.getOrElse(true, 0L) > 0, "new batch resolved no mentions")
+    assert(byBatch.getOrElse(false, 0L) > 0, "old state contributed no mentions")
+  }
+
+  test("yesterday's persisted labels cover strictly fewer links than today") {
+    // Guards the state fixture itself: the old link table must be a real
+    // proper subset of the full link table (old mentions only), so the
+    // increment is demonstrably NOT a disguised recompute.
+    val (pairsPath, _) = FuzzyJoin.ErBase.ensure(s, sf)
+    val oldPairs = s.read.parquet(pairsPath)
+    assert(oldPairs.filter(expr("(mention_id div 4) % 5 = 4")).isEmpty,
+      "old state contains new-batch mentions")
+    val (catalog, mentions) = FuzzyJoin.erFixture(s, sf)
+    val fullPairs = FuzzyJoin.editJoin1(catalog, "entity_id", "ename",
+      mentions, "mention_id", "mname")
+    assert(oldPairs.count() < fullPairs.count())
+  }
+}
