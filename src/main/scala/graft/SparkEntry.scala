@@ -44,6 +44,7 @@ object SparkEntry {
       streaming.CdcPipeline.queries,
       streaming.EnrichStream.queries,
       streaming.BloomStream.queries,
+      streaming.ErStream.queries,
       streaming.DriftStream.queries,
       streaming.GapStream.queries,
       streaming.TrendStream.queries,
@@ -74,6 +75,7 @@ object SparkEntry {
       streaming.CdcPipeline.oracle ++
       streaming.EnrichStream.oracle ++
       streaming.BloomStream.oracle ++
+      streaming.ErStream.oracle ++
       streaming.DriftStream.oracle ++
       streaming.GapStream.oracle ++
       streaming.TrendStream.oracle ++

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.operators.{ConnectedComponents, FuzzyJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** STREAMING entity-resolution maintenance (r13) — the continuous form of
+  * `q_er_increment`: mention batches arrive as a stream, and each
+  * micro-batch (1) blocks + verifies ONLY its own mentions against the
+  * catalog (`editJoin1` — the corpus-sized blocking join never re-runs),
+  * (2) appends the verified links as a `batch=<id>` partial, and
+  * (3) advances the entity-component label snapshot by closing
+  * star(previous snapshot) ∪ (entity projection of the new links) — the
+  * same star-edge re-entry as the batch increment, so the closure
+  * converges in ~2 rounds regardless of history length.
+  *
+  * Exactly-once: both writes are keyed by the streaming batch id and
+  * OVERWRITE (the [[DedupStream]] discipline), and the label step reads
+  * its predecessor as the LARGEST snapshot id < current — so a
+  * foreachBatch replay recomputes from the same predecessor and
+  * rewrites, never double-counts. Batch ORDER doesn't matter for the
+  * final state: connectivity closure is associative/commutative over
+  * edge arrival, so the converged labels equal the batch pipeline's
+  * regardless of how mentions were split into micro-batches — which is
+  * what lets the driver hash-check the stream against the one
+  * full-recompute oracle.
+  *
+  * 100 TB shape: per-batch cost = blocking O(batch) + CC over the star
+  * graph (one edge per non-root entity, depth 1) + the new projection;
+  * the link log grows by matches only. Label snapshots are entity-sized;
+  * retaining only the latest (the read path uses only the max id) is the
+  * [[IndexCompaction]] write-then-swap story applied to labels. */
+object ErStream {
+
+  /** Largest committed label-snapshot id strictly below `batchId` —
+    * driver-side directory listing, bounded by #batches. */
+  private def prevSnapshot(labelsDir: String, batchId: Long): Option[Long] = {
+    val f = new java.io.File(labelsDir)
+    if (!f.isDirectory) None
+    else f.listFiles().toSeq
+      .filter(d => d.getName.startsWith("batch=") &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .filter(_ < batchId)
+      .sorted.lastOption
+  }
+
+  /** One micro-batch step — the foreachBatch body, callable directly for
+    * the batch≡stream specs. */
+  def processBatch(mentions: DataFrame, batchId: Long, catalog: DataFrame,
+      pairsDir: String, labelsDir: String): Unit = {
+    val s = mentions.sparkSession
+    val newPairs = FuzzyJoin.editJoin1(catalog, "entity_id", "ename",
+      mentions, "mention_id", "mname")
+    newPairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    // Re-read the committed partial: the projection and the closure then
+    // scan parquet instead of re-running the blocking chain twice.
+    val committed = s.read.parquet(s"$pairsDir/batch=$batchId")
+    val newEdges = FuzzyJoin.entityProjection(committed)
+    val edges = prevSnapshot(labelsDir, batchId) match {
+      case Some(prev) =>
+        s.read.parquet(s"$labelsDir/batch=$prev")
+          .filter(col("id") =!= col("comp"))
+          .select(col("comp").as("e1"), col("id").as("e2"))
+          .union(newEdges)
+      case None => newEdges
+    }
+    ConnectedComponents.components(
+        catalog.select(col("entity_id").as("id")), "id", edges, "e1", "e2")
+      .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+  }
+
+  /** Attach continuous resolution to a streaming frame of mentions
+    * (`mention_id`, `mname`) against a static catalog
+    * (`entity_id`, `ename`). */
+  def start(mentions: DataFrame, catalog: DataFrame, pairsDir: String,
+      labelsDir: String, checkpointDir: String): StreamingQuery =
+    mentions.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, id: Long) =>
+        processBatch(b, id, catalog, pairsDir, labelsDir))
+      .start()
+
+  /** Current resolved assignments: the latest label snapshot + the full
+    * link log through [[FuzzyJoin.resolveTail]] — identical output shape
+    * (and, by closure-commutativity, identical CONTENT) to the batch
+    * pipeline. */
+  def resolved(s: SparkSession, catalog: DataFrame, pairsDir: String,
+      labelsDir: String): DataFrame = {
+    val last = prevSnapshot(labelsDir, Long.MaxValue).getOrElse(
+      throw new IllegalStateException(s"no label snapshot under $labelsDir"))
+    FuzzyJoin.resolveTail(s.read.parquet(pairsDir).drop("batch"),
+      s.read.parquet(s"$labelsDir/batch=$last"))
+  }
+
+  /** Driver-checked (`s_er_increment`): split the ER fixture's mentions
+    * into 4 deterministic micro-batches (one parquet file each, streamed
+    * with maxFilesPerTrigger=1), run the maintenance stream to
+    * completion, and return the resolved assignment table — hash-checked
+    * against the SAME full-recompute SQL as `q_er_pipeline` /
+    * `q_er_increment` (stream ≡ increment ≡ recompute, one oracle
+    * string for all three). */
+  def sErIncrement(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"/tmp/graft_stream_er/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val (catalog, mentions) = FuzzyJoin.erFixture(s, d)
+    val menDir = new java.io.File(root, "mentions")
+    (0 until 4).foreach { b =>
+      mentions.filter(expr(s"(mention_id div 4) % 4 = $b"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(menDir, s"b$b").getAbsolutePath)
+    }
+    val q = start(
+      s.readStream
+        .schema(mentions.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${menDir.getAbsolutePath}/*"),
+      catalog,
+      new java.io.File(root, "pairs").getAbsolutePath,
+      new java.io.File(root, "labels").getAbsolutePath,
+      new java.io.File(root, "checkpoint").getAbsolutePath)
+    q.awaitTermination()
+    resolved(s, catalog,
+      new java.io.File(root, "pairs").getAbsolutePath,
+      new java.io.File(root, "labels").getAbsolutePath)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_er_increment" -> (sErIncrement _))
+
+  val oracle: Map[String, String] = Map(
+    "s_er_increment" -> FuzzyJoin.erRecomputeOracle)
+}

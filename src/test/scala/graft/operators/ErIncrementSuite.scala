@@ -31,6 +31,34 @@ class ErIncrementSuite extends AnyFunSuite {
     assert(byBatch.getOrElse(false, 0L) > 0, "old state contributed no mentions")
   }
 
+  test("streaming maintenance equals the batch pipeline row for row") {
+    val st = SparkEntry.queries("s_er_increment")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = SparkEntry.queries("q_er_pipeline")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(st.toSeq === full.toSeq)
+  }
+
+  test("foreachBatch replay rewrites the batch, never double-counts") {
+    val root = java.nio.file.Files
+      .createTempDirectory("er_replay").toFile.getAbsolutePath
+    val (catalog, mentions) = FuzzyJoin.erFixture(s, sf)
+    val b0 = mentions.filter(expr("(mention_id div 4) % 2 = 0"))
+    val b1 = mentions.filter(expr("(mention_id div 4) % 2 = 1"))
+    graft.streaming.ErStream.processBatch(b0, 0L, catalog,
+      s"$root/pairs", s"$root/labels")
+    graft.streaming.ErStream.processBatch(b1, 1L, catalog,
+      s"$root/pairs", s"$root/labels")
+    val once = graft.streaming.ErStream
+      .resolved(s, catalog, s"$root/pairs", s"$root/labels").collect().toSeq
+    // replay batch 1 (the crash-after-write, before-commit scenario)
+    graft.streaming.ErStream.processBatch(b1, 1L, catalog,
+      s"$root/pairs", s"$root/labels")
+    val twice = graft.streaming.ErStream
+      .resolved(s, catalog, s"$root/pairs", s"$root/labels").collect().toSeq
+    assert(once === twice)
+  }
+
   test("yesterday's persisted labels cover strictly fewer links than today") {
     // Guards the state fixture itself: the old link table must be a real
     // proper subset of the full link table (old mentions only), so the
