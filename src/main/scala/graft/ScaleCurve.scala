@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve measurement (VERDICT r12 "what's missing" #2): turn "the
+  * plan is bucketed" from an argument into a measured scaling exponent.
+  *
+  * Generates ×1/×2/×4/×8 copies of the heavy family's input tables from
+  * the sf0.1 base, runs each heavy query at each scale in a FRESH
+  * SparkContext (the Bench r12 isolation discipline — shared-JVM state
+  * swings ±2×, which would drown the curve), and fits the log-log slope:
+  * `exponent ≈ 1` is the linear/bucketed claim, `≈ 2` is a hidden
+  * all-pairs term. Two slopes are reported per query: the least-squares
+  * fit over all scales and the tail slope between the two largest scales
+  * (fixed per-query overhead — session setup, tiny stages — biases the
+  * full fit DOWN, so the tail slope is the honest upper estimate).
+  *
+  * The copies must grow the corpus WITHOUT changing its similarity
+  * structure — naive duplication makes every document a near-dup of its
+  * k−1 copies, which inflates the duplicate graph quadratically and
+  * corrupts the exponent (the curve would indict the DATA, not the
+  * plan). Each copy j is therefore transformed so that within-copy
+  * structure is preserved exactly and cross-copy similarity is
+  * destroyed:
+  *  - documents / part names: letters rotated by j (a per-copy Caesar
+  *    `translate`) — lengths, token boundaries, and within-copy edit/
+  *    Jaccard relations are invariant; cross-copy shingle sets are
+  *    disjoint on letters. Ids shift by a stride divisible by 40 / 8 so
+  *    the driver bindings' `% 4`/`% 8` fixture structure is preserved.
+  *  - embeddings: dimensions rotated by j — norms and within-copy
+  *    cosines are invariant; cross-copy cosines decorrelate. Ids
+  *    INTERLEAVE (`id·k + j`) so the IVF's first-⌈√N⌉ centroid seeds
+  *    span all copies, as they would if the corpus had genuinely grown.
+  *
+  * Usage: `runMain graft.ScaleCurve [scales] [outJson]` (defaults
+  * `1,2,4,8` and `SCALECURVE.json`); base dir from SPARK_GRAFT_SF_DIR
+  * (default sf0.1), scaled parquet under java.io.tmpdir/graft_scale.
+  */
+object ScaleCurve {
+
+  /** The heavy family called out by the r12 verdict, and the one table
+    * each reads (only that table is regenerated per scale). */
+  val Heavy: Seq[(String, String)] = Seq(
+    "q_er_pipeline" -> "part",
+    "q_dup_clusters" -> "documents",
+    "q_near_dedup_minhash" -> "documents",
+    "q_knn_join" -> "embeddings",
+    "q_substring_dedup" -> "documents")
+
+  private def rotCol(c: Column, j: Int): Column = {
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val r = j % 26
+    val from = lo + lo.toUpperCase
+    val to = lo.drop(r) + lo.take(r) +
+      (lo.drop(r) + lo.take(r)).toUpperCase
+    translate(c, from, to)
+  }
+
+  private def copies(k: Int, one: Int => DataFrame): DataFrame =
+    (0 until k).map(one).reduce(_ unionByName _)
+
+  /** Write the scaled tables for factor `k` under `out` (idempotent —
+    * guarded by a done-marker, the LabelBase discipline). */
+  private def buildScaled(s: SparkSession, base: String, out: String,
+      k: Int): Unit = {
+    val done = new java.io.File(s"$out/_GRAFT_SCALED")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val dStride = (docs.agg(max("doc_id")).head().getLong(0) / 40 + 1) * 40
+    copies(k, j => docs.select(
+        (col("doc_id") + lit(j * dStride)).as("doc_id"),
+        rotCol(col("text"), j).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val part = s.read.parquet(s"$base/part.parquet")
+    val pStride = (part.agg(max("p_partkey")).head().getLong(0) / 8 + 1) * 8
+    copies(k, j => part.select(
+        (col("p_partkey") + lit(j * pStride)).as("p_partkey"),
+        rotCol(col("p_name"), j).as("p_name"),
+        rotCol(col("p_brand"), j).as("p_brand"),
+        rotCol(col("p_type"), j).as("p_type"),
+        col("p_size"), col("p_retailprice")))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    copies(k, j => emb.select(
+        (col("vec_id") * lit(k.toLong) + lit(j.toLong)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${j + 1}, size(embedding) - $j), " +
+          s"slice(embedding, 1, $j))").as("embedding"),
+        col("label")))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    done.createNewFile(): Unit
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Least-squares slope of ln(t) on ln(k). */
+  private def slope(pts: Seq[(Int, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(p._2))
+    val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    num / xs.map(x => (x - mx) * (x - mx)).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = args.headOption.filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
+    val outJson = args.drop(1).headOption.getOrElse("SCALECURVE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scale/" +
+      base.replaceAll("[^A-Za-z0-9]", "_")
+    val Reps = 3
+
+    // One generation session; timing sessions are fresh per (query, k).
+    val gen = Session.build(s"local[$cpus]", cpus)
+    gen.sparkContext.setLogLevel("WARN")
+    val dirs = scales.map { k =>
+      val out = s"$root/x$k"
+      buildScaled(gen, base, out, k)
+      k -> out
+    }
+    gen.stop()
+
+    val results = Heavy.map { case (name, table) =>
+      val fn = SparkEntry.queries(name)
+      val times = dirs.map { case (k, dir) =>
+        val spark = Session.build(s"local[$cpus]", cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // warm rep; timed pass reports
+        val reps = (1 to Reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try spark.stop() catch { case _: Throwable => () }
+        val med = reps.sorted.apply(Reps / 2)
+        System.err.println(s"[scale] $name x$k ($table): ${fmt(med)} s")
+        k -> med
+      }
+      val full = slope(times)
+      val tail = slope(times.takeRight(2))
+      (name, table, times, full, tail)
+    }
+
+    val body = results.map { case (name, table, times, full, tail) =>
+      val ts = times.map { case (k, t) => s""""x$k":${fmt(t)}""" }
+        .mkString(",")
+      s""""$name":{"table":"$table",$ts,"slope":${fmt(full)},"tail_slope":${fmt(tail)}}"""
+    }.mkString(",")
+    val line = s"""{"metric":"scale_curve","base":"$base","scales":[${scales.mkString(",")}],"reps":$Reps,"queries":{$body}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (line + "\n").getBytes("UTF-8")): Unit
+    println(line)
+  }
+}
