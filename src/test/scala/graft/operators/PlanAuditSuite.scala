@@ -195,6 +195,17 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("q_er_increment reads persisted state and blocks only the new batch") {
+    val p = plan("q_er_increment")
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // Yesterday's links AND labels must come from the parquet state —
+    // a disguised recompute (re-blocking the old corpus) would drop one
+    // or both state scans from the plan.
+    assert("graft_er_base".r.findAllIn(p).size >= 2,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+  }
+
   test("q_ann_batch probes buckets via broadcast equi-join, top-k via window") {
     val p = plan("q_ann_batch")
     // the probe must be a hash join on the bucket id (the batch rides a
