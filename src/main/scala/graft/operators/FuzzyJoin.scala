@@ -180,7 +180,7 @@ object FuzzyJoin {
     * mentions = every slice row, with a deterministic single-char
     * deletion for `p_partkey % 8 = 4`. One definition, so the batch and
     * incremental resolvers can never drift onto different inputs. */
-  private[operators] def erFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def erFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val part = Tables.part(s, d)
       .filter(col("p_partkey") % 4 === 0)
       .select(col("p_partkey"),
@@ -199,7 +199,7 @@ object FuzzyJoin {
     * undirected edge per entity pair claimed by the same mention — the
     * pairs⋈pairs equi-join on the mention key. Unambiguous mentions (the
     * overwhelming majority) project to NO edge. */
-  private def entityProjection(pairs: DataFrame): DataFrame =
+  private[graft] def entityProjection(pairs: DataFrame): DataFrame =
     pairs.select(col("mention_id"), col("entity_id").as("e1"))
       .join(pairs.select(col("mention_id"), col("entity_id").as("e2")),
         Seq("mention_id"))
@@ -211,7 +211,7 @@ object FuzzyJoin {
     * them all), cluster sizes, and survivorship (max support, ties to
     * smallest id, as a lexicographic struct max — partial+final, no
     * window over members). Linear aggregations over the link table. */
-  private def resolveTail(pairs: DataFrame, comp: DataFrame): DataFrame = {
+  private[graft] def resolveTail(pairs: DataFrame, comp: DataFrame): DataFrame = {
     val mres = pairs
       .join(comp.select(col("id").as("entity_id"), col("comp")),
         Seq("entity_id"))
@@ -296,7 +296,7 @@ object FuzzyJoin {
 
   /** `q_er_increment`'s oracle IS the full recompute — increment ≡
     * recompute is the operator's contract (see [[qErIncrement]]). */
-  private def erRecomputeOracle: String =
+  private[graft] def erRecomputeOracle: String =
     s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4")},
        |ee AS (
        |  SELECT DISTINCT a.entity_id AS e1, b.entity_id AS e2
