@@ -46,7 +46,16 @@ object ScaleCurve {
     "q_dup_clusters" -> "documents",
     "q_near_dedup_minhash" -> "documents",
     "q_knn_join" -> "embeddings",
-    "q_substring_dedup" -> "documents")
+    "q_substring_dedup" -> "documents",
+    // r13 extensions — the other corpus-derived similarity engines.
+    // Excluded by design: q_bm25_topk (its literal query terms match
+    // only copy 0 after rotation, so the scoring arm wouldn't scale)
+    // and q_emb_clusters (its first-6-ids hyperplanes become six
+    // rotations of ONE vector under id interleaving — a degenerate
+    // sketch that would measure the fixture, not the plan).
+    "q_ann_trained" -> "embeddings",
+    "q_simhash_pairs" -> "documents",
+    "q_containment" -> "documents")
 
   private def rotCol(c: Column, j: Int): Column = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
