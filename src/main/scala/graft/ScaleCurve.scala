@@ -55,7 +55,12 @@ object ScaleCurve {
     // sketch that would measure the fixture, not the plan).
     "q_ann_trained" -> "embeddings",
     "q_simhash_pairs" -> "documents",
-    "q_containment" -> "documents")
+    "q_containment" -> "documents",
+    // The incremental claim measured directly: the warm rep builds the
+    // per-scale ErBase state (untimed), so the timed medians are the
+    // per-batch increment cost — compare against q_er_pipeline at the
+    // same scale for the increment-vs-recompute factor.
+    "q_er_increment" -> "part")
 
   private def rotCol(c: Column, j: Int): Column = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
@@ -86,7 +91,10 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val part = s.read.parquet(s"$base/part.parquet")
-    val pStride = (part.agg(max("p_partkey")).head().getLong(0) / 8 + 1) * 8
+    // Divisible by 40 = lcm(8, 4·5): preserves q_er_pipeline's %4 slice
+    // and %8 dirty split AND q_er_increment's (div 4) % 5 batch split
+    // in every copy.
+    val pStride = (part.agg(max("p_partkey")).head().getLong(0) / 40 + 1) * 40
     copies(k, j => part.select(
         (col("p_partkey") + lit(j * pStride)).as("p_partkey"),
         rotCol(col("p_name"), j).as("p_name"),
@@ -124,7 +132,9 @@ object ScaleCurve {
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
     val outJson = args.drop(1).headOption.getOrElse("SCALECURVE.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val root = s"${sys.props("java.io.tmpdir")}/graft_scale/" +
+    // v2: the part stride moved to lcm 40 for q_er_increment's batch
+    // split — versioned root so stale x-dirs never mix generations.
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scale_v2/" +
       base.replaceAll("[^A-Za-z0-9]", "_")
     val Reps = 3
 
