@@ -157,19 +157,55 @@ object FuzzyJoin {
     ConnectedComponents.components(entities.select(col(idCol).as("id")),
       "id", entityProjection(pairs), "e1", "e2")
 
+  /** Close converged labels under NEW entity-entity edges by CONTRACTION:
+    * map each new edge to its endpoints' current components (two
+    * equi-joins against the label table — linear scans, the edge side is
+    * batch-sized), run the CC engine over the contracted
+    * component-level graph — whose node set is bounded by the NEW edge
+    * set, never the corpus — and relabel only the touched components.
+    * Exact: refining a converged partition by new edges ≡ closing the
+    * contracted graph; min-labels compose because every component id IS
+    * the min entity id of its group, so the merged group's min component
+    * id is the global min entity id. Beats star-edge re-entry at scale:
+    * the per-batch closure never touches the (entity-sized) star graph,
+    * only the O(batch) contracted one. */
+  private[graft] def closeWithNewEdges(oldLabels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val ce = Materialize(newEdges
+      .join(oldLabels.select(col("id").as("_i1"), col("comp").as("_c1")),
+        col("e1") === col("_i1"))
+      .join(oldLabels.select(col("id").as("_i2"), col("comp").as("_c2")),
+        col("e2") === col("_i2"))
+      .filter(col("_c1") =!= col("_c2"))
+      .select(col("_c1").as("e1"), col("_c2").as("e2")).distinct())
+    if (ce.isEmpty) oldLabels.select(col("id"), col("comp"))
+    else {
+      val touched = ce.select(col("e1").as("id"))
+        .union(ce.select(col("e2").as("id"))).distinct()
+      val relabel = ConnectedComponents.components(touched, "id", ce,
+          "e1", "e2")
+        .select(col("id").as("_oc"), col("comp").as("_nc"))
+      oldLabels.join(relabel, oldLabels("comp") === col("_oc"), "left")
+        .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp"))
+    }
+  }
+
   /** Incremental resolution: yesterday's state (`oldPairs` + `oldLabels`,
     * both persisted from a prior [[resolve]]/[[erLabels]] run) + the new
-    * batch's link table. Old connectivity re-enters as star edges; only
-    * the new batch's entity projection is computed fresh. */
+    * batch's link table. Old connectivity enters via [[closeWithNewEdges]]
+    * contraction; only the new batch's entity projection is computed
+    * fresh. */
   private[graft] def resolveIncrement(entities: DataFrame, idCol: String,
       oldPairs: DataFrame, oldLabels: DataFrame,
       newPairs: DataFrame): DataFrame = {
     val np = Materialize(newPairs)
-    val star = oldLabels.filter(col("id") =!= col("comp"))
-      .select(col("comp").as("e1"), col("id").as("e2"))
-    val comp = ConnectedComponents.components(
-      entities.select(col(idCol).as("id")), "id",
-      star.union(entityProjection(np)), "e1", "e2")
+    // Entities added since the last run enter as singletons — the state
+    // stays valid under catalog growth, not just mention growth.
+    val base = entities.select(col(idCol).as("id"))
+      .join(oldLabels.withColumnRenamed("id", "_lid"),
+        col("id") === col("_lid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val comp = closeWithNewEdges(base, entityProjection(np))
     resolveTail(oldPairs.unionByName(np.select(oldPairs.columns.map(col): _*)),
       comp)
   }

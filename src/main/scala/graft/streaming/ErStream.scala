@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{ConnectedComponents, FuzzyJoin}
+import graft.operators.FuzzyJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -10,10 +10,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * micro-batch (1) blocks + verifies ONLY its own mentions against the
   * catalog (`editJoin1` — the corpus-sized blocking join never re-runs),
   * (2) appends the verified links as a `batch=<id>` partial, and
-  * (3) advances the entity-component label snapshot by closing
-  * star(previous snapshot) ∪ (entity projection of the new links) — the
-  * same star-edge re-entry as the batch increment, so the closure
-  * converges in ~2 rounds regardless of history length.
+  * (3) advances the entity-component label snapshot by CONTRACTION
+  * ([[FuzzyJoin.closeWithNewEdges]], shared with the batch increment):
+  * new edges map to their endpoints' current components, the closure
+  * runs over the O(batch) contracted component graph, and only touched
+  * components relabel — cost independent of history length.
   *
   * Exactly-once: both writes are keyed by the streaming batch id and
   * OVERWRITE (the [[DedupStream]] discipline), and the label step reads
@@ -26,9 +27,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * what lets the driver hash-check the stream against the one
   * full-recompute oracle.
   *
-  * 100 TB shape: per-batch cost = blocking O(batch) + CC over the star
-  * graph (one edge per non-root entity, depth 1) + the new projection;
-  * the link log grows by matches only. Label snapshots are entity-sized;
+  * 100 TB shape: per-batch cost = blocking O(batch) + two linear scans
+  * of the label snapshot (the contraction joins) + CC over the O(batch)
+  * contracted graph; the link log grows by matches only. Label
+  * snapshots are entity-sized;
   * retaining only the latest (the read path uses only the max id) is the
   * [[IndexCompaction]] write-then-swap story applied to labels. */
 object ErStream {
@@ -50,6 +52,7 @@ object ErStream {
     * the batch≡stream specs. */
   def processBatch(mentions: DataFrame, batchId: Long, catalog: DataFrame,
       pairsDir: String, labelsDir: String): Unit = {
+    val t0 = System.nanoTime()
     val s = mentions.sparkSession
     val newPairs = FuzzyJoin.editJoin1(catalog, "entity_id", "ename",
       mentions, "mention_id", "mname")
@@ -58,17 +61,25 @@ object ErStream {
     // scan parquet instead of re-running the blocking chain twice.
     val committed = s.read.parquet(s"$pairsDir/batch=$batchId")
     val newEdges = FuzzyJoin.entityProjection(committed)
-    val edges = prevSnapshot(labelsDir, batchId) match {
-      case Some(prev) =>
-        s.read.parquet(s"$labelsDir/batch=$prev")
-          .filter(col("id") =!= col("comp"))
-          .select(col("comp").as("e1"), col("id").as("e2"))
-          .union(newEdges)
-      case None => newEdges
+    // Advance the snapshot by CONTRACTION (FuzzyJoin.closeWithNewEdges):
+    // the per-batch closure runs over the O(batch) contracted component
+    // graph, never the entity-sized star graph. Batch 0 (or a catalog
+    // that grew since `prev`) starts from singleton labels via the
+    // left-join seed.
+    val prevLabels = prevSnapshot(labelsDir, batchId) match {
+      case Some(prev) => s.read.parquet(s"$labelsDir/batch=$prev")
+      case None => catalog.select(col("entity_id").as("id"),
+        col("entity_id").as("comp")).limit(0)
     }
-    ConnectedComponents.components(
-        catalog.select(col("entity_id").as("id")), "id", edges, "e1", "e2")
+    val seeded = catalog.select(col("entity_id").as("id"))
+      .join(prevLabels.withColumnRenamed("id", "_lid"),
+        col("id") === col("_lid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    FuzzyJoin.closeWithNewEdges(seeded, newEdges)
       .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+    if (sys.env.contains("GRAFT_TRACE"))
+      System.err.println(
+        f"[er_stream] batch $batchId ${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
 
   /** Attach continuous resolution to a streaming frame of mentions
@@ -104,30 +115,49 @@ object ErStream {
     * `q_er_increment` (stream ≡ increment ≡ recompute, one oracle
     * string for all three). */
   def sErIncrement(s: SparkSession, d: String): DataFrame = {
+    def trace(tag: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime(); body
+      if (sys.env.contains("GRAFT_TRACE"))
+        System.err.println(f"[er_stream] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     val root = new java.io.File(
       s"/tmp/graft_stream_er/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    rm(root)
-    val (catalog, mentions) = FuzzyJoin.erFixture(s, d)
+    val (catalog0, mentions) = FuzzyJoin.erFixture(s, d)
+    // Materialized once, served to all micro-batches — the catalog
+    // groupBy must not re-run per batch.
+    val catalog = graft.operators.Materialize(catalog0)
     val menDir = new java.io.File(root, "mentions")
-    (0 until 4).foreach { b =>
-      mentions.filter(expr(s"(mention_id div 4) % 4 = $b"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(menDir, s"b$b").getAbsolutePath)
+    // The mention batch files are a deterministic function of the input
+    // dir — cache them across runs (the recordFixtureCached discipline);
+    // only the stream state (checkpoint/pairs/labels) resets per run.
+    Seq("checkpoint", "pairs", "labels")
+      .foreach(n => rm(new java.io.File(root, n)))
+    if (!new java.io.File(menDir, "_GRAFT_MENTIONS").exists()) {
+      trace("fixture") {
+        (0 until 4).foreach { b =>
+          mentions.filter(expr(s"(mention_id div 4) % 4 = $b"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(menDir, s"b$b").getAbsolutePath)
+        }
+        new java.io.File(menDir, "_GRAFT_MENTIONS").createNewFile(): Unit
+      }
     }
-    val q = start(
-      s.readStream
-        .schema(mentions.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"${menDir.getAbsolutePath}/*"),
-      catalog,
-      new java.io.File(root, "pairs").getAbsolutePath,
-      new java.io.File(root, "labels").getAbsolutePath,
-      new java.io.File(root, "checkpoint").getAbsolutePath)
-    q.awaitTermination()
+    trace("stream") {
+      start(
+        s.readStream
+          .schema(mentions.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"${menDir.getAbsolutePath}/*"),
+        catalog,
+        new java.io.File(root, "pairs").getAbsolutePath,
+        new java.io.File(root, "labels").getAbsolutePath,
+        new java.io.File(root, "checkpoint").getAbsolutePath)
+        .awaitTermination()
+    }
     resolved(s, catalog,
       new java.io.File(root, "pairs").getAbsolutePath,
       new java.io.File(root, "labels").getAbsolutePath)
