@@ -1311,7 +1311,8 @@ object Graft {
 
   /** Incremental cluster maintenance: yesterday's labels (id, component)
     * + the batch-touching pair discoveries → today's labels, identical
-    * to a full recompute (star edges preserve old connectivity exactly),
+    * to a full recompute (contraction closes the component-level graph,
+    * bounded by the new pairs, and relabels only touched components),
     * without re-pairing the old corpus against itself. Compose with
     * `nearDupPairsIncremental` for the pair side. */
   def clustersIncrement(nodes: DataFrame, idCol: String, labels: DataFrame,

@@ -43,6 +43,40 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Close converged labels `(id, comp)` under NEW edges by CONTRACTION:
+    * map each new edge to its endpoints' current components (two
+    * equi-joins against the label table — linear scans, the edge side is
+    * batch-sized), run [[components]] over the contracted component-level
+    * graph — whose node set is bounded by the NEW edge set, never the
+    * corpus — and relabel only the touched components. Exact: refining a
+    * converged partition by new edges ≡ closing the contracted graph;
+    * min-labels compose because every component id IS the min node id of
+    * its group, so a merged group's min component id is its global min
+    * node id. This is the incremental-maintenance closure shared by the
+    * dedup-cluster and entity-resolution increments (batch and
+    * streaming): per-batch cost never touches a corpus-sized graph —
+    * star-edge re-entry, the previous form, dragged one edge per
+    * non-singleton member through every round. */
+  def closeWithNewEdges(oldLabels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val ce = Materialize(newEdges
+      .join(oldLabels.select(col("id").as("_i1"), col("comp").as("_c1")),
+        col("e1") === col("_i1"))
+      .join(oldLabels.select(col("id").as("_i2"), col("comp").as("_c2")),
+        col("e2") === col("_i2"))
+      .filter(col("_c1") =!= col("_c2"))
+      .select(col("_c1").as("e1"), col("_c2").as("e2")).distinct())
+    if (ce.isEmpty) oldLabels.select(col("id"), col("comp"))
+    else {
+      val touched = ce.select(col("e1").as("id"))
+        .union(ce.select(col("e2").as("id"))).distinct()
+      val relabel = components(touched, "id", ce, "e1", "e2")
+        .select(col("id").as("_oc"), col("comp").as("_nc"))
+      oldLabels.join(relabel, oldLabels("comp") === col("_oc"), "left")
+        .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp"))
+    }
+  }
+
   /** Label every node of `nodes(idCol)` with the minimum node id reachable
     * through `edges(srcCol, dstCol)` (undirected; symmetrized internally).
     * Returns (id, component). `maxRounds` is a safety bound — the loop
@@ -257,27 +291,39 @@ object DedupClusters {
     * incremental-dedup story (`q_dedup_increment` discovers the new
     * PAIRS cheaply; this folds them into the maintained CLUSTER state).
     *
-    * The old state enters as STAR EDGES (component → member, one edge
-    * per non-singleton member): a component's transitive closure is
-    * connectivity-equivalent to its star, so CC over star ∪ new-pairs
-    * yields EXACTLY the labels a full recompute over all pairs would —
-    * increment ≡ recompute is the invariant, and the oracle (the full
-    * recursive-CTE recompute) checks it literally, min-ids and all.
+    * The old state enters by CONTRACTION
+    * ([[ConnectedComponents.closeWithNewEdges]], r13 — shared with the
+    * ER increments): new pairs map to their endpoints' current
+    * components, the closure runs over the contracted component graph,
+    * and only touched components relabel. Refining a converged partition
+    * by new edges ≡ closing the contracted graph, so the result EQUALS a
+    * full recompute over all pairs — increment ≡ recompute is the
+    * invariant, and the oracle (the full recursive-CTE recompute) checks
+    * it literally, min-ids and all.
     *
     * 100 TB shape: pair DISCOVERY — the expensive half — is batch-scoped
     * (|batch| × bucket band probes, `minhashPairsTouching`; production
     * probes the persisted signature index, the demo recomputes corpus
-    * signatures like q_dedup_increment). The CC loop's edge list is
-    * |old non-singletons| star edges + |new pairs| — the duplicate
-    * graph, never the corpus — and converges in O(log diameter) rounds
-    * like every CC consumer here. */
+    * signatures like q_dedup_increment). The CC loop's edge list is the
+    * O(|new pairs|) contracted graph — never the corpus, and no longer
+    * even the old duplicate graph. */
   private[graft] def clustersIncrement(nodes: DataFrame, idCol: String,
       labels: DataFrame, newPairs: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
-    val star = labels.filter(col(idCol) =!= col("component"))
-      .select(col("component").as(srcCol), col(idCol).as(dstCol))
-    clustersFromPairs(nodes, idCol,
-      star.union(newPairs.select(col(srcCol), col(dstCol))), srcCol, dstCol)
+    // Nodes absent from yesterday's labels (the incoming batch) seed as
+    // singletons; the closure then runs by CONTRACTION over the O(batch)
+    // component graph (r13 — replaces star-edge re-entry, which dragged
+    // one edge per non-singleton member through every CC round).
+    val seeded = nodes.select(col(idCol).as("id"))
+      .join(labels.select(col(idCol).as("_lid"),
+        col("component").as("_lc")), col("id") === col("_lid"), "left")
+      .select(col("id"), coalesce(col("_lc"), col("id")).as("comp"))
+    ConnectedComponents.closeWithNewEdges(seeded,
+        newPairs.select(col(srcCol).as("e1"), col(dstCol).as("e2")))
+      .select(col("id").as(idCol), col("comp").as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("keep", col(idCol) === col("component"))
   }
 
   /** Build-once label fixture for [[qClusterIncrement]]: yesterday's

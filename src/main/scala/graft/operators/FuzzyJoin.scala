@@ -157,38 +157,11 @@ object FuzzyJoin {
     ConnectedComponents.components(entities.select(col(idCol).as("id")),
       "id", entityProjection(pairs), "e1", "e2")
 
-  /** Close converged labels under NEW entity-entity edges by CONTRACTION:
-    * map each new edge to its endpoints' current components (two
-    * equi-joins against the label table — linear scans, the edge side is
-    * batch-sized), run the CC engine over the contracted
-    * component-level graph — whose node set is bounded by the NEW edge
-    * set, never the corpus — and relabel only the touched components.
-    * Exact: refining a converged partition by new edges ≡ closing the
-    * contracted graph; min-labels compose because every component id IS
-    * the min entity id of its group, so the merged group's min component
-    * id is the global min entity id. Beats star-edge re-entry at scale:
-    * the per-batch closure never touches the (entity-sized) star graph,
-    * only the O(batch) contracted one. */
+  /** ER-side alias of the shared incremental closure — see
+    * [[ConnectedComponents.closeWithNewEdges]]. */
   private[graft] def closeWithNewEdges(oldLabels: DataFrame,
-      newEdges: DataFrame): DataFrame = {
-    val ce = Materialize(newEdges
-      .join(oldLabels.select(col("id").as("_i1"), col("comp").as("_c1")),
-        col("e1") === col("_i1"))
-      .join(oldLabels.select(col("id").as("_i2"), col("comp").as("_c2")),
-        col("e2") === col("_i2"))
-      .filter(col("_c1") =!= col("_c2"))
-      .select(col("_c1").as("e1"), col("_c2").as("e2")).distinct())
-    if (ce.isEmpty) oldLabels.select(col("id"), col("comp"))
-    else {
-      val touched = ce.select(col("e1").as("id"))
-        .union(ce.select(col("e2").as("id"))).distinct()
-      val relabel = ConnectedComponents.components(touched, "id", ce,
-          "e1", "e2")
-        .select(col("id").as("_oc"), col("comp").as("_nc"))
-      oldLabels.join(relabel, oldLabels("comp") === col("_oc"), "left")
-        .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp"))
-    }
-  }
+      newEdges: DataFrame): DataFrame =
+    ConnectedComponents.closeWithNewEdges(oldLabels, newEdges)
 
   /** Incremental resolution: yesterday's state (`oldPairs` + `oldLabels`,
     * both persisted from a prior [[resolve]]/[[erLabels]] run) + the new
@@ -297,24 +270,27 @@ object FuzzyJoin {
   /** INCREMENTAL entity resolution (r13 — closes the "ER is batch-only"
     * gap): a new mention batch arrives against yesterday's resolved
     * state, and the expensive stage — segment-blocked BLOCK + VERIFY —
-    * runs on the NEW BATCH ONLY. Yesterday's connectivity re-enters the
-    * closure as STAR EDGES (component → member, depth 1, one edge per
-    * non-root entity — the [[DedupClusters.clustersIncrement]] state
-    * encoding), so the CC loop converges in ~2 rounds over
-    * star ∪ (entity projection of the new batch's links); cross-batch
-    * component MERGES (a new ambiguous mention claiming entities from
-    * two old components) fall out of the closure exactly. The
-    * assignment/size/survivorship tail re-aggregates the full link table
-    * — linear, and unavoidable since a merge relabels old mentions too.
+    * runs on the NEW BATCH ONLY. Yesterday's connectivity enters by
+    * CONTRACTION ([[ConnectedComponents.closeWithNewEdges]], shared with
+    * [[DedupClusters.clustersIncrement]]): the new batch's entity
+    * projection maps to current components, the closure runs over the
+    * O(batch) contracted graph, and only touched components relabel;
+    * cross-batch component MERGES (a new ambiguous mention claiming
+    * entities from two old components) fall out of the closure exactly.
+    * The assignment/size/survivorship tail re-aggregates the full link
+    * table — linear, and unavoidable since a merge relabels old
+    * mentions too.
     *
     * Increment ≡ recompute is the whole claim, so the oracle IS
     * `q_er_pipeline`'s full-recompute SQL (the cluster_increment
     * discipline — one string, zero drift).
     *
-    * 100 TB shape: per-batch cost = blocking O(batch) + CC over only the
-    * conflicted-entity star graph + the linear tail; the corpus-sized
-    * blocking join never re-runs. State on disk is (links, labels) —
-    * both bounded by matches, not by mentions × catalog. */
+    * 100 TB shape: per-batch cost = blocking O(batch) + two linear label
+    * scans (the contraction joins) + CC over the O(batch) contracted
+    * graph + the linear tail; the corpus-sized blocking join never
+    * re-runs and the closure never touches an entity-sized graph. State
+    * on disk is (links, labels) — both bounded by matches, not by
+    * mentions × catalog. */
   private def qErIncrement(s: SparkSession, d: String): DataFrame = {
     val (catalog, mentions) = erFixture(s, d)
     val (pairsPath, labelsPath) = ErBase.ensure(s, d)

@@ -119,7 +119,7 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     }
   }
 
-  test("clustersIncrement over star-compressed old labels equals the " +
+  test("clustersIncrement by contraction over old labels equals the " +
       "full recompute, including a batch doc bridging two old clusters") {
     // old corpus: clusters {1,2} and {3,4}; batch docs 5, 6.
     // new pairs: (2,5) and (5,4) — 5 BRIDGES the two old clusters;
