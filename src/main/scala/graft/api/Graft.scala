@@ -369,6 +369,18 @@ object Graft {
     FuzzyJoin.resolveIncrement(entities, entityId, oldPairs, oldLabels,
       newPairs)
 
+  /** Retraction (takedown) from persisted ER state: remove `deleted`
+    * mentions; only the components a deleted mention touched re-close
+    * (from kept links — deletions can SPLIT components), everything
+    * else keeps its label verbatim. Cost follows the deletion, not the
+    * corpus; retraction ≡ recompute-on-survivors, oracle-pinned by
+    * `q_er_retract`. */
+  def erRetract(entities: DataFrame, entityId: String,
+                oldPairs: DataFrame, oldLabels: DataFrame,
+                deleted: DataFrame, delCol: String): DataFrame =
+    FuzzyJoin.resolveRetract(entities, entityId, oldPairs, oldLabels,
+      deleted, delCol)
+
   /** Grouped deterministic bottom-k sampling through the custom
     * [[graft.functions.SampleK]] Catalyst aggregate: per `strata` group,
     * the `k` rows with the smallest (hashDraw(id), id) — reservoir-

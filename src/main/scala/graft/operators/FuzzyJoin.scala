@@ -183,6 +183,49 @@ object FuzzyJoin {
       comp)
   }
 
+  /** RETRACTION — the takedown leg of incremental ER (r13): remove a
+    * batch of mentions from yesterday's resolved state WITHOUT
+    * re-blocking or re-closing the corpus. Deleting a mention can SPLIT
+    * a component (the deleted mention may be the only bridge between two
+    * entities), which no edge-monotone increment can express — so the
+    * affected components re-close from scratch, but ONLY them:
+    * components are mention-closed (a mention's entities always share a
+    * component), so the re-closure subgraph is exactly the components
+    * touched by a deleted mention — bounded by the deleted batch's
+    * neighborhood, never the corpus. Untouched components keep their
+    * labels verbatim. Exact: closure restricted to a union of whole
+    * components equals the global closure restricted there.
+    *
+    * 100 TB shape: one anti-join prunes the link log (linear, id-only
+    * columns), the affected-component set is O(deleted batch), the CC
+    * runs over only those components' kept links, and the tail is the
+    * usual linear re-aggregation. GDPR-takedown economics: cost follows
+    * the deletion, not the corpus. */
+  private[graft] def resolveRetract(entities: DataFrame, idCol: String,
+      oldPairs: DataFrame, oldLabels: DataFrame, deleted: DataFrame,
+      delCol: String): DataFrame = {
+    val del = deleted.select(col(delCol).as("_dmid"))
+    val delPairs = oldPairs
+      .join(del, col("mention_id") === col("_dmid"), "left_semi")
+    val keptPairs = Materialize(oldPairs
+      .join(del, col("mention_id") === col("_dmid"), "left_anti"))
+    val affected = Materialize(delPairs.select(col("entity_id")).distinct()
+      .join(oldLabels.select(col("id").as("entity_id"), col("comp")),
+        Seq("entity_id"))
+      .select(col("comp")).distinct())
+    val subNodes = oldLabels
+      .join(affected, Seq("comp"), "left_semi").select(col("id"))
+    val subPairs = keptPairs
+      .join(subNodes.select(col("id").as("entity_id")), Seq("entity_id"),
+        "left_semi")
+    val subLabels = ConnectedComponents.components(subNodes, "id",
+      entityProjection(subPairs), "e1", "e2")
+    val newLabels = oldLabels.join(affected, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(subLabels)
+    resolveTail(keptPairs, newLabels)
+  }
+
   /** Driver ER fixture shared by `q_er_pipeline` and `q_er_increment`:
     * catalog = distinct composite part identities on the quarter-table
     * slice (realistic name-space density — see [[fuzzyPairsCte]]);
@@ -265,6 +308,25 @@ object FuzzyJoin {
       }
       (pairsPath, labelsPath)
     }
+
+    /** Full-corpus state for [[qErRetract]]: the link table + labels of
+      * ALL mentions (the state a finished [[resolve]] run persists) —
+      * retraction starts from a complete yesterday. */
+    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_er_base/$tag"
+      val (pairsPath, labelsPath) = (s"$root/pairs_all", s"$root/labels_all")
+      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
+          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+        val (catalog, mentions) = erFixture(s, d)
+        editJoin1(catalog, "entity_id", "ename", mentions,
+            "mention_id", "mname")
+          .write.mode("overwrite").parquet(pairsPath)
+        erLabels(catalog, "entity_id", s.read.parquet(pairsPath))
+          .write.mode("overwrite").parquet(labelsPath)
+      }
+      (pairsPath, labelsPath)
+    }
   }
 
   /** INCREMENTAL entity resolution (r13 — closes the "ER is batch-only"
@@ -301,15 +363,36 @@ object FuzzyJoin {
         "mention_id", "mname"))
   }
 
+  /** Driver binding of [[resolveRetract]]: take down the
+    * `(mention_id div 4) % 7 = 3` batch (~14%, orthogonal to the
+    * increment's %5 split) from the full-corpus state. The oracle is the
+    * full recompute WITH those mentions excluded — retraction ≡
+    * recompute-on-the-survivors, the same one-string discipline as the
+    * increments. */
+  private def qErRetract(s: SparkSession, d: String): DataFrame = {
+    val (catalog, mentions) = erFixture(s, d)
+    val (pairsPath, labelsPath) = ErBase.ensureAll(s, d)
+    resolveRetract(catalog, "entity_id",
+      s.read.parquet(pairsPath), s.read.parquet(labelsPath),
+      mentions.filter(expr("(mention_id div 4) % 7 = 3"))
+        .select(col("mention_id")),
+      "mention_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> qFuzzyJoin _,
     "q_er_pipeline" -> qErPipeline _,
-    "q_er_increment" -> qErIncrement _)
+    "q_er_increment" -> qErIncrement _,
+    "q_er_retract" -> qErRetract _)
 
   /** `q_er_increment`'s oracle IS the full recompute — increment ≡
     * recompute is the operator's contract (see [[qErIncrement]]). */
-  private[graft] def erRecomputeOracle: String =
-    s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4")},
+  private[graft] def erRecomputeOracle: String = erRecomputeOracle("TRUE")
+
+  /** Parameterized form: `mentionPred` scopes the mention set —
+    * `q_er_retract`'s oracle is the recompute over the SURVIVORS. */
+  private[graft] def erRecomputeOracle(mentionPred: String): String =
+    s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4", mentionPred)},
        |ee AS (
        |  SELECT DISTINCT a.entity_id AS e1, b.entity_id AS e2
        |  FROM fpairs a JOIN fpairs b USING (mention_id)
@@ -346,6 +429,7 @@ object FuzzyJoin {
 
   val oracle: Map[String, String] = Map(
     "q_er_increment" -> erRecomputeOracle,
+    "q_er_retract" -> erRecomputeOracle("NOT ((p_partkey // 4) % 7 = 3)"),
     "q_er_pipeline" ->
       s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4")},
          |ee AS (
@@ -405,7 +489,12 @@ object FuzzyJoin {
     * mention drags in dozens of entities) and `dirtyPred` picks which
     * mentions get the single-char deletion. */
   private[operators] def fuzzyPairsCte(subsetPred: String,
-      dirtyPred: String): String =
+      dirtyPred: String): String = fuzzyPairsCte(subsetPred, dirtyPred, "TRUE")
+
+  /** Three-predicate form: `mentionPred` additionally scopes which
+    * mentions exist at all (the retraction oracle's survivor set). */
+  private[operators] def fuzzyPairsCte(subsetPred: String,
+      dirtyPred: String, mentionPred: String): String =
     """base AS (SELECT * FROM part WHERE SUBSETPRED),
       |ent AS (
       |  SELECT p_brand || ' ' || p_name || ' ' || p_type AS ename,
@@ -416,7 +505,8 @@ object FuzzyJoin {
       |         CASE WHEN DIRTYPRED THEN
       |           substring(n, 1, p_partkey % len(n)) || substring(n, p_partkey % len(n) + 2)
       |         ELSE n END AS mname
-      |  FROM (SELECT p_partkey, p_brand || ' ' || p_name || ' ' || p_type AS n FROM base)),
+      |  FROM (SELECT p_partkey, p_brand || ' ' || p_name || ' ' || p_type AS n FROM base)
+      |  WHERE MENTIONPRED),
       |eseg AS (
       |  SELECT entity_id, ename, len(ename) AS l, 1 AS segno,
       |         substring(ename, 1, len(ename) // 2) AS seg FROM ent
@@ -438,4 +528,5 @@ object FuzzyJoin {
       |  FROM cand WHERE levenshtein(mname, ename) <= 1)""".stripMargin
       .replace("SUBSETPRED", subsetPred)
       .replace("DIRTYPRED", dirtyPred)
+      .replace("MENTIONPRED", mentionPred)
 }

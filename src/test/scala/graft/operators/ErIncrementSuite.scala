@@ -59,6 +59,45 @@ class ErIncrementSuite extends AnyFunSuite {
     assert(once === twice)
   }
 
+  test("retraction equals the recompute over surviving mentions") {
+    val got = SparkEntry.queries("q_er_retract")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (catalog, mentions) = FuzzyJoin.erFixture(s, sf)
+    val survivors = mentions.filter(expr("(mention_id div 4) % 7 <> 3"))
+    val want = FuzzyJoin.resolve(catalog, "entity_id",
+        FuzzyJoin.editJoin1(catalog, "entity_id", "ename", survivors,
+          "mention_id", "mname")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+    // deleted mentions are gone from the assignment table
+    assert(got.forall { case (mid, _, _, _) => (mid / 4) % 7 != 3 })
+  }
+
+  test("retracting the only bridge mention SPLITS the component") {
+    import s.implicits._
+    // entities 1, 2; mentions: 10→{1}, 11→{1,2} (the bridge), 12→{2}.
+    val entities = Seq(1L, 2L).toDF("entity_id")
+    val pairs = Seq((10L, 1L, 0L), (11L, 1L, 1L), (11L, 2L, 1L),
+      (12L, 2L, 0L)).toDF("mention_id", "entity_id", "dist")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "comp") // merged via 11
+    val out = FuzzyJoin.resolveRetract(entities, "entity_id", pairs,
+        labels, Seq(11L).toDF("mention_id"), "mention_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(10L -> 1L, 12L -> 2L)) // split: 2 is its own comp
+  }
+
+  test("retracting a non-bridge mention leaves the component intact") {
+    import s.implicits._
+    val entities = Seq(1L, 2L).toDF("entity_id")
+    val pairs = Seq((10L, 1L, 0L), (11L, 1L, 1L), (11L, 2L, 1L),
+      (12L, 2L, 0L)).toDF("mention_id", "entity_id", "dist")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "comp")
+    val out = FuzzyJoin.resolveRetract(entities, "entity_id", pairs,
+        labels, Seq(10L).toDF("mention_id"), "mention_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(11L -> 1L, 12L -> 1L)) // bridge 11 still merges
+  }
+
   test("yesterday's persisted labels cover strictly fewer links than today") {
     // Guards the state fixture itself: the old link table must be a real
     // proper subset of the full link table (old mentions only), so the
