@@ -326,6 +326,49 @@ object DedupClusters {
       .withColumn("keep", col(idCol) === col("component"))
   }
 
+  /** RETRACTION for maintained dedup clusters (r13 — the takedown leg,
+    * twin of [[FuzzyJoin.resolveRetract]]): remove a batch of documents
+    * from yesterday's cluster state WITHOUT re-pairing or re-closing the
+    * corpus. A deleted doc can SPLIT its cluster (it may be the bridge),
+    * so exactly the components containing a deleted doc re-close from
+    * their kept pairs; every other label survives verbatim. Exact
+    * because pair discovery is PER-PAIR (two docs' band collision does
+    * not depend on any third doc), so the kept pair set equals the
+    * from-scratch pair set over the survivors — retraction ≡
+    * recompute-on-survivors, and the oracle checks it literally.
+    *
+    * 100 TB shape: two anti-joins prune the pair log (linear, id-only),
+    * the affected-component set is O(deleted batch), and the CC runs
+    * over only those components' kept pairs. Takedown cost follows the
+    * deletion, not the corpus. */
+  private[graft] def clustersRetract(labels: DataFrame, idCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      deleted: DataFrame, delCol: String): DataFrame = {
+    val del = deleted.select(col(delCol).as("_did"))
+    val keptPairs = Materialize(pairs
+      .join(del, col(srcCol) === col("_did"), "left_anti")
+      .join(del, col(dstCol) === col("_did"), "left_anti"))
+    val affected = Materialize(labels
+      .join(del, col(idCol) === col("_did"), "left_semi")
+      .select(col("component")).distinct())
+    val keptLabels = labels.join(del, col(idCol) === col("_did"), "left_anti")
+    val subNodes = keptLabels.join(affected, Seq("component"), "left_semi")
+      .select(col(idCol))
+    // Both endpoints of a kept pair share a component, so filtering on
+    // one endpoint scopes the pair to the affected components exactly.
+    val subPairs = keptPairs.join(subNodes.select(col(idCol).as(srcCol)),
+      Seq(srcCol), "left_semi")
+    val subLabels = ConnectedComponents
+      .components(subNodes, idCol, subPairs, srcCol, dstCol)
+      .select(col("id").as(idCol), col("comp").as("component"))
+    keptLabels.join(affected, Seq("component"), "left_anti")
+      .select(col(idCol), col("component"))
+      .unionByName(subLabels)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** Build-once label fixture for [[qClusterIncrement]]: yesterday's
     * cluster state (the corpus minus the incoming `doc_id % 5 = 4`
     * batch), persisted as parquet — standing in for the previous run's
@@ -345,6 +388,29 @@ object DedupClusters {
       }
       path
     }
+
+    /** Full-corpus state for [[qClusterRetract]]: the pair log AND the
+      * converged labels over ALL documents — what a finished maintenance
+      * run persists, and the state retraction starts from. */
+    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_label_base/$tag"
+      val (pairsPath, labelsPath) = (s"$root/pairs_all", s"$root/labels_all")
+      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
+          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+        graft.functions.TextHash.ensureRegistered(s)
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        LlmQueries.minhashPairsUnordered(docs, "doc_id", "text",
+            LlmQueries.JaccardThreshold)
+          .select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(pairsPath)
+        clustersFromPairs(docs.select(col("doc_id")), "doc_id",
+            s.read.parquet(pairsPath), "doc_a", "doc_b")
+          .select(col("doc_id"), col("component"))
+          .write.mode("overwrite").parquet(labelsPath)
+      }
+      (pairsPath, labelsPath)
+    }
   }
 
   private def qClusterIncrement(s: SparkSession, d: String): DataFrame = {
@@ -357,6 +423,18 @@ object DedupClusters {
       .select(col("doc_a"), col("doc_b"))
     clustersIncrement(docs.select(col("doc_id")), "doc_id", labels,
         newPairs, "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding of [[clustersRetract]]: take down `doc_id % 7 = 3`
+    * (~14%, orthogonal to the increment's %5 split) from the
+    * full-corpus state. */
+  private def qClusterRetract(s: SparkSession, d: String): DataFrame = {
+    val (pairsPath, labelsPath) = LabelBase.ensureAll(s, d)
+    val deleted = Tables.documents(s, d)
+      .filter(expr("doc_id % 7 = 3")).select(col("doc_id"))
+    clustersRetract(s.read.parquet(labelsPath), "doc_id",
+        s.read.parquet(pairsPath), "doc_a", "doc_b", deleted, "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -377,6 +455,7 @@ object DedupClusters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_increment" -> qClusterIncrement _,
+    "q_cluster_retract" -> qClusterRetract _,
     "q_dup_clusters" -> qDupClusters _,
     "q_emb_clusters" -> qEmbClusters _,
     "q_cluster_rep" -> qClusterRep _
@@ -405,8 +484,33 @@ object DedupClusters {
        |       doc_id = component AS keep
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** `q_cluster_retract`'s oracle: the SAME recursive recompute, over
+    * the survivor corpus only — retraction ≡ recompute-on-survivors. */
+  private val clusterRetractOracle: String = {
+    val survivors = "(SELECT * FROM documents WHERE NOT (doc_id % 7 = 3))"
+    s"""WITH RECURSIVE ${LlmQueries.minhashPairsCteFrom(survivors)},
+       |pairs_ok AS (
+       |  SELECT doc_a, doc_b FROM j
+       |  WHERE jaccard >= ${LlmQueries.JaccardThreshold}),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs_ok
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs_ok),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE NOT (doc_id % 7 = 3)
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON reach.id = e.a),
+       |comp AS (
+       |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT doc_id, component,
+       |       count(*) OVER (PARTITION BY component) AS cluster_size,
+       |       doc_id = component AS keep
+       |FROM comp ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_cluster_increment" -> dupClustersOracle,
+    "q_cluster_retract" -> clusterRetractOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_cluster_rep" ->
       s"""WITH RECURSIVE ${LlmQueries.minhashPairsCte},

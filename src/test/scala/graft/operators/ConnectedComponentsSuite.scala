@@ -144,6 +144,29 @@ class ConnectedComponentsSuite extends AnyFunSuite {
     assert(comp(6L) == 6L && inc.find(_._1 == 6L).get._4) // singleton keeps
   }
 
+  test("clustersRetract: deleting a bridge doc splits the cluster; " +
+      "deleting a leaf doc leaves the rest merged") {
+    // cluster {1,2,3} held together through 2: pairs (1,2), (2,3);
+    // separate cluster {4,5}; deleting 2 must split {1},{3}.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "component")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    def retract(ids: Long*) = DedupClusters
+      .clustersRetract(labels, "doc_id", pairs, "doc_a", "doc_b",
+        ids.toDF("doc_id"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toList.sortBy(_._1)
+    assert(retract(2L) == List((1L, 1L, 1L, true), (3L, 3L, 1L, true),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+    // deleting leaf 1: {2,3} stay merged under new min id 2
+    assert(retract(1L) == List((2L, 2L, 2L, true), (3L, 2L, 2L, false),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+    // deleting from the OTHER cluster leaves {1,2,3} labels untouched
+    assert(retract(5L) == List((1L, 1L, 3L, true), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, false), (4L, 4L, 1L, true)))
+  }
+
   test("clustersIncrement with no new pairs reproduces the old labels " +
       "extended by the batch singletons") {
     val nodes = (1L to 5L).toDF("id")
