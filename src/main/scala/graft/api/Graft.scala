@@ -381,6 +381,17 @@ object Graft {
     FuzzyJoin.resolveRetract(entities, entityId, oldPairs, oldLabels,
       deleted, delCol)
 
+  /** Retraction (takedown) from maintained dedup-cluster state: remove
+    * `deleted` documents; only the components containing a deleted doc
+    * re-close from their kept pairs (a deleted bridge doc splits its
+    * cluster), every other label survives verbatim. Exact because pair
+    * discovery is per-pair; oracle-pinned by `q_cluster_retract`. */
+  def clustersRetract(labels: DataFrame, idCol: String, pairs: DataFrame,
+                      srcCol: String, dstCol: String, deleted: DataFrame,
+                      delCol: String): DataFrame =
+    DedupClusters.clustersRetract(labels, idCol, pairs, srcCol, dstCol,
+      deleted, delCol)
+
   /** Grouped deterministic bottom-k sampling through the custom
     * [[graft.functions.SampleK]] Catalyst aggregate: per `strata` group,
     * the `k` rows with the smallest (hashDraw(id), id) — reservoir-
