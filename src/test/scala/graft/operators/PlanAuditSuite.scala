@@ -206,6 +206,29 @@ class PlanAuditSuite extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
   }
 
+  test("q_er_retract reads persisted state; the takedown never re-blocks") {
+    val p = plan("q_er_retract")
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // link log + labels must come from parquet state, and the blocking
+    // chain (levenshtein verify) must be absent entirely — retraction
+    // only prunes and re-closes, it never re-blocks.
+    assert("graft_er_base".r.findAllIn(p).size >= 2,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(!p.contains("levenshtein"), "retraction re-ran the blocking chain")
+  }
+
+  test("q_cluster_retract reads persisted state; no re-pairing of the corpus") {
+    val p = plan("q_cluster_retract")
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("graft_label_base".r.findAllIn(p).size >= 2,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // the MinHash kernels must not appear — pair discovery is state, not
+    // recompute
+    assert(!p.toLowerCase.contains("shingle"), "retraction re-ran MinHash")
+  }
+
   test("q_ann_batch probes buckets via broadcast equi-join, top-k via window") {
     val p = plan("q_ann_batch")
     // the probe must be a hash join on the bucket id (the batch rides a
