@@ -364,8 +364,8 @@ object FuzzyJoin {
   }
 
   /** Driver binding of [[resolveRetract]]: take down the
-    * `(mention_id div 4) % 7 = 3` batch (~14%, orthogonal to the
-    * increment's %5 split) from the full-corpus state. The oracle is the
+    * `(mention_id div 4) % 29 = 3` batch (~3.4% — a realistic takedown
+    * rate, orthogonal to the increment's %5 split) from the full-corpus state. The oracle is the
     * full recompute WITH those mentions excluded — retraction ≡
     * recompute-on-the-survivors, the same one-string discipline as the
     * increments. */
@@ -374,7 +374,7 @@ object FuzzyJoin {
     val (pairsPath, labelsPath) = ErBase.ensureAll(s, d)
     resolveRetract(catalog, "entity_id",
       s.read.parquet(pairsPath), s.read.parquet(labelsPath),
-      mentions.filter(expr("(mention_id div 4) % 7 = 3"))
+      mentions.filter(expr("(mention_id div 4) % 29 = 3"))
         .select(col("mention_id")),
       "mention_id")
   }
@@ -429,7 +429,7 @@ object FuzzyJoin {
 
   val oracle: Map[String, String] = Map(
     "q_er_increment" -> erRecomputeOracle,
-    "q_er_retract" -> erRecomputeOracle("NOT ((p_partkey // 4) % 7 = 3)"),
+    "q_er_retract" -> erRecomputeOracle("NOT ((p_partkey // 4) % 29 = 3)"),
     "q_er_pipeline" ->
       s"""WITH RECURSIVE ${fuzzyPairsCte("p_partkey % 4 = 0", "p_partkey % 8 = 4")},
          |ee AS (

@@ -82,6 +82,33 @@ object ErStream {
         f"[er_stream] batch $batchId ${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
 
+  /** Label-snapshot compaction — the retain-latest verb the snapshot
+    * layout needs (the pairs log under `pairsDir` is append-only
+    * `batch=` partials and compacts with [[IndexCompaction.compact]]'s
+    * union semantics; label SNAPSHOTS are read max-only, so compaction
+    * here is deletion, not consolidation). Keeps the newest TWO
+    * committed snapshots: the newest serves reads, and the
+    * one below it serves a foreachBatch REPLAY of the newest batch
+    * (crash after the label write, before the checkpoint commit —
+    * `processBatch` re-reads the largest snapshot BELOW its id).
+    * Run between stream runs (quiesced), like every compaction here.
+    * Returns the number of snapshots removed. */
+  def compactLabels(labelsDir: String): Int = {
+    val f = new java.io.File(labelsDir)
+    if (!f.isDirectory) return 0
+    val committed = f.listFiles().toSeq
+      .filter(d => d.getName.startsWith("batch=") &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .sortBy(_.getName.stripPrefix("batch=").toLong)
+    val stale = committed.dropRight(2)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete(): Unit
+    }
+    stale.foreach(rm)
+    stale.size
+  }
+
   /** Attach continuous resolution to a streaming frame of mentions
     * (`mention_id`, `mname`) against a static catalog
     * (`entity_id`, `ename`). */

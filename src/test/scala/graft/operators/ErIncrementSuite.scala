@@ -63,14 +63,14 @@ class ErIncrementSuite extends AnyFunSuite {
     val got = SparkEntry.queries("q_er_retract")(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val (catalog, mentions) = FuzzyJoin.erFixture(s, sf)
-    val survivors = mentions.filter(expr("(mention_id div 4) % 7 <> 3"))
+    val survivors = mentions.filter(expr("(mention_id div 4) % 29 <> 3"))
     val want = FuzzyJoin.resolve(catalog, "entity_id",
         FuzzyJoin.editJoin1(catalog, "entity_id", "ename", survivors,
           "mention_id", "mname")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === want.toSeq)
     // deleted mentions are gone from the assignment table
-    assert(got.forall { case (mid, _, _, _) => (mid / 4) % 7 != 3 })
+    assert(got.forall { case (mid, _, _, _) => (mid / 4) % 29 != 3 })
   }
 
   test("retracting the only bridge mention SPLITS the component") {
@@ -96,6 +96,31 @@ class ErIncrementSuite extends AnyFunSuite {
         labels, Seq(10L).toDF("mention_id"), "mention_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out === Map(11L -> 1L, 12L -> 1L)) // bridge 11 still merges
+  }
+
+  test("label compaction keeps reads and newest-batch replay intact") {
+    val root = java.nio.file.Files
+      .createTempDirectory("er_compact").toFile.getAbsolutePath
+    val (catalog, mentions) = FuzzyJoin.erFixture(s, sf)
+    val batches = (0 until 4).map(b =>
+      mentions.filter(expr(s"(mention_id div 4) % 4 = $b")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.ErStream.processBatch(b, i.toLong, catalog,
+        s"$root/pairs", s"$root/labels")
+    }
+    val before = graft.streaming.ErStream
+      .resolved(s, catalog, s"$root/pairs", s"$root/labels").collect().toSeq
+    val removed = graft.streaming.ErStream.compactLabels(s"$root/labels")
+    assert(removed == 2) // 4 snapshots -> newest two survive
+    val after = graft.streaming.ErStream
+      .resolved(s, catalog, s"$root/pairs", s"$root/labels").collect().toSeq
+    assert(before === after)
+    // replay of the NEWEST batch (id 3) must still find snapshot 2
+    graft.streaming.ErStream.processBatch(batches(3), 3L, catalog,
+      s"$root/pairs", s"$root/labels")
+    val replayed = graft.streaming.ErStream
+      .resolved(s, catalog, s"$root/pairs", s"$root/labels").collect().toSeq
+    assert(before === replayed)
   }
 
   test("yesterday's persisted labels cover strictly fewer links than today") {
