@@ -167,6 +167,49 @@ class ConnectedComponentsSuite extends AnyFunSuite {
       (3L, 1L, 3L, false), (4L, 4L, 1L, true)))
   }
 
+  test("PROPERTY: closeWithNewEdges ≡ full closure on seeded random graphs") {
+    // The shared incremental engine: converge labels on OLD edges, then
+    // contraction-close the NEW edges — must equal one full closure over
+    // old ∪ new. Seeded random graphs, deterministic across runs.
+    val rnd = new scala.util.Random(1013L)
+    for (trial <- 1 to 6) {
+      val n = 8 + rnd.nextInt(25)
+      val nodes = (1L to n.toLong)
+      def edges(m: Int) = Seq.fill(m)(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).filter(p => p._1 != p._2)
+      val old = edges(rnd.nextInt(n))
+      val fresh = edges(1 + rnd.nextInt(n / 2))
+      val oldLabels = ufComponents(nodes, old).toSeq.toDF("id", "comp")
+      val got = ConnectedComponents.closeWithNewEdges(oldLabels,
+          fresh.toDF("e1", "e2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ufComponents(nodes, old ++ fresh)
+      assert(got == want, s"trial $trial: n=$n old=$old fresh=$fresh")
+    }
+  }
+
+  test("PROPERTY: clustersRetract ≡ recompute-on-survivors on seeded " +
+      "random graphs") {
+    val rnd = new scala.util.Random(2027L)
+    for (trial <- 1 to 6) {
+      val n = 8 + rnd.nextInt(25)
+      val nodes = (1L to n.toLong)
+      val pairs = Seq.fill(2 * n)(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).filter(p => p._1 != p._2)
+      val deleted = nodes.filter(_ => rnd.nextInt(5) == 0)
+      val labels = ufComponents(nodes, pairs).toSeq.toDF("doc_id", "component")
+      val got = DedupClusters.clustersRetract(labels, "doc_id",
+          pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+          deleted.toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val survivors = nodes.filterNot(deleted.contains)
+      val keptPairs = pairs.filter(p =>
+        !deleted.contains(p._1) && !deleted.contains(p._2))
+      val want = ufComponents(survivors, keptPairs)
+      assert(got == want, s"trial $trial: n=$n deleted=$deleted")
+    }
+  }
+
   test("clustersIncrement with no new pairs reproduces the old labels " +
       "extended by the batch singletons") {
     val nodes = (1L to 5L).toDF("id")
