@@ -152,6 +152,32 @@ object CodecProps extends Properties("CdcCodec") {
         }
     }
 
+  property("re-registration REPLACES wholesale (schema-random evolution)") =
+    forAll(genRow, genRow) { case ((s1, v1), (s2, v2)) =>
+      // The same tabid re-registers with an UNRELATED random schema
+      // mid-stream (the registrar's drop-and-redescribe, ec:1722-1804):
+      // each row must decode under the version in force at its position,
+      // for ANY pair of layouts — every add/drop/retype/reorder/width
+      // change is a special case of this.
+      def tab(sch: TableSchema) = TabSchema(3, 0, 0,
+        sch.cols.count(!_.colType.isVarLen), sch.numVarCols,
+        sch.cols.map(c => s"${c.name} ${ddlOf(c.colType)}").mkString(", "))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(CdcCodec.encodeFrame(tab(s1)))
+      out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, s1, 1L, 1, 0, v1))
+      out.write(CdcCodec.encodeFrame(tab(s2)))
+      out.write(CdcCodec.encodeRowFrame(CdcRecords.INSERT, s2, 2L, 1, 0, v2))
+      val (recs, reg) = CdcCodec.decodeAll(out.toByteArray,
+        SchemaRegistry(Map(3 -> "t_prop")))
+      val rows = recs.collect { case r: RowImage => r }
+      rows.length == 2 &&
+        s1.cols.zip(rows(0).columns.map(_.value)).zip(v1).forall {
+          case ((spec, g), w) => norm(spec.colType, g) == w } &&
+        s2.cols.zip(rows(1).columns.map(_.value)).zip(v2).forall {
+          case ((spec, g), w) => norm(spec.colType, g) == w } &&
+        reg(3).cols == s2.cols // v1 is gone, not merged
+    }
+
   private def ddlOf(t: ColType): String = t match {
     case ColType.Int2 => "smallint"
     case ColType.Int4 => "integer"
