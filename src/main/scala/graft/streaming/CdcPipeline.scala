@@ -59,9 +59,12 @@ object CdcPipeline {
                             etype: Option[String])
 
   /** One buffered row image in open-txn state; `kind` is the record type
-    * tag so before-images can be paired at commit time. */
-  final case class Image(seq: Long, key: Long, v: Double, etype: String,
-                         kind: String)
+    * tag so before-images can be paired at commit time. `v`/`etype` are
+    * None when the captured table has no fractional / string column (the
+    * envelope contract) — the KEY is the one required shape, since the
+    * sink merge is keyed on it. */
+  final case class Image(seq: Long, key: Long, v: Option[Double],
+                         etype: Option[String], kind: String)
 
   /** Open-transaction state: buffered images + terminal markers seen.
     * `truncSeq` is the highest in-transaction TRUNCATE position
@@ -81,8 +84,8 @@ object CdcPipeline {
     *  - `truncate` — table-level wipe at `last_seq` (rec 119): stored on
     *    the [[TruncateKey]] sentinel as the truncate high-water mark, so
     *    later batches keep dropping rows at or below it. */
-  final case class Committed(k: Long, last_seq: Long, v: Double,
-                             old_v: Option[Double], etype: String,
+  final case class Committed(k: Long, last_seq: Long, v: Option[Double],
+                             old_v: Option[Double], etype: Option[String],
                              op: String = "upsert")
 
   /** Sentinel key holding the truncate high-water row in the materialized
@@ -275,7 +278,7 @@ object CdcPipeline {
         case t @ ("CDC_REC_INSERT" | "CDC_REC_UPDAFT" | "CDC_REC_UPDBEF" |
                   "CDC_REC_DELETE") =>
           buf = buf.copy(images =
-            Image(r.seq, r.key.get, r.v.get, r.etype.get, t) :: buf.images)
+            Image(r.seq, r.key.get, r.v, r.etype, t) :: buf.images)
         case "CDC_REC_COMMTX" => buf = buf.copy(commitSeq = Some(r.seq))
         case "CDC_REC_RBTX" => buf = buf.copy(rolledBack = true)
         case "CDC_REC_DISCARD" => buf = buf.copy(discardAfter = Some(r.seq))
@@ -296,11 +299,12 @@ object CdcPipeline {
       val befores = bySeq.iterator
         .filter(_.kind == "CDC_REC_UPDBEF").map(i => (i.seq, i.key) -> i.v).toMap
       val marker = buf.truncSeq.iterator
-        .map(t => Committed(TruncateKey, t, 0.0, None, "", op = "truncate"))
+        .map(t => Committed(TruncateKey, t, Some(0.0), None, Some(""),
+          op = "truncate"))
       marker ++ bySeq.iterator
         .filter(_.kind != "CDC_REC_UPDBEF")
         .map(i => Committed(i.key, i.seq, i.v,
-          befores.get((i.seq - 1, i.key)), i.etype,
+          befores.get((i.seq - 1, i.key)).flatten, i.etype,
           op = if (i.kind == "CDC_REC_DELETE") "delete" else "upsert"))
     } else {
       state.update(buf) // upsert_opntxns: still open (ec:663-700)
