@@ -413,6 +413,56 @@ object DedupClusters {
     }
   }
 
+  /** State for [[qEmbClusterIncrement]]: the sign-sketch PLANES (fixed at
+    * index creation — plane identity IS index identity, see
+    * [[LlmQueries.derivePlanes]]) and the converged labels of the corpus
+    * minus the incoming `vec_id % 5 = 4` batch. */
+  private[graft] object EmbLabelBase {
+    def ensure(s: SparkSession, d: String): (String, String) = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_emb_label_base/$tag"
+      val (planesPath, labelsPath) = (s"$root/planes", s"$root/labels")
+      if (!new java.io.File(s"$planesPath/_SUCCESS").exists() ||
+          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+        val old = Tables.spread(s, Tables.embeddings(s, d))
+          .filter(expr("vec_id % 5 <> 4"))
+        LlmQueries.derivePlanes(old, "vec_id", "embedding", 6)
+          .write.mode("overwrite").parquet(planesPath)
+        val pairs = LlmQueries.embPairsWithPlanes(old, "vec_id",
+            "embedding", s.read.parquet(planesPath), 0.35)
+          .select(col("vec_a"), col("vec_b"))
+        clustersFromPairs(old.select(col("vec_id")), "vec_id", pairs,
+            "vec_a", "vec_b")
+          .select(col("vec_id"), col("component"))
+          .write.mode("overwrite").parquet(labelsPath)
+      }
+      (planesPath, labelsPath)
+    }
+  }
+
+  /** Batch increment for EMBEDDING clusters (r13 — completes the
+    * increment matrix: text batch+stream, embedding stream, now
+    * embedding batch): the new vector batch sketches under the INDEX'S
+    * planes (never re-derived — re-deriving would re-bucket the corpus
+    * and zero recall), pair discovery probes only batch-touching buckets
+    * (old-old pairs are already in state), and the closure advances by
+    * the shared contraction. Increment ≡ recompute-under-fixed-planes —
+    * the documented index discipline — and the oracle recomputes with
+    * exactly the old corpus's plane set. */
+  private def qEmbClusterIncrement(s: SparkSession, d: String): DataFrame = {
+    val (planesPath, labelsPath) = EmbLabelBase.ensure(s, d)
+    val vecs = Tables.spread(s, Tables.embeddings(s, d))
+    val newPairs = LlmQueries.embPairsWithPlanes(vecs, "vec_id",
+        "embedding", s.read.parquet(planesPath), 0.35,
+        touching = Some(vecs.filter(expr("vec_id % 5 = 4"))
+          .select(col("vec_id"))))
+      .select(col("vec_a"), col("vec_b"))
+    clustersIncrement(vecs.select(col("vec_id")), "vec_id",
+        s.read.parquet(labelsPath).select(col("vec_id"), col("component")),
+        newPairs, "vec_a", "vec_b")
+      .orderBy(col("vec_id"))
+  }
+
   private def qClusterIncrement(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextHash.ensureRegistered(s)
     val docs = Tables.spread(s, Tables.documents(s, d))
@@ -456,6 +506,7 @@ object DedupClusters {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_increment" -> qClusterIncrement _,
     "q_cluster_retract" -> qClusterRetract _,
+    "q_emb_cluster_increment" -> qEmbClusterIncrement _,
     "q_dup_clusters" -> qDupClusters _,
     "q_emb_clusters" -> qEmbClusters _,
     "q_cluster_rep" -> qClusterRep _
@@ -508,9 +559,48 @@ object DedupClusters {
        |FROM comp ORDER BY doc_id""".stripMargin
   }
 
+  /** `q_emb_cluster_increment`'s oracle: the full recompute under the
+    * INDEX'S plane set (the 6 lowest ids of the OLD corpus, pid by rank
+    * — exactly [[LlmQueries.derivePlanes]] over the pre-batch state).
+    * Increment ≡ recompute-under-fixed-planes is the persisted-index
+    * discipline being checked. */
+  private val embClusterIncrementOracle: String = {
+    val cos = "round(list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid, v AS pv
+       |  FROM e WHERE vec_id % 5 <> 4 ORDER BY vec_id LIMIT 6),
+       |sk AS (
+       |  SELECT e.vec_id, e.v,
+       |         cast(sum(CASE WHEN list_dot_product(e.v, pv) > 0
+       |                       THEN cast(pow(2, pid) AS bigint) ELSE 0 END) AS bigint) AS sketch
+       |  FROM e, planes GROUP BY e.vec_id, e.v),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+       |  WHERE $cos >= 0.35),
+       |edges AS (
+       |  SELECT va AS a, vb AS b FROM p
+       |  UNION ALL
+       |  SELECT vb AS a, va AS b FROM p),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e2.b, reach.r FROM reach JOIN edges e2 ON reach.id = e2.a),
+       |comp AS (
+       |  SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT vec_id, component,
+       |       count(*) OVER (PARTITION BY component) AS cluster_size,
+       |       vec_id = component AS keep
+       |FROM comp ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_cluster_increment" -> dupClustersOracle,
     "q_cluster_retract" -> clusterRetractOracle,
+    "q_emb_cluster_increment" -> embClusterIncrementOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_cluster_rep" ->
       s"""WITH RECURSIVE ${LlmQueries.minhashPairsCte},

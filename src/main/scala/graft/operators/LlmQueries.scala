@@ -475,16 +475,43 @@ object LlmQueries {
     * replicates: each plane carries its own bit position, and bit-sum
     * addition commutes, so plane order cannot move the bucket. */
   private[graft] def embNearDupPairsCore(vectors: DataFrame, idCol: String,
-      vecCol: String, nPlanes: Int, threshold: Double): DataFrame = {
-    val sketch = signSketch(vectors, idCol, vecCol,
-      derivePlanes(vectors, idCol, vecCol, nPlanes))
-    val a = sketch.selectExpr("vec_id AS vec_a", "sketch", "embedding AS va", "norm AS norm_a")
+      vecCol: String, nPlanes: Int, threshold: Double): DataFrame =
+    embPairsWithPlanes(vectors, idCol, vecCol,
+      derivePlanes(vectors, idCol, vecCol, nPlanes), threshold)
+
+  /** The sketch-bucket pair join under a CALLER-FIXED plane set — the
+    * form every persisted/incremental consumer must use (planes are part
+    * of the index identity; see [[derivePlanes]]). `touching`, when set,
+    * restricts to pairs with at least one endpoint in it — the
+    * incremental discovery shape: old-old pairs are already in state, so
+    * only batch-touching buckets re-verify. */
+  private[graft] def embPairsWithPlanes(vectors: DataFrame, idCol: String,
+      vecCol: String, planes: DataFrame, threshold: Double,
+      touching: Option[DataFrame] = None): DataFrame = {
+    val sketch = signSketch(vectors, idCol, vecCol, planes)
+    val a0 = sketch.selectExpr("vec_id AS vec_a", "sketch", "embedding AS va", "norm AS norm_a")
     val b = sketch.selectExpr("vec_id AS vec_b", "sketch", "embedding AS vb", "norm AS norm_b")
-    a.join(b, Seq("sketch"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", expr(s"round(${dotSpark("va", "vb")} / (norm_a * norm_b), 6)"))
-      .filter(col("sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("sim"))
+    touching match {
+      case None =>
+        a0.join(b, Seq("sketch"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim", expr(s"round(${dotSpark("va", "vb")} / (norm_a * norm_b), 6)"))
+          .filter(col("sim") >= threshold)
+          .select(col("vec_a"), col("vec_b"), col("sim"))
+      case Some(t) =>
+        // Batch side probes the full bucket; a batch-batch pair appears
+        // from both endpoints, so normalize the order and dedup — the
+        // dedup shuffles only id pairs (the verify already ran).
+        val a = a0.join(t.select(col(t.columns.head).as("vec_a")),
+          Seq("vec_a"), "left_semi")
+        a.join(b, Seq("sketch"))
+          .filter(col("vec_a") =!= col("vec_b"))
+          .withColumn("sim", expr(s"round(${dotSpark("va", "vb")} / (norm_a * norm_b), 6)"))
+          .filter(col("sim") >= threshold)
+          .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+            greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
+          .distinct()
+    }
   }
 
   /** The `nPlanes` lowest-id vectors as the sign-sketch plane set
