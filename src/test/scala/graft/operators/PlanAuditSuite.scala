@@ -229,6 +229,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.toLowerCase.contains("shingle"), "retraction re-ran MinHash")
   }
 
+  test("q_emb_cluster_increment sketches under persisted planes") {
+    val p = plan("q_emb_cluster_increment")
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The label state must come from parquet. (The planes scan feeds the
+    // pair-discovery chain, which the contraction closure MATERIALIZES —
+    // so it doesn't appear in the final plan; plane-fixedness is pinned
+    // by the oracle instead: re-derived planes re-bucket and mismatch.)
+    assert("graft_emb_label_base".r.findAllIn(p).nonEmpty,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+  }
+
   test("q_ann_batch probes buckets via broadcast equi-join, top-k via window") {
     val p = plan("q_ann_batch")
     // the probe must be a hash join on the bucket id (the batch rides a
