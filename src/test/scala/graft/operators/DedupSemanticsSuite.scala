@@ -186,6 +186,29 @@ class DedupSemanticsSuite extends AnyFunSuite {
     assert(LlmQueries.recallAnchors(tiny, "doc_id").count() == 10L)
   }
 
+  test("emb touching-pairs ∪ old pairs equals the full pair set under " +
+      "fixed planes (incremental discovery is lossless)") {
+    val s = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.embeddings(s, sf)
+    val old = vecs.filter(expr("vec_id % 5 <> 4"))
+    val planes = LlmQueries.derivePlanes(old, "vec_id", "embedding", 6)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(LlmQueries.embPairsWithPlanes(vecs, "vec_id",
+      "embedding", planes, 0.35))
+    val oldPairs = pairSet(LlmQueries.embPairsWithPlanes(old, "vec_id",
+      "embedding", planes, 0.35))
+    val touching = pairSet(LlmQueries.embPairsWithPlanes(vecs, "vec_id",
+      "embedding", planes, 0.35,
+      touching = Some(vecs.filter(expr("vec_id % 5 = 4"))
+        .select(col("vec_id")))))
+    assert(oldPairs.union(touching) == full)
+    assert(touching.forall { case (a, b) => a % 5 == 4 || b % 5 == 4 })
+    assert(touching.nonEmpty, "fixture batch produced no touching pairs")
+  }
+
   test("q_doc_fingerprint shares fingerprints exactly within the dup cluster") {
     val r = LlmQueries.queries("q_doc_fingerprint")(TestSpark.spark, dir)
       .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
