@@ -976,4 +976,39 @@ class PlanAuditSuite extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Expand"), p)
   }
+
+  // --- the SQL-text frontend plans the same shapes as the DataFrame API
+
+  test("q_sql_vector: SQL text plans the q_cosine_topk shape — kernel dot " +
+      "product, broadcast 1-row query side, TakeOrderedAndProject") {
+    val p = plan("q_sql_vector")
+    assert(p.contains("dot_f32"), p.linesIterator.take(8).mkString("\n"))
+    // the in-text /*+ BROADCAST(q) */ hint lands: 1-row side builds right
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_sample: sample_k from SQL text keeps the k-bounded map-side " +
+      "partial aggregate") {
+    val p = plan("q_sql_sample")
+    // partial on the mappers, final after ONE exchange — the shuffle
+    // carries <= |mappers|*|langs|*k pairs, never the corpus
+    assert(p.contains("partial_sample_k"), p.linesIterator.take(10).mkString("\n"))
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Window"), p) // the aggregate form, not the window form
+  }
+
+  test("q_sql_analytics: join+window from SQL text — pruned scan, broadcast " +
+      "dim join, WindowGroupLimit before the rank exchange") {
+    val p = plan("q_sql_analytics")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(12).mkString("\n"))
+    // rk <= 5 over row_number pushes a group limit onto the mappers
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+    // orders scan reads only the joined/aggregated columns
+    assert(!p.contains("o_orderdate") && !p.contains("o_orderpriority"), p)
+  }
 }
