@@ -438,6 +438,30 @@ object DedupClusters {
       }
       (planesPath, labelsPath)
     }
+
+    /** Full-corpus state for [[qEmbClusterRetract]]: the pair log AND
+      * converged labels over ALL vectors, discovered under the planes
+      * fixed at index creation (the FULL corpus's 6 lowest ids — one of
+      * which, `vec_id = 3`, is itself in the takedown batch: the plane
+      * SURVIVES its source vector's deletion, because plane identity is
+      * index identity, not corpus membership). */
+    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_emb_label_base/$tag"
+      val (pairsPath, labelsPath) = (s"$root/pairs_all", s"$root/labels_all")
+      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
+          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+        val vecs = Tables.spread(s, Tables.embeddings(s, d))
+        LlmQueries.embNearDupPairsCore(vecs, "vec_id", "embedding", 6, 0.35)
+          .select(col("vec_a"), col("vec_b"))
+          .write.mode("overwrite").parquet(pairsPath)
+        clustersFromPairs(vecs.select(col("vec_id")), "vec_id",
+            s.read.parquet(pairsPath), "vec_a", "vec_b")
+          .select(col("vec_id"), col("component"))
+          .write.mode("overwrite").parquet(labelsPath)
+      }
+      (pairsPath, labelsPath)
+    }
   }
 
   /** Batch increment for EMBEDDING clusters (r13 — completes the
@@ -476,6 +500,29 @@ object DedupClusters {
       .orderBy(col("doc_id"))
   }
 
+  /** RETRACTION for EMBEDDING clusters (r13 — completes the maintenance
+    * matrix: text and embedding clusters each have batch increment,
+    * streaming increment, and takedown): remove `vec_id % 7 = 3` from the
+    * persisted (pair log, labels) state via the SAME shared
+    * [[clustersRetract]] engine — two anti-joins prune the pair log,
+    * only deleted-touching components re-close. Exact for the same
+    * reason as text: under the index's FIXED planes, two vectors'
+    * bucket collision and cosine verification are independent of any
+    * third vector, so the kept pair set ≡ the from-scratch pair set
+    * over survivors UNDER THOSE PLANES. The takedown batch includes
+    * `vec_id = 3` — a plane-source vector — and the planes survive it
+    * (plane identity is index identity, not corpus membership; the
+    * oracle recomputes under the ORIGINAL full-corpus plane set to
+    * check exactly that). */
+  private def qEmbClusterRetract(s: SparkSession, d: String): DataFrame = {
+    val (pairsPath, labelsPath) = EmbLabelBase.ensureAll(s, d)
+    val deleted = Tables.embeddings(s, d)
+      .filter(expr("vec_id % 7 = 3")).select(col("vec_id"))
+    clustersRetract(s.read.parquet(labelsPath), "vec_id",
+        s.read.parquet(pairsPath), "vec_a", "vec_b", deleted, "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
   /** Driver binding of [[clustersRetract]]: take down `doc_id % 7 = 3`
     * (~14%, orthogonal to the increment's %5 split) from the
     * full-corpus state. */
@@ -507,6 +554,7 @@ object DedupClusters {
     "q_cluster_increment" -> qClusterIncrement _,
     "q_cluster_retract" -> qClusterRetract _,
     "q_emb_cluster_increment" -> qEmbClusterIncrement _,
+    "q_emb_cluster_retract" -> qEmbClusterRetract _,
     "q_dup_clusters" -> qDupClusters _,
     "q_emb_clusters" -> qEmbClusters _,
     "q_cluster_rep" -> qClusterRep _
@@ -597,10 +645,48 @@ object DedupClusters {
        |FROM comp ORDER BY vec_id""".stripMargin
   }
 
+  /** `q_emb_cluster_retract`'s oracle: the full recompute over the
+    * SURVIVOR vectors under the ORIGINAL full-corpus plane set (vec_id
+    * < 6 — including the deleted vec_id 3's plane: plane identity is
+    * index identity). Retraction ≡ recompute-on-survivors-under-fixed-
+    * planes is the exactness claim being checked literally. */
+  private val embClusterRetractOracle: String = {
+    val cos = "round(list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 6),
+       |surv AS (SELECT * FROM e WHERE NOT (vec_id % 7 = 3)),
+       |sk AS (
+       |  SELECT surv.vec_id, surv.v,
+       |         cast(sum(CASE WHEN list_dot_product(surv.v, pv) > 0
+       |                       THEN cast(pow(2, pid) AS bigint) ELSE 0 END) AS bigint) AS sketch
+       |  FROM surv, planes GROUP BY surv.vec_id, surv.v),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+       |  WHERE $cos >= 0.35),
+       |edges AS (
+       |  SELECT va AS a, vb AS b FROM p
+       |  UNION ALL
+       |  SELECT vb AS a, va AS b FROM p),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings WHERE NOT (vec_id % 7 = 3)
+       |  UNION
+       |  SELECT e2.b, reach.r FROM reach JOIN edges e2 ON reach.id = e2.a),
+       |comp AS (
+       |  SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT vec_id, component,
+       |       count(*) OVER (PARTITION BY component) AS cluster_size,
+       |       vec_id = component AS keep
+       |FROM comp ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_cluster_increment" -> dupClustersOracle,
     "q_cluster_retract" -> clusterRetractOracle,
     "q_emb_cluster_increment" -> embClusterIncrementOracle,
+    "q_emb_cluster_retract" -> embClusterRetractOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_cluster_rep" ->
       s"""WITH RECURSIVE ${LlmQueries.minhashPairsCte},

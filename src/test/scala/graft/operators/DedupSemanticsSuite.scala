@@ -209,6 +209,36 @@ class DedupSemanticsSuite extends AnyFunSuite {
     assert(touching.nonEmpty, "fixture batch produced no touching pairs")
   }
 
+  test("emb retraction ≡ recompute over survivors under the INDEX'S " +
+      "planes (a deleted plane-source vector keeps its plane)") {
+    val s = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.embeddings(s, sf)
+    // planes fixed at index creation, over the FULL corpus — vec_id 3 is
+    // both a plane source and in the takedown batch
+    val planes = LlmQueries.derivePlanes(vecs, "vec_id", "embedding", 6)
+    val pairs = LlmQueries.embPairsWithPlanes(vecs, "vec_id", "embedding",
+      planes, 0.35).select(col("vec_a"), col("vec_b"))
+    val labels = DedupClusters.clustersFromPairs(
+      vecs.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b")
+      .select(col("vec_id"), col("component"))
+    val retracted = DedupClusters.clustersRetract(labels, "vec_id", pairs,
+      "vec_a", "vec_b",
+      vecs.filter(expr("vec_id % 7 = 3")).select(col("vec_id")), "vec_id")
+    val survivors = vecs.filter(expr("vec_id % 7 <> 3"))
+    // the recompute twin keeps the ORIGINAL plane set (index identity)
+    val recomputed = DedupClusters.clustersFromPairs(
+      survivors.select(col("vec_id")), "vec_id",
+      LlmQueries.embPairsWithPlanes(survivors, "vec_id", "embedding",
+        planes, 0.35).select(col("vec_a"), col("vec_b")),
+      "vec_a", "vec_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(rows(retracted) == rows(recomputed))
+    assert(retracted.filter(col("vec_id") % 7 === 3).count() == 0L)
+  }
+
   test("q_doc_fingerprint shares fingerprints exactly within the dup cluster") {
     val r = LlmQueries.queries("q_doc_fingerprint")(TestSpark.spark, dir)
       .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap

@@ -241,6 +241,19 @@ class PlanAuditSuite extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
   }
 
+  test("q_emb_cluster_retract reads persisted state; no re-sketch, no " +
+      "re-verify") {
+    val p = plan("q_emb_cluster_retract")
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // pair log + labels come from the parquet state
+    assert("graft_emb_label_base".r.findAllIn(p).size >= 2,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // the sketch/verify kernel must be absent — pair discovery is state,
+    // never recomputed by a takedown
+    assert(!p.contains("dot_f32"), "retraction re-ran the sketch/verify")
+  }
+
   test("q_ann_batch probes buckets via broadcast equi-join, top-k via window") {
     val p = plan("q_ann_batch")
     // the probe must be a hash join on the bucket id (the batch rides a
