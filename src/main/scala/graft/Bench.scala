@@ -12,11 +12,14 @@ import org.apache.spark.sql.DataFrame
   *    materialization, under-measuring the real work;
   *  - a failing query is recorded as -1 and the process exits non-zero, so
   *    a regression can never *improve* the bench total;
-  *  - each query runs THREE timed repetitions and reports the per-query
-  *    MEDIAN (VERDICT r5 #7): single-shot timings on a shared box swing
-  *    ±30% round-over-round, which repeatedly muddied the perf trend; the
-  *    median of 3 drops the one-off GC/scheduling outlier while staying
-  *    cheap. The reported total is the sum of medians.
+  *  - each query runs THREE timed repetitions — FIVE when the median is
+  *    sub-second (r13) — and reports the per-query MEDIAN (VERDICT r5
+  *    #7): single-shot timings on a shared box swing ±30%
+  *    round-over-round, which repeatedly muddied the perf trend; the
+  *    median drops one-off GC/scheduling outliers while staying cheap,
+  *    and the extra reps on short queries squeeze the residual ±25%
+  *    relative jitter their small absolute times are exposed to. The
+  *    reported total is the sum of medians.
   *
   * Per-query isolation (VERDICT r12 #3): every query gets a FRESH
   * SparkContext. r8's in-place cleanup (clearCache + unpersist +
@@ -43,6 +46,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     var failed = List.empty[String]
     val Reps = 3
+    // Sub-second queries get 5 reps instead of 3 (r13): with ~0.2-0.5 s
+    // medians, box-scheduling jitter of ±0.05-0.1 s is a ±25% relative
+    // swing that median-of-3 passes through one time in four — the resi-
+    // dual noise after the fresh-context isolation fix. Median-of-5 needs
+    // two outliers on the same side to move, and the extra reps cost
+    // ~2 min across the ~150 short queries; long queries keep 3 reps
+    // (their absolute jitter is already below 15%).
+    val ExtraReps = 2
+    val ShortSec = 1.0
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
       val spark = Session.build(s"local[$cpus]", cpus)
@@ -50,7 +62,7 @@ object Bench {
       // warm rep: JIT + codegen-cache + parquet footer warmth, untimed
       // (a failure here is ignored; the timed pass records and reports it)
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      val times = (1 to Reps).flatMap { _ =>
+      def timed(n: Int): IndexedSeq[Double] = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -58,10 +70,16 @@ object Bench {
           None
         }
       }
-      if (times.length < Reps) failed ::= name
+      var times = timed(Reps)
+      var want = Reps
+      if (times.length == Reps && times.sorted.apply(Reps / 2) < ShortSec) {
+        times = times ++ timed(ExtraReps)
+        want = Reps + ExtraReps
+      }
+      if (times.length < want) failed ::= name
       try spark.stop() catch { case _: Throwable => () }
-      // median of 3 (or -1 if any rep failed — a flaky query is a failure)
-      name -> (if (times.length == Reps) times.sorted.apply(Reps / 2) else -1.0)
+      // median (or -1 if any rep failed — a flaky query is a failure)
+      name -> (if (times.length == want) times.sorted.apply(want / 2) else -1.0)
     }
     // 3-decimal timings (VERDICT r6 #7): the driver captures a bounded tail
     // of stdout, and full-precision doubles made the one JSON line long
