@@ -1792,6 +1792,7 @@ object LlmQueries {
     "q_ann_persisted" -> qAnnPersisted _,
     "q_ivf_pq" -> (VectorIndexQueries.qIvfPq _),
     "q_ivf_pq_multiprobe" -> (VectorIndexQueries.qIvfPqMultiprobe _),
+    "q_ann_retract" -> (VectorIndexQueries.qAnnRetract _),
     "q_ann_recall" -> (VectorIndexQueries.qAnnRecall _),
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_hard_negatives" -> qHardNegatives _,
@@ -1924,6 +1925,66 @@ object LlmQueries {
        |${pqCbIterCte(1)},
        |${pqCbIterCte(2)},
        |cb AS (SELECT s, c, w FROM cb2)""".stripMargin
+
+  /** The multi-probe IVF × PQ funnel oracle over [[ivfPqBaseCte]],
+    * parameterized by a POSTINGS filter (SQL `WHERE ...` tail, or "" for
+    * the full index) — ONE builder shared by `q_ivf_pq_multiprobe` (full
+    * postings) and `q_ann_retract` (survivors only), so the funnel the
+    * takedown is judged against can never drift from the production
+    * funnel. The vocabularies (trained centroids + residual codebook)
+    * always come from the FULL corpus: vocabulary identity is index
+    * identity, and a takedown never retrains. */
+  private[graft] def ivfPqMultiprobeOracle(postingsFilter: String): String =
+    s"""WITH $ivfPqBaseCte,
+       |post AS (SELECT * FROM assigned$postingsFilter),
+       |qb AS (SELECT vec_id AS qid, v AS qv, q AS qq FROM post
+       |       WHERE vec_id < 3),
+       |pr AS (
+       |  SELECT qid, qv, qq, cid AS qcluster, cq AS qcq,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY ${cosDuck("qv", "cv")} DESC, cid) AS prn
+       |  FROM qb, cents
+       |  QUALIFY prn <= 2),
+       |cand AS (SELECT DISTINCT a.vec_id, a.r
+       |         FROM pr JOIN post a ON a.cluster = pr.qcluster),
+       |bs AS (SELECT c2.vec_id, t.s,
+       |              c2.r[CAST(t.s*16+1 AS int) : CAST(t.s*16+16 AS int)] AS vs
+       |       FROM cand c2, range(4) t(s)),
+       |dist AS (
+       |  SELECT bs.vec_id, bs.s, cb.c, cb.w,
+       |         CAST(list_sum(list_transform(range(1, 17),
+       |           i -> (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]) *
+       |                (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]))) AS bigint) AS dd
+       |  FROM bs JOIN cb ON bs.s = cb.s),
+       |vcodes AS (
+       |  SELECT vec_id, s, w,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+       |  FROM dist QUALIFY rn = 1),
+       |pc AS (
+       |  SELECT pr.qid, pr.qq, pr.qv, a.vec_id, a.label, a.cluster, a.v,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           i -> pr.qq[CAST(i AS int)] * pr.qcq[CAST(i AS int)])) AS bigint) AS qc
+       |  FROM pr JOIN post a ON a.cluster = pr.qcluster),
+       |lk AS (
+       |  SELECT pc.qid, pc.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 17),
+       |           i -> pc.qq[CAST(v.s*16+i AS int)] * v.w[CAST(i AS int)])) AS bigint) AS pp
+       |  FROM pc JOIN vcodes v ON v.vec_id = pc.vec_id),
+       |lks AS (SELECT qid, vec_id, CAST(sum(pp) AS bigint) AS lksum
+       |        FROM lk GROUP BY qid, vec_id),
+       |sc AS (
+       |  SELECT pc.qid, pc.vec_id, pc.label, pc.cluster, pc.v, pc.qv,
+       |         row_number() OVER (PARTITION BY pc.qid
+       |           ORDER BY (pc.qc + lks.lksum) DESC, pc.vec_id) AS arn
+       |  FROM pc JOIN lks ON lks.qid = pc.qid AND lks.vec_id = pc.vec_id
+       |  QUALIFY arn <= 32)
+       |SELECT qid,
+       |       cast(row_number() OVER (PARTITION BY qid
+       |         ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
+       |       vec_id, label, CAST(cluster AS bigint) AS cluster,
+       |       ${cosDuck("v", "qv")} AS sim
+       |FROM sc QUALIFY rk <= 3
+       |ORDER BY qid, rk""".stripMargin
 
   private[graft] val duckShingles3 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), i -> array_to_string(toks[i:i+2], ' ')))"
@@ -2558,56 +2619,13 @@ object LlmQueries {
     // of the 3 batch queries probes its TWO nearest cells, and every
     // candidate's ADC carries its own cell's q·c centroid term so scores
     // compare across cells. Per-query top-32 shortlist, exact top-3.
-    "q_ivf_pq_multiprobe" ->
-      s"""WITH $ivfPqBaseCte,
-         |qb AS (SELECT vec_id AS qid, v AS qv, q AS qq FROM assigned
-         |       WHERE vec_id < 3),
-         |pr AS (
-         |  SELECT qid, qv, qq, cid AS qcluster, cq AS qcq,
-         |         row_number() OVER (PARTITION BY qid
-         |           ORDER BY ${cosDuck("qv", "cv")} DESC, cid) AS prn
-         |  FROM qb, cents
-         |  QUALIFY prn <= 2),
-         |cand AS (SELECT DISTINCT a.vec_id, a.r
-         |         FROM pr JOIN assigned a ON a.cluster = pr.qcluster),
-         |bs AS (SELECT c2.vec_id, t.s,
-         |              c2.r[CAST(t.s*16+1 AS int) : CAST(t.s*16+16 AS int)] AS vs
-         |       FROM cand c2, range(4) t(s)),
-         |dist AS (
-         |  SELECT bs.vec_id, bs.s, cb.c, cb.w,
-         |         CAST(list_sum(list_transform(range(1, 17),
-         |           i -> (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]) *
-         |                (bs.vs[CAST(i AS int)] - cb.w[CAST(i AS int)]))) AS bigint) AS dd
-         |  FROM bs JOIN cb ON bs.s = cb.s),
-         |vcodes AS (
-         |  SELECT vec_id, s, w,
-         |         row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
-         |  FROM dist QUALIFY rn = 1),
-         |pc AS (
-         |  SELECT pr.qid, pr.qq, pr.qv, a.vec_id, a.label, a.cluster, a.v,
-         |         CAST(list_sum(list_transform(range(1, 65),
-         |           i -> pr.qq[CAST(i AS int)] * pr.qcq[CAST(i AS int)])) AS bigint) AS qc
-         |  FROM pr JOIN assigned a ON a.cluster = pr.qcluster),
-         |lk AS (
-         |  SELECT pc.qid, pc.vec_id,
-         |         CAST(list_sum(list_transform(range(1, 17),
-         |           i -> pc.qq[CAST(v.s*16+i AS int)] * v.w[CAST(i AS int)])) AS bigint) AS pp
-         |  FROM pc JOIN vcodes v ON v.vec_id = pc.vec_id),
-         |lks AS (SELECT qid, vec_id, CAST(sum(pp) AS bigint) AS lksum
-         |        FROM lk GROUP BY qid, vec_id),
-         |sc AS (
-         |  SELECT pc.qid, pc.vec_id, pc.label, pc.cluster, pc.v, pc.qv,
-         |         row_number() OVER (PARTITION BY pc.qid
-         |           ORDER BY (pc.qc + lks.lksum) DESC, pc.vec_id) AS arn
-         |  FROM pc JOIN lks ON lks.qid = pc.qid AND lks.vec_id = pc.vec_id
-         |  QUALIFY arn <= 32)
-         |SELECT qid,
-         |       cast(row_number() OVER (PARTITION BY qid
-         |         ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
-         |       vec_id, label, CAST(cluster AS bigint) AS cluster,
-         |       ${cosDuck("v", "qv")} AS sim
-         |FROM sc QUALIFY rk <= 3
-         |ORDER BY qid, rk""".stripMargin,
+    "q_ivf_pq_multiprobe" -> ivfPqMultiprobeOracle(postingsFilter = ""),
+    // Serving after a takedown: the SAME multiprobe funnel (one shared
+    // builder — zero drift) over postings filtered to survivors, with
+    // the vocabularies still trained on the FULL corpus (vocabulary
+    // identity is index identity; retraction never retrains).
+    "q_ann_retract" -> ivfPqMultiprobeOracle(
+      postingsFilter = " WHERE NOT (vec_id % 7 = 1)"),
     // Recall@10 audit of the trained serving funnel — exact vs cell-only
     // vs single-probe PQ vs 2-probe PQ, as integer hit counts.
     "q_ann_recall" -> annRecallOracle,

@@ -107,6 +107,56 @@ private[graft] object PersistedVectorIndex {
     dir.toString
   }
 
+  /** TAKEDOWN for the serving index (r13 — the fourth verb of the index
+    * lifecycle: create / probe / compact / retract): write the `dir`
+    * layout minus the deleted ids into `outDir`. Postings are
+    * ANTI-JOINED on the id; the trained centroid table and residual
+    * codebook are copied VERBATIM — vocabulary identity is index
+    * identity (retraining on survivors would re-bucket and re-code,
+    * invalidating every stored posting and zeroing recall: the
+    * [[LlmQueries.derivePlanes]] discipline applied to IVF/PQ). Exact:
+    * a posting row's (cluster, code0..m−1) depend only on ITS OWN
+    * vector and the fixed vocabularies, so the filtered postings equal
+    * a survivor re-encode under the same vocabularies, row for row.
+    * Cost: one linear anti-joined rewrite of the postings — `cluster=`
+    * partitioning preserved, so probes prune identically after the
+    * takedown — plus two tiny metadata copies; at serving scale fold
+    * the rewrite into the compaction pass
+    * ([[graft.streaming.IndexCompaction]]'s write-then-swap) instead of
+    * a sibling generation. */
+  def retractTo(s: SparkSession, dir: String, outDir: String,
+      deleted: DataFrame, idCol: String): Unit = {
+    val del = deleted.select(col(idCol).as("_did"))
+    s.read.parquet(dir)
+      .join(del, col(idCol) === col("_did"), "left_anti")
+      .write.mode("overwrite").partitionBy("cluster").parquet(outDir)
+    s.read.parquet(s"$dir/_graft_pq_codebook").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_graft_pq_codebook")
+    s.read.parquet(s"$dir/_graft_centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_graft_centroids")
+  }
+
+  /** Build-once takedown generation for `q_ann_retract`: the base index
+    * minus `vec_id % 7 = 1`, a sibling generation directory with the
+    * same marker discipline. The batch is chosen so the takedown
+    * provably BITES at every scale factor: stored row `vec_id = 1` is
+    * one of the funnel's three query rows, so the retracted index
+    * serves one query fewer (a deleted vector can never be a stored
+    * query row), and its deleted neighbors drop out of the other
+    * queries' top-k. */
+  def ensureRetracted(s: SparkSession, d: String): String = synchronized {
+    val base = ensure(s, d)
+    val dir = base + "_takedown7r1"
+    val marker = java.nio.file.Paths.get(dir, Marker)
+    if (!java.nio.file.Files.exists(marker)) {
+      retractTo(s, base, dir,
+        s.read.parquet(base).filter(expr("vec_id % 7 = 1"))
+          .select(col("vec_id")), "vec_id")
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    dir
+  }
+
   /** Integer-quantize `vecCol` and attach the RESIDUAL against the
     * row's assigned centroid: adds `vq` (vector micro-ints), and `r`
     * (vq − centroid ints). `centsInt` must carry (ccid, cq) and is
@@ -274,6 +324,19 @@ private[graft] object VectorIndexQueries {
   def qIvfPqMultiprobe(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
     val dir = PersistedVectorIndex.ensure(s, d)
+    funnelTopK(s, dir, nQueries = 3, nprobe = 2, shortList = 32, topK = 3)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Serving after a TAKEDOWN (`q_ann_retract`): [[qIvfPqMultiprobe]]'s
+    * funnel run over the retracted generation
+    * ([[PersistedVectorIndex.ensureRetracted]]) — same query batch, same
+    * trained vocabularies, survivors only. The oracle is the multiprobe
+    * oracle with the postings filtered to survivors: retraction ≡
+    * serve-the-survivors under fixed vocabularies, checked literally. */
+  def qAnnRetract(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val dir = PersistedVectorIndex.ensureRetracted(s, d)
     funnelTopK(s, dir, nQueries = 3, nprobe = 2, shortList = 32, topK = 3)
       .orderBy(col("qid"), col("rk"))
   }

@@ -681,6 +681,21 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("ccq"), p)
   }
 
+  test("q_ann_retract serves the TAKEDOWN generation — pruned scan of " +
+      "the retracted layout, never the base index or raw embeddings") {
+    val p = plan("q_ann_retract")
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    // every index scan reads the retracted generation — a scan of the
+    // base layout would mean the takedown silently didn't apply
+    assert(p.contains("_takedown7r1"), p)
+    val scans = p.linesIterator.filter(_.contains("graft_vec_index")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("_takedown7r1")),
+      scans.mkString("\n"))
+  }
+
   test("q_ann_recall audits the index against itself — no raw embedding " +
       "scan, windowed top-k everywhere") {
     val p = plan("q_ann_recall")
