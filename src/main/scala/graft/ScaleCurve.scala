@@ -60,7 +60,20 @@ object ScaleCurve {
     // per-scale ErBase state (untimed), so the timed medians are the
     // per-batch increment cost — compare against q_er_pipeline at the
     // same scale for the increment-vs-recompute factor.
-    "q_er_increment" -> "part")
+    "q_er_increment" -> "part",
+    // r13 maintenance legs (state built untimed in the warm rep, same
+    // as q_er_increment): the text-cluster increment, and the takedown.
+    // The takedown batch is the %7 slice — a fixed FRACTION, so its
+    // expected slope is ~1 (the linear pair-log/label anti-joins plus a
+    // re-close that follows the deletion); a slope near 2 would mean
+    // the retraction re-closed the corpus instead of the affected
+    // components. q_emb_cluster_retract is excluded for q_emb_clusters'
+    // pinned reason (interleaved ids degenerate the first-6-ids planes);
+    // q_ann_retract is excluded because its TIMED cost is the serving
+    // funnel (the rewrite happens once in the fixture build), which
+    // q_ann_trained already curves.
+    "q_cluster_increment" -> "documents",
+    "q_cluster_retract" -> "documents")
 
   private def rotCol(c: Column, j: Int): Column = {
     val lo = "abcdefghijklmnopqrstuvwxyz"

@@ -697,6 +697,23 @@ object Graft {
       .write.mode("overwrite").parquet(s"$dir/_graft_centroids")
   }
 
+  /** TAKEDOWN for a [[writePqIndex]]-layout serving index: write the
+    * `dir` layout minus the `deleted` ids into `outDir` — postings
+    * anti-joined on `idCol` with the `cluster=` partitioning preserved
+    * (probes prune identically after the takedown), the trained
+    * centroid table and residual codebook copied VERBATIM. Vocabulary
+    * identity is index identity: retraining on survivors would
+    * re-bucket and re-code every stored posting and zero recall.
+    * Exact — a posting's (cluster, codes) depend only on its own vector
+    * under fixed vocabularies, so the filtered postings equal a
+    * survivor re-encode row for row. At serving scale fold the rewrite
+    * into the [[graft.streaming.IndexCompaction]] write-then-swap
+    * instead of a sibling generation directory. */
+  def retractPqIndex(spark: SparkSession, dir: String, outDir: String,
+                     deleted: DataFrame, idCol: String): Unit =
+    graft.operators.PersistedVectorIndex
+      .retractTo(spark, dir, outDir, deleted, idCol)
+
   /** Train a PQ codebook with per-subspace Lloyd's iterations over the
     * INTEGER residuals — the production upgrade over [[writePqIndex]]'s
     * lowest-id seed codebook, in the [[trainIvfCentroids]] discipline:
