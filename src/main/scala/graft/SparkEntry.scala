@@ -39,6 +39,7 @@ object SparkEntry {
       operators.SqlSurface.queries,
       operators.CorpusOps.queries,
       operators.DedupClusters.queries,
+      operators.RetrievalIndex.queries,
       operators.GraphOps.queries,
       operators.ScaleOps.queries,
       streaming.CdcPipeline.queries,
@@ -70,6 +71,7 @@ object SparkEntry {
       operators.SqlSurface.oracle ++
       operators.CorpusOps.oracle ++
       operators.DedupClusters.oracle ++
+      operators.RetrievalIndex.oracle ++
       operators.GraphOps.oracle ++
       operators.ScaleOps.oracle ++
       streaming.CdcPipeline.oracle ++

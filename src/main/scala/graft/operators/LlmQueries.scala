@@ -1298,12 +1298,27 @@ object LlmQueries {
       .join(q, "token")
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("token"))
+    bm25Score(tf, base.select(col("doc_id"), col("dl")), k, k1, b)
+  }
+
+  /** The BM25 scoring TAIL over pre-aggregated term frequencies — the
+    * one arithmetic shared by the from-text path ([[bm25Rank]]) and the
+    * maintained-index path ([[RetrievalIndex]]), so the two can never
+    * drift. `tf` carries (doc_id, token, tf) for the QUERY terms only;
+    * `doclens` carries (doc_id, dl) for the whole corpus — df/n_docs/
+    * total_dl are all derived here from the inputs, which is what makes
+    * index maintenance exact: every global in the formula is an
+    * ADDITIVE count, so a merged (appended / anti-joined) state scores
+    * identically to a recompute. */
+  private[graft] def bm25Score(tf: DataFrame, doclens: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val df = tf.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val stats = doclens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
     val scored = tf
       .join(broadcast(df), "token")
-      .join(base.select("doc_id", "dl"), "doc_id")
+      .join(doclens.select("doc_id", "dl"), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("micro", expr(
         s"cast(round(cast(tf AS double) * ${k1 + 1} / " +
@@ -2078,8 +2093,12 @@ object LlmQueries {
     * can never drift between them. Mirrors [[bm25Rank]] literally
     * (k1 = 1.2, b = 0.75, micro-unit quantization before the per-doc
     * sum). */
-  private def bm25Cte: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def bm25Cte: String = bm25CteFrom("documents")
+
+  /** The same chain over any relation exposing (doc_id, text) — the
+    * `q_bm25_retract` oracle runs it over the survivor corpus. */
+  private[graft] def bm25CteFrom(rel: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel),
       |base AS (SELECT doc_id, toks, cast(len(toks) AS bigint) AS dl FROM t),
       |q AS (SELECT * FROM (VALUES ('table'), ('window'), ('agg')) v(token)),
       |tok AS (SELECT doc_id, unnest(toks) AS token FROM base),

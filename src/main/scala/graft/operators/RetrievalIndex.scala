@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained lexical retrieval index — incremental BM25 (r13): the
+  * increment/takedown discipline applied to the RETRIEVAL family, which
+  * completes the maintenance matrix across every index this library
+  * serves (MinHash signature index, embedding sketch index, ANN serving
+  * index, ER link/label state — and now the inverted index).
+  *
+  * State = the classical inverted-index pair:
+  *   - `postings(doc_id, token, tf)` — one row per distinct (doc, term);
+  *   - `doclens(doc_id, dl)` — per-document token counts.
+  *
+  * Every global in the BM25 formula (df, n_docs, total_dl) is an
+  * ADDITIVE count derived from that state at query time
+  * ([[LlmQueries.bm25Score]], the one scoring tail shared with the
+  * from-text `q_bm25_topk` path), which is what makes maintenance EXACT
+  * with no rescoring step:
+  *   - ADDING a document batch appends its postings and doclens rows —
+  *     df/n_docs/total_dl shift implicitly for every term, including
+  *     terms the batch never mentions (their idf falls as N grows), and
+  *     the derived scores equal a full-corpus recompute to the bit;
+  *   - DELETING a batch anti-joins both tables — again every derived
+  *     global lands exactly on the recompute-over-survivors value. A
+  *     score CACHE would go stale on every add (idf moves globally);
+  *     derived-at-query-time counts cannot.
+  *
+  * 100 TB shape: postings are token-keyed — bucket/partition them by
+  * token so a query's scan prunes to its terms' postings lists (the
+  * demo shows the pushed `In(token, …)` filter on the flat layout;
+  * production buckets). Appends are new `batch=` partials and takedowns
+  * fold into the [[graft.streaming.IndexCompaction]] write-then-swap,
+  * exactly like the signature and vector indexes. The query-time work
+  * is |terms| bounded: postings rows for the query terms, one bounded
+  * df aggregate, one doclens aggregate (at scale, a maintained running
+  * (n_docs, total_dl) pair — also additive), top-k via
+  * TakeOrderedAndProject. */
+object RetrievalIndex {
+
+  private val Terms = Seq("table", "window", "agg")
+  private val K = 15
+
+  /** Tokenize `docs` into the two state tables. One pass: postings are
+    * the (doc, term) tf aggregate, doclens a map-side projection. */
+  private def writeState(docs: DataFrame, postingsPath: String,
+      doclensPath: String): Unit = {
+    val base = docs.selectExpr("doc_id", "split(text, ' ') AS _toks")
+    base.select(col("doc_id"), explode(col("_toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(postingsPath)
+    base.select(col("doc_id"),
+        expr("cast(size(_toks) AS bigint)").as("dl"))
+      .write.mode("overwrite").parquet(doclensPath)
+  }
+
+  /** Build-once index state (the LabelBase discipline): `old` = the
+    * corpus minus the incoming `doc_id % 5 = 4` batch (the increment
+    * starts here), `all` = the full corpus (the takedown starts here). */
+  private[graft] object Bm25Base {
+    def ensure(s: SparkSession, d: String): (String, String) = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_bm25_base/$tag"
+      val (p, l) = (s"$root/postings_old", s"$root/doclens_old")
+      if (!new java.io.File(s"$p/_SUCCESS").exists() ||
+          !new java.io.File(s"$l/_SUCCESS").exists()) {
+        writeState(Tables.spread(s, Tables.documents(s, d))
+          .filter(expr("doc_id % 5 <> 4")), p, l)
+      }
+      (p, l)
+    }
+
+    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_bm25_base/$tag"
+      val (p, l) = (s"$root/postings_all", s"$root/doclens_all")
+      if (!new java.io.File(s"$p/_SUCCESS").exists() ||
+          !new java.io.File(s"$l/_SUCCESS").exists()) {
+        writeState(Tables.spread(s, Tables.documents(s, d)), p, l)
+      }
+      (p, l)
+    }
+  }
+
+  /** The query-term tf rows of a NEW document batch — the only
+    * tokenization an increment performs (the indexed corpus is state,
+    * never re-read as text). */
+  private def batchTf(batch: DataFrame): (DataFrame, DataFrame) = {
+    val base = batch.selectExpr("doc_id", "split(text, ' ') AS _toks")
+    val tf = base.select(col("doc_id"), explode(col("_toks")).as("token"))
+      .filter(col("token").isin(Terms.distinct: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dls = base.select(col("doc_id"),
+      expr("cast(size(_toks) AS bigint)").as("dl"))
+    (tf, dls)
+  }
+
+  /** INCREMENT (`q_bm25_increment`): serve the query from the persisted
+    * state UNION the incoming batch's delta. The state side reads only
+    * the query terms' postings (pushed `In(token, …)` — the bucketed
+    * pruned scan at production layout) plus the doclens table; the
+    * batch side tokenizes ONLY the batch. Scores ≡ the full-corpus
+    * recompute (`q_bm25_topk`'s oracle, shared verbatim) because every
+    * derived global is additive over the union. */
+  private def qBm25Increment(s: SparkSession, d: String): DataFrame = {
+    val (postingsPath, doclensPath) = Bm25Base.ensure(s, d)
+    val (btf, bdl) = batchTf(Tables.spread(s, Tables.documents(s, d))
+      .filter(expr("doc_id % 5 = 4")))
+    val tf = s.read.parquet(postingsPath)
+      .filter(col("token").isin(Terms.distinct: _*))
+      .unionByName(btf)
+    val doclens = s.read.parquet(doclensPath).unionByName(bdl)
+    LlmQueries.bm25Score(tf, doclens, K)
+  }
+
+  /** TAKEDOWN (`q_bm25_retract`): anti-join the deleted batch out of
+    * both state tables and serve — no tokenization anywhere (the plan
+    * pin asserts it), no rescoring step, and the derived df/n_docs/
+    * total_dl land exactly on the recompute-over-survivors values. */
+  private def qBm25Retract(s: SparkSession, d: String): DataFrame = {
+    val (postingsPath, doclensPath) = Bm25Base.ensureAll(s, d)
+    val del = Tables.documents(s, d)
+      .filter(expr("doc_id % 7 = 3")).select(col("doc_id").as("_did"))
+    val tf = s.read.parquet(postingsPath)
+      .filter(col("token").isin(Terms.distinct: _*))
+      .join(del, col("doc_id") === col("_did"), "left_anti")
+    val doclens = s.read.parquet(doclensPath)
+      .join(del, col("doc_id") === col("_did"), "left_anti")
+    LlmQueries.bm25Score(tf, doclens, K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_increment" -> qBm25Increment _,
+    "q_bm25_retract" -> qBm25Retract _)
+
+  val oracle: Map[String, String] = Map(
+    // increment ≡ full recompute — the oracle IS q_bm25_topk's, shared
+    // verbatim (one string, zero drift)
+    "q_bm25_increment" -> LlmQueries.oracle("q_bm25_topk"),
+    // takedown ≡ recompute over survivors — the same shared CTE chain
+    // over the survivor corpus
+    "q_bm25_retract" ->
+      s"""WITH ${LlmQueries.bm25CteFrom(
+             "(SELECT * FROM documents WHERE NOT (doc_id % 7 = 3))")}
+         |SELECT doc_id, n_hit, score_micro FROM bm
+         |ORDER BY score_micro DESC, doc_id LIMIT $K""".stripMargin)
+}

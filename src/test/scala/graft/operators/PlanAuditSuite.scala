@@ -681,6 +681,38 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("ccq"), p)
   }
 
+  test("q_bm25_increment reads postings state pruned to the query terms; " +
+      "only the BATCH tokenizes") {
+    val p = plan("q_bm25_increment")
+    // both state tables come from parquet
+    assert("graft_bm25_base".r.findAllIn(p).size >= 2,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // the postings scan prunes to the query terms (pushed In filter —
+    // the bucketed pruned scan at production layout)
+    assert(p.contains("In(token"), p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+    // only the BATCH tokenizes: every documents.parquet scan carries the
+    // batch filter — the indexed corpus is state, never re-read as text
+    // (split() repeats textually per projection reuse, so the pin is on
+    // the scans, not the expression count)
+    val docScans = p.linesIterator
+      .filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(_.contains("% 5) = 4")),
+      docScans.mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_bm25_retract is a pure state takedown — anti-joins, no " +
+      "tokenization anywhere") {
+    val p = plan("q_bm25_retract")
+    assert("graft_bm25_base".r.findAllIn(p).size >= 2,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(p.contains("In(token"), p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!p.contains("split("), "takedown re-tokenized")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_ann_retract serves the TAKEDOWN generation — pruned scan of " +
       "the retracted layout, never the base index or raw embeddings") {
     val p = plan("q_ann_retract")
