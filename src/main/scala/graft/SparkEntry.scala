@@ -46,6 +46,7 @@ object SparkEntry {
       streaming.EnrichStream.queries,
       streaming.BloomStream.queries,
       streaming.ErStream.queries,
+      streaming.Bm25Stream.queries,
       streaming.DriftStream.queries,
       streaming.GapStream.queries,
       streaming.TrendStream.queries,
@@ -78,6 +79,7 @@ object SparkEntry {
       streaming.EnrichStream.oracle ++
       streaming.BloomStream.oracle ++
       streaming.ErStream.oracle ++
+      streaming.Bm25Stream.oracle ++
       streaming.DriftStream.oracle ++
       streaming.GapStream.oracle ++
       streaming.TrendStream.oracle ++

@@ -43,18 +43,36 @@ object RetrievalIndex {
   private val Terms = Seq("table", "window", "agg")
   private val K = 15
 
-  /** Tokenize `docs` into the two state tables. One pass: postings are
-    * the (doc, term) tf aggregate, doclens a map-side projection. */
-  private def writeState(docs: DataFrame, postingsPath: String,
-      doclensPath: String): Unit = {
+  /** Tokenize `docs` into the two state frames: postings = the
+    * (doc, term) tf aggregate, doclens = a map-side projection. Shared
+    * by the batch state builder and the streaming ingest
+    * ([[graft.streaming.Bm25Stream]]) so the indexed form can never
+    * drift between them. */
+  private[graft] def tokenize(docs: DataFrame): (DataFrame, DataFrame) = {
     val base = docs.selectExpr("doc_id", "split(text, ' ') AS _toks")
-    base.select(col("doc_id"), explode(col("_toks")).as("token"))
+    val postings = base
+      .select(col("doc_id"), explode(col("_toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(postingsPath)
-    base.select(col("doc_id"),
-        expr("cast(size(_toks) AS bigint)").as("dl"))
-      .write.mode("overwrite").parquet(doclensPath)
+    val doclens = base.select(col("doc_id"),
+      expr("cast(size(_toks) AS bigint)").as("dl"))
+    (postings, doclens)
+  }
+
+  /** Serve the standard query from ANY (postings, doclens) pair — the
+    * read path shared by the batch increment/takedown and the streaming
+    * ingest. */
+  private[graft] def serve(postings: DataFrame,
+      doclens: DataFrame): DataFrame =
+    LlmQueries.bm25Score(
+      postings.filter(col("token").isin(Terms.distinct: _*)),
+      doclens, K)
+
+  private def writeState(docs: DataFrame, postingsPath: String,
+      doclensPath: String): Unit = {
+    val (postings, doclens) = tokenize(docs)
+    postings.write.mode("overwrite").parquet(postingsPath)
+    doclens.write.mode("overwrite").parquet(doclensPath)
   }
 
   /** Build-once index state (the LabelBase discipline): `old` = the

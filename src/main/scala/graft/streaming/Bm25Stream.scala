@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.operators.RetrievalIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** STREAMING ingest for the maintained inverted index (r13) — the
+  * continuous form of `q_bm25_increment`, squaring the maintenance
+  * matrix for the retrieval family (batch increment + streaming
+  * increment + takedown, like the signature, sketch, ANN and ER
+  * states): document batches arrive as a stream and each micro-batch
+  * tokenizes ONLY ITSELF ([[RetrievalIndex.tokenize]], shared with the
+  * batch builder) and appends its postings/doclens rows as `batch=<id>`
+  * partials.
+  *
+  * Exactly-once: both writes are keyed by the streaming batch id and
+  * OVERWRITE (the [[DedupStream]] discipline) — a foreachBatch replay
+  * rewrites the same partials, never double-counts a document, and a
+  * double-counted document is exactly what BM25's derived globals
+  * would amplify (n_docs and every df would inflate).
+  *
+  * Serving needs NO merge step: the read path unions the partials and
+  * derives df/n_docs/total_dl at query time ([[RetrievalIndex.serve]]),
+  * so a query sees every fully-ingested batch the moment its partial
+  * commits — the additive-globals argument makes stream ≡ recompute
+  * literal, and the driver hash-checks it against `q_bm25_topk`'s
+  * full-corpus oracle. At 100 TB the partials compact with
+  * [[IndexCompaction]] (token-bucketed rewrite) exactly like the
+  * signature index. */
+object Bm25Stream {
+
+  /** One micro-batch step — the foreachBatch body, callable directly
+    * for replay-idempotence specs. */
+  def processBatch(batch: DataFrame, batchId: Long, postingsDir: String,
+      doclensDir: String): Unit = {
+    val (postings, doclens) = RetrievalIndex.tokenize(batch)
+    postings.write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
+    doclens.write.mode("overwrite").parquet(s"$doclensDir/batch=$batchId")
+  }
+
+  /** Attach continuous indexing to a streaming frame of documents
+    * (`doc_id`, `text`). */
+  def start(docs: DataFrame, postingsDir: String, doclensDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, id: Long) =>
+        processBatch(b, id, postingsDir, doclensDir))
+      .start()
+
+  /** The served query over the accumulated partials. */
+  def serveFrom(s: SparkSession, postingsDir: String,
+      doclensDir: String): DataFrame =
+    RetrievalIndex.serve(
+      s.read.parquet(postingsDir).drop("batch"),
+      s.read.parquet(doclensDir).drop("batch"))
+
+  /** Driver-checked (`s_bm25_index`): split the corpus into 4
+    * deterministic micro-batches (one parquet file each, streamed with
+    * maxFilesPerTrigger=1), run the ingest to completion, and serve the
+    * standard query from the accumulated state — hash-checked against
+    * `q_bm25_topk`'s full-recompute oracle (stream ≡ recompute is the
+    * declared contract). */
+  def sBm25Index(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"/tmp/graft_stream_bm25/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val docs = graft.Tables.spread(s, graft.Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val docDir = new java.io.File(root, "docs")
+    // Batch files are a deterministic function of the input dir — cached
+    // across runs; only the stream state resets per run.
+    Seq("checkpoint", "postings", "doclens")
+      .foreach(n => rm(new java.io.File(root, n)))
+    if (!new java.io.File(docDir, "_GRAFT_DOCS").exists()) {
+      (0 until 4).foreach { b =>
+        docs.filter(expr(s"(doc_id div 4) % 4 = $b"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(docDir, s"b$b").getAbsolutePath)
+      }
+      new java.io.File(docDir, "_GRAFT_DOCS").createNewFile(): Unit
+    }
+    val postingsDir = new java.io.File(root, "postings").getAbsolutePath
+    val doclensDir = new java.io.File(root, "doclens").getAbsolutePath
+    start(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${docDir.getAbsolutePath}/*"),
+      postingsDir, doclensDir,
+      new java.io.File(root, "checkpoint").getAbsolutePath)
+      .awaitTermination()
+    serveFrom(s, postingsDir, doclensDir)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_bm25_index" -> (sBm25Index _))
+
+  val oracle: Map[String, String] = Map(
+    // stream ≡ recompute: the SAME full-corpus oracle as q_bm25_topk
+    // and q_bm25_increment — one string for all three forms.
+    "s_bm25_index" -> graft.operators.LlmQueries.oracle("q_bm25_topk"))
+}

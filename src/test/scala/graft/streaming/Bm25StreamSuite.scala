@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming inverted-index ingest: stream ≡ recompute, and a replayed
+  * micro-batch (the exactly-once failure mode BM25's derived globals
+  * would amplify — n_docs and every df inflate on a double-count) is a
+  * no-op. */
+class Bm25StreamSuite extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("streamed index serves exactly the full-corpus recompute") {
+    val s = TestSpark.spark
+    assert(rows(SparkEntry.queries("s_bm25_index")(s, sf)) ==
+      rows(SparkEntry.queries("q_bm25_topk")(s, sf)))
+  }
+
+  test("replaying a micro-batch is a no-op (batch= overwrite discipline)") {
+    val s = TestSpark.spark
+    val root = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    val (b0, b1) = (docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")))
+    Bm25Stream.processBatch(b0, 0L, s"$root/p", s"$root/l")
+    Bm25Stream.processBatch(b1, 1L, s"$root/p", s"$root/l")
+    val before = rows(Bm25Stream.serveFrom(s, s"$root/p", s"$root/l"))
+    // crash-replay of batch 1: same data, same id — must rewrite, never
+    // double-count
+    Bm25Stream.processBatch(b1, 1L, s"$root/p", s"$root/l")
+    val after = rows(Bm25Stream.serveFrom(s, s"$root/p", s"$root/l"))
+    assert(after == before)
+    assert(before == rows(graft.operators.LlmQueries.bm25Rank(docs,
+      "doc_id", "text", Seq("table", "window", "agg"), k = 15)))
+  }
+}
