@@ -32,9 +32,9 @@ import org.apache.spark.sql.DataFrame
   * block-manager / shuffle / broadcast state to exactly what a per-job
   * cluster submission starts from; the JVM's JIT and the static codegen
   * cache survive the restart, so one untimed warm rep after each restart
-  * (executions per query stay 4: 1 warm + 3 timed) restores the warm
-  * state the old global warm-up pass provided — without the shared-fate
-  * pollution. Restart cost (~0.5 s × |queries|) is untimed wall-clock,
+  * (executions per query: 1 warm + 3 timed, or 1 + 5 for the sub-second
+  * cohort) restores the warm state the old global warm-up pass
+  * provided — without the shared-fate pollution. Restart cost (~0.5 s × |queries|) is untimed wall-clock,
   * never part of any rep.
   */
 object Bench {

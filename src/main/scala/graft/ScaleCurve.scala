@@ -128,6 +128,10 @@ object ScaleCurve {
   }
 
   private def fmt(v: Double): String =
+    if (v.isNaN) "null" // a failed leg's slope — keep the JSON parseable
+    else fmtNum(v)
+
+  private def fmtNum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** Least-squares slope of ln(t) on ln(k). */
@@ -143,6 +147,13 @@ object ScaleCurve {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = args.headOption.filter(_.nonEmpty)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
+    // The copy transforms are injective only up to their alphabet: at
+    // k > 26 the Caesar rotation wraps (copy j ≡ copy j−26, letter-
+    // identical — the cross-copy near-dup inflation the rotation exists
+    // to prevent), and an embedding rotation needs j < dim. Fail loudly
+    // instead of silently corrupting the exponent.
+    require(scales.nonEmpty && scales.forall(k => k >= 1 && k <= 26),
+      s"scales must be in [1, 26] (letter-rotation alphabet), got $scales")
     val outJson = args.drop(1).headOption.getOrElse("SCALECURVE.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     // v2: the part stride moved to lcm 40 for q_er_increment's batch
@@ -168,18 +179,28 @@ object ScaleCurve {
         spark.sparkContext.setLogLevel("WARN")
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // warm rep; timed pass reports
-        val reps = (1 to Reps).map { _ =>
+        // A failing (query, scale) records -1 and the run continues —
+        // one OOM hours in must not discard every other engine's curve.
+        val reps = (1 to Reps).flatMap { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $name x$k FAILED: ${e.getMessage}")
+            None
+          }
         }
         try spark.stop() catch { case _: Throwable => () }
-        val med = reps.sorted.apply(Reps / 2)
+        val med = if (reps.length == Reps) reps.sorted.apply(Reps / 2) else -1.0
         System.err.println(s"[scale] $name x$k ($table): ${fmt(med)} s")
         k -> med
       }
-      val full = slope(times)
-      val tail = slope(times.takeRight(2))
+      // Slopes fit only the scales that succeeded; a failed leg poisons
+      // neither the log-log fit nor the other queries.
+      val ok = times.filter(_._2 > 0)
+      val full = if (ok.length >= 2) slope(ok) else Double.NaN
+      val tail = if (ok.length >= 2) slope(ok.takeRight(2)) else Double.NaN
       (name, table, times, full, tail)
     }
 

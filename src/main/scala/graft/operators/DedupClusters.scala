@@ -43,6 +43,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Seed the closure's label table — the input contract of
+    * [[closeWithNewEdges]], ONE definition for its three consumers
+    * (ER increment, streaming ER, dedup-cluster increment): every node
+    * of `nodes` (first column = id) takes its converged label from
+    * `labels` (first column = id, second = component) or itself — nodes
+    * absent from yesterday's state (the incoming batch, catalog growth)
+    * enter as singletons. Returns (id, comp). */
+  def seedLabels(nodes: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col(labels.columns.head).as("_lid"),
+      col(labels.columns(1)).as("_lc"))
+    nodes.select(col(nodes.columns.head).as("id"))
+      .join(l, col("id") === col("_lid"), "left")
+      .select(col("id"), coalesce(col("_lc"), col("id")).as("comp"))
+  }
+
   /** Close converged labels `(id, comp)` under NEW edges by CONTRACTION:
     * map each new edge to its endpoints' current components (two
     * equi-joins against the label table — linear scans, the edge side is
@@ -314,10 +329,8 @@ object DedupClusters {
     // singletons; the closure then runs by CONTRACTION over the O(batch)
     // component graph (r13 — replaces star-edge re-entry, which dragged
     // one edge per non-singleton member through every CC round).
-    val seeded = nodes.select(col(idCol).as("id"))
-      .join(labels.select(col(idCol).as("_lid"),
-        col("component").as("_lc")), col("id") === col("_lid"), "left")
-      .select(col("id"), coalesce(col("_lc"), col("id")).as("comp"))
+    val seeded = ConnectedComponents.seedLabels(nodes.select(col(idCol)),
+      labels.select(col(idCol), col("component")))
     ConnectedComponents.closeWithNewEdges(seeded,
         newPairs.select(col(srcCol).as("e1"), col(dstCol).as("e2")))
       .select(col("id").as(idCol), col("comp").as("component"))
@@ -375,41 +388,37 @@ object DedupClusters {
     * label table (the [[graft.operators.CdcQueries]] MvBase discipline;
     * first call in a JVM pays the build, covered by the bench warm-up). */
   private[graft] object LabelBase {
-    def ensure(s: SparkSession, d: String): String = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_label_base/$tag"
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+    def ensure(s: SparkSession, d: String): String = {
+      val root = FixtureBase.ensure("graft_label_base", 1, d,
+          Seq("labels_old")) { r =>
         clusters(
             Tables.spread(s, Tables.documents(s, d))
               .filter(expr("doc_id % 5 <> 4")),
             "doc_id", "text", LlmQueries.JaccardThreshold)
           .select(col("doc_id"), col("component"))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(s"$r/labels_old")
       }
-      path
+      s"$root/labels_old"
     }
 
     /** Full-corpus state for [[qClusterRetract]]: the pair log AND the
       * converged labels over ALL documents — what a finished maintenance
       * run persists, and the state retraction starts from. */
-    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_label_base/$tag"
-      val (pairsPath, labelsPath) = (s"$root/pairs_all", s"$root/labels_all")
-      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+    def ensureAll(s: SparkSession, d: String): (String, String) = {
+      val root = FixtureBase.ensure("graft_label_base", 1, d,
+          Seq("pairs_all", "labels_all")) { r =>
         graft.functions.TextHash.ensureRegistered(s)
         val docs = Tables.spread(s, Tables.documents(s, d))
         LlmQueries.minhashPairsUnordered(docs, "doc_id", "text",
             LlmQueries.JaccardThreshold)
           .select(col("doc_a"), col("doc_b"))
-          .write.mode("overwrite").parquet(pairsPath)
+          .write.mode("overwrite").parquet(s"$r/pairs_all")
         clustersFromPairs(docs.select(col("doc_id")), "doc_id",
-            s.read.parquet(pairsPath), "doc_a", "doc_b")
+            s.read.parquet(s"$r/pairs_all"), "doc_a", "doc_b")
           .select(col("doc_id"), col("component"))
-          .write.mode("overwrite").parquet(labelsPath)
+          .write.mode("overwrite").parquet(s"$r/labels_all")
       }
-      (pairsPath, labelsPath)
+      (s"$root/pairs_all", s"$root/labels_all")
     }
   }
 
@@ -418,25 +427,22 @@ object DedupClusters {
     * [[LlmQueries.derivePlanes]]) and the converged labels of the corpus
     * minus the incoming `vec_id % 5 = 4` batch. */
   private[graft] object EmbLabelBase {
-    def ensure(s: SparkSession, d: String): (String, String) = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_emb_label_base/$tag"
-      val (planesPath, labelsPath) = (s"$root/planes", s"$root/labels")
-      if (!new java.io.File(s"$planesPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+    def ensure(s: SparkSession, d: String): (String, String) = {
+      val root = FixtureBase.ensure("graft_emb_label_base", 1, d,
+          Seq("planes", "labels")) { r =>
         val old = Tables.spread(s, Tables.embeddings(s, d))
           .filter(expr("vec_id % 5 <> 4"))
         LlmQueries.derivePlanes(old, "vec_id", "embedding", 6)
-          .write.mode("overwrite").parquet(planesPath)
+          .write.mode("overwrite").parquet(s"$r/planes")
         val pairs = LlmQueries.embPairsWithPlanes(old, "vec_id",
-            "embedding", s.read.parquet(planesPath), 0.35)
+            "embedding", s.read.parquet(s"$r/planes"), 0.35)
           .select(col("vec_a"), col("vec_b"))
         clustersFromPairs(old.select(col("vec_id")), "vec_id", pairs,
             "vec_a", "vec_b")
           .select(col("vec_id"), col("component"))
-          .write.mode("overwrite").parquet(labelsPath)
+          .write.mode("overwrite").parquet(s"$r/labels")
       }
-      (planesPath, labelsPath)
+      (s"$root/planes", s"$root/labels")
     }
 
     /** Full-corpus state for [[qEmbClusterRetract]]: the pair log AND
@@ -445,22 +451,19 @@ object DedupClusters {
       * which, `vec_id = 3`, is itself in the takedown batch: the plane
       * SURVIVES its source vector's deletion, because plane identity is
       * index identity, not corpus membership). */
-    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_emb_label_base/$tag"
-      val (pairsPath, labelsPath) = (s"$root/pairs_all", s"$root/labels_all")
-      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+    def ensureAll(s: SparkSession, d: String): (String, String) = {
+      val root = FixtureBase.ensure("graft_emb_label_base", 1, d,
+          Seq("pairs_all", "labels_all")) { r =>
         val vecs = Tables.spread(s, Tables.embeddings(s, d))
         LlmQueries.embNearDupPairsCore(vecs, "vec_id", "embedding", 6, 0.35)
           .select(col("vec_a"), col("vec_b"))
-          .write.mode("overwrite").parquet(pairsPath)
+          .write.mode("overwrite").parquet(s"$r/pairs_all")
         clustersFromPairs(vecs.select(col("vec_id")), "vec_id",
-            s.read.parquet(pairsPath), "vec_a", "vec_b")
+            s.read.parquet(s"$r/pairs_all"), "vec_a", "vec_b")
           .select(col("vec_id"), col("component"))
-          .write.mode("overwrite").parquet(labelsPath)
+          .write.mode("overwrite").parquet(s"$r/labels_all")
       }
-      (pairsPath, labelsPath)
+      (s"$root/pairs_all", s"$root/labels_all")
     }
   }
 

@@ -174,10 +174,8 @@ object FuzzyJoin {
     val np = Materialize(newPairs)
     // Entities added since the last run enter as singletons — the state
     // stays valid under catalog growth, not just mention growth.
-    val base = entities.select(col(idCol).as("id"))
-      .join(oldLabels.withColumnRenamed("id", "_lid"),
-        col("id") === col("_lid"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val base = ConnectedComponents.seedLabels(
+      entities.select(col(idCol)), oldLabels)
     val comp = closeWithNewEdges(base, entityProjection(np))
     resolveTail(oldPairs.unionByName(np.select(oldPairs.columns.map(col): _*)),
       comp)
@@ -292,40 +290,34 @@ object FuzzyJoin {
     * exactly these two tables: re-blocking the whole corpus per batch is
     * the thing incremental ER exists to avoid. */
   private[graft] object ErBase {
-    def ensure(s: SparkSession, d: String): (String, String) = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_er_base/$tag"
-      val (pairsPath, labelsPath) = (s"$root/pairs", s"$root/labels")
-      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+    def ensure(s: SparkSession, d: String): (String, String) = {
+      val root = FixtureBase.ensure("graft_er_base", 1, d,
+          Seq("pairs", "labels")) { r =>
         val (catalog, mentions) = erFixture(s, d)
         editJoin1(catalog, "entity_id", "ename",
             mentions.filter(expr("(mention_id div 4) % 5 <> 4")),
             "mention_id", "mname")
-          .write.mode("overwrite").parquet(pairsPath)
-        erLabels(catalog, "entity_id", s.read.parquet(pairsPath))
-          .write.mode("overwrite").parquet(labelsPath)
+          .write.mode("overwrite").parquet(s"$r/pairs")
+        erLabels(catalog, "entity_id", s.read.parquet(s"$r/pairs"))
+          .write.mode("overwrite").parquet(s"$r/labels")
       }
-      (pairsPath, labelsPath)
+      (s"$root/pairs", s"$root/labels")
     }
 
     /** Full-corpus state for [[qErRetract]]: the link table + labels of
       * ALL mentions (the state a finished [[resolve]] run persists) —
       * retraction starts from a complete yesterday. */
-    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_er_base/$tag"
-      val (pairsPath, labelsPath) = (s"$root/pairs_all", s"$root/labels_all")
-      if (!new java.io.File(s"$pairsPath/_SUCCESS").exists() ||
-          !new java.io.File(s"$labelsPath/_SUCCESS").exists()) {
+    def ensureAll(s: SparkSession, d: String): (String, String) = {
+      val root = FixtureBase.ensure("graft_er_base", 1, d,
+          Seq("pairs_all", "labels_all")) { r =>
         val (catalog, mentions) = erFixture(s, d)
         editJoin1(catalog, "entity_id", "ename", mentions,
             "mention_id", "mname")
-          .write.mode("overwrite").parquet(pairsPath)
-        erLabels(catalog, "entity_id", s.read.parquet(pairsPath))
-          .write.mode("overwrite").parquet(labelsPath)
+          .write.mode("overwrite").parquet(s"$r/pairs_all")
+        erLabels(catalog, "entity_id", s.read.parquet(s"$r/pairs_all"))
+          .write.mode("overwrite").parquet(s"$r/labels_all")
       }
-      (pairsPath, labelsPath)
+      (s"$root/pairs_all", s"$root/labels_all")
     }
   }
 

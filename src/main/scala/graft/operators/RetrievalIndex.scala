@@ -79,27 +79,23 @@ object RetrievalIndex {
     * corpus minus the incoming `doc_id % 5 = 4` batch (the increment
     * starts here), `all` = the full corpus (the takedown starts here). */
   private[graft] object Bm25Base {
-    def ensure(s: SparkSession, d: String): (String, String) = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_bm25_base/$tag"
-      val (p, l) = (s"$root/postings_old", s"$root/doclens_old")
-      if (!new java.io.File(s"$p/_SUCCESS").exists() ||
-          !new java.io.File(s"$l/_SUCCESS").exists()) {
+    def ensure(s: SparkSession, d: String): (String, String) = {
+      val root = FixtureBase.ensure("graft_bm25_base", 1, d,
+          Seq("postings_old", "doclens_old")) { r =>
         writeState(Tables.spread(s, Tables.documents(s, d))
-          .filter(expr("doc_id % 5 <> 4")), p, l)
+          .filter(expr("doc_id % 5 <> 4")),
+          s"$r/postings_old", s"$r/doclens_old")
       }
-      (p, l)
+      (s"$root/postings_old", s"$root/doclens_old")
     }
 
-    def ensureAll(s: SparkSession, d: String): (String, String) = synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_bm25_base/$tag"
-      val (p, l) = (s"$root/postings_all", s"$root/doclens_all")
-      if (!new java.io.File(s"$p/_SUCCESS").exists() ||
-          !new java.io.File(s"$l/_SUCCESS").exists()) {
-        writeState(Tables.spread(s, Tables.documents(s, d)), p, l)
+    def ensureAll(s: SparkSession, d: String): (String, String) = {
+      val root = FixtureBase.ensure("graft_bm25_base", 1, d,
+          Seq("postings_all", "doclens_all")) { r =>
+        writeState(Tables.spread(s, Tables.documents(s, d)),
+          s"$r/postings_all", s"$r/doclens_all")
       }
-      (p, l)
+      (s"$root/postings_all", s"$root/doclens_all")
     }
   }
 

@@ -71,10 +71,8 @@ object ErStream {
       case None => catalog.select(col("entity_id").as("id"),
         col("entity_id").as("comp")).limit(0)
     }
-    val seeded = catalog.select(col("entity_id").as("id"))
-      .join(prevLabels.withColumnRenamed("id", "_lid"),
-        col("id") === col("_lid"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val seeded = graft.operators.ConnectedComponents.seedLabels(
+      catalog.select(col("entity_id")), prevLabels)
     FuzzyJoin.closeWithNewEdges(seeded, newEdges)
       .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
     if (sys.env.contains("GRAFT_TRACE"))
