@@ -63,6 +63,9 @@ object ScaleCurve {
     "q_er_increment" -> "part",
     // r13 maintenance legs (state built untimed in the warm rep, same
     // as q_er_increment): the text-cluster increment, and the takedown.
+    // The BM25 maintenance family is excluded for q_bm25_topk's pinned
+    // reason — its literal query terms survive rotation only in copy 0,
+    // so the scored set wouldn't grow with the corpus.
     // The takedown batch is the %7 slice — a fixed FRACTION, so its
     // expected slope is ~1 (the linear pair-log/label anti-joins plus a
     // re-close that follows the deletion); a slope near 2 would mean
