@@ -447,6 +447,28 @@ object Graft {
                k1: Double = 1.2, b: Double = 0.75): DataFrame =
     LlmQueries.bm25Rank(docs, idCol, textCol, terms, k, k1, b)
 
+  /** Tokenize a corpus into the maintained inverted-index state:
+    * `(postings(doc_id, token, tf), doclens(doc_id, dl))`. Persist both
+    * (bucket postings by token at scale); ADD a batch by appending its
+    * own `bm25Index` rows, DELETE one by anti-joining on the id — both
+    * exact with no rescoring, because every global in the BM25 formula
+    * (df, n_docs, total_dl) is an additive count [[bm25Serve]] derives
+    * at query time. Streaming ingest: [[graft.streaming.Bm25Stream]]. */
+  def bm25Index(docs: DataFrame, idCol: String,
+                textCol: String): (DataFrame, DataFrame) =
+    graft.operators.RetrievalIndex.tokenize(
+      docs.selectExpr(s"$idCol AS doc_id", s"$textCol AS text"))
+
+  /** Serve a BM25 query from [[bm25Index]]-maintained state — identical
+    * arithmetic (and results) to [[bm25Rank]] over the equivalent
+    * corpus; the postings scan prunes to the query terms. */
+  def bm25Serve(postings: DataFrame, doclens: DataFrame,
+                terms: Seq[String], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    LlmQueries.bm25Score(
+      postings.filter(col("token").isin(terms.distinct: _*)),
+      doclens, k, k1, b)
+
   /** Context-window chunking: each document's token stream cut into
     * windows of `window` tokens overlapping by `overlap` — trainer/RAG
     * passage shaping. Map-side explode, no shuffle; returns (doc_id,

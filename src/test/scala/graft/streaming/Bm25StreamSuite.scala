@@ -20,6 +20,20 @@ class Bm25StreamSuite extends AnyFunSuite {
       rows(SparkEntry.queries("q_bm25_topk")(s, sf)))
   }
 
+  test("partials compact without changing what the index serves") {
+    val s = TestSpark.spark
+    val root = java.nio.file.Files.createTempDirectory("bm25_compact").toString
+    val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { b =>
+      Bm25Stream.processBatch(docs.filter(expr(s"doc_id % 3 = $b")),
+        b.toLong, s"$root/p", s"$root/l")
+    }
+    val before = rows(Bm25Stream.serveFrom(s, s"$root/p", s"$root/l"))
+    assert(IndexCompaction.compact(s, s"$root/p") == 3)
+    assert(IndexCompaction.compact(s, s"$root/l") == 3)
+    assert(rows(Bm25Stream.serveFrom(s, s"$root/p", s"$root/l")) == before)
+  }
+
   test("replaying a micro-batch is a no-op (batch= overwrite discipline)") {
     val s = TestSpark.spark
     val root = java.nio.file.Files.createTempDirectory("bm25_replay").toString
