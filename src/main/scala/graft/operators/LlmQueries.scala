@@ -1311,11 +1311,24 @@ object LlmQueries {
     * ADDITIVE count, so a merged (appended / anti-joined) state scores
     * identically to a recompute. */
   private[graft] def bm25Score(tf: DataFrame, doclens: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoreStats(tf, doclens,
+      doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")),
+      k, k1, b)
+
+  /** [[bm25Score]] with the corpus stats supplied as a 1-row
+    * (n_docs, total_dl) frame instead of derived by a full doclens
+    * aggregate — the maintained-index serving shape: both numbers are
+    * additive, so the index keeps a running pair (add the batch's on
+    * increment, subtract the deleted batch's on takedown) and a query
+    * never pays a corpus-wide pass for two longs. The per-candidate dl
+    * JOIN below still reads doclens, but only the tf docs' rows survive
+    * it (doc_id-bucketed at production layout). */
+  private[graft] def bm25ScoreStats(tf: DataFrame, doclens: DataFrame,
+      stats: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val stats = doclens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_dl"))
     val scored = tf
       .join(broadcast(df), "token")
       .join(doclens.select("doc_id", "dl"), "doc_id")

@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   * fold into the [[graft.streaming.IndexCompaction]] write-then-swap,
   * exactly like the signature and vector indexes. The query-time work
   * is |terms| bounded: postings rows for the query terms, one bounded
-  * df aggregate, one doclens aggregate (at scale, a maintained running
-  * (n_docs, total_dl) pair — also additive), top-k via
+  * df aggregate, the MAINTAINED 1-row (n_docs, total_dl) stats pair
+  * (additive like everything else — increments add the batch's row,
+  * takedowns subtract the deleted batch's; a query never pays a
+  * corpus-wide doclens pass for two longs), top-k via
   * TakeOrderedAndProject. */
 object RetrievalIndex {
 
@@ -69,33 +71,50 @@ object RetrievalIndex {
       doclens, K)
 
   private def writeState(docs: DataFrame, postingsPath: String,
-      doclensPath: String): Unit = {
+      doclensPath: String, statsPath: String): Unit = {
     val (postings, doclens) = tokenize(docs)
     postings.write.mode("overwrite").parquet(postingsPath)
     doclens.write.mode("overwrite").parquet(doclensPath)
+    // the maintained running pair — both additive, so increments add
+    // the batch's row and takedowns subtract the deleted batch's; a
+    // query never pays a corpus-wide pass for two longs
+    statsOf(doclens).write.mode("overwrite").parquet(statsPath)
   }
+
+  private def statsOf(doclens: DataFrame): DataFrame =
+    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+  /** Sum 1-row (n_docs, total_dl) frames with signs — the additive
+    * stats maintenance (increment: +batch; takedown: −deleted). */
+  private def statsMerge(parts: (DataFrame, Int)*): DataFrame =
+    parts.map { case (st, sign) =>
+      st.select((col("n_docs") * sign).as("n_docs"),
+        (col("total_dl") * sign).as("total_dl"))
+    }.reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
 
   /** Build-once index state (the LabelBase discipline): `old` = the
     * corpus minus the incoming `doc_id % 5 = 4` batch (the increment
     * starts here), `all` = the full corpus (the takedown starts here). */
   private[graft] object Bm25Base {
-    def ensure(s: SparkSession, d: String): (String, String) = {
-      val root = FixtureBase.ensure("graft_bm25_base", 1, d,
-          Seq("postings_old", "doclens_old")) { r =>
+    def ensure(s: SparkSession, d: String): (String, String, String) = {
+      val root = FixtureBase.ensure("graft_bm25_base", 2, d,
+          Seq("postings_old", "doclens_old", "stats_old")) { r =>
         writeState(Tables.spread(s, Tables.documents(s, d))
           .filter(expr("doc_id % 5 <> 4")),
-          s"$r/postings_old", s"$r/doclens_old")
+          s"$r/postings_old", s"$r/doclens_old", s"$r/stats_old")
       }
-      (s"$root/postings_old", s"$root/doclens_old")
+      (s"$root/postings_old", s"$root/doclens_old", s"$root/stats_old")
     }
 
-    def ensureAll(s: SparkSession, d: String): (String, String) = {
-      val root = FixtureBase.ensure("graft_bm25_base", 1, d,
-          Seq("postings_all", "doclens_all")) { r =>
+    def ensureAll(s: SparkSession, d: String): (String, String, String) = {
+      val root = FixtureBase.ensure("graft_bm25_base", 2, d,
+          Seq("postings_all", "doclens_all", "stats_all")) { r =>
         writeState(Tables.spread(s, Tables.documents(s, d)),
-          s"$r/postings_all", s"$r/doclens_all")
+          s"$r/postings_all", s"$r/doclens_all", s"$r/stats_all")
       }
-      (s"$root/postings_all", s"$root/doclens_all")
+      (s"$root/postings_all", s"$root/doclens_all", s"$root/stats_all")
     }
   }
 
@@ -121,14 +140,18 @@ object RetrievalIndex {
     * recompute (`q_bm25_topk`'s oracle, shared verbatim) because every
     * derived global is additive over the union. */
   private def qBm25Increment(s: SparkSession, d: String): DataFrame = {
-    val (postingsPath, doclensPath) = Bm25Base.ensure(s, d)
+    val (postingsPath, doclensPath, statsPath) = Bm25Base.ensure(s, d)
     val (btf, bdl) = batchTf(Tables.spread(s, Tables.documents(s, d))
       .filter(expr("doc_id % 5 = 4")))
     val tf = s.read.parquet(postingsPath)
       .filter(col("token").isin(Terms.distinct: _*))
       .unionByName(btf)
-    val doclens = s.read.parquet(doclensPath).unionByName(bdl)
-    LlmQueries.bm25Score(tf, doclens, K)
+    val bdlM = Materialize(bdl) // feeds both the dl join and the stats add
+    val doclens = s.read.parquet(doclensPath).unionByName(bdlM)
+    // the maintained running pair + the batch's — never a corpus pass
+    val stats = statsMerge(
+      (s.read.parquet(statsPath), 1), (statsOf(bdlM), 1))
+    LlmQueries.bm25ScoreStats(tf, doclens, stats, K)
   }
 
   /** TAKEDOWN (`q_bm25_retract`): anti-join the deleted batch out of
@@ -136,7 +159,7 @@ object RetrievalIndex {
     * pin asserts it), no rescoring step, and the derived df/n_docs/
     * total_dl land exactly on the recompute-over-survivors values. */
   private def qBm25Retract(s: SparkSession, d: String): DataFrame = {
-    val (postingsPath, doclensPath) = Bm25Base.ensureAll(s, d)
+    val (postingsPath, doclensPath, statsPath) = Bm25Base.ensureAll(s, d)
     val del = Tables.documents(s, d)
       .filter(expr("doc_id % 7 = 3")).select(col("doc_id").as("_did"))
     val tf = s.read.parquet(postingsPath)
@@ -144,7 +167,13 @@ object RetrievalIndex {
       .join(del, col("doc_id") === col("_did"), "left_anti")
     val doclens = s.read.parquet(doclensPath)
       .join(del, col("doc_id") === col("_did"), "left_anti")
-    LlmQueries.bm25Score(tf, doclens, K)
+    // running pair MINUS the deleted batch's — the deleted dl rows are
+    // a |batch|-bounded semi-join read, never a survivor pass
+    val stats = statsMerge(
+      (s.read.parquet(statsPath), 1),
+      (statsOf(s.read.parquet(doclensPath)
+        .join(del, col("doc_id") === col("_did"), "left_semi")), -1))
+    LlmQueries.bm25ScoreStats(tf, doclens, stats, K)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
