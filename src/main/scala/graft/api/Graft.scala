@@ -351,8 +351,8 @@ object Graft {
 
   /** Entity-component labels `(id, comp)` of a link table — the compact
     * persistable connectivity state of a resolution run (one row per
-    * entity; star-edge re-entry makes the next increment's closure
-    * converge in ~2 rounds). */
+    * entity; the next increment's contraction closure joins new edges
+    * against this table and re-closes only the touched components). */
   def erLabels(entities: DataFrame, entityId: String,
                pairs: DataFrame): DataFrame =
     FuzzyJoin.erLabels(entities, entityId, pairs)
@@ -360,9 +360,16 @@ object Graft {
   /** Incremental entity resolution: yesterday's persisted state
     * (`oldPairs` link table + `oldLabels` from [[erLabels]]) merged with
     * the NEW batch's link table only — blocking/verify never re-runs on
-    * the old corpus, old connectivity re-enters as star edges, and
-    * cross-batch component merges fall out of the closure exactly
-    * (increment ≡ recompute, oracle-pinned by `q_er_increment`). */
+    * the old corpus; the contraction closure maps the new links to their
+    * endpoints' converged components and re-closes the O(batch)
+    * component-level graph, so cross-batch merges fall out exactly
+    * (increment ≡ recompute, oracle-pinned by `q_er_increment`).
+    *
+    * Contract: every entity id referenced by `newPairs` must appear in
+    * `entities` — the closure seeds labels from `entities`, and an edge
+    * whose endpoint is absent from the seeded label table contributes
+    * nothing (its merge is dropped, not raised). Same contract as
+    * [[clustersIncrement]]'s `nodes`. */
   def erIncrement(entities: DataFrame, entityId: String,
                   oldPairs: DataFrame, oldLabels: DataFrame,
                   newPairs: DataFrame): DataFrame =
@@ -1376,7 +1383,13 @@ object Graft {
     * to a full recompute (contraction closes the component-level graph,
     * bounded by the new pairs, and relabels only touched components),
     * without re-pairing the old corpus against itself. Compose with
-    * `nearDupPairsIncremental` for the pair side. */
+    * `nearDupPairsIncremental` for the pair side.
+    *
+    * Contract: every id referenced by `newPairs` must appear in `nodes`
+    * — labels are seeded from `nodes`, and an edge whose endpoint is
+    * absent from the seeded label table contributes nothing (its merge
+    * is dropped, not raised). Same contract as [[erIncrement]]'s
+    * `entities`. */
   def clustersIncrement(nodes: DataFrame, idCol: String, labels: DataFrame,
                         newPairs: DataFrame, srcCol: String,
                         dstCol: String): DataFrame =

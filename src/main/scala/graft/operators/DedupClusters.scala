@@ -71,7 +71,14 @@ object ConnectedComponents {
     * dedup-cluster and entity-resolution increments (batch and
     * streaming): per-batch cost never touches a corpus-sized graph —
     * star-edge re-entry, the previous form, dragged one edge per
-    * non-singleton member through every round. */
+    * non-singleton member through every round.
+    *
+    * Input contract: every endpoint of `newEdges` must appear in
+    * `oldLabels` (seed via [[seedLabels]] over the full node set) — the
+    * contraction inner-joins both endpoints against the label table, so
+    * an edge with an unseeded endpoint is silently dropped, not raised.
+    * The public API (`Graft.erIncrement` / `Graft.clustersIncrement`)
+    * documents the same contract on its `entities` / `nodes` input. */
   def closeWithNewEdges(oldLabels: DataFrame,
       newEdges: DataFrame): DataFrame = {
     val ce = Materialize(newEdges

@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** [[FuzzyJoin.qErIncrement]] — incremental ≡ recompute, the operator's
   * whole contract: resolving yesterday's state + the new batch through
-  * the star-edge closure must equal running the full batch pipeline from
-  * scratch, row for row. Plus the fixture-shape guards that make the
-  * equality non-vacuous. */
+  * the contraction closure (new links mapped to their endpoints'
+  * converged components, CC over the O(batch) contracted graph) must
+  * equal running the full batch pipeline from scratch, row for row.
+  * Plus the fixture-shape guards that make the equality non-vacuous. */
 class ErIncrementSuite extends AnyFunSuite {
   private val s = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
