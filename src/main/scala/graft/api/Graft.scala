@@ -455,12 +455,16 @@ object Graft {
     LlmQueries.bm25Rank(docs, idCol, textCol, terms, k, k1, b)
 
   /** Tokenize a corpus into the maintained inverted-index state:
-    * `(postings(doc_id, token, tf), doclens(doc_id, dl))`. Persist both
-    * (bucket postings by token at scale); ADD a batch by appending its
-    * own `bm25Index` rows, DELETE one by anti-joining on the id — both
-    * exact with no rescoring, because every global in the BM25 formula
-    * (df, n_docs, total_dl) is an additive count [[bm25Serve]] derives
-    * at query time. Streaming ingest: [[graft.streaming.Bm25Stream]]. */
+    * `(postings(doc_id, token, tf, dl, tb), doclens(doc_id, dl))`.
+    * Postings carry the document length `dl` denormalized into the row
+    * (impact-style — serving never joins doclens) and their `tb` token
+    * bucket (`crc32(token) mod 64`); persist postings `partitionBy(tb)`
+    * so a query's scan partition-prunes to its terms' buckets. ADD a
+    * batch by appending its own `bm25Index` rows, DELETE one by
+    * anti-joining on the id — both exact with no rescoring, because
+    * every global in the BM25 formula (df, n_docs, total_dl) is an
+    * additive count [[bm25Serve]] derives at query time. Streaming
+    * ingest: [[graft.streaming.Bm25Stream]]. */
   def bm25Index(docs: DataFrame, idCol: String,
                 textCol: String): (DataFrame, DataFrame) =
     graft.operators.RetrievalIndex.tokenize(
@@ -468,13 +472,18 @@ object Graft {
 
   /** Serve a BM25 query from [[bm25Index]]-maintained state — identical
     * arithmetic (and results) to [[bm25Rank]] over the equivalent
-    * corpus; the postings scan prunes to the query terms. */
+    * corpus. The postings side reads only the query terms' rows (filter
+    * the persisted layout's `tb=` buckets first for a partition-pruned
+    * scan); doclens feeds only the 1-row (n_docs, total_dl) aggregate —
+    * keep that pair maintained additively at scale and serving never
+    * scans a corpus-sized table. */
   def bm25Serve(postings: DataFrame, doclens: DataFrame,
                 terms: Seq[String], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    LlmQueries.bm25Score(
-      postings.filter(col("token").isin(terms.distinct: _*)),
-      doclens, k, k1, b)
+    LlmQueries.bm25ScoreStatsDl(
+      postings.filter(col("token").isin(terms.distinct: _*))
+        .select("doc_id", "token", "tf", "dl"),
+      graft.operators.RetrievalIndex.statsOf(doclens), k, k1, b)
 
   /** Context-window chunking: each document's token stream cut into
     * windows of `window` tokens overlapping by `overlap` — trainer/RAG

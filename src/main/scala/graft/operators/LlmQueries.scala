@@ -1326,12 +1326,24 @@ object LlmQueries {
     * it (doc_id-bucketed at production layout). */
   private[graft] def bm25ScoreStats(tf: DataFrame, doclens: DataFrame,
       stats: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoreStatsDl(tf.join(doclens.select("doc_id", "dl"), "doc_id"),
+      stats, k, k1, b)
+
+  /** [[bm25ScoreStats]] over tf rows that already CARRY their document's
+    * length (the maintained-index postings layout of [[RetrievalIndex]]
+    * denormalizes `dl` into the postings row, the classical impact-style
+    * posting) — serving then never touches the doclens table at all: the
+    * whole plan is the token-bucket-pruned postings scan plus two
+    * broadcast one-row/|terms|-row frames, so query cost is bounded by
+    * the query's own postings lists, flat in corpus size. */
+  private[graft] def bm25ScoreStatsDl(tf: DataFrame,
+      stats: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val df = tf.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf
       .join(broadcast(df), "token")
-      .join(doclens.select("doc_id", "dl"), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("micro", expr(
         s"cast(round(cast(tf AS double) * ${k1 + 1} / " +

@@ -4,76 +4,113 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Maintained lexical retrieval index — incremental BM25 (r13): the
-  * increment/takedown discipline applied to the RETRIEVAL family, which
-  * completes the maintenance matrix across every index this library
-  * serves (MinHash signature index, embedding sketch index, ANN serving
-  * index, ER link/label state — and now the inverted index).
+/** Maintained lexical retrieval index — incremental BM25 (r13; r14 gives
+  * it the partition-pruned physical layout): the increment/takedown
+  * discipline applied to the RETRIEVAL family, which completes the
+  * maintenance matrix across every index this library serves (MinHash
+  * signature index, embedding sketch index, ANN serving index, ER
+  * link/label state — and the inverted index).
   *
   * State = the classical inverted-index pair:
-  *   - `postings(doc_id, token, tf)` — one row per distinct (doc, term);
-  *   - `doclens(doc_id, dl)` — per-document token counts.
+  *   - `postings(doc_id, token, tf, dl)`, written as `tb=<crc32(token)
+  *     mod 64>` token-bucket PARTITIONS — one row per distinct
+  *     (doc, term), carrying the document length dl denormalized into
+  *     the posting (the classical impact-style posting), so SERVING
+  *     reads postings alone;
+  *   - `doclens(doc_id, dl)` — per-document token counts (the takedown's
+  *     source for the deleted batch's stats delta);
+  *   - `stats(n_docs, total_dl)` — the maintained 1-row running pair.
   *
   * Every global in the BM25 formula (df, n_docs, total_dl) is an
   * ADDITIVE count derived from that state at query time
-  * ([[LlmQueries.bm25Score]], the one scoring tail shared with the
-  * from-text `q_bm25_topk` path), which is what makes maintenance EXACT
-  * with no rescoring step:
-  *   - ADDING a document batch appends its postings and doclens rows —
-  *     df/n_docs/total_dl shift implicitly for every term, including
-  *     terms the batch never mentions (their idf falls as N grows), and
-  *     the derived scores equal a full-corpus recompute to the bit;
-  *   - DELETING a batch anti-joins both tables — again every derived
-  *     global lands exactly on the recompute-over-survivors value. A
-  *     score CACHE would go stale on every add (idf moves globally);
+  * ([[LlmQueries.bm25ScoreStatsDl]], the one scoring tail shared with
+  * the from-text `q_bm25_topk` path), which is what makes maintenance
+  * EXACT with no rescoring step:
+  *   - ADDING a document batch appends its postings and doclens rows and
+  *     adds its 1-row stats delta — df/n_docs/total_dl shift implicitly
+  *     for every term, including terms the batch never mentions (their
+  *     idf falls as N grows), and the derived scores equal a full-corpus
+  *     recompute to the bit;
+  *   - DELETING a batch anti-joins the state tables and subtracts the
+  *     deleted batch's stats delta — again every derived global lands
+  *     exactly on the recompute-over-survivors value. A score CACHE
+  *     would go stale on every add (idf moves globally);
   *     derived-at-query-time counts cannot.
   *
-  * 100 TB shape: postings are token-keyed — bucket/partition them by
-  * token so a query's scan prunes to its terms' postings lists (the
-  * demo shows the pushed `In(token, …)` filter on the flat layout;
-  * production buckets). Appends are new `batch=` partials and takedowns
-  * fold into the [[graft.streaming.IndexCompaction]] write-then-swap,
-  * exactly like the signature and vector indexes. The query-time work
-  * is |terms| bounded: postings rows for the query terms, one bounded
-  * df aggregate, the MAINTAINED 1-row (n_docs, total_dl) stats pair
-  * (additive like everything else — increments add the batch's row,
-  * takedowns subtract the deleted batch's; a query never pays a
-  * corpus-wide doclens pass for two longs), top-k via
-  * TakeOrderedAndProject. */
+  * 100 TB shape: a query prunes its scan to its terms' `tb=` buckets
+  * (PartitionFilters on tb — plan-pinned) with the exact-term `In`
+  * filter pushed inside the bucket; with dl riding the posting and the
+  * stats pair maintained, the serve plan never reads a corpus-sized
+  * table — query-time work is bounded by the query's own postings
+  * lists: |terms| bucket scans, one bounded df aggregate, a broadcast
+  * 1-row stats frame, top-k via TakeOrderedAndProject. The reference's
+  * own O(1) registry lookup (ext/_informixcdcmodule.ec:2001) is the
+  * analog: serve cost must not grow with what the system has ingested.
+  * Appends are new `batch=` partials with the same `tb=` sub-partitions
+  * and takedowns fold into the [[graft.streaming.IndexCompaction]]
+  * write-then-swap, exactly like the signature and vector indexes
+  * (IndexCompaction detects and re-applies internal partition schemes,
+  * so a compacted index prunes identically). */
 object RetrievalIndex {
 
-  private val Terms = Seq("table", "window", "agg")
+  private[graft] val Terms = Seq("table", "window", "agg")
   private val K = 15
 
+  /** Token-bucket count. 64 keeps every bucket multi-file-splittable at
+    * the test SFs while exercising real pruning (a 3-term query reads at
+    * most 3 of 64 partitions); production sizes B to the corpus. */
+  private[graft] val Buckets = 64
+
+  /** Driver-side twin of the write side's `pmod(crc32(token), 64)` —
+    * java.util.zip.CRC32 over the UTF-8 bytes IS Spark's `crc32` of a
+    * string column, so the pruned read's bucket set is computed without
+    * a job. */
+  private[graft] def bucketOf(token: String): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % Buckets).toInt
+  }
+
   /** Tokenize `docs` into the two state frames: postings = the
-    * (doc, term) tf aggregate, doclens = a map-side projection. Shared
-    * by the batch state builder and the streaming ingest
-    * ([[graft.streaming.Bm25Stream]]) so the indexed form can never
-    * drift between them. */
+    * (doc, term) tf aggregate carrying dl and its `tb` token bucket,
+    * doclens = a map-side projection. Shared by the batch state builder
+    * and the streaming ingest ([[graft.streaming.Bm25Stream]]) so the
+    * indexed form can never drift between them. */
   private[graft] def tokenize(docs: DataFrame): (DataFrame, DataFrame) = {
     val base = docs.selectExpr("doc_id", "split(text, ' ') AS _toks")
+      .selectExpr("doc_id", "_toks", "cast(size(_toks) AS bigint) AS dl")
     val postings = base
-      .select(col("doc_id"), explode(col("_toks")).as("token"))
+      .select(col("doc_id"), explode(col("_toks")).as("token"), col("dl"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val doclens = base.select(col("doc_id"),
-      expr("cast(size(_toks) AS bigint)").as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("tb", pmod(crc32(col("token")), lit(Buckets.toLong)))
+    val doclens = base.select(col("doc_id"), col("dl"))
     (postings, doclens)
   }
 
-  /** Serve the standard query from ANY (postings, doclens) pair — the
-    * read path shared by the batch increment/takedown and the streaming
-    * ingest. */
-  private[graft] def serve(postings: DataFrame,
-      doclens: DataFrame): DataFrame =
-    LlmQueries.bm25Score(
-      postings.filter(col("token").isin(Terms.distinct: _*)),
-      doclens, K)
+  /** The bucket-pruned state read: partition-prunes to the query terms'
+    * `tb=` buckets (driver-computed [[bucketOf]] set → PartitionFilters)
+    * and pushes the exact-term `In` filter inside them. */
+  private[graft] def readPostings(s: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val t = terms.distinct
+    s.read.parquet(path)
+      .filter(col("tb").isin(t.map(bucketOf).distinct: _*) &&
+        col("token").isin(t: _*))
+      .drop("tb")
+  }
 
-  private def writeState(docs: DataFrame, postingsPath: String,
+  /** Serve the standard query from an already-pruned postings frame
+    * (rows carry dl) plus the maintained 1-row stats — the read path
+    * shared by the batch increment/takedown and the streaming ingest.
+    * Never touches doclens. */
+  private[graft] def serve(postings: DataFrame, stats: DataFrame): DataFrame =
+    LlmQueries.bm25ScoreStatsDl(postings, stats, K)
+
+  private[graft] def writeState(docs: DataFrame, postingsPath: String,
       doclensPath: String, statsPath: String): Unit = {
     val (postings, doclens) = tokenize(docs)
-    postings.write.mode("overwrite").parquet(postingsPath)
+    postings.write.mode("overwrite").partitionBy("tb").parquet(postingsPath)
     doclens.write.mode("overwrite").parquet(doclensPath)
     // the maintained running pair — both additive, so increments add
     // the batch's row and takedowns subtract the deleted batch's; a
@@ -81,7 +118,7 @@ object RetrievalIndex {
     statsOf(doclens).write.mode("overwrite").parquet(statsPath)
   }
 
-  private def statsOf(doclens: DataFrame): DataFrame =
+  private[graft] def statsOf(doclens: DataFrame): DataFrame =
     doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
   /** Sum 1-row (n_docs, total_dl) frames with signs — the additive
@@ -96,10 +133,11 @@ object RetrievalIndex {
 
   /** Build-once index state (the LabelBase discipline): `old` = the
     * corpus minus the incoming `doc_id % 5 = 4` batch (the increment
-    * starts here), `all` = the full corpus (the takedown starts here). */
+    * starts here), `all` = the full corpus (the takedown starts here).
+    * v3: the r14 layout (tb= bucketed postings carrying dl, stats). */
   private[graft] object Bm25Base {
     def ensure(s: SparkSession, d: String): (String, String, String) = {
-      val root = FixtureBase.ensure("graft_bm25_base", 2, d,
+      val root = FixtureBase.ensure("graft_bm25_base", 3, d,
           Seq("postings_old", "doclens_old", "stats_old")) { r =>
         writeState(Tables.spread(s, Tables.documents(s, d))
           .filter(expr("doc_id % 5 <> 4")),
@@ -109,7 +147,7 @@ object RetrievalIndex {
     }
 
     def ensureAll(s: SparkSession, d: String): (String, String, String) = {
-      val root = FixtureBase.ensure("graft_bm25_base", 2, d,
+      val root = FixtureBase.ensure("graft_bm25_base", 3, d,
           Seq("postings_all", "doclens_all", "stats_all")) { r =>
         writeState(Tables.spread(s, Tables.documents(s, d)),
           s"$r/postings_all", s"$r/doclens_all", s"$r/stats_all")
@@ -118,54 +156,52 @@ object RetrievalIndex {
     }
   }
 
-  /** The query-term tf rows of a NEW document batch — the only
-    * tokenization an increment performs (the indexed corpus is state,
-    * never re-read as text). */
+  /** The query-term tf rows (carrying dl) of a NEW document batch — the
+    * only tokenization an increment performs (the indexed corpus is
+    * state, never re-read as text). */
   private def batchTf(batch: DataFrame): (DataFrame, DataFrame) = {
     val base = batch.selectExpr("doc_id", "split(text, ' ') AS _toks")
-    val tf = base.select(col("doc_id"), explode(col("_toks")).as("token"))
+      .selectExpr("doc_id", "_toks", "cast(size(_toks) AS bigint) AS dl")
+    val tf = base
+      .select(col("doc_id"), explode(col("_toks")).as("token"), col("dl"))
       .filter(col("token").isin(Terms.distinct: _*))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dls = base.select(col("doc_id"),
-      expr("cast(size(_toks) AS bigint)").as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dls = base.select(col("doc_id"), col("dl"))
     (tf, dls)
   }
 
   /** INCREMENT (`q_bm25_increment`): serve the query from the persisted
-    * state UNION the incoming batch's delta. The state side reads only
-    * the query terms' postings (pushed `In(token, …)` — the bucketed
-    * pruned scan at production layout) plus the doclens table; the
-    * batch side tokenizes ONLY the batch. Scores ≡ the full-corpus
-    * recompute (`q_bm25_topk`'s oracle, shared verbatim) because every
-    * derived global is additive over the union. */
+    * state UNION the incoming batch's delta. The state side reads ONLY
+    * the query terms' `tb=` buckets (PartitionFilters + pushed `In` —
+    * plan-pinned) and the 1-row stats pair; the batch side tokenizes
+    * ONLY the batch. The corpus-sized doclens table is never read.
+    * Scores ≡ the full-corpus recompute (`q_bm25_topk`'s oracle, shared
+    * verbatim) because every derived global is additive over the
+    * union. */
   private def qBm25Increment(s: SparkSession, d: String): DataFrame = {
-    val (postingsPath, doclensPath, statsPath) = Bm25Base.ensure(s, d)
+    val (postingsPath, _, statsPath) = Bm25Base.ensure(s, d)
     val (btf, bdl) = batchTf(Tables.spread(s, Tables.documents(s, d))
       .filter(expr("doc_id % 5 = 4")))
-    val tf = s.read.parquet(postingsPath)
-      .filter(col("token").isin(Terms.distinct: _*))
-      .unionByName(btf)
-    val bdlM = Materialize(bdl) // feeds both the dl join and the stats add
-    val doclens = s.read.parquet(doclensPath).unionByName(bdlM)
+    val tf = readPostings(s, postingsPath, Terms).unionByName(btf)
+    val bdlM = Materialize(bdl) // feeds the stats add once
     // the maintained running pair + the batch's — never a corpus pass
     val stats = statsMerge(
       (s.read.parquet(statsPath), 1), (statsOf(bdlM), 1))
-    LlmQueries.bm25ScoreStats(tf, doclens, stats, K)
+    serve(tf, stats)
   }
 
-  /** TAKEDOWN (`q_bm25_retract`): anti-join the deleted batch out of
-    * both state tables and serve — no tokenization anywhere (the plan
+  /** TAKEDOWN (`q_bm25_retract`): anti-join the deleted batch out of the
+    * pruned postings read, subtract the deleted batch's stats delta
+    * (a |batch|-bounded semi-join of doclens — the only doclens read on
+    * any serve path), and serve — no tokenization anywhere (the plan
     * pin asserts it), no rescoring step, and the derived df/n_docs/
     * total_dl land exactly on the recompute-over-survivors values. */
   private def qBm25Retract(s: SparkSession, d: String): DataFrame = {
     val (postingsPath, doclensPath, statsPath) = Bm25Base.ensureAll(s, d)
     val del = Tables.documents(s, d)
       .filter(expr("doc_id % 7 = 3")).select(col("doc_id").as("_did"))
-    val tf = s.read.parquet(postingsPath)
-      .filter(col("token").isin(Terms.distinct: _*))
-      .join(del, col("doc_id") === col("_did"), "left_anti")
-    val doclens = s.read.parquet(doclensPath)
+    val tf = readPostings(s, postingsPath, Terms)
       .join(del, col("doc_id") === col("_did"), "left_anti")
     // running pair MINUS the deleted batch's — the deleted dl rows are
     // a |batch|-bounded semi-join read, never a survivor pass
@@ -173,7 +209,7 @@ object RetrievalIndex {
       (s.read.parquet(statsPath), 1),
       (statsOf(s.read.parquet(doclensPath)
         .join(del, col("doc_id") === col("_did"), "left_semi")), -1))
-    LlmQueries.bm25ScoreStats(tf, doclens, stats, K)
+    serve(tf, stats)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

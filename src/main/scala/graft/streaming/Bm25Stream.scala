@@ -5,58 +5,75 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
-/** STREAMING ingest for the maintained inverted index (r13) — the
-  * continuous form of `q_bm25_increment`, squaring the maintenance
-  * matrix for the retrieval family (batch increment + streaming
-  * increment + takedown, like the signature, sketch, ANN and ER
-  * states): document batches arrive as a stream and each micro-batch
-  * tokenizes ONLY ITSELF ([[RetrievalIndex.tokenize]], shared with the
-  * batch builder) and appends its postings/doclens rows as `batch=<id>`
-  * partials.
+/** STREAMING ingest for the maintained inverted index (r13; r14 writes
+  * the partition-pruned layout) — the continuous form of
+  * `q_bm25_increment`, squaring the maintenance matrix for the retrieval
+  * family (batch increment + streaming increment + takedown, like the
+  * signature, sketch, ANN and ER states): document batches arrive as a
+  * stream and each micro-batch tokenizes ONLY ITSELF
+  * ([[RetrievalIndex.tokenize]], shared with the batch builder) and
+  * appends three `batch=<id>` partials: postings (sub-partitioned
+  * `tb=<crc32(token) mod 64>`, the same token-bucket scheme the batch
+  * state uses, carrying dl in the posting), doclens, and the batch's
+  * 1-row (n_docs, total_dl) stats delta.
   *
-  * Exactly-once: both writes are keyed by the streaming batch id and
-  * OVERWRITE (the [[DedupStream]] discipline) — a foreachBatch replay
-  * rewrites the same partials, never double-counts a document, and a
-  * double-counted document is exactly what BM25's derived globals
+  * Exactly-once: all three writes are keyed by the streaming batch id
+  * and OVERWRITE (the [[DedupStream]] discipline) — a foreachBatch
+  * replay rewrites the same partials, never double-counts a document,
+  * and a double-counted document is exactly what BM25's derived globals
   * would amplify (n_docs and every df would inflate).
   *
-  * Serving needs NO merge step: the read path unions the partials and
-  * derives df/n_docs/total_dl at query time ([[RetrievalIndex.serve]]),
-  * so a query sees every fully-ingested batch the moment its partial
-  * commits — the additive-globals argument makes stream ≡ recompute
-  * literal, and the driver hash-checks it against `q_bm25_topk`'s
-  * full-corpus oracle. At 100 TB the partials compact with
-  * [[IndexCompaction]] (token-bucketed rewrite) exactly like the
-  * signature index. */
+  * Serving needs NO merge step and reads NO corpus-sized table: the
+  * read path partition-prunes the postings partials to the query terms'
+  * `tb=` buckets (across every `batch=` partial at once — one
+  * discovery, PartitionFilters on tb), sums the 1-row stats partials
+  * (|batches| rows, compactable), and scores through the one shared
+  * tail ([[RetrievalIndex.serve]]) — so a query sees every
+  * fully-ingested batch the moment its partials commit, at cost bounded
+  * by its own postings lists. The additive-globals argument makes
+  * stream ≡ recompute literal, and the driver hash-checks it against
+  * `q_bm25_topk`'s full-corpus oracle. At 100 TB the partials compact
+  * with [[IndexCompaction]], which detects and re-applies the `tb=`
+  * sub-partitioning — a compacted index prunes identically. */
 object Bm25Stream {
 
   /** One micro-batch step — the foreachBatch body, callable directly
     * for replay-idempotence specs. */
   def processBatch(batch: DataFrame, batchId: Long, postingsDir: String,
-      doclensDir: String): Unit = {
+      doclensDir: String, statsDir: String): Unit = {
     val (postings, doclens) = RetrievalIndex.tokenize(batch)
-    postings.write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
+    postings.write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$postingsDir/batch=$batchId")
     doclens.write.mode("overwrite").parquet(s"$doclensDir/batch=$batchId")
+    RetrievalIndex.statsOf(doclens).write.mode("overwrite")
+      .parquet(s"$statsDir/batch=$batchId")
   }
 
   /** Attach continuous indexing to a streaming frame of documents
     * (`doc_id`, `text`). */
   def start(docs: DataFrame, postingsDir: String, doclensDir: String,
-      checkpointDir: String): StreamingQuery =
+      statsDir: String, checkpointDir: String): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(b, id, postingsDir, doclensDir))
+        processBatch(b, id, postingsDir, doclensDir, statsDir))
       .start()
 
-  /** The served query over the accumulated partials. */
+  /** The served query over the accumulated partials: tb-pruned postings
+    * scan + the summed stats partials — doclens partials are never read
+    * on the serve path (they feed future takedowns). */
   def serveFrom(s: SparkSession, postingsDir: String,
-      doclensDir: String): DataFrame =
+      statsDir: String): DataFrame = {
+    val stats = s.read.parquet(statsDir)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
     RetrievalIndex.serve(
-      s.read.parquet(postingsDir).drop("batch"),
-      s.read.parquet(doclensDir).drop("batch"))
+      RetrievalIndex.readPostings(s, postingsDir, RetrievalIndex.Terms)
+        .drop("batch"),
+      stats)
+  }
 
   /** Driver-checked (`s_bm25_index`): split the corpus into 4
     * deterministic micro-batches (one parquet file each, streamed with
@@ -66,7 +83,7 @@ object Bm25Stream {
     * declared contract). */
   def sBm25Index(s: SparkSession, d: String): DataFrame = {
     val root = new java.io.File(
-      s"/tmp/graft_stream_bm25/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      s"/tmp/graft_stream_bm25_v2/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -76,7 +93,7 @@ object Bm25Stream {
     val docDir = new java.io.File(root, "docs")
     // Batch files are a deterministic function of the input dir — cached
     // across runs; only the stream state resets per run.
-    Seq("checkpoint", "postings", "doclens")
+    Seq("checkpoint", "postings", "doclens", "stats")
       .foreach(n => rm(new java.io.File(root, n)))
     if (!new java.io.File(docDir, "_GRAFT_DOCS").exists()) {
       (0 until 4).foreach { b =>
@@ -87,15 +104,17 @@ object Bm25Stream {
       new java.io.File(docDir, "_GRAFT_DOCS").createNewFile(): Unit
     }
     val postingsDir = new java.io.File(root, "postings").getAbsolutePath
-    val doclensDir = new java.io.File(root, "doclens").getAbsolutePath
+    val statsDir = new java.io.File(root, "stats").getAbsolutePath
     start(
       s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"${docDir.getAbsolutePath}/*"),
-      postingsDir, doclensDir,
+      postingsDir,
+      new java.io.File(root, "doclens").getAbsolutePath,
+      statsDir,
       new java.io.File(root, "checkpoint").getAbsolutePath)
       .awaitTermination()
-    serveFrom(s, postingsDir, doclensDir)
+    serveFrom(s, postingsDir, statsDir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -591,6 +591,26 @@ class GraftApiSuite extends AnyFunSuite {
     assert(got.head._2 == 2L && got(1)._2 == 1L) // n_hit: both terms vs one
   }
 
+  test("bm25Index state served through bm25Serve equals bm25Rank from " +
+      "text, and postings carry dl + the crc32 token bucket") {
+    val docs = Seq(
+      (1L, "spark rocks spark rocks"),
+      (2L, "spark " + (1 to 50).map(i => s"pad$i").mkString(" ")),
+      (3L, "nothing relevant here")).toDF("id", "body")
+    val (postings, doclens) = Graft.bm25Index(docs, "id", "body")
+    assert(postings.columns.toSeq == Seq("doc_id", "token", "tf", "dl", "tb"))
+    // tb is the driver-computable crc32 bucket — the pruned read's twin
+    val tbs = postings.filter(col("token") === "spark")
+      .select("tb").distinct().collect().map(_.getLong(0)).toSeq
+    assert(tbs == Seq(
+      graft.operators.RetrievalIndex.bucketOf("spark").toLong))
+    val served = Graft.bm25Serve(postings, doclens, Seq("spark", "rocks"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ranked = Graft.bm25Rank(docs, "id", "body", Seq("spark", "rocks"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == ranked)
+  }
+
   test("chunkDocs windows overlap by the configured amount and cover every token") {
     val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("id", "body")
     val chunks = Graft.chunkDocs(docs, "id", "body", window = 10, overlap = 2)

@@ -681,16 +681,25 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("ccq"), p)
   }
 
-  test("q_bm25_increment reads postings state pruned to the query terms; " +
-      "only the BATCH tokenizes") {
+  test("q_bm25_increment reads postings state PARTITION-pruned to the " +
+      "query terms' tb= buckets; only the BATCH tokenizes; doclens is " +
+      "never read") {
     val p = plan("q_bm25_increment")
-    // both state tables come from parquet
+    // both state tables come from parquet (postings + the 1-row stats)
     assert("graft_bm25_base".r.findAllIn(p).size >= 2,
       p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
-    // the postings scan prunes to the query terms (pushed In filter —
-    // the bucketed pruned scan at production layout)
+    // the postings scan PARTITION-prunes to the query terms' token
+    // buckets (tb= PartitionFilters — the r14 bucketed layout), with the
+    // exact-term In filter pushed inside the pruned buckets
+    assert("PartitionFilters: \\[[^\\]]*tb#[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, p.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n"))
     assert(p.contains("In(token"), p.linesIterator
       .filter(_.contains("PushedFilters")).mkString("\n"))
+    // dl rides the posting and stats are maintained — the corpus-sized
+    // doclens table must not appear on the increment's serve path
+    assert(!p.contains("doclens_old"), p.linesIterator
+      .filter(_.contains("Scan")).mkString("\n"))
     // only the BATCH tokenizes: every documents.parquet scan carries the
     // batch filter — the indexed corpus is state, never re-read as text
     // (split() repeats textually per projection reuse, so the pin is on
@@ -702,11 +711,14 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_bm25_retract is a pure state takedown — anti-joins, no " +
-      "tokenization anywhere") {
+  test("q_bm25_retract is a pure state takedown — tb=-pruned postings " +
+      "scan, anti-joins, no tokenization anywhere") {
     val p = plan("q_bm25_retract")
     assert("graft_bm25_base".r.findAllIn(p).size >= 2,
       p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert("PartitionFilters: \\[[^\\]]*tb#[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, p.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n"))
     assert(p.contains("In(token"), p.linesIterator
       .filter(_.contains("PushedFilters")).mkString("\n"))
     assert(!p.contains("split("), "takedown re-tokenized")
