@@ -30,20 +30,24 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * 100 TB shape: per-batch cost = blocking O(batch) + two linear scans
   * of the label snapshot (the contraction joins) + CC over the O(batch)
   * contracted graph; the link log grows by matches only. Label
-  * snapshots are entity-sized;
-  * retaining only the latest (the read path uses only the max id) is the
-  * [[IndexCompaction]] write-then-swap story applied to labels. */
+  * snapshots are entity-sized; bounded retention is the shared
+  * [[IndexCompaction.retainSnapshots]] verb ([[compactLabels]]). */
 object ErStream {
 
   /** Largest committed label-snapshot id strictly below `batchId` —
-    * driver-side directory listing, bounded by #batches. */
-  private def prevSnapshot(labelsDir: String, batchId: Long): Option[Long] = {
-    val f = new java.io.File(labelsDir)
-    if (!f.isDirectory) None
-    else f.listFiles().toSeq
-      .filter(d => d.getName.startsWith("batch=") &&
-        new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("batch=").toLong)
+    * driver-side directory listing through the Hadoop FileSystem API
+    * (the [[IndexCompaction]] pattern: works against any FS the
+    * snapshots live on, not just `file://`), bounded by #batches. */
+  private def prevSnapshot(s: SparkSession, labelsDir: String,
+      batchId: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
       .filter(_ < batchId)
       .sorted.lastOption
   }
@@ -66,7 +70,7 @@ object ErStream {
     // graph, never the entity-sized star graph. Batch 0 (or a catalog
     // that grew since `prev`) starts from singleton labels via the
     // left-join seed.
-    val prevLabels = prevSnapshot(labelsDir, batchId) match {
+    val prevLabels = prevSnapshot(s, labelsDir, batchId) match {
       case Some(prev) => s.read.parquet(s"$labelsDir/batch=$prev")
       case None => catalog.select(col("entity_id").as("id"),
         col("entity_id").as("comp")).limit(0)
@@ -84,28 +88,18 @@ object ErStream {
     * layout needs (the pairs log under `pairsDir` is append-only
     * `batch=` partials and compacts with [[IndexCompaction.compact]]'s
     * union semantics; label SNAPSHOTS are read max-only, so compaction
-    * here is deletion, not consolidation). Keeps the newest TWO
-    * committed snapshots: the newest serves reads, and the
-    * one below it serves a foreachBatch REPLAY of the newest batch
-    * (crash after the label write, before the checkpoint commit —
-    * `processBatch` re-reads the largest snapshot BELOW its id).
-    * Run between stream runs (quiesced), like every compaction here.
-    * Returns the number of snapshots removed. */
-  def compactLabels(labelsDir: String): Int = {
-    val f = new java.io.File(labelsDir)
-    if (!f.isDirectory) return 0
-    val committed = f.listFiles().toSeq
-      .filter(d => d.getName.startsWith("batch=") &&
-        new java.io.File(d, "_SUCCESS").exists())
-      .sortBy(_.getName.stripPrefix("batch=").toLong)
-    val stale = committed.dropRight(2)
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(rm)
-      x.delete(): Unit
-    }
-    stale.foreach(rm)
-    stale.size
-  }
+    * here is deletion, not consolidation). Delegates to the shared
+    * [[IndexCompaction.retainSnapshots]] lifecycle verb (r14 — all five
+    * maintained states now compact through the one object, with its
+    * marker-first crash discipline). Keeps the newest TWO committed
+    * snapshots: the newest serves reads, and the one below it serves a
+    * foreachBatch REPLAY of the newest batch (crash after the label
+    * write, before the checkpoint commit — `processBatch` re-reads the
+    * largest snapshot BELOW its id). Run between stream runs
+    * (quiesced), like every compaction here. Returns the number of
+    * snapshot dirs removed. */
+  def compactLabels(s: SparkSession, labelsDir: String): Int =
+    IndexCompaction.retainSnapshots(s, labelsDir, keep = 2)
 
   /** Attach continuous resolution to a streaming frame of mentions
     * (`mention_id`, `mname`) against a static catalog
@@ -126,7 +120,7 @@ object ErStream {
     * pipeline. */
   def resolved(s: SparkSession, catalog: DataFrame, pairsDir: String,
       labelsDir: String): DataFrame = {
-    val last = prevSnapshot(labelsDir, Long.MaxValue).getOrElse(
+    val last = prevSnapshot(s, labelsDir, Long.MaxValue).getOrElse(
       throw new IllegalStateException(s"no label snapshot under $labelsDir"))
     FuzzyJoin.resolveTail(s.read.parquet(pairsDir).drop("batch"),
       s.read.parquet(s"$labelsDir/batch=$last"))

@@ -161,6 +161,42 @@ object IndexCompaction {
     * index); internally-partitioned layouts are instead repartitioned BY
     * the partition columns, which lands each `sb=`/`cluster=` directory
     * in one task → one file per live partition value. */
+  /** Retention for SNAPSHOT layouts (`batch=<id>` directories read
+    * max-only — the ER label snapshots, vs the UNION-read pair/posting
+    * logs [[compact]] consolidates): keep the newest `keep` committed
+    * snapshots, remove everything older — the fifth maintained state's
+    * compaction verb, folded into the one lifecycle object so every
+    * index shares it.
+    *
+    * Crash discipline (deletion, not consolidation, so no staging swap
+    * is needed): each stale snapshot's parquet `_SUCCESS` marker is
+    * deleted FIRST — the commit point, after which committed-snapshot
+    * discovery (ErStream.prevSnapshot, this method) no longer sees it —
+    * then the directory recursively. A crash between the two leaves an
+    * uncommitted orphan that readers already ignore and the next
+    * retention pass sweeps (orphans count as stale regardless of age).
+    * Single-writer like [[compact]]: run quiesced, never against a
+    * stream mid-batch (an in-flight snapshot write is indistinguishable
+    * from an orphan). Returns the number of snapshot dirs removed. */
+  def retainSnapshots(spark: SparkSession, root: String,
+      keep: Int = 2): Int = {
+    require(keep >= 1, s"keep must be positive, got $keep")
+    val (fs, rp) = fsOf(spark, root)
+    if (!fs.exists(rp)) return 0
+    val all = fs.listStatus(rp).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    val committed = all
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .sortBy(st => batchId(st.getPath.getName))
+    val keepNames = committed.takeRight(keep).map(_.getPath.getName).toSet
+    val stale = all.filterNot(st => keepNames(st.getPath.getName))
+    stale.foreach { st =>
+      fs.delete(new Path(st.getPath, "_SUCCESS"), false)
+      fs.delete(st.getPath, true)
+    }
+    stale.size
+  }
+
   def compact(spark: SparkSession, root: String, flatFiles: Int = 4): Int = {
     require(flatFiles > 0, s"flatFiles must be positive, got $flatFiles")
     recover(spark, root)

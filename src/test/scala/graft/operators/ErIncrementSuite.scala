@@ -99,8 +99,11 @@ class ErIncrementSuite extends AnyFunSuite {
     assert(out === Map(11L -> 1L, 12L -> 1L)) // bridge 11 still merges
   }
 
-  test("label compaction keeps reads and newest-batch replay intact") {
-    val root = java.nio.file.Files
+  test("label compaction keeps reads and newest-batch replay intact " +
+      "(through an explicit file:// URI — the FS-API port's contract)") {
+    // the URI form exercises snapshot discovery/retention through the
+    // Hadoop FileSystem API end to end; java.io.File would reject it
+    val root = "file://" + java.nio.file.Files
       .createTempDirectory("er_compact").toFile.getAbsolutePath
     val (catalog, mentions) = FuzzyJoin.erFixture(s, sf)
     val batches = (0 until 4).map(b =>
@@ -111,7 +114,7 @@ class ErIncrementSuite extends AnyFunSuite {
     }
     val before = graft.streaming.ErStream
       .resolved(s, catalog, s"$root/pairs", s"$root/labels").collect().toSeq
-    val removed = graft.streaming.ErStream.compactLabels(s"$root/labels")
+    val removed = graft.streaming.ErStream.compactLabels(s, s"$root/labels")
     assert(removed == 2) // 4 snapshots -> newest two survive
     val after = graft.streaming.ErStream
       .resolved(s, catalog, s"$root/pairs", s"$root/labels").collect().toSeq

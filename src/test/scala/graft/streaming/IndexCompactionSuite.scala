@@ -223,4 +223,32 @@ class IndexCompactionSuite extends AnyFunSuite {
     IndexCompaction.recover(s, root)
     assert(batchDirNames(root) == Seq("batch=-1"))
   }
+
+  test("retainSnapshots keeps the newest k committed snapshots and " +
+      "sweeps both older ones and crash orphans (marker-first delete)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("retain_snap")
+      .toFile.getAbsolutePath
+    (0 until 4).foreach { b =>
+      Seq((b.toLong, b.toLong)).toDF("id", "comp")
+        .write.mode("overwrite").parquet(s"$root/batch=$b")
+    }
+    assert(IndexCompaction.retainSnapshots(s, root, keep = 2) == 2)
+    assert(batchDirNames(root) == Seq("batch=2", "batch=3"))
+    // idempotent on a retained root
+    assert(IndexCompaction.retainSnapshots(s, root, keep = 2) == 0)
+    // crash simulation: a retention (or snapshot write) died after the
+    // _SUCCESS marker was gone but before the directory was — committed
+    // discovery must skip the orphan, and the next pass sweeps it even
+    // though it is the second-newest id (orphans are stale regardless
+    // of age; only COMMITTED snapshots count toward `keep`)
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$root/batch=2/_SUCCESS"), false)
+    assert(IndexCompaction.retainSnapshots(s, root, keep = 2) == 1)
+    assert(batchDirNames(root) == Seq("batch=3"))
+    // a missing root is a quiet no-op (first run before any snapshot)
+    assert(IndexCompaction.retainSnapshots(s, s"$root/nothere") == 0)
+  }
 }
