@@ -33,9 +33,18 @@ import org.apache.spark.sql.functions._
   *    INTERLEAVE (`id·k + j`) so the IVF's first-⌈√N⌉ centroid seeds
   *    span all copies, as they would if the corpus had genuinely grown.
   *
-  * Usage: `runMain graft.ScaleCurve [scales] [outJson]` (defaults
-  * `1,2,4,8` and `SCALECURVE.json`); base dir from SPARK_GRAFT_SF_DIR
-  * (default sf0.1), scaled parquet under java.io.tmpdir/graft_scale.
+  * r14 adds MAINTAINER legs (VERDICT r13 #3/#7) — the measured forms of
+  * the streaming/serving flatness claims: per-batch ingest cost under
+  * ×k history for the BM25 and ER streams, and BM25 serve cost over a
+  * ×k indexed corpus (per-copy rotated terms, which closes the r13
+  * "literal terms match only copy 0" exclusion).
+  *
+  * Usage: `runMain graft.ScaleCurve [scales] [outJson] [legs]`
+  * (defaults `1,2,4,8`, `SCALECURVE.json`, all legs; `legs` is a
+  * comma-separated name subset — e.g. the ×16 tail probe runs
+  * `4,8,16 SCALECURVE_TAIL.json q_containment,q_cluster_increment`);
+  * base dir from SPARK_GRAFT_SF_DIR (default sf0.1), scaled parquet
+  * under java.io.tmpdir/graft_scale.
   */
 object ScaleCurve {
 
@@ -48,11 +57,12 @@ object ScaleCurve {
     "q_knn_join" -> "embeddings",
     "q_substring_dedup" -> "documents",
     // r13 extensions — the other corpus-derived similarity engines.
-    // Excluded by design: q_bm25_topk (its literal query terms match
-    // only copy 0 after rotation, so the scoring arm wouldn't scale)
-    // and q_emb_clusters (its first-6-ids hyperplanes become six
+    // Excluded by design: q_bm25_topk's literal query terms match only
+    // copy 0 after rotation (its serve-cost claim is measured by the
+    // q_bm25_serve maintainer leg below, whose terms rotate WITH the
+    // copies); q_emb_clusters' first-6-ids hyperplanes become six
     // rotations of ONE vector under id interleaving — a degenerate
-    // sketch that would measure the fixture, not the plan).
+    // sketch that would measure the fixture, not the plan.
     "q_ann_trained" -> "embeddings",
     "q_simhash_pairs" -> "documents",
     "q_containment" -> "documents",
@@ -63,9 +73,6 @@ object ScaleCurve {
     "q_er_increment" -> "part",
     // r13 maintenance legs (state built untimed in the warm rep, same
     // as q_er_increment): the text-cluster increment, and the takedown.
-    // The BM25 maintenance family is excluded for q_bm25_topk's pinned
-    // reason — its literal query terms survive rotation only in copy 0,
-    // so the scored set wouldn't grow with the corpus.
     // The takedown batch is the %7 slice — a fixed FRACTION, so its
     // expected slope is ~1 (the linear pair-log/label anti-joins plus a
     // re-close that follows the deletion); a slope near 2 would mean
@@ -85,6 +92,15 @@ object ScaleCurve {
     val to = lo.drop(r) + lo.take(r) +
       (lo.drop(r) + lo.take(r)).toUpperCase
     translate(c, from, to)
+  }
+
+  /** Driver-side twin of [[rotCol]] for lowercase query terms — the
+    * maintainer legs derive copy j's terms by the same rotation the
+    * copies themselves use. */
+  private def rotTerm(t: String, j: Int): String = {
+    val r = j % 26
+    t.map(c =>
+      if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + r) % 26).toChar else c)
   }
 
   private def copies(k: Int, one: Int => DataFrame): DataFrame =
@@ -130,6 +146,136 @@ object ScaleCurve {
     done.createNewFile(): Unit
   }
 
+  private def tag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** MAINTAINER legs (r14, VERDICT r13 #3/#7): fn(session, scaledDir, k).
+    *
+    *  - q_bm25_serve: serve the maintained BM25 index built over the ×k
+    *    corpus with the LAST copy's rotated terms — the match set is one
+    *    copy's documents (constant) while the indexed state grows ×k, so
+    *    the timed cost is exactly the claim the r14 layout makes:
+    *    tb-bucket-pruned postings scan + dl-in-posting + maintained
+    *    1-row stats ⇒ serve flat in corpus size. The index build is the
+    *    untimed warm rep (Bm25Base keyed per scaled dir).
+    *  - s_bm25_batch / s_er_batch: per-batch streaming-maintenance cost
+    *    under ×k HISTORY — history is pre-ingested untimed (4·k batch
+    *    partials; for ER, k id-shifted replicas of the base mention set
+    *    against the FIXED base catalog, so the pair log grows ×k while
+    *    batch and catalog stay constant), and the timed work is ONE
+    *    fixed base-sized batch. Near-zero slope is the measured form of
+    *    "per-batch cost independent of history length" (ErStream's
+    *    header claim; trivially expected for BM25, whose ingest reads
+    *    no history at all — the leg pins that it STAYS true).
+    *  - s_dedup_batch: the same ×k-history shape for the signature-index
+    *    stream, whose per-batch claim is the SOFTEST of the three
+    *    ("nothing is proportional to corpus size except the equi-join's
+    *    bucket fan-in" — but the probe's band join still SCANS the
+    *    history-sized index side): the timed batch is the base corpus's
+    *    %4 slice under a RESERVED rotation (13 — history copies use
+    *    0..k−1) and shifted ids, so its bucket fan-in is constant while
+    *    the index side grows ×k. The slope isolates the scan term. */
+  private def maintainerLegs(base: String)
+      : Seq[(String, String, (SparkSession, String, Int) => DataFrame)] = Seq(
+    ("q_bm25_serve", "documents", (s: SparkSession, dir: String, k: Int) => {
+      val (postingsPath, _, statsPath) =
+        operators.RetrievalIndex.Bm25Base.ensureAll(s, dir)
+      val terms = operators.RetrievalIndex.Terms.map(rotTerm(_, k - 1))
+      operators.RetrievalIndex.serve(
+        operators.RetrievalIndex.readPostings(s, postingsPath, terms),
+        s.read.parquet(statsPath))
+    }),
+    ("s_bm25_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_bm25/${tag(dir)}"
+      val (p, l, st) = (s"$root/postings", s"$root/doclens", s"$root/stats")
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        val docs = Tables.spread(s, Tables.documents(s, dir))
+          .select(col("doc_id"), col("text"))
+        val nb = 4 * k // ×k history batches, each base-batch-sized
+        (0 until nb).foreach { b =>
+          streaming.Bm25Stream.processBatch(
+            docs.filter(expr(s"doc_id % $nb = $b")), b.toLong, p, l, st)
+        }
+        done.createNewFile(): Unit
+      }
+      // timed: one FIXED base-sized batch against the ×k history
+      // (replayed id — the overwrite-by-batch-id discipline makes the
+      // reps idempotent)
+      streaming.Bm25Stream.processBatch(
+        Tables.spread(s, Tables.documents(s, base))
+          .filter(expr("doc_id % 4 = 0")).select(col("doc_id"), col("text")),
+        1000000L, p, l, st)
+      s.range(1).toDF("ok")
+    }),
+    ("s_dedup_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
+      require(k < 13, s"s_dedup_batch reserves rotation 13 for the timed " +
+        s"batch; history copies must stay below it (got k=$k)")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_dedup/${tag(dir)}"
+      val (idx, prs) = (s"$root/index", s"$root/pairs")
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        val docs = Tables.spread(s, Tables.documents(s, dir))
+          .select(col("doc_id"), col("text"))
+        val nb = 4 * k
+        (0 until nb).foreach { b =>
+          streaming.DedupStream.processBatch(
+            docs.filter(expr(s"doc_id % $nb = $b")), b.toLong,
+            "doc_id", "text", idx, prs, threshold = 0.5): Unit
+        }
+        done.createNewFile(): Unit
+      }
+      // timed: fixed base-sized batch under the reserved rotation +
+      // a far id shift (fresh ids, cross-history similarity destroyed —
+      // its bucket fan-in stays constant while the index side grows ×k)
+      streaming.DedupStream.processBatch(
+        Tables.spread(s, Tables.documents(s, base))
+          .filter(expr("doc_id % 4 = 0"))
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            rotCol(col("text"), 13).as("text")),
+        1000000L, "doc_id", "text", idx, prs, threshold = 0.5): Unit
+      s.range(1).toDF("ok")
+    }),
+    ("s_er_batch", "part", (s: SparkSession, dir: String, k: Int) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_er/${tag(dir)}"
+      val (catalog0, mentions) = operators.FuzzyJoin.erFixture(s, base)
+      val catalog = operators.Materialize(catalog0)
+      // Replica stride: divisible by 40 like the corpus copies, so each
+      // replica preserves the (div 4) % 4 batch structure.
+      val mStride =
+        (mentions.agg(max("mention_id")).head().getLong(0) / 40 + 1) * 40
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        // ×k history: k id-shifted replicas of the base mention set, 4
+        // micro-batches each, all against the FIXED base catalog — the
+        // pair log and snapshot count grow ×k, the per-batch mention
+        // volume and the entity-sized label snapshot do not.
+        var id = 0L
+        (0 until k).foreach { j =>
+          (0 until 4).foreach { b =>
+            streaming.ErStream.processBatch(
+              mentions.filter(expr(s"(mention_id div 4) % 4 = $b"))
+                .select((col("mention_id") + lit(j * mStride))
+                  .as("mention_id"), col("mname")),
+              id, catalog, s"$root/pairs", s"$root/labels")
+            id += 1
+          }
+        }
+        done.createNewFile(): Unit
+      }
+      // timed: one FIXED base-sized batch (reserved stride slot 30 —
+      // replicas use j < 26) against the ×k history
+      streaming.ErStream.processBatch(
+        mentions.filter(expr("(mention_id div 4) % 4 = 0"))
+          .select((col("mention_id") + lit(30L * mStride)).as("mention_id"),
+            col("mname")),
+        1000000L, catalog, s"$root/pairs", s"$root/labels")
+      s.range(1).toDF("ok")
+    }))
+
   private def fmt(v: Double): String =
     if (v.isNaN) "null" // a failed leg's slope — keep the JSON parseable
     else fmtNum(v)
@@ -165,6 +311,25 @@ object ScaleCurve {
       base.replaceAll("[^A-Za-z0-9]", "_")
     val Reps = 3
 
+    val legs: Seq[(String, String, (SparkSession, String, Int) => DataFrame)] =
+      Heavy.map { case (name, table) =>
+        val fn = SparkEntry.queries(name)
+        (name, table,
+          (s: SparkSession, dir: String, _: Int) => fn(s, dir))
+      } ++ maintainerLegs(base)
+    // Optional leg subset (arg 3) — the ×16 tail probe reruns only the
+    // steepest movers instead of paying the whole family at ×16.
+    val selected = args.drop(2).headOption.filter(_.nonEmpty) match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val known = legs.map(_._1).toSet
+        val unknown = want.filterNot(known)
+        require(unknown.isEmpty, s"unknown legs: ${unknown.mkString(",")}; " +
+          s"known: ${legs.map(_._1).mkString(",")}")
+        legs.filter(l => want.contains(l._1))
+      case None => legs
+    }
+
     // One generation session; timing sessions are fresh per (query, k).
     val gen = Session.build(s"local[$cpus]", cpus)
     gen.sparkContext.setLogLevel("WARN")
@@ -175,19 +340,18 @@ object ScaleCurve {
     }
     gen.stop()
 
-    val results = Heavy.map { case (name, table) =>
-      val fn = SparkEntry.queries(name)
+    val results = selected.map { case (name, table, fn) =>
       val times = dirs.map { case (k, dir) =>
         val spark = Session.build(s"local[$cpus]", cpus)
         spark.sparkContext.setLogLevel("WARN")
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        try fn(spark, dir, k).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // warm rep; timed pass reports
         // A failing (query, scale) records -1 and the run continues —
         // one OOM hours in must not discard every other engine's curve.
         val reps = (1 to Reps).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
-            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            fn(spark, dir, k).write.format("noop").mode("overwrite").save()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[scale] $name x$k FAILED: ${e.getMessage}")

@@ -458,7 +458,7 @@ object Graft {
     * `(postings(doc_id, token, tf, dl, tb), doclens(doc_id, dl))`.
     * Postings carry the document length `dl` denormalized into the row
     * (impact-style — serving never joins doclens) and their `tb` token
-    * bucket (`crc32(token) mod 64`); persist postings `partitionBy(tb)`
+    * bucket (`crc32(token) mod B`, B=16 here); persist postings `partitionBy(tb)`
     * so a query's scan partition-prunes to its terms' buckets. ADD a
     * batch by appending its own `bm25Index` rows, DELETE one by
     * anti-joining on the id — both exact with no rescoring, because

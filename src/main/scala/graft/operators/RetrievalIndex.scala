@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * State = the classical inverted-index pair:
   *   - `postings(doc_id, token, tf, dl)`, written as `tb=<crc32(token)
-  *     mod 64>` token-bucket PARTITIONS — one row per distinct
+  *     mod B, B=16 here>` token-bucket PARTITIONS — one row per distinct
   *     (doc, term), carrying the document length dl denormalized into
   *     the posting (the classical impact-style posting), so SERVING
   *     reads postings alone;
@@ -56,12 +56,17 @@ object RetrievalIndex {
   private[graft] val Terms = Seq("table", "window", "agg")
   private val K = 15
 
-  /** Token-bucket count. 64 keeps every bucket multi-file-splittable at
-    * the test SFs while exercising real pruning (a 3-term query reads at
-    * most 3 of 64 partitions); production sizes B to the corpus. */
-  private[graft] val Buckets = 64
+  /** Token-bucket count. 16 exercises real pruning at the test SFs (a
+    * 3-term query reads at most 3 of 16 partitions) without paying
+    * hundreds of directory-commit round-trips per micro-batch write —
+    * partitioned-write overhead is per-DIRECTORY, so B trades pruning
+    * granularity against small-file/commit cost and production sizes it
+    * to the corpus (e.g. 4096 at 100 TB, where each bucket is still
+    * many splittable files and a write's per-dir cost amortizes over
+    * real data volume). */
+  private[graft] val Buckets = 16
 
-  /** Driver-side twin of the write side's `pmod(crc32(token), 64)` —
+  /** Driver-side twin of the write side's `pmod(crc32(token), B)` —
     * java.util.zip.CRC32 over the UTF-8 bytes IS Spark's `crc32` of a
     * string column, so the pruned read's bucket set is computed without
     * a job. */
@@ -110,7 +115,12 @@ object RetrievalIndex {
   private[graft] def writeState(docs: DataFrame, postingsPath: String,
       doclensPath: String, statsPath: String): Unit = {
     val (postings, doclens) = tokenize(docs)
-    postings.write.mode("overwrite").partitionBy("tb").parquet(postingsPath)
+    // Cluster by bucket before the partitioned write: without it every
+    // upstream task writes a file into every tb= dir it touches (tasks ×
+    // buckets small files — measured 2× on the streaming leg); with it
+    // each bucket lands in one task → one file.
+    postings.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(postingsPath)
     doclens.write.mode("overwrite").parquet(doclensPath)
     // the maintained running pair — both additive, so increments add
     // the batch's row and takedowns subtract the deleted batch's; a
@@ -134,10 +144,10 @@ object RetrievalIndex {
   /** Build-once index state (the LabelBase discipline): `old` = the
     * corpus minus the incoming `doc_id % 5 = 4` batch (the increment
     * starts here), `all` = the full corpus (the takedown starts here).
-    * v3: the r14 layout (tb= bucketed postings carrying dl, stats). */
+    * v4: the r14 layout (tb= bucketed postings carrying dl, stats; B=16). */
   private[graft] object Bm25Base {
     def ensure(s: SparkSession, d: String): (String, String, String) = {
-      val root = FixtureBase.ensure("graft_bm25_base", 3, d,
+      val root = FixtureBase.ensure("graft_bm25_base", 4, d,
           Seq("postings_old", "doclens_old", "stats_old")) { r =>
         writeState(Tables.spread(s, Tables.documents(s, d))
           .filter(expr("doc_id % 5 <> 4")),
@@ -147,7 +157,7 @@ object RetrievalIndex {
     }
 
     def ensureAll(s: SparkSession, d: String): (String, String, String) = {
-      val root = FixtureBase.ensure("graft_bm25_base", 3, d,
+      val root = FixtureBase.ensure("graft_bm25_base", 4, d,
           Seq("postings_all", "doclens_all", "stats_all")) { r =>
         writeState(Tables.spread(s, Tables.documents(s, d)),
           s"$r/postings_all", s"$r/doclens_all", s"$r/stats_all")

@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * stream and each micro-batch tokenizes ONLY ITSELF
   * ([[RetrievalIndex.tokenize]], shared with the batch builder) and
   * appends three `batch=<id>` partials: postings (sub-partitioned
-  * `tb=<crc32(token) mod 64>`, the same token-bucket scheme the batch
+  * `tb=<crc32(token) mod B>` (B=16 here), the same token-bucket scheme the batch
   * state uses, carrying dl in the posting), doclens, and the batch's
   * 1-row (n_docs, total_dl) stats delta.
   *
@@ -42,7 +42,9 @@ object Bm25Stream {
   def processBatch(batch: DataFrame, batchId: Long, postingsDir: String,
       doclensDir: String, statsDir: String): Unit = {
     val (postings, doclens) = RetrievalIndex.tokenize(batch)
-    postings.write.mode("overwrite").partitionBy("tb")
+    // repartition(tb) first — one file per bucket per batch, not one per
+    // (upstream task × bucket); see RetrievalIndex.writeState
+    postings.repartition(col("tb")).write.mode("overwrite").partitionBy("tb")
       .parquet(s"$postingsDir/batch=$batchId")
     doclens.write.mode("overwrite").parquet(s"$doclensDir/batch=$batchId")
     RetrievalIndex.statsOf(doclens).write.mode("overwrite")
