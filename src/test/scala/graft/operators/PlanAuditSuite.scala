@@ -711,17 +711,25 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_bm25_retract is a pure state takedown — tb=-pruned postings " +
-      "scan, anti-joins, no tokenization anywhere") {
+  test("q_bm25_retract serves the TAKEDOWN generation — tb=-pruned scan " +
+      "of the retracted layout, no anti-join, no tokenization, no " +
+      "doclens (the ANN _takedown7r1 discipline on the inverted index)") {
     val p = plan("q_bm25_retract")
-    assert("graft_bm25_base".r.findAllIn(p).size >= 2,
-      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
     assert("PartitionFilters: \\[[^\\]]*tb#[^\\]]*\\]".r
       .findFirstIn(p).isDefined, p.linesIterator
       .filter(_.contains("PartitionFilters")).mkString("\n"))
     assert(p.contains("In(token"), p.linesIterator
       .filter(_.contains("PushedFilters")).mkString("\n"))
+    // every state scan reads the retracted generation — a scan of the
+    // base layout would mean the takedown silently didn't apply, and an
+    // anti-join at serve time would mean the rewrite never happened
+    val scans = p.linesIterator.filter(_.contains("graft_bm25_base")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("_takedown7")),
+      scans.mkString("\n"))
+    assert(!p.contains("LeftAnti"), "takedown re-applied at serve time")
     assert(!p.contains("split("), "takedown re-tokenized")
+    assert(!p.contains("doclens"), p.linesIterator
+      .filter(_.contains("Scan")).mkString("\n"))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
