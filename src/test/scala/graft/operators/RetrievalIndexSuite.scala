@@ -20,6 +20,31 @@ class RetrievalIndexSuite extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("driver-side bucketOf equals the write side's pmod(crc32(token), B) " +
+      "over adversarial token shapes — the pruned read's correctness hinge") {
+    // The read path prunes to buckets computed DRIVER-side (java CRC32)
+    // while the write path buckets with Spark's crc32 expression; any
+    // divergence silently empties query results for the affected terms,
+    // so the agreement is pinned over random ASCII, multi-byte UTF-8,
+    // empty, whitespace and long tokens (seeded — reproducible).
+    val s = TestSpark.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val tokens = (Seq("", "a", " ", "tab\tle", "naïve", "日本語", "emoji🙂",
+      "x" * 300) ++
+      (1 to 300).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString) ++
+      (1 to 100).map(_ => (1 to (1 + rnd.nextInt(6)))
+        .map(_ => (0x20 + rnd.nextInt(0x2500)).toChar).mkString)).distinct
+    val got = tokens.toDF("token")
+      .withColumn("tb", pmod(crc32(col("token")),
+        lit(RetrievalIndex.Buckets.toLong)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tokens.foreach { t =>
+      assert(got(t) == RetrievalIndex.bucketOf(t).toLong,
+        s"bucket mismatch for codepoints ${t.map(_.toInt).mkString(",")}")
+    }
+  }
+
   test("takedown ≡ recompute over survivors, bit for bit") {
     val s = TestSpark.spark
     val ret = rows(SparkEntry.queries("q_bm25_retract")(s, sf))
