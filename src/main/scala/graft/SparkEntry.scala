@@ -46,6 +46,7 @@ object SparkEntry {
       streaming.EnrichStream.queries,
       streaming.BloomStream.queries,
       streaming.ErStream.queries,
+      streaming.ClusterStream.queries,
       streaming.Bm25Stream.queries,
       streaming.DriftStream.queries,
       streaming.GapStream.queries,
@@ -79,6 +80,7 @@ object SparkEntry {
       streaming.EnrichStream.oracle ++
       streaming.BloomStream.oracle ++
       streaming.ErStream.oracle ++
+      streaming.ClusterStream.oracle ++
       streaming.Bm25Stream.oracle ++
       streaming.DriftStream.oracle ++
       streaming.GapStream.oracle ++

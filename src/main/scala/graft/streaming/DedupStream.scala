@@ -47,7 +47,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object DedupStream {
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+  private[streaming] def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists { st =>

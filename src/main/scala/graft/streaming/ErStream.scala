@@ -38,7 +38,7 @@ object ErStream {
     * driver-side directory listing through the Hadoop FileSystem API
     * (the [[IndexCompaction]] pattern: works against any FS the
     * snapshots live on, not just `file://`), bounded by #batches. */
-  private def prevSnapshot(s: SparkSession, labelsDir: String,
+  private[streaming] def prevSnapshot(s: SparkSession, labelsDir: String,
       batchId: Long): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
