@@ -197,18 +197,40 @@ object IndexCompaction {
     stale.size
   }
 
-  def compact(spark: SparkSession, root: String, flatFiles: Int = 4): Int = {
+  /** The default (no-op) `transform` of [[compact]] — an `eq` sentinel,
+    * so the no-op threshold can tell "pure consolidation" (pointless
+    * below two directories) from a folding rewrite (worth running on a
+    * single directory). */
+  val IdentityTransform: org.apache.spark.sql.DataFrame =>
+    org.apache.spark.sql.DataFrame = identity
+
+  def compact(spark: SparkSession, root: String, flatFiles: Int = 4,
+      keepNewest: Int = 0,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = IdentityTransform): Int = {
     require(flatFiles > 0, s"flatFiles must be positive, got $flatFiles")
+    require(keepNewest >= 0, s"keepNewest must be non-negative, got $keepNewest")
     recover(spark, root)
     val (fs, rp) = fsOf(spark, root)
-    val dirs = batchDirs(fs, rp)
-    if (dirs.size < 2) return 0
+    // `keepNewest` excludes the newest ids from consumption: a stream's
+    // NEWEST batch directory may still be replayed (label write done,
+    // checkpoint commit not) and a replay OVERWRITES `batch=<id>` — if
+    // that id had been folded away, the replay would re-create it beside
+    // the folded copy and duplicate its rows. The ErStream keep-2
+    // retention discipline, applied to a union-read log.
+    val dirs = batchDirs(fs, rp).sortBy(batchId).dropRight(keepNewest)
+    if (dirs.size < (if (transform eq IdentityTransform) 2 else 1)) return 0
     val ids = dirs.map(batchId)
     val newId = math.min(ids.min, 0L) - 1L
-    val parts = internalPartitionCols(fs, new Path(rp, dirs.head))
-    val all = spark.read.parquet(root)
+    // Detect the internal scheme from any non-empty consumed dir — an
+    // EMPTY batch partial (zero rows → no partition subdirs) must not
+    // make the rewrite drop the layout.
+    val parts = dirs.iterator
+      .map(d => internalPartitionCols(fs, new Path(rp, d)))
+      .find(_.nonEmpty).getOrElse(Seq.empty)
+    val all = transform(spark.read.parquet(root)
       .filter(col("batch").isin(ids: _*))
-      .drop("batch")
+      .drop("batch"))
     if (all.isEmpty) return 0
     val staged =
       if (parts.nonEmpty) all.repartition(parts.map(col): _*)

@@ -79,4 +79,100 @@ class ClusterStreamSuite extends AnyFunSuite {
     step(Seq((3L, mut(7)), (4L, (1 to 40).map(i => s"qqq$i").mkString(" "))), 1L)
     assert(state() == before)
   }
+
+  private def textFixture(n: Int, tag: String): String =
+    (1 to 40).map(i => s"$tag$i").mkString(" ")
+  private def mutOf(tag: String, at: Int): String =
+    (1 to 40).map(i => if (i == at) s"CHANGED$i" else s"$tag$i").mkString(" ")
+
+  test("alias chains: components merging into ever-smaller NEW ids " +
+      "resolve through the pointer-doubling closure") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cluster_alias").toString
+    def step(docs: Seq[(Long, String)], id: Long): Unit =
+      ClusterStream.processBatch(docs.toDF("doc_id", "text"), id,
+        "doc_id", "text", s"$root/i", s"$root/p", s"$root/l", 0.5)
+    // batch 0: docs 10 and 20, unrelated. batch 1: doc 5 ~ doc 10 —
+    // comp 10 merges into the NEW smaller id 5 → alias (10→5). batch 2:
+    // doc 1 ~ doc 5 — comp 5 merges into 1 → alias (5→1). Doc 10's
+    // delta row still says comp 10; only the chain 10→5→1 gives the
+    // truth, so this pins the alias log and its doubling closure.
+    step(Seq((10L, textFixture(40, "tok")), (20L, textFixture(40, "zzz"))), 0L)
+    step(Seq((5L, mutOf("tok", 7))), 1L)
+    step(Seq((1L, mutOf("tok", 7).replace("CHANGED7", "ALSO7"))), 2L)
+    val labels = ClusterStream.clusterLabels(s, s"$root/l")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 20L -> 20L), labels)
+    // the alias log really holds the two-hop chain
+    val aliases = s.read.parquet(s"$root/l/alias")
+      .select("from", "to").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aliases == Set((10L, 5L), (5L, 1L)), aliases)
+  }
+
+  test("compactState folds deltas+aliases, labels unchanged; replay of " +
+      "the newest batch across the compaction is still a no-op") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cluster_compact").toString
+    def step(docs: Seq[(Long, String)], id: Long): Unit =
+      ClusterStream.processBatch(docs.toDF("doc_id", "text"), id,
+        "doc_id", "text", s"$root/i", s"$root/p", s"$root/l", 0.5)
+    step(Seq((10L, textFixture(40, "tok")), (20L, textFixture(40, "zzz"))), 0L)
+    step(Seq((5L, mutOf("tok", 7))), 1L)
+    val batch2 = Seq((1L, mutOf("tok", 7).replace("CHANGED7", "ALSO7")),
+      (30L, textFixture(40, "qqq")))
+    step(batch2, 2L)
+    def labels() = ClusterStream.clusterLabels(s, s"$root/l")
+      .collect().map(_.toString).sorted.toSeq
+    val before = labels()
+    val folded = ClusterStream.compactState(s, s"$root/l")
+    assert(folded == 2, s"expected delta partials 0 and 1 folded, got $folded")
+    assert(labels() == before)
+    // folded deltas carry ROOT comps directly (doc 10's row no longer
+    // needs the 10→5→1 chain), and only the newest alias partial remains
+    val deltaDirs = new java.io.File(s"$root/l/delta").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(deltaDirs == Seq("batch=-1", "batch=2"), deltaDirs)
+    val foldedRows = s.read.parquet(s"$root/l/delta/batch=-1")
+      .select("id", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(foldedRows == Map(10L -> 1L, 20L -> 20L, 5L -> 1L), foldedRows)
+    val aliasDirs = new java.io.File(s"$root/l/alias").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(aliasDirs == Seq("batch=2"), aliasDirs)
+    // crash-replay of the newest batch AFTER the compaction: its delta
+    // partial was deliberately not folded, so the overwrite leaves one
+    // copy of each doc and the same labels
+    step(batch2, 2L)
+    assert(labels() == before)
+    // and maintenance continues over the folded state
+    step(Seq((3L, mutOf("qqq", 9))), 3L)
+    val after = ClusterStream.clusterLabels(s, s"$root/l")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 20L -> 20L,
+      30L -> 3L, 3L -> 3L), after)
+  }
+
+  test("plan pin: the endpoint lookup prunes the delta log to the " +
+      "touched lb buckets") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cluster_prune").toString
+    def step(docs: Seq[(Long, String)], id: Long): Unit =
+      ClusterStream.processBatch(docs.toDF("doc_id", "text"), id,
+        "doc_id", "text", s"$root/i", s"$root/p", s"$root/l", 0.5)
+    // 32 docs across both batches → every lb bucket populated
+    step((0L until 16L).map(i => (i, textFixture(40, s"a${i}_"))), 0L)
+    step((16L until 32L).map(i => (i, textFixture(40, s"b${i}_"))), 1L)
+    val probe = ClusterStream.lookupRows(s, s"$root/l", 2L,
+      Seq(17L).toDF("id"))
+    val p = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lb#[^\\]]*\\]".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // id 17 hashes to bucket 1 → exactly one of the 16 lb dirs survives
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((17L, 17L)))
+  }
 }
