@@ -238,6 +238,40 @@ object ScaleCurve {
         1000000L, "doc_id", "text", idx, prs, threshold = 0.5): Unit
       s.range(1).toDF("ok")
     }),
+    ("s_cluster_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
+      require(k < 13, s"s_cluster_batch reserves rotation 13 for the timed " +
+        s"batch; history copies must stay below it (got k=$k)")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_cluster/${tag(dir)}"
+      val (idx, prs, lbl) = (s"$root/index", s"$root/pairs", s"$root/labels")
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        val docs = Tables.spread(s, Tables.documents(s, dir))
+          .select(col("doc_id"), col("text"))
+        val nb = 4 * k
+        (0 until nb).foreach { b =>
+          streaming.ClusterStream.processBatch(
+            docs.filter(expr(s"doc_id % $nb = $b")), b.toLong,
+            "doc_id", "text", idx, prs, lbl, threshold = 0.5)
+        }
+        done.createNewFile(): Unit
+      }
+      // timed: fixed base-sized batch (reserved rotation + far id shift,
+      // the s_dedup_batch discipline) against ×k history — measures the
+      // FULL maintenance step: probe + bucket-pruned endpoint lookup +
+      // contracted closure + O(batch) delta/alias writes. The log-
+      // structured label state makes the label-advance term batch-sized;
+      // the remaining slope is s_dedup_batch's probe scan term, so the
+      // GAP between this leg and s_dedup_batch is the measured cost of
+      // maintaining labels continuously — flat if the design holds.
+      streaming.ClusterStream.processBatch(
+        Tables.spread(s, Tables.documents(s, base))
+          .filter(expr("doc_id % 4 = 0"))
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            rotCol(col("text"), 13).as("text")),
+        1000000L, "doc_id", "text", idx, prs, lbl, threshold = 0.5)
+      s.range(1).toDF("ok")
+    }),
     ("s_er_batch", "part", (s: SparkSession, dir: String, k: Int) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_scale_er/${tag(dir)}"
       val (catalog0, mentions) = operators.FuzzyJoin.erFixture(s, base)
