@@ -47,6 +47,7 @@ object SparkEntry {
       streaming.BloomStream.queries,
       streaming.ErStream.queries,
       streaming.ClusterStream.queries,
+      streaming.EmbClusterStream.queries,
       streaming.Bm25Stream.queries,
       streaming.DriftStream.queries,
       streaming.GapStream.queries,
@@ -81,6 +82,7 @@ object SparkEntry {
       streaming.BloomStream.oracle ++
       streaming.ErStream.oracle ++
       streaming.ClusterStream.oracle ++
+      streaming.EmbClusterStream.oracle ++
       streaming.Bm25Stream.oracle ++
       streaming.DriftStream.oracle ++
       streaming.GapStream.oracle ++

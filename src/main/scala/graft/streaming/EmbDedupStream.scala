@@ -68,9 +68,11 @@ object EmbDedupStream {
     }
   }
 
-  private def planesPath(indexDir: String) = s"$indexDir/_graft_planes"
+  private[streaming] def planesPath(indexDir: String) =
+    s"$indexDir/_graft_planes"
 
-  private def hasPlanes(spark: SparkSession, indexDir: String): Boolean = {
+  private[streaming] def hasPlanes(spark: SparkSession,
+      indexDir: String): Boolean = {
     val p = new Path(planesPath(indexDir))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -87,31 +89,37 @@ object EmbDedupStream {
   def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
     spark.read.parquet(pairsDir).drop("batch")
 
-  /** One micro-batch step — the foreachBatch body, callable directly for
-    * batch-driven ingestion too. Returns the batch's verified pairs. */
-  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
-                   vecCol: String, indexDir: String, pairsDir: String,
-                   threshold: Double, nPlanes: Int): DataFrame = {
+  /** Sketch the batch under the index's planes (bootstrapping them from
+    * this batch if the index is being created — deterministic, so a
+    * replay of batch 0 rewrites identical planes). One sketch pass;
+    * callers probe AND append from the returned frame. */
+  private[streaming] def sketchBatch(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, nPlanes: Int): DataFrame = {
     val spark = batch.sparkSession
-    // Plane bootstrap: first non-empty batch fixes the planes for the
-    // index's lifetime. Deriving is deterministic (lowest batch ids), so
-    // a replay of batch 0 rewrites identical planes — idempotent.
     if (!hasPlanes(spark, indexDir))
       LlmQueries.derivePlanes(batch, idCol, vecCol, nPlanes)
         .write.mode("overwrite").parquet(planesPath(indexDir))
-    val planes = readPlanes(spark, indexDir)
-    // One sketch pass over the batch; probed AND appended from this.
-    val batchSk = Materialize(
-      LlmQueries.signSketch(batch, idCol, vecCol, planes))
-    // Partition-pruned probe read: only the sb prefixes this batch's
-    // sketches name (bounded driver metadata — ≤ min(|batch|, 256)
-    // ints), never the whole index.
+    Materialize(
+      LlmQueries.signSketch(batch, idCol, vecCol, readPlanes(spark, indexDir)))
+  }
+
+  /** The sketch-bucket probe: verified cosine pairs of the batch against
+    * the accumulated index ∪ the batch itself — batch×corpus and
+    * batch×batch, never corpus×corpus. The index read prunes to the sb
+    * prefixes this batch's sketches name (bounded driver metadata —
+    * ≤ min(|batch|, 256) ints), never the whole index. `excludeBatch`
+    * keeps a foreachBatch replay from treating its own about-to-be-
+    * overwritten index rows as prior state. */
+  private[streaming] def discoverPairs(batchSk: DataFrame, indexDir: String,
+      threshold: Double, excludeBatch: Long): DataFrame = {
+    val spark = batchSk.sparkSession
     val index =
       if (hasParquet(spark, indexDir)) {
         val sbs = batchSk
           .select(pmod(col("sketch"), lit(SbBuckets)).as("sb"))
           .distinct().collect().map(_.get(0))
         spark.read.parquet(indexDir)
+          .filter(col("batch") =!= excludeBatch)
           .filter(col("sb").isin(sbs.toSeq: _*))
           .drop("batch", "sb")
       } else batchSk.limit(0)
@@ -126,7 +134,7 @@ object EmbDedupStream {
     val probe = batchSk
       .selectExpr("vec_id AS _pid", "sketch", "embedding AS _pv",
         "norm AS _pn")
-    val pairs = Materialize(probe.join(u, Seq("sketch"))
+    Materialize(probe.join(u, Seq("sketch"))
       .filter(col("_uid") =!= col("_pid"))
       .filter(!col("_b") || col("_uid") < col("_pid"))
       .withColumn("sim", expr(
@@ -134,24 +142,44 @@ object EmbDedupStream {
       .filter(col("sim") >= threshold)
       .select(least(col("_uid"), col("_pid")).as("vec_a"),
         greatest(col("_uid"), col("_pid")).as("vec_b"), col("sim")))
-    // ^ consumed twice: pair log + rejection set. Each unordered pair
-    //   survives the _b/id filters exactly once (a vector lives in one
-    //   bucket, so a pair can only meet on one sketch value).
-    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    val rejected = pairs.select(col("vec_b").as("vec_id")).distinct()
-    // First-write-wins, excluding this batch id's own (about-to-be-
-    // overwritten) rows on replay — see DedupStream.processBatch.
+    // ^ each unordered pair survives the _b/id filters exactly once (a
+    //   vector lives in one bucket, so a pair can only meet on one
+    //   sketch value).
+  }
+
+  /** Append the batch's sketch rows to the index, minus `exclude` —
+    * first-write-wins per id, with this batch id's own (about-to-be-
+    * overwritten) rows ignored on replay; see DedupStream.processBatch.
+    * The curation stream excludes rejected duplicates; the label stream
+    * ([[EmbClusterStream]]) excludes nothing (index-ALL). */
+  private[streaming] def appendIndex(batchSk: DataFrame, indexDir: String,
+      batchId: Long, exclude: DataFrame): Unit = {
+    val spark = batchSk.sparkSession
     val alreadyIndexed =
       if (hasParquet(spark, indexDir))
         spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
           .select(col("vec_id")).distinct()
-      else index.select(col("vec_id")).distinct()
+      else batchSk.select(col("vec_id")).distinct().limit(0)
     batchSk
-      .join(rejected, Seq("vec_id"), "left_anti")
+      .join(exclude, Seq("vec_id"), "left_anti")
       .join(alreadyIndexed, Seq("vec_id"), "left_anti")
       .withColumn("sb", pmod(col("sketch"), lit(SbBuckets)))
       .write.mode("overwrite").partitionBy("sb")
       .parquet(s"$indexDir/batch=$batchId")
+  }
+
+  /** One micro-batch step — the foreachBatch body, callable directly for
+    * batch-driven ingestion too. Returns the batch's verified pairs. */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+                   vecCol: String, indexDir: String, pairsDir: String,
+                   threshold: Double, nPlanes: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val batchSk = sketchBatch(batch, idCol, vecCol, indexDir, nPlanes)
+    val pairs = discoverPairs(batchSk, indexDir, threshold, batchId)
+    // consumed twice: pair log + rejection set.
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    val rejected = pairs.select(col("vec_b").as("vec_id")).distinct()
+    appendIndex(batchSk, indexDir, batchId, rejected)
     pairs
   }
 

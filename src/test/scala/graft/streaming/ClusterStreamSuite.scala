@@ -166,7 +166,7 @@ class ClusterStreamSuite extends AnyFunSuite {
     // 32 docs across both batches → every lb bucket populated
     step((0L until 16L).map(i => (i, textFixture(40, s"a${i}_"))), 0L)
     step((16L until 32L).map(i => (i, textFixture(40, s"b${i}_"))), 1L)
-    val probe = ClusterStream.lookupRows(s, s"$root/l", 2L,
+    val probe = LabelLog.lookupRows(s, s"$root/l", 2L,
       Seq(17L).toDF("id"))
     val p = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*lb#[^\\]]*\\]".r.findFirstIn(p).isDefined,
