@@ -272,6 +272,43 @@ object ScaleCurve {
         1000000L, "doc_id", "text", idx, prs, lbl, threshold = 0.5)
       s.range(1).toDF("ok")
     }),
+    ("s_emb_cluster_batch", "embeddings", (s: SparkSession, dir: String, k: Int) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_embcluster/${tag(dir)}"
+      val (idx, prs, lbl) = (s"$root/index", s"$root/pairs", s"$root/labels")
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        // Planes from the BASE corpus at every scale — the index's fixed
+        // plane set must not vary with k, or the probe's bucket geometry
+        // would confound the history-size term being measured.
+        streaming.EmbClusterStream.createIndex(
+          Tables.spread(s, Tables.embeddings(s, base)),
+          "vec_id", "embedding", idx, nPlanes = 6)
+        val vecs = Tables.spread(s, Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding"))
+        val nb = 4 * k
+        (0 until nb).foreach { b =>
+          streaming.EmbClusterStream.processBatch(
+            vecs.filter(expr(s"vec_id % $nb = $b")), b.toLong,
+            "vec_id", "embedding", idx, prs, lbl, threshold = 0.35)
+        }
+        done.createNewFile(): Unit
+      }
+      // timed: fixed base-sized batch against ×k history — dim-rotation
+      // 32 is reserved (copies use 0..k−1 ≤ 25 < 32 < dim 64) and ids
+      // shift far out, the s_cluster_batch discipline applied to
+      // vectors. Measures the FULL embedding maintenance step: sketch
+      // pass + sb-pruned probe + bucket-pruned endpoint lookup +
+      // contracted closure + O(batch) delta/alias writes.
+      streaming.EmbClusterStream.processBatch(
+        Tables.spread(s, Tables.embeddings(s, base))
+          .filter(expr("vec_id % 4 = 0"))
+          .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+            expr("concat(slice(embedding, 33, size(embedding) - 32), " +
+              "slice(embedding, 1, 32))").as("embedding")),
+        1000000L, "vec_id", "embedding", idx, prs, lbl, threshold = 0.35)
+      s.range(1).toDF("ok")
+    }),
     ("s_er_batch", "part", (s: SparkSession, dir: String, k: Int) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_scale_er/${tag(dir)}"
       val (catalog0, mentions) = operators.FuzzyJoin.erFixture(s, base)

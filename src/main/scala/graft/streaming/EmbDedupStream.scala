@@ -110,6 +110,16 @@ object EmbDedupStream {
     * ≤ min(|batch|, 256) ints), never the whole index. `excludeBatch`
     * keeps a foreachBatch replay from treating its own about-to-be-
     * overwritten index rows as prior state. */
+  /** The probe's index-read frame: only the named sb prefixes, minus
+    * `excludeBatch`'s partial — factored out so the plan pin can assert
+    * the sb/batch PartitionFilters reach the scan. */
+  private[streaming] def probeRead(spark: SparkSession, indexDir: String,
+      sbs: Seq[Any], excludeBatch: Long): DataFrame =
+    spark.read.parquet(indexDir)
+      .filter(col("batch") =!= excludeBatch)
+      .filter(col("sb").isin(sbs: _*))
+      .drop("batch", "sb")
+
   private[streaming] def discoverPairs(batchSk: DataFrame, indexDir: String,
       threshold: Double, excludeBatch: Long): DataFrame = {
     val spark = batchSk.sparkSession
@@ -118,10 +128,7 @@ object EmbDedupStream {
         val sbs = batchSk
           .select(pmod(col("sketch"), lit(SbBuckets)).as("sb"))
           .distinct().collect().map(_.get(0))
-        spark.read.parquet(indexDir)
-          .filter(col("batch") =!= excludeBatch)
-          .filter(col("sb").isin(sbs.toSeq: _*))
-          .drop("batch", "sb")
+        probeRead(spark, indexDir, sbs.toSeq, excludeBatch)
       } else batchSk.limit(0)
     // Candidates: every batch vector against the index ∪ this batch on
     // the sketch bucket. A batch×batch pair surfaces from both of its

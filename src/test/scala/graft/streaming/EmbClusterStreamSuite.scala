@@ -114,6 +114,22 @@ class EmbClusterStreamSuite extends AnyFunSuite {
     assert(labelMap(lF) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 50L -> 50L))
   }
 
+  test("plan pin: the probe's index read prunes to the batch's sb " +
+      "prefixes (PartitionFilters reach the scan)") {
+    val s = TestSpark.spark
+    val (idx, prs, lbl) = fixture("emb_prune")
+    step(Seq((1L, vA), (50L, vD)), 0L, idx, prs, lbl)
+    step(Seq((2L, vB)), 1L, idx, prs, lbl)
+    // vB's sketch is 1 (positive side of the 45° plane) → sb bucket 1;
+    // the probe read for a batch like it must prune to that bucket.
+    val probe = EmbDedupStream.probeRead(s, idx, Seq(1), excludeBatch = 2L)
+    val p = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*sb#[^\\]]*\\]".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(probe.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L)) // bucket 1 holds A and B; D sits in bucket 0, unread
+  }
+
   test("maintenance refuses an uncreated index instead of silently " +
       "fixing planes from whichever batch arrived first") {
     val s = TestSpark.spark
