@@ -48,6 +48,7 @@ object SparkEntry {
       streaming.ErStream.queries,
       streaming.ClusterStream.queries,
       streaming.EmbClusterStream.queries,
+      streaming.VectorIndexStream.queries,
       streaming.Bm25Stream.queries,
       streaming.DriftStream.queries,
       streaming.GapStream.queries,
@@ -83,6 +84,7 @@ object SparkEntry {
       streaming.ErStream.oracle ++
       streaming.ClusterStream.oracle ++
       streaming.EmbClusterStream.oracle ++
+      streaming.VectorIndexStream.oracle ++
       streaming.Bm25Stream.oracle ++
       streaming.DriftStream.oracle ++
       streaming.GapStream.oracle ++

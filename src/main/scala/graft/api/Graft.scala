@@ -517,7 +517,12 @@ object Graft {
   /** IVF bucket assignment: label every vector (unique `idCol`) with the
     * id of its max-cosine centroid as a `cluster` column. Centroids are a
     * bounded set — they ride one broadcast; scoring is the codegen'd
-    * `dot_f32` kernel; ties break on the lower centroid id. */
+    * `dot_f32` kernel; the cosine rounds to 6 dp BEFORE the argmax and
+    * ties break on the lower centroid id — the one assignment convention
+    * every engine path shares ([[graft.operators.LlmQueries.kmeansAssign]]'s,
+    * which the DuckDB oracles replay), so an index built here, maintained
+    * by [[graft.streaming.VectorIndexStream]], and replayed by an oracle
+    * can never drift on a near-tie. */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cidCol: String,
                 cvecCol: String): DataFrame = {
@@ -530,7 +535,8 @@ object Graft {
     vectors
       .withColumn("_norm", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
       .crossJoin(broadcast(cents))
-      .withColumn("_csim", expr(s"dot_f32($vecCol, _cv) / (_norm * _cnorm)"))
+      .withColumn("_csim",
+        expr(s"round(dot_f32($vecCol, _cv) / (_norm * _cnorm), 6)"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .withColumn("cluster", col("_cid"))
@@ -636,7 +642,10 @@ object Graft {
       .select(col(qidCol), col(vecCol))
       .withColumn("_qn", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
       .crossJoin(broadcast(cents))
-      .withColumn("_csim", expr(s"dot_f32($vecCol, _cv) / (_qn * _cnorm)"))
+      // the ivfAssign rounding convention — query-side cell choice must
+      // not drift from the stored assignment on a near-tie
+      .withColumn("_csim",
+        expr(s"round(dot_f32($vecCol, _cv) / (_qn * _cnorm), 6)"))
       .withColumn("_prn", row_number().over(w))
       .filter(col("_prn") <= nprobe)
       .select(col(qidCol), col(vecCol), col("_cid").as("cluster"))
@@ -676,7 +685,10 @@ object Graft {
     val expanded = queries.select(col(qidCol), col(vecCol))
       .withColumn("_qn", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
       .crossJoin(broadcast(cents))
-      .withColumn("_csim", expr(s"dot_f32($vecCol, _cv) / (_qn * _cnorm)"))
+      // the ivfAssign rounding convention — query-side cell choice must
+      // not drift from the stored assignment on a near-tie
+      .withColumn("_csim",
+        expr(s"round(dot_f32($vecCol, _cv) / (_qn * _cnorm), 6)"))
       .withColumn("_prn", row_number().over(w))
       .filter(col("_prn") <= nprobe)
       .select(col(qidCol), col(vecCol), col("_cid").as("cluster"))

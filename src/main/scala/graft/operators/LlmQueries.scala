@@ -891,8 +891,17 @@ object LlmQueries {
     * every timed rep measures pure serving — listing + pruned scan. */
   private def qAnnPersisted(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(s)
-    val dir = PersistedVectorIndex.ensure(s, d)
-    val idx = s.read.parquet(dir)
+    annServe(s.read.parquet(PersistedVectorIndex.ensure(s, d)))
+  }
+
+  /** The persisted-index serving funnel, parameterized on the index
+    * frame so the batch-built (`q_ann_persisted`) and stream-maintained
+    * (`s_ann_index`) layouts serve through ONE plan: stored rows
+    * `vec_id < 5` are the query batch (their persisted cluster IS the
+    * target), the probed clusters collapse to bounded driver metadata,
+    * and the scan is partition-pruned to those `cluster=` directories
+    * before the top-3 cosine window. */
+  private[graft] def annServe(idx: DataFrame): DataFrame = {
     // the query batch: stored rows, their persisted cluster IS the target
     val q = idx.filter(col("vec_id") < 5)
       .selectExpr("vec_id AS qid", "cluster AS qcluster",

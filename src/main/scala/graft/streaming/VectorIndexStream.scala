@@ -127,4 +127,104 @@ object VectorIndexStream {
       .foreachBatch((b: DataFrame, id: Long) =>
         processBatch(b, id, idCol, vecCol, indexDir, k, iters, pqM, pqK): Unit)
       .start()
+
+  /** Create the index: train and persist its vocabularies (IVF centroid
+    * table, and for `pqM` > 0 the TRAINED residual codebook) from
+    * `vectors` — the creation corpus a deployment pins the index to.
+    * Vocabulary identity IS index identity (the
+    * [[graft.operators.LlmQueries.derivePlanes]] discipline applied to
+    * IVF/PQ): every later batch assigns and encodes against these
+    * stored tables, never re-derives. The recipe is
+    * [[graft.operators.PersistedVectorIndex]]'s build — K = ⌈√N⌉
+    * lowest-id seeds through `iters` Lloyd's rounds, residual codebook
+    * per-subspace k-means from the `pqK` lowest-id rows — so an index
+    * created here and maintained by [[processBatch]] equals the batch
+    * build row for row (suite-pinned; the creation-time corpus pass is
+    * the one-off offline step, maintenance never repeats it). Without
+    * this call the first streamed batch bootstraps the vocabularies
+    * from itself — fine for a standalone stream, but a batch-built
+    * index being handed to the stream must keep its own tables. */
+  def createIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                  indexDir: String, k: Int = 0, iters: Int = 2,
+                  pqM: Int = 0, pqK: Int = 16): Unit = {
+    val spark = vectors.sparkSession
+    graft.functions.DotF32.ensureRegistered(spark)
+    graft.api.Graft.trainIvfCentroids(vectors, idCol, vecCol, k, iters)
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(indexDir))
+    if (pqM > 0) {
+      import graft.operators.PersistedVectorIndex
+      val cents = readCentroids(spark, indexDir)
+      val dim = cents.select(size(col("cv")).as("_n")).head().getInt(0)
+      require(dim % pqM == 0,
+        s"dim $dim must divide into pqM=$pqM subspaces")
+      val sub = dim / pqM
+      val assigned = graft.api.Graft
+        .ivfAssign(vectors, idCol, vecCol, cents, "cid", "cv")
+        .withColumn("norm", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
+      val centsInt = cents.selectExpr("cid AS ccid",
+        s"transform(cv, x -> cast(round(cast(x AS double) * 1000000.0) AS bigint)) AS cq")
+      val withRes = PersistedVectorIndex.withResiduals(assigned, vecCol,
+        centsInt)
+      val cbk0 = PersistedVectorIndex.codebookRows(withRes, idCol, pqM,
+        sub, pqK)
+      PersistedVectorIndex.trainCodebook(withRes, cbk0, pqM, sub, iters)
+        .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
+    }
+  }
+
+  /** Driver-checked (`s_ann_index`): create the index from the corpus
+    * (trained centroids + trained residual codebook — exactly the
+    * `q_ann_persisted` fixture's vocabularies), stream the corpus into
+    * it in 4 deterministic micro-batches, and SERVE the same funnel the
+    * batch-built index serves ([[graft.operators.LlmQueries.annServe]]) —
+    * hash-checked against `q_ann_persisted`'s own trained-assignment
+    * oracle (one string for both: the streamed index must equal the
+    * batch build row for row, or the funnel's probed buckets diverge).
+    * Batch order cannot matter: under stored vocabularies every row's
+    * (cluster, codes) depend only on its own vector. */
+  def sAnnIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PersistedVectorIndex
+    val root = new java.io.File(
+      s"/tmp/graft_stream_ann/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    // the q_ann_persisted build's exact source read
+    val e = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val vecDir = new java.io.File(root, "vecs")
+    Seq("checkpoint", "index")
+      .foreach(n => rm(new java.io.File(root, n)))
+    if (!new java.io.File(vecDir, "_GRAFT_VECS").exists()) {
+      (0 until 4).foreach { b =>
+        e.filter(expr(s"(vec_id div 4) % 4 = $b"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(vecDir, s"b$b").getAbsolutePath)
+      }
+      new java.io.File(vecDir, "_GRAFT_VECS").createNewFile(): Unit
+    }
+    val indexDir = new java.io.File(root, "index").getAbsolutePath
+    createIndex(e, "vec_id", "embedding", indexDir,
+      pqM = PersistedVectorIndex.M, pqK = PersistedVectorIndex.K)
+    start(
+      s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${vecDir.getAbsolutePath}/*"),
+      "vec_id", "embedding", indexDir,
+      new java.io.File(root, "checkpoint").getAbsolutePath,
+      pqM = PersistedVectorIndex.M, pqK = PersistedVectorIndex.K)
+      .awaitTermination()
+    graft.operators.LlmQueries.annServe(readIndex(s, indexDir))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ann_index" -> (sAnnIndex _))
+
+  val oracle: Map[String, String] = Map(
+    // stream ≡ batch build: the streamed index serves q_ann_persisted's
+    // funnel against q_ann_persisted's own trained-assignment oracle —
+    // one string for both forms.
+    "s_ann_index" ->
+      graft.operators.LlmQueries.oracle("q_ann_persisted"))
 }
