@@ -300,6 +300,16 @@ object ScaleCurve {
       // vectors. Measures the FULL embedding maintenance step: sketch
       // pass + sb-pruned probe + bucket-pruned endpoint lookup +
       // contracted closure + O(batch) delta/alias writes.
+      //
+      // Caveat, measured and deliberate: unlike the text Caesar
+      // rotation, a dim-rotation does NOT decorrelate these embeddings
+      // at the 0.35 semantic threshold (cross-rotation cosine mass
+      // above 0.35 ≈ the within-copy rate), so the timed batch's pair
+      // count GROWS ∝k (151→1127 across ×1→×8 in the committed run).
+      // That makes this leg adversarially GENEROUS: the per-batch cost
+      // it reports stays flat even while pair discovery inflates ×8 —
+      // at a sterile threshold the flat result would be cheaper to
+      // achieve, not harder.
       streaming.EmbClusterStream.processBatch(
         Tables.spread(s, Tables.embeddings(s, base))
           .filter(expr("vec_id % 4 = 0"))
