@@ -1417,6 +1417,52 @@ object Graft {
     DedupClusters.clustersIncrement(nodes, idCol, labels, newPairs,
       srcCol, dstCol)
 
+  /** CONTINUOUS duplicate-cluster labels for a document stream (r14):
+    * per micro-batch, [[graft.streaming.DedupStream]]-style index-probe
+    * pair discovery feeds a log-structured union-find label state
+    * ([[graft.streaming.LabelLog]]) — O(batch) writes per batch, never
+    * a corpus-sized rewrite; after every batch the maintained state
+    * equals [[dupClusters]] over everything ingested. Read labels with
+    * [[graft.streaming.ClusterStream.clusterLabels]], fold the log with
+    * [[graft.streaming.ClusterStream.compactState]]. */
+  def clusterLabelStream(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, pairsDir: String,
+                         labelsDir: String, checkpointDir: String,
+                         threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.ClusterStream.start(docs, idCol, textCol, indexDir,
+      pairsDir, labelsDir, checkpointDir, threshold)
+
+  /** [[clusterLabelStream]]'s embedding twin (r14): sign-sketch pair
+    * discovery under planes FIXED AT INDEX CREATION —
+    * [[graft.streaming.EmbClusterStream.createIndex]] first, then this;
+    * maintenance refuses an uncreated index, because planes derived
+    * from whichever batch arrived first would tie the pair set to
+    * stream scheduling. After every batch the maintained state equals
+    * [[embDupClusters]] under the index's planes. */
+  def embClusterLabelStream(vectors: DataFrame, idCol: String,
+                            vecCol: String, indexDir: String,
+                            pairsDir: String, labelsDir: String,
+                            checkpointDir: String, threshold: Double = 0.99)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EmbClusterStream.start(vectors, idCol, vecCol,
+      indexDir, pairsDir, labelsDir, checkpointDir, threshold)
+
+  /** Streaming maintenance of the persisted ANN serving index (r14):
+    * create the index with [[graft.streaming.VectorIndexStream
+    * .createIndex]] (trained IVF centroids + residual-PQ codebook —
+    * vocabulary identity is index identity) and every streamed batch
+    * assigns/encodes against the stored tables, appending
+    * `batch=<id>/cluster=<c>/` partitions that [[probeVectorIndex]] /
+    * [[probePqIndex]] prune across at serve time; the maintained index
+    * equals the batch build row for row. */
+  def annIndexStream(vectors: DataFrame, idCol: String, vecCol: String,
+                     indexDir: String, checkpointDir: String,
+                     pqM: Int = 0, pqK: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.VectorIndexStream.start(vectors, idCol, vecCol,
+      indexDir, checkpointDir, pqM = pqM, pqK = pqK)
+
   /** Asymmetric n-gram CONTAINMENT near-dup pairs:
     * `|A∩B| / min(|A|,|B|) ≥ minMicro/10⁶` over `n`-gram shingle-hash
     * sets — catches a short document embedded verbatim in a long one,
