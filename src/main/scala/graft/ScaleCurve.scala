@@ -319,6 +319,44 @@ object ScaleCurve {
         1000000L, "vec_id", "embedding", idx, prs, lbl, threshold = 0.35)
       s.range(1).toDF("ok")
     }),
+    ("s_ann_batch", "embeddings", (s: SparkSession, dir: String, k: Int) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_ann/${tag(dir)}"
+      val idx = s"$root/index"
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        // Vocabularies from the BASE corpus at every scale (the
+        // s_emb_cluster_batch discipline): trained IVF centroids +
+        // residual codebook fixed at creation.
+        streaming.VectorIndexStream.createIndex(
+          Tables.spread(s, Tables.embeddings(s, base))
+            .select(col("vec_id"), col("embedding"), col("label")),
+          "vec_id", "embedding", idx, pqM = 4)
+        val vecs = Tables.spread(s, Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val nb = 4 * k
+        (0 until nb).foreach { b =>
+          streaming.VectorIndexStream.processBatch(
+            vecs.filter(expr(s"vec_id % $nb = $b")), b.toLong,
+            "vec_id", "embedding", idx, pqM = 4): Unit
+        }
+        done.createNewFile(): Unit
+      }
+      // timed: fixed base-sized batch against ×k accumulated index —
+      // ingest assigns/encodes against the stored vocabularies and
+      // overwrites its own batch= partitions; it reads NO history, so
+      // this leg measures the claim that ANN ingest is history-
+      // independent BY CONSTRUCTION (reserved dim-rotation 32 + far id
+      // shift keep the batch fixed while the index grows ×k).
+      streaming.VectorIndexStream.processBatch(
+        Tables.spread(s, Tables.embeddings(s, base))
+          .filter(expr("vec_id % 4 = 0"))
+          .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+            expr("concat(slice(embedding, 33, size(embedding) - 32), " +
+              "slice(embedding, 1, 32))").as("embedding"), col("label")),
+        1000000L, "vec_id", "embedding", idx, pqM = 4): Unit
+      s.range(1).toDF("ok")
+    }),
     ("s_er_batch", "part", (s: SparkSession, dir: String, k: Int) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_scale_er/${tag(dir)}"
       val (catalog0, mentions) = operators.FuzzyJoin.erFixture(s, base)
