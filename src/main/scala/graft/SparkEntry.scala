@@ -49,6 +49,7 @@ object SparkEntry {
       streaming.ClusterStream.queries,
       streaming.EmbClusterStream.queries,
       streaming.VectorIndexStream.queries,
+      streaming.MediaDedupStream.queries,
       streaming.Bm25Stream.queries,
       streaming.DriftStream.queries,
       streaming.GapStream.queries,
@@ -85,6 +86,7 @@ object SparkEntry {
       streaming.ClusterStream.oracle ++
       streaming.EmbClusterStream.oracle ++
       streaming.VectorIndexStream.oracle ++
+      streaming.MediaDedupStream.oracle ++
       streaming.Bm25Stream.oracle ++
       streaming.DriftStream.oracle ++
       streaming.GapStream.oracle ++
