@@ -357,6 +357,57 @@ object ScaleCurve {
         1000000L, "vec_id", "embedding", idx, pqM = 4): Unit
       s.range(1).toDF("ok")
     }),
+    ("s_media_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_media/${tag(dir)}"
+      val (idx, prs, qrt) = (s"$root/index", s"$root/pairs", s"$root/quar")
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      def payloads(ids: DataFrame): DataFrame = {
+        import s.implicits._
+        ids.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, multimodal.MultimodalOps.syntheticNoisePgm(id))))
+          .toDF("doc_id", "payload")
+      }
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        val docs = Tables.spread(s, Tables.documents(s, dir))
+        val nb = 4 * k
+        (0 until nb).foreach { b =>
+          streaming.MediaDedupStream.processBatch(
+            payloads(docs.filter(expr(s"doc_id % $nb = $b"))), b.toLong,
+            "doc_id", "payload", multimodal.MultimodalOps.dHashPgmE,
+            idx, prs, qrt)
+        }
+        done.createNewFile(): Unit
+      }
+      // Compact to steady state: 4k uncompacted partials × 256 mb
+      // dirs each is a small-files explosion the operational
+      // discipline (IndexCompaction after a burst of micro-batches)
+      // exists to fold — without it the timed batch's two index
+      // reads open O(k) file handles and the leg measures file-open
+      // overhead, not maintenance (first measured run: 16.7 → 31.9 s
+      // at ×4 uncompacted). Own marker so a cached history compacts
+      // in place.
+      val compacted = new java.io.File(s"$root/_GRAFT_COMPACTED")
+      if (!compacted.exists()) {
+        streaming.IndexCompaction.compact(s, idx, keepNewest = 1): Unit
+        compacted.createNewFile(): Unit
+      }
+      // timed: fixed base-sized batch against ×k index history. The
+      // fingerprint is md5-noise keyed on doc_id's base group, so the
+      // far id shift alone decorrelates (different bases sit ~32 bits
+      // apart — no rotation needed); the batch's band fan-in is
+      // constant while the index side grows ×k. Measures the FULL
+      // media maintenance step: decode + fingerprint + mb-pruned band
+      // probe + quarantine + index append.
+      streaming.MediaDedupStream.processBatch(
+        payloads(Tables.spread(s, Tables.documents(s, base))
+          .filter(expr("doc_id % 4 = 0"))
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"))),
+        1000000L, "doc_id", "payload",
+        multimodal.MultimodalOps.dHashPgmE, idx, prs, qrt)
+      s.range(1).toDF("ok")
+    }),
     ("s_er_batch", "part", (s: SparkSession, dir: String, k: Int) => {
       val root = s"${sys.props("java.io.tmpdir")}/graft_scale_er/${tag(dir)}"
       val (catalog0, mentions) = operators.FuzzyJoin.erFixture(s, base)
