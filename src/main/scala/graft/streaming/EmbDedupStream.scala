@@ -103,13 +103,6 @@ object EmbDedupStream {
       LlmQueries.signSketch(batch, idCol, vecCol, readPlanes(spark, indexDir)))
   }
 
-  /** The sketch-bucket probe: verified cosine pairs of the batch against
-    * the accumulated index ∪ the batch itself — batch×corpus and
-    * batch×batch, never corpus×corpus. The index read prunes to the sb
-    * prefixes this batch's sketches name (bounded driver metadata —
-    * ≤ min(|batch|, 256) ints), never the whole index. `excludeBatch`
-    * keeps a foreachBatch replay from treating its own about-to-be-
-    * overwritten index rows as prior state. */
   /** The probe's index-read frame: only the named sb prefixes, minus
     * `excludeBatch`'s partial — factored out so the plan pin can assert
     * the sb/batch PartitionFilters reach the scan. */
@@ -120,6 +113,13 @@ object EmbDedupStream {
       .filter(col("sb").isin(sbs: _*))
       .drop("batch", "sb")
 
+  /** The sketch-bucket probe: verified cosine pairs of the batch against
+    * the accumulated index ∪ the batch itself — batch×corpus and
+    * batch×batch, never corpus×corpus. The index read prunes to the sb
+    * prefixes this batch's sketches name (bounded driver metadata —
+    * ≤ min(|batch|, 256) ints), never the whole index. `excludeBatch`
+    * keeps a foreachBatch replay from treating its own about-to-be-
+    * overwritten index rows as prior state. */
   private[streaming] def discoverPairs(batchSk: DataFrame, indexDir: String,
       threshold: Double, excludeBatch: Long): DataFrame = {
     val spark = batchSk.sparkSession
