@@ -175,6 +175,15 @@ object ScaleCurve {
     *    %4 slice under a RESERVED rotation (13 — history copies use
     *    0..k−1) and shifted ids, so its bucket fan-in is constant while
     *    the index side grows ×k. The slope isolates the scan term. */
+  /** Legs whose timed batch reserves a Caesar rotation the history
+    * copies (rotations 0..k−1) must stay below — validated against the
+    * scale list AT STARTUP (r14 advice: the in-leg `require` lands
+    * inside the timed rep's try/catch at a ×16 tail run, so the
+    * reserved-rotation collision surfaced only as a silent -1 leg in
+    * the JSON instead of an upfront argument error). */
+  private val ReservedRotation: Map[String, Int] =
+    Map("s_dedup_batch" -> 13, "s_cluster_batch" -> 13)
+
   private def maintainerLegs(base: String)
       : Seq[(String, String, (SparkSession, String, Int) => DataFrame)] = Seq(
     ("q_bm25_serve", "documents", (s: SparkSession, dir: String, k: Int) => {
@@ -498,6 +507,16 @@ object ScaleCurve {
           s"known: ${legs.map(_._1).mkString(",")}")
         legs.filter(l => want.contains(l._1))
       case None => legs
+    }
+    // Fail loudly BEFORE any timing: a selected leg whose reserved
+    // rotation collides with the scale list would otherwise burn the
+    // whole run and report the collision as a silent -1 leg.
+    selected.foreach { case (name, _, _) =>
+      ReservedRotation.get(name).foreach(r =>
+        require(scales.max < r,
+          s"$name reserves rotation $r for its timed batch; history " +
+            s"copies must stay below it — run scales < $r or exclude " +
+            s"the leg (got $scales)"))
     }
 
     // One generation session; timing sessions are fresh per (query, k).

@@ -46,6 +46,7 @@ object SparkEntry {
       streaming.EnrichStream.queries,
       streaming.BloomStream.queries,
       streaming.ErStream.queries,
+      streaming.DedupStream.queries,
       streaming.ClusterStream.queries,
       streaming.EmbClusterStream.queries,
       streaming.VectorIndexStream.queries,
@@ -83,6 +84,7 @@ object SparkEntry {
       streaming.EnrichStream.oracle ++
       streaming.BloomStream.oracle ++
       streaming.ErStream.oracle ++
+      streaming.DedupStream.oracle ++
       streaming.ClusterStream.oracle ++
       streaming.EmbClusterStream.oracle ++
       streaming.VectorIndexStream.oracle ++

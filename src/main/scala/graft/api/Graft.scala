@@ -1238,10 +1238,13 @@ object Graft {
     * [[graft.streaming.VectorIndexStream]]) into ONE consolidated batch
     * directory, exactly-once — probe results are identical before and
     * after, and partition-pruned probes prune the same internal
-    * `sb=`/`cluster=` directories. Run between batches (single-writer).
-    * Returns the number of batch directories compacted (0 = no-op). */
+    * `sb=`/`cluster=`/`bb=` directories. An id-membership sidecar
+    * (`_ids/`, [[graft.streaming.IdSidecar]]) compacts alongside its
+    * index. Run between batches (single-writer). Returns the number of
+    * batch directories compacted (0 = no-op), counting both stores. */
   def compactIndex(spark: SparkSession, root: String): Int =
-    graft.streaming.IndexCompaction.compact(spark, root)
+    graft.streaming.IndexCompaction.compact(spark, root) +
+      graft.streaming.IdSidecar.compact(spark, root)
 
   /** Gap-filled daily resample with last-observation-carried-forward:
     * every (entity, day) cell of the entity's active span gets a row,

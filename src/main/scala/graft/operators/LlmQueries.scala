@@ -258,7 +258,7 @@ object LlmQueries {
 
   /** Exact-Jaccard verification of candidate pairs against the full hash
     * sets; keeps pairs at/above `threshold`. */
-  private def verifyJaccard(pairs: DataFrame, hsx: DataFrame,
+  private[graft] def verifyJaccard(pairs: DataFrame, hsx: DataFrame,
       threshold: Double): DataFrame = {
     val x = hsx.selectExpr("doc_id AS doc_a", "hs AS hs_a")
     val y = hsx.selectExpr("doc_id AS doc_b", "hs AS hs_b")

@@ -44,8 +44,11 @@ import org.apache.spark.sql.functions._
   * table — query-time work is bounded by the query's own postings
   * lists: |terms| bucket scans, one bounded df aggregate, a broadcast
   * 1-row stats frame, top-k via TakeOrderedAndProject. The reference's
-  * own O(1) registry lookup (ext/_informixcdcmodule.ec:2001) is the
-  * analog: serve cost must not grow with what the system has ingested.
+  * capture registry is the analog: a record's table resolves by direct
+  * index into the BOUNDED registered-table array
+  * (`self->tables[tabid]`, ext/_informixcdcmodule.ec:1177-1182), never
+  * through anything sized by ingested history — serve cost must not
+  * grow with what the system has ingested.
   * Appends are new `batch=` partials with the same `tb=` sub-partitions
   * and takedowns fold into the [[graft.streaming.IndexCompaction]]
   * write-then-swap, exactly like the signature and vector indexes

@@ -39,7 +39,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * write-then-swap. Nothing corpus-sized is ever rewritten (see the
   * LabelLog header for the full design and its soundness argument).
   *
-  * Exactly-once: all four writes (pairs, index, alias, delta) are
+  * Exactly-once: all five writes (pairs, index bands, id sidecar,
+  * alias, delta) are
   * `batch=<id>`-keyed OVERWRITEs, and every read excludes the current
   * batch id — a foreachBatch replay recomputes the same pair set from
   * the same predecessor state and rewrites its own partials verbatim,
@@ -54,29 +55,22 @@ object ClusterStream {
       labelsDir: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
     graft.functions.TextHash.ensureRegistered(spark)
-    // One text pass over the batch; probed AND appended from this.
+    // One text pass over the batch; probed AND appended from this. The
+    // probe is [[DedupStream.probePairs]]: bb-pruned band collision +
+    // ib-pruned sidecar verify — per-batch index reads never scan the
+    // accumulated index (r14 verdict #1).
     val batchSigx = LlmQueries.minhashMaterialized(batch, idCol, textCol)
-    val index =
-      if (DedupStream.hasParquet(spark, indexDir))
-        DedupStream.readIndex(spark, indexDir)
-      else LlmQueries.indexRowsFromSig(batchSigx.limit(0))
-        .withColumnRenamed("doc_id", idCol)
-    val pairs = Materialize(LlmQueries
-      .minhashPairsAgainstIndexFromSig(index, idCol, batchSigx, threshold))
+    val pairs = DedupStream.probePairs(spark, indexDir, idCol, batchSigx,
+      threshold, batchId)
     pairs.select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    // Index EVERY batch doc (labels need full connectivity — see header).
-    // First-write-wins per id, current batch id excluded so a replay
-    // rewrites its own partial instead of treating it as prior state.
-    val alreadyIndexed =
-      if (DedupStream.hasParquet(spark, indexDir))
-        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
-          .select(col(idCol).as("doc_id")).distinct()
-      else index.select(col(idCol).as("doc_id")).distinct()
-    LlmQueries.indexRowsFromSig(
-        batchSigx.join(alreadyIndexed, Seq("doc_id"), "left_anti"))
-      .withColumnRenamed("doc_id", idCol)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    // Index EVERY batch doc (labels need full connectivity — see
+    // header): exclude-nothing append. First-write-wins per id rides
+    // the sidecar's bucket-pruned membership lookup, current batch id
+    // excluded so a replay rewrites its own partial instead of treating
+    // it as prior state.
+    DedupStream.appendIndex(batchSigx, idCol, indexDir, batchId,
+      exclude = batchSigx.select("doc_id").limit(0))
     // Label advance: O(batch) log-structured union-find (LabelLog). The
     // committed pair partial re-reads from parquet so the closure scans
     // files, not the probe plan a second time.

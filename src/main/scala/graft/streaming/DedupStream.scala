@@ -1,8 +1,8 @@
 package graft.streaming
 
-import graft.operators.LlmQueries
+import graft.operators.{LlmQueries, Materialize}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -19,8 +19,29 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   *     batch — corpus text is never touched);
   *  2. probe the persisted index → verified near-dup pairs touching the
   *     batch (batch×corpus and batch×batch, never corpus×corpus);
-  *  3. append the pairs to the pair log, and the ACCEPTED docs' signature
-  *     rows to the index.
+  *  3. append the pairs to the pair log, and the ACCEPTED docs' state
+  *     to the index.
+  *
+  * PERSISTED LAYOUT (r15 — the last unpruned probe in the index stack,
+  * r14 verdict #1): two bucket-partitioned stores per index, so no
+  * per-batch read is ever proportional to corpus size:
+  *  - `<indexDir>/batch=<id>/bb=<crc32(bkey) mod 256>/` — the BAND rows
+  *    (doc, band, bkey), 4 per doc, partitioned by the band-key bucket.
+  *    The probe's collision join prunes to the ≤ 256 `bb` buckets the
+  *    batch's own band rows name (bounded driver metadata — the
+  *    [[MediaDedupStream]] `mb=` / BM25 `tb=` discipline; equal bkey ⇒
+  *    equal bucket, so pruning loses no candidate);
+  *  - `<indexDir>/_ids/batch=<id>/ib=<xxhash64(doc) mod 16>/` — the
+  *    [[IdSidecar]]: one row per doc carrying its shingle-hash set
+  *    `hs`. Serves BOTH per-batch index reads that remain: the exact-
+  *    Jaccard verify (pruned to the candidate docs' `ib` buckets) and
+  *    the first-write-wins membership anti-join (pruned to the batch's
+  *    own `ib` buckets). Storing `hs` once per doc here — instead of on
+  *    a band-0 row inside the band store, the pre-r15 layout — keeps
+  *    the wide column out of the collision join entirely and makes it
+  *    reachable by id bucket, which a band-partitioned store cannot
+  *    offer (a candidate surfaces on ANY colliding band, but its hs row
+  *    would sit in its band-0 bucket).
   *
   * Acceptance policy (deterministic, so a recompute can audit it): a
   * batch doc is REJECTED iff it is the `doc_b` (greater id) of any
@@ -31,21 +52,31 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * is the curation signal — dropping index rows would lose future recall.
   * Re-crawls of an id ALREADY in the index are probed with their fresh
   * text (the probe supersedes stored rows for batch ids) but the index
-  * keeps the first-written signature rows — first-write-wins, so the
-  * index never accumulates duplicate (doc, band) rows.
+  * keeps the first-written rows — first-write-wins, so the index never
+  * accumulates duplicate (doc, band) rows.
   *
-  * Exactly-once: both appends write `batch=<id>` partition directories
-  * keyed by the streaming batch id and OVERWRITE them, so a foreachBatch
-  * retry or checkpoint replay rewrites the same files instead of
-  * duplicating rows — idempotent without read-modify-write of the
-  * accumulated state (the index append is O(|batch|), never O(|index|)).
+  * Exactly-once: all three appends write `batch=<id>` partition
+  * directories keyed by the streaming batch id and OVERWRITE them, so a
+  * foreachBatch retry or checkpoint replay rewrites the same files
+  * instead of duplicating rows — idempotent without read-modify-write of
+  * the accumulated state (every append is O(|batch|), never O(|index|)).
   *
-  * Scale: probe cost is |batch| × bucket (the index side of the band join
-  * is pruned to bands — tiny rows — and `hs` is read only for verify
-  * candidates); append cost is |accepted| × 4 rows. Nothing is
-  * proportional to corpus size except the equi-join's bucket fan-in.
+  * Scale: probe cost is |batch| × bucket over `bb`-pruned band rows;
+  * verify and membership read `ib`-pruned sidecar buckets; append cost
+  * is |accepted| × 5 rows. Nothing per-batch is proportional to corpus
+  * size except the pruned buckets' own fan-in.
   */
 object DedupStream {
+
+  /** Band-bucket fan-out of the index's internal `bb=` partitioning —
+    * 256 dirs per batch, the [[MediaDedupStream]] `mb=` sizing. */
+  val BbBuckets = 256
+
+  /** The band key's bucket: `bkey` is an md5 hex string, so crc32 — the
+    * BM25 token-bucket hash ([[graft.operators.RetrievalIndex]]) — maps
+    * it to a stable int bucket. */
+  private[streaming] def bandBucket(c: Column): Column =
+    pmod(crc32(c), lit(BbBuckets.toLong)).cast("int")
 
   private[streaming] def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -56,13 +87,109 @@ object DedupStream {
     }
   }
 
-  /** Read the accumulated signature index. */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(indexDir).drop("batch")
+  /** Read the accumulated signature index back in the
+    * [[graft.api.Graft.signatureIndex]] shape — (doc, hs, band, bkey),
+    * hs carried on the band-0 row only — by joining the band store with
+    * the sidecar's per-doc hs rows. The serving/audit read (per-batch
+    * maintenance never runs it; both stores are read pruned there). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val bands = spark.read.parquet(indexDir).drop("batch", "bb")
+    val idCol = bands.columns.filterNot(Set("band", "bkey")).head
+    val hs = spark.read.parquet(IdSidecar.root(indexDir)).drop("batch", "ib")
+    bands.join(hs, Seq(idCol), "left")
+      .select(col(idCol), when(col("band") === 0, col("hs")).as("hs"),
+        col("band"), col("bkey"))
+  }
 
   /** Read the accumulated near-dup pair log. */
   def readPairs(spark: SparkSession, pairsDir: String): DataFrame =
     spark.read.parquet(pairsDir).drop("batch")
+
+  /** The probe's band-store read: only the named `bb` buckets, minus
+    * `excludeBatch`'s partial — factored out so the plan pin can assert
+    * the bb/batch PartitionFilters reach the scan. */
+  private[streaming] def indexBandsRead(spark: SparkSession,
+      indexDir: String, idCol: String, bbs: Seq[Any],
+      excludeBatch: Long): DataFrame =
+    spark.read.parquet(indexDir)
+      .filter(col("batch") =!= excludeBatch)
+      .filter(col("bb").isin(bbs: _*))
+      .selectExpr(s"$idCol AS doc_id", "band", "bkey")
+
+  /** The bucket-pruned probe: verified near-dup pairs of the batch
+    * against the accumulated index ∪ the batch itself — batch×corpus
+    * and batch×batch, never corpus×corpus. The band-collision read
+    * prunes to the `bb` buckets the batch's band rows name; the Jaccard
+    * verify reads the sidecar pruned to the CANDIDATE docs' `ib`
+    * buckets (both bounded driver metadata). `excludeBatch` keeps a
+    * foreachBatch replay from treating its own about-to-be-overwritten
+    * rows as prior state. Returns materialized (doc_a, doc_b, jaccard).
+    */
+  private[streaming] def probePairs(spark: SparkSession, indexDir: String,
+      idCol: String, batchSigx: DataFrame, threshold: Double,
+      excludeBatch: Long): DataFrame = {
+    val batchHsx = batchSigx.select("doc_id", "hs")
+    val batchIds = batchSigx.select("doc_id")
+    val batchBands = Materialize(LlmQueries.lshBandsFromSig(batchSigx))
+    val has = hasParquet(spark, indexDir)
+    // Index side of the collision join: bb-pruned band rows, batch ids
+    // anti-joined out (a re-crawled id's fresh bands supersede).
+    val idxBands =
+      if (has) {
+        val bbs = batchBands.select(bandBucket(col("bkey")).as("bb"))
+          .distinct().collect().map(_.get(0)).toSeq
+        indexBandsRead(spark, indexDir, idCol, bbs, excludeBatch)
+          .join(batchIds, Seq("doc_id"), "left_anti")
+      } else batchBands.limit(0)
+    val a = batchBands.alias("a")
+    val b = idxBands.unionByName(batchBands).alias("b")
+    val cand = Materialize(a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct())
+    // ^ materialized: consumed by the bucket collect AND the verify.
+    val oldCand = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .join(batchIds, Seq("doc_id"), "left_anti")
+    val hsOld =
+      if (has) {
+        val ibs = IdSidecar.bucketsOf(oldCand, "doc_id")
+        if (ibs.isEmpty) batchHsx.limit(0)
+        else IdSidecar.read(spark, indexDir, ibs, excludeBatch)
+          .selectExpr(s"$idCol AS doc_id", "hs")
+          .join(oldCand, Seq("doc_id"), "left_semi")
+      } else batchHsx.limit(0)
+    Materialize(LlmQueries.verifyJaccard(cand,
+      hsOld.unionByName(batchHsx), threshold))
+  }
+
+  /** Append the batch's index state, minus `exclude` — band rows to the
+    * `bb=`-partitioned store, one (doc, hs) row to the sidecar —
+    * first-write-wins per id via the sidecar's bucket-pruned membership
+    * lookup, with this batch id's own (about-to-be-overwritten) rows
+    * ignored on replay. The curation stream excludes rejected
+    * duplicates; the label stream ([[ClusterStream]]) excludes nothing
+    * (index-ALL). */
+  private[streaming] def appendIndex(batchSigx: DataFrame, idCol: String,
+      indexDir: String, batchId: Long, exclude: DataFrame): Unit = {
+    val spark = batchSigx.sparkSession
+    val known = IdSidecar.knownIds(spark, indexDir, idCol,
+        batchSigx.select(col("doc_id").as(idCol)), batchId)
+      .select(col(idCol).as("doc_id"))
+    val fresh = Materialize(batchSigx
+      .join(exclude, Seq("doc_id"), "left_anti")
+      .join(known, Seq("doc_id"), "left_anti"))
+    LlmQueries.lshBandsFromSig(fresh)
+      .withColumn("bb", bandBucket(col("bkey")))
+      .withColumnRenamed("doc_id", idCol)
+      .repartition(col("bb"))
+      .write.mode("overwrite").partitionBy("bb")
+      .parquet(s"$indexDir/batch=$batchId")
+    IdSidecar.append(fresh.select(col("doc_id").as(idCol), col("hs")),
+      idCol, indexDir, batchId)
+  }
 
   /** One micro-batch step — the foreachBatch body, callable directly for
     * batch-driven ingestion too. Returns the batch's verified pairs. */
@@ -73,39 +200,13 @@ object DedupStream {
     graft.functions.TextHash.ensureRegistered(spark)
     // One text pass over the batch; probed AND appended from this.
     val batchSigx = LlmQueries.minhashMaterialized(batch, idCol, textCol)
-    // First batch: an empty index with the batch-derived schema, so any
-    // id type works and the probe degenerates to batch×batch pairs.
-    val index =
-      if (hasParquet(spark, indexDir)) readIndex(spark, indexDir)
-      else LlmQueries.indexRowsFromSig(batchSigx.limit(0))
-        .withColumnRenamed("doc_id", idCol)
-    val pairs = graft.operators.Materialize(LlmQueries
-      .minhashPairsAgainstIndexFromSig(index, idCol, batchSigx, threshold))
-    // ^ consumed twice: pair log + rejection set (reliable when a session
-    //   checkpoint dir is set — see Materialize)
+    val pairs = probePairs(spark, indexDir, idCol, batchSigx, threshold,
+      batchId)
+    // ^ materialized: consumed as pair log + rejection set.
     pairs.write.mode("overwrite")
       .parquet(s"$pairsDir/batch=$batchId")
-    val rejected = pairs.select(col("doc_b").as("doc_id")).distinct()
-    // First-write-wins: an id ALREADY in the index (a re-crawl) keeps its
-    // original signature rows — appending again would leave duplicate
-    // (doc, band) rows that double every future verify join. Rows of the
-    // CURRENT batch id are excluded: on a foreachBatch replay they are
-    // this batch's own (about-to-be-overwritten) output, and treating
-    // them as "already indexed" would overwrite the partition with an
-    // empty frame. The id projection is a column-pruned scan of the same
-    // files the probe just read.
-    val alreadyIndexed =
-      if (hasParquet(spark, indexDir))
-        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
-          .select(col(idCol).as("doc_id")).distinct()
-      else index.select(col(idCol).as("doc_id")).distinct()
-    val accepted = batchSigx
-      .join(rejected, Seq("doc_id"), "left_anti")
-      .join(alreadyIndexed, Seq("doc_id"), "left_anti")
-    LlmQueries.indexRowsFromSig(accepted)
-      .withColumnRenamed("doc_id", idCol)
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/batch=$batchId")
+    val rejected = pairs.select(col("doc_b").as("doc_id"))
+    appendIndex(batchSigx, idCol, indexDir, batchId, rejected)
     pairs
   }
 
@@ -121,4 +222,84 @@ object DedupStream {
       .foreachBatch((b: DataFrame, id: Long) =>
         processBatch(b, id, idCol, textCol, indexDir, pairsDir, threshold): Unit)
       .start()
+
+  /** Driver-checked (`s_dedup_index`, r15 — the curation stream was the
+    * one maintainer without an `s_*` gate): split the corpus into 4
+    * deterministic micro-batches (one parquet file each, streamed with
+    * maxFilesPerTrigger=1), run the maintenance stream to completion,
+    * and return the accumulated pair log. Unlike the index-ALL label
+    * streams, the CURATION pair log is NOT the full-corpus recompute —
+    * rejected docs never enter the index, so a pair whose earlier
+    * endpoint was itself rejected is (by design) never discovered. The
+    * oracle therefore replays the acceptance policy: over the
+    * full-corpus verified pair set `j`, a batch-k doc is REJECTED iff
+    * it is the `doc_b` of a pair whose other endpoint is in the same
+    * batch or accepted in an earlier one, and a pair is DISCOVERED iff
+    * its endpoints share a batch or the earlier-batch endpoint was
+    * accepted — four unrolled strata, exact in SQL because the batch
+    * assignment `(doc_id div 4) % 4` is deterministic. */
+  def sDedupIndex(s: SparkSession, d: String): DataFrame = {
+    val root = StreamFixture.root("graft_stream_dedup_idx", d)
+    StreamFixture.reset(root, "checkpoint", "index", "pairs")
+    val docs = graft.Tables.spread(s, graft.Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val docDir = new java.io.File(root, "docs")
+    // Batch files are a deterministic function of the input dir — cached
+    // across runs; only the stream state resets per run.
+    StreamFixture.cached(docDir, "_GRAFT_DOCS") {
+      (0 until 4).foreach { b =>
+        docs.filter(expr(s"(doc_id div 4) % 4 = $b"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(docDir, s"b$b").getAbsolutePath)
+      }
+    }
+    start(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${docDir.getAbsolutePath}/*"),
+      "doc_id", "text",
+      new java.io.File(root, "index").getAbsolutePath,
+      new java.io.File(root, "pairs").getAbsolutePath,
+      new java.io.File(root, "checkpoint").getAbsolutePath,
+      LlmQueries.JaccardThreshold)
+      .awaitTermination()
+    readPairs(s, new java.io.File(root, "pairs").getAbsolutePath)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_dedup_index" -> (sDedupIndex _))
+
+  /** The sequential-acceptance oracle: the full MinHash pipeline CTE
+    * (shared verbatim with q_near_dedup_minhash) down to the verified
+    * pair set `j`, then the 4-batch curation policy unrolled — `a<k>` =
+    * batch k's accepted docs, `disc` = the pairs the stream discovers.
+    * Batch k of a doc is `(doc_id // 4) % 4`, the fixture's split. */
+  val oracle: Map[String, String] = Map(
+    "s_dedup_index" -> {
+      val accK = (0 to 3).map { k =>
+        val priorAcc =
+          if (k == 0) "SELECT NULL WHERE 1=0"
+          else (0 until k).map(i => s"SELECT doc_id FROM a$i")
+            .mkString(" UNION ALL ")
+        s"""a$k AS (SELECT doc_id FROM documents WHERE (doc_id // 4) % 4 = $k
+           |  AND doc_id NOT IN (
+           |    SELECT doc_b FROM jb
+           |    WHERE kb = $k AND (ka = $k OR doc_a IN ($priorAcc))))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${LlmQueries.minhashPairsCte},
+         |jb AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |         (doc_a // 4) % 4 AS ka, (doc_b // 4) % 4 AS kb
+         |  FROM j WHERE jaccard >= ${LlmQueries.JaccardThreshold}),
+         |$accK,
+         |acc AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1
+         |  UNION ALL SELECT doc_id FROM a2 UNION ALL SELECT doc_id FROM a3)
+         |SELECT doc_a, doc_b, jaccard FROM jb
+         |WHERE ka = kb
+         |   OR (ka < kb AND doc_a IN (SELECT doc_id FROM acc))
+         |   OR (kb < ka AND doc_b IN (SELECT doc_id FROM acc))
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
 }

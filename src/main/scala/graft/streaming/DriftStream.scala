@@ -67,14 +67,8 @@ object DriftStream {
     * stream, then read the monitor. Oracle = the batch `q_drift_psi`
     * recompute (the streaming IVM invariant). */
   def sDrift(s: SparkSession, d: String): DataFrame = {
-    val root = new java.io.File(
-      s"/tmp/graft_stream_drift/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(root, "checkpoint"))
-    rm(new java.io.File(root, "mv"))
+    val root = StreamFixture.root("graft_stream_drift", d)
+    StreamFixture.reset(root, "checkpoint", "mv")
     val chunkDir = new java.io.File(root, "chunks")
     CdcPipeline.recordFixtureCached(s, d, chunkDir.getAbsolutePath,
       ordered = true)

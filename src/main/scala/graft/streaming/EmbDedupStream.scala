@@ -157,22 +157,24 @@ object EmbDedupStream {
   /** Append the batch's sketch rows to the index, minus `exclude` —
     * first-write-wins per id, with this batch id's own (about-to-be-
     * overwritten) rows ignored on replay; see DedupStream.processBatch.
-    * The curation stream excludes rejected duplicates; the label stream
-    * ([[EmbClusterStream]]) excludes nothing (index-ALL). */
+    * The membership check is the [[IdSidecar]]'s bucket-pruned point
+    * lookup (r14 verdict #2 — never an O(index) id scan), and each
+    * batch writes its accepted ids' sidecar partial alongside the
+    * sketch rows. The curation stream excludes rejected duplicates; the
+    * label stream ([[EmbClusterStream]]) excludes nothing (index-ALL). */
   private[streaming] def appendIndex(batchSk: DataFrame, indexDir: String,
       batchId: Long, exclude: DataFrame): Unit = {
     val spark = batchSk.sparkSession
-    val alreadyIndexed =
-      if (hasParquet(spark, indexDir))
-        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
-          .select(col("vec_id")).distinct()
-      else batchSk.select(col("vec_id")).distinct().limit(0)
-    batchSk
+    val known = IdSidecar.knownIds(spark, indexDir, "vec_id",
+      batchSk.select("vec_id"), batchId)
+    val fresh = Materialize(batchSk
       .join(exclude, Seq("vec_id"), "left_anti")
-      .join(alreadyIndexed, Seq("vec_id"), "left_anti")
+      .join(known, Seq("vec_id"), "left_anti"))
+    fresh
       .withColumn("sb", pmod(col("sketch"), lit(SbBuckets)))
       .write.mode("overwrite").partitionBy("sb")
       .parquet(s"$indexDir/batch=$batchId")
+    IdSidecar.append(fresh.select("vec_id"), "vec_id", indexDir, batchId)
   }
 
   /** One micro-batch step — the foreachBatch body, callable directly for

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ID-MEMBERSHIP SIDECAR shared by every streaming index maintainer
+  * ([[DedupStream]], [[ClusterStream]], [[EmbDedupStream]],
+  * [[EmbClusterStream]], [[MediaDedupStream]]): a bucket-partitioned
+  * per-index record of WHICH ids the index already holds, so the
+  * first-write-wins guard — "never append an id's rows twice" — is a
+  * bucket-pruned point lookup instead of a corpus-sized id scan.
+  *
+  * Why it exists (the r14 verdict's #2 scale finding): every dedup
+  * stream used to compute `alreadyIndexed` as
+  * `spark.read.parquet(indexDir).select(id).distinct()` — a full
+  * column scan of the accumulated index PLUS a corpus-sized distinct
+  * shuffle, per micro-batch, regardless of how well the probe itself
+  * pruned. At 100 TB that term dominates the batch step. The sidecar
+  * applies [[LabelLog]]'s `lb=` point-lookup discipline to index
+  * membership: rows live under `_ids/batch=<id>/ib=<bucket>/`, a batch's
+  * membership check collects the ≤ [[Buckets]] distinct buckets its ids
+  * hash to (bounded driver metadata) and reads ONLY those partitions —
+  * and the anti-join needs no distinct at all (anti-join semantics are
+  * duplicate-insensitive, and first-write-wins keeps the sidecar at one
+  * row per id anyway). The reference analog is the same bounded-registry
+  * lookup that drove the BM25 `tb=` layout: the capture registry probes
+  * its fixed-size table set instead of rescanning history
+  * (ext/_informixcdcmodule.ec:1177-1191).
+  *
+  * Layout: `<indexDir>/_ids/batch=<batchId>/ib=<bucket>/` — the
+  * underscore prefix hides the sidecar from the index's own partition
+  * discovery (Spark skips `_`-prefixed children), so
+  * `spark.read.parquet(indexDir)` and [[IndexCompaction.compact]] on
+  * the index root never see it. Rows carry the id column plus any
+  * payload the owner co-locates (the text index stores each doc's
+  * shingle-hash set `hs` here — one row per doc — which the Jaccard
+  * verify reads back bucket-pruned).
+  *
+  * Exactly-once follows the owners verbatim: [[append]] OVERWRITES
+  * `batch=<id>`, every read excludes the current batch id, so a
+  * foreachBatch replay rewrites its own partial and never sees itself
+  * as prior state. Compaction: [[compact]] runs the shared
+  * write-then-swap on the sidecar root (the `ib=` scheme is an internal
+  * partition column, which the rewrite preserves).
+  */
+private[graft] object IdSidecar {
+
+  /** Bucket count of the `ib=` partitioning — the pruning knob, sized
+    * like [[LabelLog.Buckets]]: a membership check of k ids reads at
+    * most min(k, Buckets) buckets. At 100 TB raise it (the layout,
+    * reads, and compaction are parameterized on the column, not the
+    * count). */
+  val Buckets = 16
+
+  def root(indexDir: String): String = s"$indexDir/_ids"
+
+  /** The id's bucket: xxhash64 (not a plain mod) so ANY id type — the
+    * text streams admit non-numeric doc ids — buckets uniformly. */
+  def bucket(c: Column): Column =
+    pmod(xxhash64(c), lit(Buckets.toLong)).cast("int")
+
+  /** True iff the sidecar has at least one batch partial. */
+  def exists(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new Path(root(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch=")
+    }
+  }
+
+  /** The ≤ [[Buckets]] distinct `ib` values `ids`' id column hashes to —
+    * the bounded driver metadata that prunes the read. */
+  def bucketsOf(ids: DataFrame, idCol: String): Seq[Any] =
+    ids.select(bucket(col(idCol)).as("ib")).distinct()
+      .collect().map(_.get(0)).toSeq
+
+  /** The pruned sidecar scan — `ib` partition-pruned to `ibs`, current
+    * batch excluded. Factored out so the plan pins can assert the
+    * `ib`/`batch` PartitionFilters reach the scan. Returns every stored
+    * column (id + co-located payload), `batch`/`ib` dropped. */
+  def read(spark: SparkSession, indexDir: String, ibs: Seq[Any],
+      excludeBatch: Long): DataFrame =
+    spark.read.parquet(root(indexDir))
+      .filter(col("batch") =!= excludeBatch)
+      .filter(col("ib").isin(ibs: _*))
+      .drop("batch", "ib")
+
+  /** Bucket-pruned membership: the already-indexed ids in the buckets
+    * `ids` hash to (a superset of `ids` ∩ index — exactly what a
+    * left-anti consumer needs; no distinct, anti-joins don't care).
+    * Empty frame when the sidecar doesn't exist yet. */
+  def knownIds(spark: SparkSession, indexDir: String, idCol: String,
+      ids: DataFrame, excludeBatch: Long): DataFrame =
+    if (!exists(spark, indexDir)) ids.select(col(idCol)).limit(0)
+    else read(spark, indexDir, bucketsOf(ids, idCol), excludeBatch)
+      .select(col(idCol))
+
+  /** Write the batch's sidecar partial: one row per accepted id (plus
+    * any co-located payload columns), `ib`-bucketed, `batch=<id>`
+    * OVERWRITE. The pre-write repartition lands each bucket in one task
+    * → one file per live bucket (the BM25 postings small-files
+    * discipline). */
+  def append(rows: DataFrame, idCol: String, indexDir: String,
+      batchId: Long): Unit =
+    rows.withColumn("ib", bucket(col(idCol)))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib")
+      .parquet(s"${root(indexDir)}/batch=$batchId")
+
+  /** Compact the sidecar's batch partials into one (preserving `ib=`) —
+    * run alongside the owner index's own compaction, same single-writer
+    * discipline. Returns the number of partials folded. */
+  def compact(spark: SparkSession, indexDir: String,
+      keepNewest: Int = 0): Int =
+    if (!exists(spark, indexDir)) 0
+    else IndexCompaction.compact(spark, root(indexDir),
+      keepNewest = keepNewest)
+}

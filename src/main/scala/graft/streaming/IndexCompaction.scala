@@ -212,13 +212,22 @@ object IndexCompaction {
     require(keepNewest >= 0, s"keepNewest must be non-negative, got $keepNewest")
     recover(spark, root)
     val (fs, rp) = fsOf(spark, root)
-    // `keepNewest` excludes the newest ids from consumption: a stream's
-    // NEWEST batch directory may still be replayed (label write done,
-    // checkpoint commit not) and a replay OVERWRITES `batch=<id>` — if
-    // that id had been folded away, the replay would re-create it beside
-    // the folded copy and duplicate its rows. The ErStream keep-2
-    // retention discipline, applied to a union-read log.
-    val dirs = batchDirs(fs, rp).sortBy(batchId).dropRight(keepNewest)
+    // Only _SUCCESS-committed partials are consumed (matching
+    // retainSnapshots' committed-snapshot discipline): an uncommitted
+    // dir is a crashed write whose batch will be replayed — folding its
+    // partial rows would duplicate them when the replay overwrites
+    // `batch=<id>`, and letting it occupy a keepNewest slot would
+    // expose the newest REPLAYABLE committed partial to folding.
+    // `keepNewest` then excludes the newest committed ids from
+    // consumption: a stream's NEWEST batch directory may still be
+    // replayed (state write done, checkpoint commit not) and a replay
+    // OVERWRITES `batch=<id>` — if that id had been folded away, the
+    // replay would re-create it beside the folded copy and duplicate
+    // its rows. The ErStream keep-2 retention discipline, applied to a
+    // union-read log.
+    val dirs = batchDirs(fs, rp)
+      .filter(d => fs.exists(new Path(new Path(rp, d), "_SUCCESS")))
+      .sortBy(batchId).dropRight(keepNewest)
     if (dirs.size < (if (transform eq IdentityTransform) 2 else 1)) return 0
     val ids = dirs.map(batchId)
     val newId = math.min(ids.min, 0L) - 1L

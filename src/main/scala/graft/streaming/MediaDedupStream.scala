@@ -147,17 +147,20 @@ object MediaDedupStream {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    // 3. index-ALL append: first-write-wins, replay-safe.
-    val alreadyIndexed =
-      if (hasParquet(spark, indexDir))
-        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
-          .select(col("doc_id")).distinct()
-      else batchBands.select(col("doc_id")).distinct().limit(0)
-    batchBands
-      .join(alreadyIndexed, Seq("doc_id"), "left_anti")
+    // 3. index-ALL append: first-write-wins via the IdSidecar's
+    // bucket-pruned membership lookup (r14 verdict #2 — never an
+    // O(index) id scan), replay-safe; the accepted ids' sidecar partial
+    // writes alongside the band rows.
+    val known = IdSidecar.knownIds(spark, indexDir, "doc_id",
+      decoded.filter(col("reason").isNull).select("doc_id"), batchId)
+    val fresh = Materialize(batchBands
+      .join(known, Seq("doc_id"), "left_anti"))
+    fresh
       .withColumn("mb", pmod(col("bkey"), lit(MbBuckets)))
       .write.mode("overwrite").partitionBy("mb")
       .parquet(s"$indexDir/batch=$batchId")
+    IdSidecar.append(fresh.select("doc_id").distinct(), "doc_id",
+      indexDir, batchId)
   }
 
   /** Attach continuous media dedup to a streaming frame of

@@ -172,14 +172,8 @@ object MvStream {
     * then read it. The oracle is the full recompute over `events` — the
     * IVM invariant, streaming edition. */
   def sMvDelta(s: SparkSession, d: String): DataFrame = {
-    val root = new java.io.File(
-      s"/tmp/graft_stream_mv/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(root, "checkpoint"))
-    rm(new java.io.File(root, "mv"))
+    val root = StreamFixture.root("graft_stream_mv", d)
+    StreamFixture.reset(root, "checkpoint", "mv")
     val chunkDir = new java.io.File(root, "chunks")
     CdcPipeline.recordFixtureCached(s, d, chunkDir.getAbsolutePath,
       ordered = true)

@@ -175,4 +175,30 @@ class ClusterStreamSuite extends AnyFunSuite {
     assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((17L, 17L)))
   }
+
+  test("plan pin: the pair-discovery index reads prune too — bb on the " +
+      "band store, ib on the id sidecar (index-ALL root)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cluster_bb").toString
+    def step(docs: Seq[(Long, String)], id: Long): Unit =
+      ClusterStream.processBatch(docs.toDF("doc_id", "text"), id,
+        "doc_id", "text", s"$root/i", s"$root/p", s"$root/l", 0.5)
+    step(Seq((10L, textFixture(40, "tok")), (20L, textFixture(40, "zzz"))), 0L)
+    step(Seq((30L, textFixture(40, "qqq"))), 1L)
+    val bands = DedupStream.indexBandsRead(s, s"$root/i", "doc_id",
+      Seq(0, 1, 2), 2L)
+    val pb = bands.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bb#[^\\]]*\\]".r.findFirstIn(pb).isDefined,
+      pb.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    val ib10 = Seq(10L).toDF("x")
+      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+    val sidecar = IdSidecar.read(s, s"$root/i", Seq(ib10), 2L)
+    val ps = sidecar.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,
+      ps.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // index-ALL: every ingested doc has exactly one sidecar row
+    assert(sidecar.filter(col("doc_id") === 10L).count() == 1L)
+    assert(s.read.parquet(IdSidecar.root(s"$root/i")).count() == 3L)
+  }
 }

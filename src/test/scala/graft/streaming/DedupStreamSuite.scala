@@ -112,4 +112,42 @@ class DedupStreamSuite extends AnyFunSuite {
       .groupBy("id").count().collect().map(_.getLong(1)).toSet
     assert(perDocRows == Set(4L)) // exactly 4 band rows per indexed doc
   }
+
+  test("plan pin: per-batch index reads prune — bb on the band store, " +
+      "ib on the id sidecar (PartitionFilters reach both scans)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedup_prune").toFile
+    val idx = new java.io.File(root, "index").getAbsolutePath
+    val prs = new java.io.File(root, "pairs").getAbsolutePath
+    DedupStream.processBatch(Seq((1L, base), (2L, old1)).toDF("id", "body"),
+      0L, "id", "body", idx, prs, threshold = 0.5)
+    DedupStream.processBatch(
+      Seq((9L, mut(20)), (10L, unrelated("zzz"))).toDF("id", "body"),
+      1L, "id", "body", idx, prs, threshold = 0.5)
+    // the collision read: bb partition filter reaches the band scan
+    val bands = DedupStream.indexBandsRead(s, idx, "id", Seq(0, 1, 2), 2L)
+    val pb = bands.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bb#[^\\]]*\\]".r.findFirstIn(pb).isDefined,
+      pb.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // semantic: pruning to a doc's own bucket set returns all its rows
+    val all = s.read.parquet(idx)
+    val bbsOf1 = all.filter(col("id") === 1L).select("bb")
+      .distinct().collect().map(_.get(0)).toSeq
+    assert(DedupStream.indexBandsRead(s, idx, "id", bbsOf1, 2L)
+      .filter(col("doc_id") === 1L).count() == 4L)
+    // the sidecar read: ib partition filter reaches the scan, and the
+    // bucket a known id hashes to really holds its (id, hs) row
+    val ib1 = Seq(1L).toDF("x")
+      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+    val sidecar = IdSidecar.read(s, idx, Seq(ib1), 2L)
+    val ps = sidecar.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,
+      ps.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(sidecar.filter(col("id") === 1L).count() == 1L)
+    // one sidecar row per indexed doc, never more (first-write-wins)
+    val perDoc = s.read.parquet(IdSidecar.root(idx))
+      .groupBy("id").count().collect().map(_.getLong(1)).toSet
+    assert(perDoc == Set(1L))
+  }
 }

@@ -128,5 +128,18 @@ class EmbDedupStreamSuite extends AnyFunSuite {
     val perVec = EmbDedupStream.readIndex(s, idx)
       .groupBy("vec_id").count().collect().map(_.getLong(1)).toSet
     assert(perVec == Set(1L)) // exactly one row per indexed vector
+
+    // plan pin: the first-write-wins membership read is the IdSidecar's
+    // ib-pruned point lookup, never an O(index) vec_id scan
+    val ib1 = Seq(1L).toDF("x")
+      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+    val sidecar = IdSidecar.read(s, idx, Seq(ib1), 4L)
+    val ps = sidecar.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,
+      ps.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(sidecar.filter(col("vec_id") === 1L).count() == 1L)
+    // the sidecar membership matches the index exactly (accepted only)
+    assert(TestSpark.spark.read.parquet(IdSidecar.root(idx))
+      .select("vec_id").collect().map(_.getLong(0)).toSet == got.map(_._1))
   }
 }

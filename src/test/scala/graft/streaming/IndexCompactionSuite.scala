@@ -60,9 +60,11 @@ class IndexCompactionSuite extends AnyFunSuite {
     assert(wantPrs.contains((1L, 9L)) && wantPrs.contains((1L, 12L)))
     assert(batchDirNames(idx).size == 3)
 
-    assert(Graft.compactIndex(s, idx) == 3)
+    // 3 band-store partials + 3 id-sidecar partials fold together
+    assert(Graft.compactIndex(s, idx) == 6)
     assert(Graft.compactIndex(s, prs) == 3)
     assert(batchDirNames(idx) == Seq("batch=-1"))
+    assert(batchDirNames(IdSidecar.root(idx)) == Seq("batch=-1"))
     assert(batchDirNames(prs) == Seq("batch=-1"))
     assert(indexRows(DedupStream.readIndex(s, idx)) == wantIdx)
     assert(pairRows(DedupStream.readPairs(s, prs)) == wantPrs)
@@ -85,8 +87,9 @@ class IndexCompactionSuite extends AnyFunSuite {
     // re-compaction folds the compacted dir with the new batch: the
     // next negative id nests below the previous one, rows unchanged
     val wantIdx2 = indexRows(DedupStream.readIndex(s, idx))
-    assert(Graft.compactIndex(s, idx) == 2)
+    assert(Graft.compactIndex(s, idx) == 4)
     assert(batchDirNames(idx) == Seq("batch=-2"))
+    assert(batchDirNames(IdSidecar.root(idx)) == Seq("batch=-2"))
     assert(indexRows(DedupStream.readIndex(s, idx)) == wantIdx2)
   }
 
@@ -159,7 +162,7 @@ class IndexCompactionSuite extends AnyFunSuite {
       }
     }
     val (cIdx, cPrs) = roots.head
-    assert(Graft.compactIndex(s, cIdx) == 2)
+    assert(Graft.compactIndex(s, cIdx) == 4) // sketch + sidecar partials
     assert(Graft.compactIndex(s, cPrs) >= 0) // pair log may hold < 2 dirs with rows
     roots.foreach { case (idx, prs) =>
       EmbDedupStream.processBatch(next.toDF("vec_id", "embedding"), 2L,

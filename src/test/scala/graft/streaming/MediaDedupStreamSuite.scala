@@ -84,5 +84,15 @@ class MediaDedupStreamSuite extends AnyFunSuite {
     val p = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*mb#[^\\]]*\\]".r.findFirstIn(p).isDefined,
       p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // the first-write-wins membership read prunes on the sidecar's ib
+    import TestSpark.spark.implicits._
+    val ib30 = Seq(30L).toDF("x")
+      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+    val sidecar = IdSidecar.read(s, s"$root/i", Seq(ib30), 1L)
+    val ps = sidecar.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,
+      ps.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // one sidecar row per decoded doc (never the 4-per-doc band rows)
+    assert(sidecar.filter(col("doc_id") === 30L).count() == 1L)
   }
 }
