@@ -175,6 +175,29 @@ object ScaleCurve {
     *    %4 slice under a RESERVED rotation (13 — history copies use
     *    0..k−1) and shifted ids, so its bucket fan-in is constant while
     *    the index side grows ×k. The slope isolates the scan term. */
+  /** Compact a cached maintainer history to operational steady state
+    * before timing (the s_media_batch discipline, extended to the dedup
+    * and label families in r15): 4k uncompacted partials × (256 `bb` +
+    * 16 `ib`) dirs each is a small-files explosion the compaction verb
+    * exists to fold — without it the timed batch's pruned reads open
+    * O(k·buckets) file handles and the leg measures file-open overhead,
+    * not maintenance. `SPARK_GRAFT_NOCOMPACT=1` SKIPS the fold — run
+    * the label/dedup legs once with it and once without to measure the
+    * uncompacted-vs-compacted split as data (the marker is only written
+    * on an actual fold, so a later default run compacts the same cached
+    * history in place). Single-writer: runs between the history build
+    * and the timed batch, never concurrently with either. */
+  private def compactToSteadyState(s: SparkSession, root: String,
+      idx: String, labels: Option[String] = None): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_NOCOMPACT")) return
+    val marker = new java.io.File(s"$root/_GRAFT_COMPACTED")
+    if (marker.exists()) return
+    streaming.IndexCompaction.compact(s, idx, keepNewest = 1): Unit
+    streaming.IdSidecar.compact(s, idx, keepNewest = 1): Unit
+    labels.foreach(l => streaming.ClusterStream.compactState(s, l): Unit)
+    marker.createNewFile(): Unit
+  }
+
   /** Legs whose timed batch reserves a Caesar rotation the history
     * copies (rotations 0..k−1) must stay below — validated against the
     * scale list AT STARTUP (r14 advice: the in-leg `require` lands
@@ -221,7 +244,9 @@ object ScaleCurve {
     ("s_dedup_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
       require(k < 13, s"s_dedup_batch reserves rotation 13 for the timed " +
         s"batch; history copies must stay below it (got k=$k)")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_dedup/${tag(dir)}"
+      // _v2: the r15 index layout (bb=-partitioned bands + _ids sidecar)
+      // is incompatible with r14's flat cached histories.
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_dedup_v2/${tag(dir)}"
       val (idx, prs) = (s"$root/index", s"$root/pairs")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       if (!done.exists()) {
@@ -236,6 +261,7 @@ object ScaleCurve {
         }
         done.createNewFile(): Unit
       }
+      compactToSteadyState(s, root, idx)
       // timed: fixed base-sized batch under the reserved rotation +
       // a far id shift (fresh ids, cross-history similarity destroyed —
       // its bucket fan-in stays constant while the index side grows ×k)
@@ -250,7 +276,7 @@ object ScaleCurve {
     ("s_cluster_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
       require(k < 13, s"s_cluster_batch reserves rotation 13 for the timed " +
         s"batch; history copies must stay below it (got k=$k)")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_cluster/${tag(dir)}"
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_cluster_v2/${tag(dir)}"
       val (idx, prs, lbl) = (s"$root/index", s"$root/pairs", s"$root/labels")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       if (!done.exists()) {
@@ -265,6 +291,7 @@ object ScaleCurve {
         }
         done.createNewFile(): Unit
       }
+      compactToSteadyState(s, root, idx, Some(lbl))
       // timed: fixed base-sized batch (reserved rotation + far id shift,
       // the s_dedup_batch discipline) against ×k history — measures the
       // FULL maintenance step: probe + bucket-pruned endpoint lookup +
@@ -282,7 +309,7 @@ object ScaleCurve {
       s.range(1).toDF("ok")
     }),
     ("s_emb_cluster_batch", "embeddings", (s: SparkSession, dir: String, k: Int) => {
-      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_embcluster/${tag(dir)}"
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_embcluster_v2/${tag(dir)}"
       val (idx, prs, lbl) = (s"$root/index", s"$root/pairs", s"$root/labels")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       if (!done.exists()) {
@@ -303,6 +330,7 @@ object ScaleCurve {
         }
         done.createNewFile(): Unit
       }
+      compactToSteadyState(s, root, idx, Some(lbl))
       // timed: fixed base-sized batch against ×k history — dim-rotation
       // 32 is reserved (copies use 0..k−1 ≤ 25 < 32 < dim 64) and ids
       // shift far out, the s_cluster_batch discipline applied to
@@ -367,7 +395,9 @@ object ScaleCurve {
       s.range(1).toDF("ok")
     }),
     ("s_media_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
-      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_media/${tag(dir)}"
+      // _v2: the r15 layout adds the _ids membership sidecar the r14
+      // cached histories lack — the timed step must see the real state.
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_media_v2/${tag(dir)}"
       val (idx, prs, qrt) = (s"$root/index", s"$root/pairs", s"$root/quar")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       def payloads(ids: DataFrame): DataFrame = {
@@ -389,19 +419,10 @@ object ScaleCurve {
         }
         done.createNewFile(): Unit
       }
-      // Compact to steady state: 4k uncompacted partials × 256 mb
-      // dirs each is a small-files explosion the operational
-      // discipline (IndexCompaction after a burst of micro-batches)
-      // exists to fold — without it the timed batch's two index
-      // reads open O(k) file handles and the leg measures file-open
-      // overhead, not maintenance (first measured run: 16.7 → 31.9 s
-      // at ×4 uncompacted). Own marker so a cached history compacts
-      // in place.
-      val compacted = new java.io.File(s"$root/_GRAFT_COMPACTED")
-      if (!compacted.exists()) {
-        streaming.IndexCompaction.compact(s, idx, keepNewest = 1): Unit
-        compacted.createNewFile(): Unit
-      }
+      // Compact to steady state (first measured run: 16.7 → 31.9 s at
+      // ×4 uncompacted vs 6-8 s flat compacted — the r14 measurement
+      // that made this the shared discipline).
+      compactToSteadyState(s, root, idx)
       // timed: fixed base-sized batch against ×k index history. The
       // fingerprint is md5-noise keyed on doc_id's base group, so the
       // far id shift alone decorrelates (different bases sit ~32 bits

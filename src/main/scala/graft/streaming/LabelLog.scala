@@ -87,7 +87,15 @@ object LabelLog {
     * smaller id) so this terminates; the loop runs over the ALIAS LOG
     * ONLY — merges since the last compaction — never anything
     * corpus-sized. */
-  private[streaming] def aliasClosure(aliases: DataFrame): DataFrame = {
+  private[streaming] def aliasClosure(aliases: DataFrame): DataFrame =
+    aliasClosureCounted(aliases)._1
+
+  /** [[aliasClosure]] plus the executed round count — the depth seam the
+    * 64-batch suite pins: rounds = ceil(log2(longest chain)) hop rounds
+    * + 1 terminal no-hop round, so a linear-chain alias log of length L
+    * must close in ~log2(L), never L, rounds. */
+  private[streaming] def aliasClosureCounted(
+      aliases: DataFrame): (DataFrame, Int) = {
     var a = Materialize(aliases.select(col("from"), col("to")).distinct())
     var rounds = 0
     var live = a.limit(1).count() > 0
@@ -103,8 +111,13 @@ object LabelLog {
       live = stepped.filter(col("_hopped")).limit(1).count() > 0
       a = stepped.select(col("from"), col("to"))
     }
-    a
+    (a, rounds)
   }
+
+  /** The closure round count over the CURRENT alias log — suite seam. */
+  private[streaming] def closureRounds(s: SparkSession,
+      labelsDir: String): Int =
+    aliasClosureCounted(readAliases(s, labelsDir, Long.MaxValue))._2
 
   /** Chase every label's comp through the alias closure. */
   private def resolve(labels: DataFrame, aliases: DataFrame): DataFrame = {
