@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.operators.{LlmQueries, Materialize}
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -78,14 +77,12 @@ object DedupStream {
   private[streaming] def bandBucket(c: Column): Column =
     pmod(crc32(c), lit(BbBuckets.toLong)).cast("int")
 
-  private[streaming] def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isDirectory && n.startsWith("batch=")
-    }
-  }
+  /** Non-empty-state guard: a partial holding only `_SUCCESS` (an
+    * empty batch under the partitioned layout) must not count, or the
+    * first non-empty batch's reads would fail schema inference against
+    * an all-empty root — see [[IdSidecar.hasBatchData]]. */
+  private[streaming] def hasParquet(spark: SparkSession, dir: String): Boolean =
+    IdSidecar.hasBatchData(spark, dir)
 
   /** Read the accumulated signature index back in the
     * [[graft.api.Graft.signatureIndex]] shape — (doc, hs, band, bkey),

@@ -59,14 +59,11 @@ object EmbDedupStream {
     * pruning loses no candidate pair. */
   private val SbBuckets = 256
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isDirectory && n.startsWith("batch=")
-    }
-  }
+  /** Non-empty-state guard ([[IdSidecar.hasBatchData]]): an empty
+    * batch's `sb=`-partitioned partial is `_SUCCESS`-only and must not
+    * make later reads infer schema from an all-empty root. */
+  private def hasParquet(spark: SparkSession, dir: String): Boolean =
+    IdSidecar.hasBatchData(spark, dir)
 
   private[streaming] def planesPath(indexDir: String) =
     s"$indexDir/_graft_planes"

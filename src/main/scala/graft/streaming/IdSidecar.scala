@@ -60,14 +60,34 @@ private[graft] object IdSidecar {
   def bucket(c: Column): Column =
     pmod(xxhash64(c), lit(Buckets.toLong)).cast("int")
 
-  /** True iff the sidecar has at least one batch partial. */
-  def exists(spark: SparkSession, indexDir: String): Boolean = {
-    val p = new Path(root(indexDir))
+  /** True iff `dir` holds at least one `batch=` partial CONTAINING
+    * data. The data check matters for partitioned layouts: an EMPTY
+    * batch (all rows excluded, or an empty stream trigger) writes a
+    * partial holding only `_SUCCESS` — no partition dirs, no schema-
+    * bearing part file (unlike a flat empty write) — and a root whose
+    * only partials are empty fails schema inference when read. Shared
+    * by every maintainer's has-state guard. Listing cost is O(batch
+    * dirs), the same walk the caller's read is about to do; compaction
+    * keeps that bounded. */
+  def hasBatchData(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists { st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch=")
+      st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        fs.listStatus(st.getPath).exists { c =>
+          val n = c.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
     }
   }
+
+  /** True iff the sidecar has at least one non-empty batch partial.
+    * (Reading the `_ids` path elicits a cosmetic "All paths were
+    * ignored" WARN — Spark flags explicitly-read underscore paths as
+    * hidden-looking but returns them unfiltered; the `_graft_planes`
+    * convention has the same property.) */
+  def exists(spark: SparkSession, indexDir: String): Boolean =
+    hasBatchData(spark, root(indexDir))
 
   /** The ≤ [[Buckets]] distinct `ib` values `ids`' id column hashes to —
     * the bounded driver metadata that prunes the read. */

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.operators.Materialize
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -58,13 +57,11 @@ object MediaDedupStream {
     * bucketing — 256 dirs per batch, the EmbDedupStream `sb=` sizing. */
   private val MbBuckets = 256
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch=")
-    }
-  }
+  /** Non-empty-state guard ([[IdSidecar.hasBatchData]]): an empty
+    * batch's `mb=`-partitioned partial is `_SUCCESS`-only and must not
+    * make later reads infer schema from an all-empty root. */
+  private def hasParquet(spark: SparkSession, dir: String): Boolean =
+    IdSidecar.hasBatchData(spark, dir)
 
   /** Explode a (doc_id, hash) frame into its 4 band rows
     * (doc_id, hash, band, bkey) — the [[graft.operators.LlmQueries

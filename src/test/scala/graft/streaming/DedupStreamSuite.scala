@@ -150,4 +150,34 @@ class DedupStreamSuite extends AnyFunSuite {
       .groupBy("id").count().collect().map(_.getLong(1)).toSet
     assert(perDoc == Set(1L))
   }
+
+  test("an EMPTY first batch leaves only _SUCCESS partials and must not " +
+      "break later reads (partitioned empty writes carry no schema)") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedup_empty").toFile
+    val idx = new java.io.File(root, "index").getAbsolutePath
+    val prs = new java.io.File(root, "pairs").getAbsolutePath
+    // batch 0: zero rows — an idle stream trigger / all-filtered slice
+    DedupStream.processBatch(
+      Seq.empty[(Long, String)].toDF("id", "body"),
+      0L, "id", "body", idx, prs, threshold = 0.5)
+    // the empty partials exist but count as no state
+    assert(!DedupStream.hasParquet(s, idx) && !IdSidecar.exists(s, idx))
+    // batch 1: real docs — probes and appends against the empty-partial
+    // root without schema-inference failures, finds its in-batch pair
+    val p1 = DedupStream.processBatch(
+      Seq((1L, base), (9L, mut(20)), (10L, unrelated("zzz")))
+        .toDF("id", "body"),
+      1L, "id", "body", idx, prs, threshold = 0.5)
+    assert(collectPairs(p1) == Set((1L, 9L)))
+    // batch 2: cross-batch probe reads bands + sidecar past the empty
+    // batch=0 partials
+    val p2 = DedupStream.processBatch(
+      Seq((12L, mut(22))).toDF("id", "body"),
+      2L, "id", "body", idx, prs, threshold = 0.5)
+    assert(collectPairs(p2) == Set((1L, 12L)))
+    assert(collectPairs(DedupStream.readPairs(s, prs)) ==
+      Set((1L, 9L), (1L, 12L)))
+  }
 }
