@@ -244,9 +244,12 @@ object ScaleCurve {
     ("s_dedup_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
       require(k < 13, s"s_dedup_batch reserves rotation 13 for the timed " +
         s"batch; history copies must stay below it (got k=$k)")
-      // _v2: the r15 index layout (bb=-partitioned bands + _ids sidecar)
-      // is incompatible with r14's flat cached histories.
-      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_dedup_v2/${tag(dir)}"
+      // _v3: the r15 index layout (bb=-partitioned bands + _ids sidecar)
+      // is incompatible with r14's flat cached histories, and the
+      // BbBuckets=256→64 resize changes the bucket VALUES a cached
+      // history was written under — a probe against a stale cache would
+      // silently prune the wrong partitions.
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_dedup_v3/${tag(dir)}"
       val (idx, prs) = (s"$root/index", s"$root/pairs")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       if (!done.exists()) {
@@ -276,7 +279,7 @@ object ScaleCurve {
     ("s_cluster_batch", "documents", (s: SparkSession, dir: String, k: Int) => {
       require(k < 13, s"s_cluster_batch reserves rotation 13 for the timed " +
         s"batch; history copies must stay below it (got k=$k)")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_cluster_v2/${tag(dir)}"
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_cluster_v3/${tag(dir)}"
       val (idx, prs, lbl) = (s"$root/index", s"$root/pairs", s"$root/labels")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       if (!done.exists()) {

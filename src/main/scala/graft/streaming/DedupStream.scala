@@ -24,9 +24,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * PERSISTED LAYOUT (r15 — the last unpruned probe in the index stack,
   * r14 verdict #1): two bucket-partitioned stores per index, so no
   * per-batch read is ever proportional to corpus size:
-  *  - `<indexDir>/batch=<id>/bb=<crc32(bkey) mod 256>/` — the BAND rows
+  *  - `<indexDir>/batch=<id>/bb=<crc32(bkey) mod 64>/` — the BAND rows
   *    (doc, band, bkey), 4 per doc, partitioned by the band-key bucket.
-  *    The probe's collision join prunes to the ≤ 256 `bb` buckets the
+  *    The probe's collision join prunes to the ≤ [[BbBuckets]] `bb` buckets the
   *    batch's own band rows name (bounded driver metadata — the
   *    [[MediaDedupStream]] `mb=` / BM25 `tb=` discipline; equal bkey ⇒
   *    equal bucket, so pruning loses no candidate);
@@ -67,9 +67,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object DedupStream {
 
-  /** Band-bucket fan-out of the index's internal `bb=` partitioning —
-    * 256 dirs per batch, the [[MediaDedupStream]] `mb=` sizing. */
-  val BbBuckets = 256
+  /** Band-bucket fan-out of the index's internal `bb=` partitioning.
+    * The count trades PROBE pruning (finer buckets ⇒ a small batch's
+    * collision read touches a smaller index fraction) against the
+    * per-batch WRITE fan (every micro-batch commits one file per live
+    * bucket; measured on the sf0.1 gate: 256 buckets cost ~4.5 s of
+    * file-commit overhead per batch, 64 cost ~1/4 of that). 64 follows
+    * the BM25 `tb=`/[[LabelLog]] small-written-partial discipline; at
+    * 100 TB raise it with batch size — or split the layout (coarse
+    * per-batch partials, fine compacted base) if micro-batches must
+    * stay tiny — the reads, writes, and compaction are parameterized on
+    * the column, not the count. */
+  val BbBuckets = 64
 
   /** The band key's bucket: `bkey` is an md5 hex string, so crc32 — the
     * BM25 token-bucket hash ([[graft.operators.RetrievalIndex]]) — maps
