@@ -136,7 +136,11 @@ object DedupStream {
       excludeBatch: Long): DataFrame = {
     val batchHsx = batchSigx.select("doc_id", "hs")
     val batchIds = batchSigx.select("doc_id")
-    val batchBands = Materialize(LlmQueries.lshBandsFromSig(batchSigx))
+    // NOT materialized: the band tail is a struct+md5 projection over
+    // the ALREADY-materialized signatures, so its three consumers (the
+    // bb collect, both collision-join sides) re-run a cheap map stage —
+    // measured faster than a localCheckpoint round-trip of the rows.
+    val batchBands = LlmQueries.lshBandsFromSig(batchSigx)
     val has = hasParquet(spark, indexDir)
     // Index side of the collision join: bb-pruned band rows, batch ids
     // anti-joined out (a re-crawled id's fresh bands supersede).
@@ -184,9 +188,12 @@ object DedupStream {
     val known = IdSidecar.knownIds(spark, indexDir, idCol,
         batchSigx.select(col("doc_id").as(idCol)), batchId)
       .select(col(idCol).as("doc_id"))
-    val fresh = Materialize(batchSigx
+    // NOT materialized: both writes re-run two small anti-joins over the
+    // already-materialized signatures — cheaper than checkpointing the
+    // wide hs rows a second time (measured on the sf0.1 gate).
+    val fresh = batchSigx
       .join(exclude, Seq("doc_id"), "left_anti")
-      .join(known, Seq("doc_id"), "left_anti"))
+      .join(known, Seq("doc_id"), "left_anti")
     LlmQueries.lshBandsFromSig(fresh)
       .withColumn("bb", bandBucket(col("bkey")))
       .withColumnRenamed("doc_id", idCol)

@@ -164,9 +164,12 @@ object EmbDedupStream {
     val spark = batchSk.sparkSession
     val known = IdSidecar.knownIds(spark, indexDir, "vec_id",
       batchSk.select("vec_id"), batchId)
-    val fresh = Materialize(batchSk
+    // NOT materialized: both writes re-run two small anti-joins over the
+    // already-materialized sketches — cheaper than a second checkpoint
+    // of the embedding rows (the DedupStream.appendIndex measurement).
+    val fresh = batchSk
       .join(exclude, Seq("vec_id"), "left_anti")
-      .join(known, Seq("vec_id"), "left_anti"))
+      .join(known, Seq("vec_id"), "left_anti")
     fresh
       .withColumn("sb", pmod(col("sketch"), lit(SbBuckets)))
       .write.mode("overwrite").partitionBy("sb")

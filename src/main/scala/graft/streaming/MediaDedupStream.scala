@@ -150,8 +150,11 @@ object MediaDedupStream {
     // writes alongside the band rows.
     val known = IdSidecar.knownIds(spark, indexDir, "doc_id",
       decoded.filter(col("reason").isNull).select("doc_id"), batchId)
-    val fresh = Materialize(batchBands
-      .join(known, Seq("doc_id"), "left_anti"))
+    // NOT materialized: both writes re-run one small anti-join over the
+    // already-materialized band rows (the DedupStream.appendIndex
+    // measurement).
+    val fresh = batchBands
+      .join(known, Seq("doc_id"), "left_anti")
     fresh
       .withColumn("mb", pmod(col("bkey"), lit(MbBuckets)))
       .write.mode("overwrite").partitionBy("mb")
