@@ -141,6 +141,32 @@ object Graft {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[nearDupPairsIncremental]] directly against a STREAMED index
+    * DIRECTORY (the [[graft.streaming.DedupStream]]/`ClusterStream`
+    * two-store layout: `bb=`-bucketed band rows + the `_ids` hs/id
+    * sidecar) — the bucket-PRUNED probe path: the collision read
+    * touches only the `bb` partitions the batch's own band rows name
+    * and the Jaccard verify only the candidate docs' `ib` sidecar
+    * buckets, so an ad-hoc batch probe between stream runs costs the
+    * same as the stream's own per-micro-batch step. Reconstructing the
+    * legacy frame via [[graft.streaming.DedupStream.readIndex]] and
+    * calling the DataFrame overload instead would scan and join the
+    * whole index. Read-only: nothing is appended; run it against a live
+    * index between batches (same single-writer discipline as
+    * compaction). */
+  def nearDupPairsIncremental(spark: SparkSession, indexDir: String,
+                              batch: DataFrame, idCol: String,
+                              textCol: String, threshold: Double): DataFrame = {
+    graft.functions.TextHash.ensureRegistered(spark)
+    // Long.MinValue as the excluded batch id: no stream batch (>= 0) or
+    // compacted partial (small negative) ever carries it, so nothing is
+    // masked from the probe.
+    graft.streaming.DedupStream.probePairs(spark, indexDir, idCol,
+        LlmQueries.minhashMaterialized(batch, idCol, textCol), threshold,
+        excludeBatch = Long.MinValue)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding-space near-duplicate pairs via a sign-sketch LSH bucket
     * join: vectors are bucketed by an `planes`-bit hyperplane sign
     * sketch (planes = the `planes` lowest-`idCol` embeddings), pairs are

@@ -131,7 +131,7 @@ object DedupStream {
     * foreachBatch replay from treating its own about-to-be-overwritten
     * rows as prior state. Returns materialized (doc_a, doc_b, jaccard).
     */
-  private[streaming] def probePairs(spark: SparkSession, indexDir: String,
+  private[graft] def probePairs(spark: SparkSession, indexDir: String,
       idCol: String, batchSigx: DataFrame, threshold: Double,
       excludeBatch: Long): DataFrame = {
     val batchHsx = batchSigx.select("doc_id", "hs")

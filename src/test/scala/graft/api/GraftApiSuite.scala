@@ -91,6 +91,42 @@ class GraftApiSuite extends AnyFunSuite {
     }
   }
 
+  test("the indexDir overload of nearDupPairsIncremental probes a " +
+      "STREAMED two-store index bucket-pruned, equal to the DataFrame form") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def mut(at: Int) =
+      (1 to 40).map(i => if (at == i) "CHANGED" else s"tok$i").mkString(" ")
+    val s2 = s
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sigdir").toFile
+    val idx = new java.io.File(root, "index").getAbsolutePath
+    val prs = new java.io.File(root, "pairs").getAbsolutePath
+    // stream two corpus batches into the two-store index
+    graft.streaming.DedupStream.processBatch(
+      Seq((1L, base), (2L, (1 to 40).map(i => s"aaa$i").mkString(" ")))
+        .toDF("id", "body"), 0L, "id", "body", idx, prs, threshold = 0.5)
+    graft.streaming.DedupStream.processBatch(
+      Seq((5L, (1 to 40).map(i => s"qqq$i").mkString(" ")))
+        .toDF("id", "body"), 1L, "id", "body", idx, prs, threshold = 0.5)
+    // ad-hoc probe between stream runs: batch doc 9 ~ indexed doc 1,
+    // 11 ~ 9 within-batch, 10 unrelated
+    val batch = Seq((9L, mut(20)), (11L, mut(21)),
+      (10L, (1 to 40).map(i => s"zzz$i").mkString(" "))).toDF("id", "body")
+    val probe = Graft.nearDupPairsIncremental(s, idx, batch, "id", "body", 0.5)
+    val got = probe.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // equals the DataFrame overload over the reconstructed legacy frame
+    val want = Graft.nearDupPairsIncremental(
+        graft.streaming.DedupStream.readIndex(s, idx), batch, "id", "body", 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want &&
+      got == Seq((1L, 9L), (1L, 11L), (9L, 11L)), got)
+    // (the bb/ib pruning itself is plan-pinned on the read seams in
+    // DedupStreamSuite — the returned frame is materialized, so its own
+    // executed plan is the checkpoint scan, not the store reads)
+  }
+
   test("embNearDupPairs finds the planted near-identical vector pair only") {
     val vecs = Seq(
       (1L, Array(1f, 0.04f, 0.01f)),
