@@ -1272,6 +1272,31 @@ object Graft {
     graft.streaming.IndexCompaction.compact(spark, root) +
       graft.streaming.IdSidecar.compact(spark, root)
 
+  /** Size-tiered compaction of a streaming index root and its `_ids`
+    * sidecar — the 100-TB schedule: merge at most `fanIn` similar-sized
+    * runs per fold, so no maintenance call ever rewrites the whole
+    * accumulated index the way [[compactIndex]]'s full fold does, and
+    * each row is rewritten O(log_fanIn n) times over the index's
+    * lifetime instead of once per compaction cycle (see
+    * [[graft.streaming.IndexCompaction.compactTiered]] for the
+    * write-amplification argument and crash discipline — identical
+    * manifest swaps, one per fold). Probe results and pruning are
+    * unchanged: reads union `batch=` runs and internal `bb=`/`sb=`/
+    * `mb=`/`cluster=`/`ib=` schemes are preserved inside every folded
+    * run. Run between batches (single-writer), as often as you like —
+    * an invocation with no tier at fan-in is a cheap no-op. */
+  def compactIndexTiered(spark: SparkSession, root: String,
+      fanIn: Int = 4, keepNewest: Int = 0,
+      maxRunBytes: Long = Long.MaxValue)
+      : graft.streaming.IndexCompaction.TieredStats = {
+    val idx = graft.streaming.IndexCompaction
+      .compactTiered(spark, root, fanIn, keepNewest,
+        maxRunBytes = maxRunBytes)
+    idx + graft.streaming.IndexCompaction.compactTiered(spark,
+      graft.streaming.IdSidecar.root(root), fanIn, keepNewest,
+      maxRunBytes = maxRunBytes)
+  }
+
   /** Gap-filled daily resample with last-observation-carried-forward:
     * every (entity, day) cell of the entity's active span gets a row,
     * quiet days carry the last observed daily total (integer micros)

@@ -225,30 +225,67 @@ object IndexCompaction {
     // replay would re-create it beside the folded copy and duplicate
     // its rows. The ErStream keep-2 retention discipline, applied to a
     // union-read log.
-    val dirs = batchDirs(fs, rp)
-      .filter(d => fs.exists(new Path(new Path(rp, d), "_SUCCESS")))
-      .sortBy(batchId).dropRight(keepNewest)
+    val dirs = committedDirs(fs, rp).dropRight(keepNewest)
     if (dirs.size < (if (transform eq IdentityTransform) 2 else 1)) return 0
+    if (fold(spark, fs, rp, dirs, flatFiles, transform,
+        retireEmpty = false) < 0) return 0
+    dirs.size
+  }
+
+  /** `_SUCCESS`-committed `batch=` directory names under `root`, sorted
+    * by batch id ascending (compacted negative runs first). */
+  private def committedDirs(fs: FileSystem, rp: Path): Seq[String] =
+    batchDirs(fs, rp)
+      .filter(d => fs.exists(new Path(new Path(rp, d), "_SUCCESS")))
+      .sortBy(batchId)
+
+  /** Fold `dirs` (a committed subset) into one new `batch=<negative>`
+    * run via the write-then-swap manifest discipline. Returns the data
+    * bytes written to the new run; −1 when the subset held no rows and
+    * `retireEmpty` is false (nothing consumed). With `retireEmpty`, an
+    * all-empty subset is still consumed — the manifest commits with no
+    * staging dir, so [[rollForward]] retires the consumed dirs and
+    * promotes nothing (a fold to zero runs; every step stays
+    * idempotent and [[recover]]-compatible). The new run id is one
+    * below the SMALLEST id anywhere under the root — not just in the
+    * consumed subset — so a subset fold can never collide with an
+    * existing compacted run it did not consume. */
+  private def fold(spark: SparkSession, fs: FileSystem, rp: Path,
+      dirs: Seq[String], flatFiles: Int,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      retireEmpty: Boolean): Long = {
     val ids = dirs.map(batchId)
-    val newId = math.min(ids.min, 0L) - 1L
+    val allIds = batchDirs(fs, rp).map(batchId)
+    val newId = math.min(allIds.min, 0L) - 1L
     // Detect the internal scheme from any non-empty consumed dir — an
     // EMPTY batch partial (zero rows → no partition subdirs) must not
     // make the rewrite drop the layout.
     val parts = dirs.iterator
       .map(d => internalPartitionCols(fs, new Path(rp, d)))
       .find(_.nonEmpty).getOrElse(Seq.empty)
-    val all = transform(spark.read.parquet(root)
-      .filter(col("batch").isin(ids: _*))
-      .drop("batch"))
-    if (all.isEmpty) return 0
-    val staged =
-      if (parts.nonEmpty) all.repartition(parts.map(col): _*)
-      else all.repartition(flatFiles)
+    // A byte-free subset short-circuits BEFORE the read: `_SUCCESS`-only
+    // partials contribute no schema, and a root holding nothing else
+    // would fail parquet schema inference outright.
+    val bytesIn = dirs.iterator
+      .map(d => dataBytes(fs, new Path(rp, d))).sum
     val stagingPath = new Path(rp, Staging)
     fs.delete(stagingPath, true)
-    val writer = staged.write.mode("overwrite")
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(stagingPath.toString)
+    val rows =
+      if (bytesIn == 0L) None
+      else Some(transform(spark.read.parquet(rp.toString)
+        .filter(col("batch").isin(ids: _*))
+        .drop("batch"))).filterNot(_.isEmpty)
+    if (rows.isEmpty && !retireEmpty) return -1L
+    rows.foreach { all =>
+      val staged =
+        if (parts.nonEmpty) all.repartition(parts.map(col): _*)
+        else all.repartition(flatFiles)
+      val writer = staged.write.mode("overwrite")
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .parquet(stagingPath.toString)
+    }
+    val written = rows.fold(0L)(_ => dataBytes(fs, stagingPath))
     // Commit point: once the manifest exists, the swap WILL complete —
     // by the lines below or by the next recover().
     val manifest = (newId.toString +: dirs).mkString("\n")
@@ -256,6 +293,118 @@ object IndexCompaction {
     try out.write(manifest.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     rollForward(fs, rp, newId, dirs)
-    dirs.size
+    written
+  }
+
+  /** Recursive data-file byte count under `dir` (underscore/dot-hidden
+    * entries excluded) — the run-size metric of [[compactTiered]]'s
+    * tier assignment and the write-cost metric its stats report. */
+  private[graft] def dataBytes(fs: FileSystem, dir: Path): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator.map { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) 0L
+      else if (st.isDirectory) dataBytes(fs, st.getPath)
+      else st.getLen
+    }.sum
+
+  /** One invocation's [[compactTiered]] outcome: `folds` merges ran,
+    * consuming `dirsConsumed` run directories in total but never more
+    * than `maxFoldConsumed` (≤ the fan-in) in any single merge, writing
+    * `bytesRewritten` data bytes with no single merge writing more than
+    * `maxFoldBytes` — the bounded-barrier claim as a number. */
+  final case class TieredStats(folds: Int, dirsConsumed: Int,
+      maxFoldConsumed: Int, bytesRewritten: Long,
+      maxFoldBytes: Long = 0L) {
+    def +(o: TieredStats): TieredStats = TieredStats(
+      folds + o.folds, dirsConsumed + o.dirsConsumed,
+      math.max(maxFoldConsumed, o.maxFoldConsumed),
+      bytesRewritten + o.bytesRewritten,
+      math.max(maxFoldBytes, o.maxFoldBytes))
+  }
+
+  /** Size-tiered compaction — the 100-TB form of [[compact]]: merge at
+    * most `fanIn` similar-sized runs at a time, so NO invocation ever
+    * rewrites the whole accumulated index.
+    *
+    * Why it exists: [[compact]] folds EVERYTHING into one run — correct
+    * and ideal for reaching a measured steady state, but at 100 TB it
+    * is a corpus-sized rewrite barrier, and keeping probes flat by
+    * running it every K batches charges an amortized O(index/K) write
+    * per batch: the same class of hidden per-batch corpus term the r14
+    * verdict's two findings named, moved into the maintenance verb.
+    * Size-tiering bounds it: each row is rewritten only when its run
+    * graduates a level (≈ `fanIn`× larger), so total write cost over a
+    * corpus's lifetime is O(N·log_fanIn N) instead of the monolithic
+    * schedule's O(N²/K) — the LSM discipline (O'Neil et al., Acta
+    * Informatica 33, 1996), re-expressed on `batch=` partition dirs.
+    *
+    * Mechanics: committed runs (newest `keepNewest` non-negative ids
+    * protected, exactly [[compact]]'s replay guard) are bucketed by
+    * ⌊log_fanIn(data bytes)⌋; while any tier holds ≥ `fanIn` runs, the
+    * `fanIn` smallest (oldest id on ties — deterministic) merge through
+    * the same write-then-swap manifest as [[compact]], one manifest
+    * cycle per merge, so a crash mid-sequence leaves at most one fold
+    * for [[recover]] and the next invocation continues where it
+    * stopped. Zero-row runs tier at level 0 and a fold of only-empty
+    * runs retires them with no output run. Readers need nothing new:
+    * every read already unions `batch=` dirs, probes prune internal
+    * `bb=`/`sb=`/`mb=`/`cluster=` schemes inside EACH run (preserved
+    * per fold), and run count stays ≤ fanIn·log_fanIn(index) — the
+    * file-listing bound [[compact]] exists for, without its barrier.
+    *
+    * `maxRunBytes` is the top-tier ceiling: a run at or above it stops
+    * being a merge candidate, which makes "no fold ever approaches the
+    * index's size" an enforced invariant rather than an amortized
+    * tendency — without it, the rare top-tier merge of `fanIn` mature
+    * runs still touches most of the index at once. The cost is run
+    * count growing by one ceiling-sized run per ~maxRunBytes ingested
+    * (a slow, capacity-planned file-listing growth), the usual STCS
+    * max-threshold trade; size it to what one maintenance window can
+    * rewrite.
+    *
+    * Identity-transform only: a subset fold is sound exactly because
+    * union-read append logs (band stores, postings, pair logs,
+    * sidecars) mean row-set union — a folding `transform` like
+    * [[LabelLog]]'s contraction needs the global row set and stays on
+    * the monolithic verb. Single-writer like [[compact]]. */
+  def compactTiered(spark: SparkSession, root: String, fanIn: Int = 4,
+      keepNewest: Int = 0, flatFiles: Int = 4,
+      maxRunBytes: Long = Long.MaxValue): TieredStats = {
+    require(fanIn >= 2, s"fanIn must be at least 2, got $fanIn")
+    require(keepNewest >= 0, s"keepNewest must be non-negative, got $keepNewest")
+    require(maxRunBytes > 0L, s"maxRunBytes must be positive, got $maxRunBytes")
+    recover(spark, root)
+    val (fs, rp) = fsOf(spark, root)
+    var stats = TieredStats(0, 0, 0, 0L)
+    if (!fs.exists(rp)) return stats
+    val logFan = math.log(fanIn.toDouble)
+    def level(bytes: Long): Int =
+      if (bytes <= 0L) 0 else (math.log(bytes.toDouble) / logFan).toInt
+    var progress = true
+    while (progress) {
+      progress = false
+      val committed = committedDirs(fs, rp)
+      val protectedIds = committed.map(batchId).filter(_ >= 0L)
+        .takeRight(keepNewest).toSet
+      val sized = committed
+        .filterNot(d => protectedIds(batchId(d)))
+        .map(d => (d, dataBytes(fs, new Path(rp, d))))
+        .filter(_._2 < maxRunBytes)
+      sized.groupBy { case (_, sz) => level(sz) }
+        .toSeq.sortBy(_._1)
+        .find(_._2.size >= fanIn)
+        .foreach { case (_, members) =>
+          val chosen = members
+            .sortBy { case (d, sz) => (sz, batchId(d)) }
+            .take(fanIn).map(_._1)
+          val written = fold(spark, fs, rp, chosen, flatFiles,
+            IdentityTransform, retireEmpty = true)
+          stats += TieredStats(1, chosen.size, chosen.size,
+            math.max(written, 0L), math.max(written, 0L))
+          progress = true
+        }
+    }
+    stats
   }
 }
