@@ -38,7 +38,11 @@ import graft.streaming.{DedupStream, IdSidecar, IndexCompaction}
   * SPARK_GRAFT_SF_DIR (default sf0.1). Prints ONE JSON line with, per
   * schedule: compaction invocations, folds, cumulative rewrite bytes,
   * write amplification (rewritten / ingested), the largest single
-  * rewrite, and the final run count (the probe's file-listing bound).
+  * rewrite, the final run count (the probe's file-listing bound), and
+  * the time dimension — total compaction wall-seconds plus the longest
+  * single maintenance pause (the barrier an ingestion pipeline stalls
+  * behind; bytes are the portable metric, the local pause is its
+  * wall-clock shadow at this scale).
   */
 object CompactCurve {
 
@@ -96,8 +100,13 @@ object CompactCurve {
     var ingested = 0L           // committed raw partial bytes (schedule-free)
     var monoRewritten = 0L; var monoMaxFold = 0L
     var monoInvocations = 0; var monoFolds = 0
+    var monoSecs = 0.0; var monoMaxPause = 0.0
     var tierStats = IndexCompaction.TieredStats(0, 0, 0, 0L)
     var tierInvocations = 0
+    var tierSecs = 0.0; var tierMaxPause = 0.0
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
 
     (0 until nBatches).foreach { b =>
       val slice = docs.filter(col("doc_id") % nBatches === b)
@@ -115,10 +124,16 @@ object CompactCurve {
 
       if ((b + 1) % everyK == 0) {
         monoInvocations += 1
-        val (bytes, produced) = measured(spark, idxM) {
-          IndexCompaction.compact(spark, idxM, keepNewest = 1): Unit
-          IdSidecar.compact(spark, idxM, keepNewest = 1): Unit
+        var bytes = 0L; var produced = 0
+        val secs = timed {
+          val r = measured(spark, idxM) {
+            IndexCompaction.compact(spark, idxM, keepNewest = 1): Unit
+            IdSidecar.compact(spark, idxM, keepNewest = 1): Unit
+          }
+          bytes = r._1; produced = r._2
         }
+        monoSecs += secs
+        monoMaxPause = math.max(monoMaxPause, secs)
         monoRewritten += bytes
         monoFolds += produced
         // each monolithic fold rewrites the whole accumulated store into
@@ -126,10 +141,14 @@ object CompactCurve {
         monoMaxFold = math.max(monoMaxFold, bytes)
       }
       tierInvocations += 1
-      tierStats += IndexCompaction.compactTiered(spark, idxT,
-        fanIn = fanIn, keepNewest = 1) +
-        IndexCompaction.compactTiered(spark, IdSidecar.root(idxT),
-          fanIn = fanIn, keepNewest = 1)
+      val tSecs = timed {
+        tierStats += IndexCompaction.compactTiered(spark, idxT,
+          fanIn = fanIn, keepNewest = 1) +
+          IndexCompaction.compactTiered(spark, IdSidecar.root(idxT),
+            fanIn = fanIn, keepNewest = 1)
+      }
+      tierSecs += tSecs
+      tierMaxPause = math.max(tierMaxPause, tSecs)
     }
 
     // end-state equivalence: both layouts serve the same row multiset
@@ -151,6 +170,7 @@ object CompactCurve {
     def amp(rewritten: Long): Double =
       if (ingested == 0L) 0.0
       else math.rint(rewritten * 100.0 / ingested) / 100.0
+    def sec(v: Double): Double = math.rint(v * 1000.0) / 1000.0
 
     val json =
       s"""{"metric":"compact_schedule","unit":"bytes","sf":"${base.split('/').last}",""" +
@@ -158,12 +178,14 @@ object CompactCurve {
       s""""ingested_bytes":$ingested,"rows":${fpM._1},""" +
       s""""monolithic":{"invocations":$monoInvocations,"folds":$monoFolds,""" +
       s""""rewritten_bytes":$monoRewritten,"write_amplification":${amp(monoRewritten)},""" +
-      s""""max_single_rewrite":$monoMaxFold,"final_runs":$monoRunCount},""" +
+      s""""max_single_rewrite":$monoMaxFold,"final_runs":$monoRunCount,""" +
+      s""""compact_sec":${sec(monoSecs)},"max_pause_sec":${sec(monoMaxPause)}},""" +
       s""""tiered":{"invocations":$tierInvocations,"folds":${tierStats.folds},""" +
       s""""rewritten_bytes":${tierStats.bytesRewritten},""" +
       s""""write_amplification":${amp(tierStats.bytesRewritten)},""" +
       s""""max_single_rewrite":${tierStats.maxFoldBytes},""" +
-      s""""final_runs":$tierRunCount}}"""
+      s""""final_runs":$tierRunCount,""" +
+      s""""compact_sec":${sec(tierSecs)},"max_pause_sec":${sec(tierMaxPause)}}}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8")): Unit

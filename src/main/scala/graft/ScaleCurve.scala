@@ -205,7 +205,8 @@ object ScaleCurve {
     * reserved-rotation collision surfaced only as a silent -1 leg in
     * the JSON instead of an upfront argument error). */
   private val ReservedRotation: Map[String, Int] =
-    Map("s_dedup_batch" -> 13, "s_cluster_batch" -> 13)
+    Map("s_dedup_batch" -> 13, "s_cluster_batch" -> 13,
+      "s_dedup_tiered" -> 13)
 
   private def maintainerLegs(base: String)
       : Seq[(String, String, (SparkSession, String, Int) => DataFrame)] = Seq(
@@ -268,6 +269,46 @@ object ScaleCurve {
       // timed: fixed base-sized batch under the reserved rotation +
       // a far id shift (fresh ids, cross-history similarity destroyed —
       // its bucket fan-in stays constant while the index side grows ×k)
+      streaming.DedupStream.processBatch(
+        Tables.spread(s, Tables.documents(s, base))
+          .filter(expr("doc_id % 4 = 0"))
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            rotCol(col("text"), 13).as("text")),
+        1000000L, "doc_id", "text", idx, prs, threshold = 0.5): Unit
+      s.range(1).toDF("ok")
+    }),
+    ("s_dedup_tiered", "documents", (s: SparkSession, dir: String, k: Int) => {
+      require(k < 13, s"s_dedup_tiered reserves rotation 13 for the timed " +
+        s"batch; history copies must stay below it (got k=$k)")
+      // The s_dedup_batch leg measures the probe against the MONOLITHIC
+      // steady state (one folded run). This leg measures it against the
+      // PRODUCTION schedule: compactIndexTiered(fanIn=4, keepNewest=1)
+      // interleaved after every history batch, so the index the timed
+      // probe reads holds O(fanIn·log) runs and no maintenance
+      // invocation ever rewrote the accumulated store (COMPACTCURVE
+      // .json carries the write-side numbers; this leg carries the
+      // read-side claim — per-batch probe cost stays flat when run
+      // count is bounded by the tiered schedule instead of collapsed
+      // to one).
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_dedup_tiered_v1/${tag(dir)}"
+      val (idx, prs) = (s"$root/index", s"$root/pairs")
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        val docs = Tables.spread(s, Tables.documents(s, dir))
+          .select(col("doc_id"), col("text"))
+        val nb = 4 * k
+        (0 until nb).foreach { b =>
+          streaming.DedupStream.processBatch(
+            docs.filter(expr(s"doc_id % $nb = $b")), b.toLong,
+            "doc_id", "text", idx, prs, threshold = 0.5): Unit
+          api.Graft.compactIndexTiered(s, idx, fanIn = 4,
+            keepNewest = 1): Unit
+        }
+        done.createNewFile(): Unit
+      }
+      // timed: the s_dedup_batch batch verbatim (reserved rotation 13 +
+      // far id shift) — only the history's maintenance schedule differs
       streaming.DedupStream.processBatch(
         Tables.spread(s, Tables.documents(s, base))
           .filter(expr("doc_id % 4 = 0"))
