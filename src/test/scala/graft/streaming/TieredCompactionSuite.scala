@@ -218,6 +218,37 @@ class TieredCompactionSuite extends AnyFunSuite {
     assert(rowSet(s.read.parquet(root).drop("batch")) == want)
   }
 
+  test("BM25 family: tiered folds preserve the tb= scheme, the summed " +
+      "stats deltas, and the pruned serve") {
+    val s = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("tiered_bm25").toString
+    val docs = graft.Tables.documents(s, sf)
+      .select(col("doc_id"), col("text"))
+    (0 until 6).foreach { b =>
+      Bm25Stream.processBatch(docs.filter(expr(s"doc_id % 6 = $b")),
+        b.toLong, s"$root/p", s"$root/l", s"$root/st")
+    }
+    def served() = Bm25Stream.serveFrom(s, s"$root/p", s"$root/st")
+    val want = served().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // the stats store is the ADDITIVE union-read case: per-batch 1-row
+    // deltas whose sum is the global — a subset fold must preserve the
+    // row set (and so the sum), not collapse it to one pre-summed row
+    Seq(s"$root/p", s"$root/l", s"$root/st").foreach { store =>
+      val st = IndexCompaction.compactTiered(s, store, fanIn = 2)
+      assert(st.maxFoldConsumed <= 2)
+    }
+    val after = served()
+    assert(after.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == want)
+    val plan = after.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb#[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined, plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("a committed crashed fold rolls forward on entry") {
     val s = TestSpark.spark
     val root = java.nio.file.Files.createTempDirectory("tiered_crash")
