@@ -1284,7 +1284,12 @@ object Graft {
     * unchanged: reads union `batch=` runs and internal `bb=`/`sb=`/
     * `mb=`/`cluster=`/`ib=` schemes are preserved inside every folded
     * run. Run between batches (single-writer), as often as you like —
-    * an invocation with no tier at fan-in is a cheap no-op. */
+    * an invocation with no tier at fan-in is a cheap no-op. Label logs
+    * have their own tiered form
+    * ([[graft.streaming.ClusterStream.compactStateTiered]] /
+    * [[graft.streaming.EmbClusterStream.compactStateTiered]]): the
+    * delta log folds tiered, the alias-clearing contraction stays on
+    * the monolithic verb. */
   def compactIndexTiered(spark: SparkSession, root: String,
       fanIn: Int = 4, keepNewest: Int = 0,
       maxRunBytes: Long = Long.MaxValue)

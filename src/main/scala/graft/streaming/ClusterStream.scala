@@ -105,6 +105,14 @@ object ClusterStream {
   def compactState(s: SparkSession, labelsDir: String): Int =
     LabelLog.compactState(s, labelsDir)
 
+  /** Size-tiered delta-log fold — [[LabelLog.compactStateTiered]]: the
+    * bounded-barrier schedule (≤ `fanIn` runs per merge, aliases
+    * untouched), for the frequent maintenance cadence between
+    * [[compactState]] contraction points. Single-writer. */
+  def compactStateTiered(s: SparkSession, labelsDir: String,
+      fanIn: Int = 4): IndexCompaction.TieredStats =
+    LabelLog.compactStateTiered(s, labelsDir, fanIn)
+
   /** Driver-checked (`s_cluster_labels`): split the corpus into 4
     * deterministic micro-batches (one parquet file each, streamed with
     * maxFilesPerTrigger=1), run the maintenance stream to completion,

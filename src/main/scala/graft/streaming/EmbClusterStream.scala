@@ -117,6 +117,14 @@ object EmbClusterStream {
   def compactState(s: SparkSession, labelsDir: String): Int =
     LabelLog.compactState(s, labelsDir)
 
+  /** Size-tiered delta-log fold — [[LabelLog.compactStateTiered]]: the
+    * bounded-barrier schedule (≤ `fanIn` runs per merge, aliases
+    * untouched), for the frequent maintenance cadence between
+    * [[compactState]] contraction points. Single-writer. */
+  def compactStateTiered(s: SparkSession, labelsDir: String,
+      fanIn: Int = 4): IndexCompaction.TieredStats =
+    LabelLog.compactStateTiered(s, labelsDir, fanIn)
+
   /** Driver-checked (`s_emb_cluster_labels`): create the index with the
     * corpus's 6 lowest-id vectors as planes (= `q_emb_clusters`'s plane
     * set, so recompute-under-the-index's-planes IS that query's

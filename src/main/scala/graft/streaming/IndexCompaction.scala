@@ -365,9 +365,12 @@ object IndexCompaction {
     *
     * Identity-transform only: a subset fold is sound exactly because
     * union-read append logs (band stores, postings, pair logs,
-    * sidecars) mean row-set union — a folding `transform` like
-    * [[LabelLog]]'s contraction needs the global row set and stays on
-    * the monolithic verb. Single-writer like [[compact]]. */
+    * sidecars, label deltas) mean row-set union. [[LabelLog]]'s delta
+    * log qualifies (one row per id — see
+    * [[LabelLog.compactStateTiered]]); what stays on the monolithic
+    * verb is its alias-CLEARING contraction, whose soundness is
+    * coupled to having folded every non-newest delta partial at once.
+    * Single-writer like [[compact]]. */
   def compactTiered(spark: SparkSession, root: String, fanIn: Int = 4,
       keepNewest: Int = 0, flatFiles: Int = 4,
       maxRunBytes: Long = Long.MaxValue): TieredStats = {

@@ -245,6 +245,37 @@ object LabelLog {
     * partial (delta not yet written) stays out until its replay
     * commits. Single-writer, run quiesced. Returns the number of delta
     * partials folded. */
+  /** Size-tiered fold of the DELTA log — the label state's bounded-
+    * barrier maintenance verb ([[IndexCompaction.compactTiered]]
+    * applied where it is sound). An IDENTITY subset fold of delta
+    * partials preserves every read: ids are ingested once, so the
+    * delta log holds exactly one row per id and is union-read — a
+    * folded run serves the same row set, `lb=` pruning is preserved
+    * per fold, and each row's comp still resolves through the
+    * UNTOUCHED alias log exactly as before. `keepNewest = 1` keeps the
+    * newest committed delta partial out (the replay guard — a replayed
+    * batch must not see its own rows), matching [[compactState]].
+    *
+    * What this verb deliberately does NOT do: apply the alias closure
+    * or clear alias partials. The contraction itself is row-local, but
+    * CLEARING an alias is only sound once no surviving delta row still
+    * names its `from` comp — which requires having folded every
+    * non-newest delta partial, i.e. the monolithic [[compactState]].
+    * The hybrid schedule this enables: tiered folds bound the delta
+    * run listing continuously (each one rewrites at most `fanIn`
+    * similar-sized runs — never the corpus-sized label rewrite the
+    * monolithic fold pays), and the alias-clearing contraction runs at
+    * a much longer cadence, sized by alias-log growth (merge events,
+    * not corpus rows). compactState composes over tiered-folded runs
+    * unchanged (negative run ids fold again like any other). */
+  private[streaming] def compactStateTiered(s: SparkSession,
+      labelsDir: String, fanIn: Int = 4,
+      maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
+    if (ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue).isEmpty)
+      IndexCompaction.TieredStats(0, 0, 0, 0L)
+    else IndexCompaction.compactTiered(s, deltaRoot(labelsDir),
+      fanIn = fanIn, keepNewest = 1, maxRunBytes = maxRunBytes)
+
   private[streaming] def compactState(s: SparkSession,
       labelsDir: String): Int = {
     val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)

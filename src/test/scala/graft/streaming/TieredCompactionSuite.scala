@@ -249,6 +249,64 @@ class TieredCompactionSuite extends AnyFunSuite {
       .filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("label log: tiered delta folds leave labels, aliases, lb= " +
+      "pruning, ongoing maintenance, and the contraction verb intact") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tiered_labels").toString
+    def text(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    def mut(tag: String, at: Int, m: String) = (1 to 40)
+      .map(i => if (i == at) s"$m$i" else s"$tag$i").mkString(" ")
+    def step(docs: Seq[(Long, String)], id: Long): Unit =
+      ClusterStream.processBatch(docs.toDF("doc_id", "text"), id,
+        "doc_id", "text", s"$root/i", s"$root/p", s"$root/l", 0.5)
+    def labels() = ClusterStream.clusterLabels(s, s"$root/l")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def aliases() = s.read.parquet(s"$root/l/alias")
+      .select("from", "to").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the ClusterStreamSuite alias-chain fixture, padded to 5 batches
+    // so keepNewest=1 leaves 4 foldable delta partials
+    step(Seq((10L, text("tok")), (20L, text("zzz"))), 0L)
+    step(Seq((5L, mut("tok", 7, "CHANGED"))), 1L)  // alias 10 -> 5
+    step(Seq((1L, mut("tok", 7, "ALSO"))), 2L)     // alias 5 -> 1
+    step(Seq((30L, text("qqq"))), 3L)
+    step(Seq((40L, text("rrr"))), 4L)
+    val wantLabels = labels()
+    val wantAliases = aliases()
+    assert(wantLabels == Map(1L -> 1L, 5L -> 1L, 10L -> 1L, 20L -> 20L,
+      30L -> 30L, 40L -> 40L), wantLabels)
+    assert(wantAliases == Set((10L, 5L), (5L, 1L)), wantAliases)
+
+    val st = ClusterStream.compactStateTiered(s, s"$root/l", fanIn = 2)
+    assert(st.folds >= 1 && st.maxFoldConsumed <= 2)
+    assert(labels() == wantLabels, "identity delta folds changed labels")
+    assert(aliases() == wantAliases, "a tiered fold must not touch aliases")
+    // lb= pruning scheme survives inside every folded delta run
+    val f = fs(s"$root/l/delta")
+    val deltaRuns = batchDirNames(s"$root/l/delta")
+    assert(deltaRuns.exists(_.stripPrefix("batch=").toLong < 0))
+    deltaRuns.filter(_.stripPrefix("batch=").toLong < 0).foreach { d =>
+      assert(f.listStatus(new Path(s"$root/l/delta/$d")).exists(
+        _.getPath.getName.startsWith("lb=")), s"lb= scheme lost in $d")
+    }
+
+    // maintenance continues across the tiered fold (a merge whose old
+    // endpoint's comp lives in a folded run), and a replay is a no-op
+    step(Seq((3L, mut("tok", 7, "ALSO").replace("ALSO7", "TOO7"))), 5L)
+    val merged = labels()
+    assert(merged(3L) == 1L, s"post-fold merge failed: $merged")
+    step(Seq((3L, mut("tok", 7, "ALSO").replace("ALSO7", "TOO7"))), 5L)
+    assert(labels() == merged, "replay across the tiered fold moved labels")
+
+    // the monolithic contraction still composes over tiered-folded runs
+    assert(ClusterStream.compactState(s, s"$root/l") > 0)
+    assert(labels() == merged, "contraction over tiered runs moved labels")
+    assert(s.read.parquet(s"$root/l/delta").drop("batch")
+      .filter(col("id") === 10L).head().getLong(1) == 1L,
+      "contraction did not rewrite the folded row's comp to its root")
+  }
+
   test("a committed crashed fold rolls forward on entry") {
     val s = TestSpark.spark
     val root = java.nio.file.Files.createTempDirectory("tiered_crash")
