@@ -206,7 +206,7 @@ object ScaleCurve {
     * the JSON instead of an upfront argument error). */
   private val ReservedRotation: Map[String, Int] =
     Map("s_dedup_batch" -> 13, "s_cluster_batch" -> 13,
-      "s_dedup_tiered" -> 13)
+      "s_dedup_tiered" -> 13, "s_cluster_tiered" -> 13)
 
   private def maintainerLegs(base: String)
       : Seq[(String, String, (SparkSession, String, Int) => DataFrame)] = Seq(
@@ -344,6 +344,46 @@ object ScaleCurve {
       // the remaining slope is s_dedup_batch's probe scan term, so the
       // GAP between this leg and s_dedup_batch is the measured cost of
       // maintaining labels continuously — flat if the design holds.
+      streaming.ClusterStream.processBatch(
+        Tables.spread(s, Tables.documents(s, base))
+          .filter(expr("doc_id % 4 = 0"))
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            rotCol(col("text"), 13).as("text")),
+        1000000L, "doc_id", "text", idx, prs, lbl, threshold = 0.5)
+      s.range(1).toDF("ok")
+    }),
+    ("s_cluster_tiered", "documents", (s: SparkSession, dir: String, k: Int) => {
+      require(k < 13, s"s_cluster_tiered reserves rotation 13 for the timed " +
+        s"batch; history copies must stay below it (got k=$k)")
+      // s_cluster_batch's timed step against a history maintained
+      // ENTIRELY by the hybrid tiered schedule: compactIndexTiered on
+      // the signature index + compactStateTiered on the label delta log
+      // after every history batch, no monolithic fold ever — the
+      // label-family twin of s_dedup_tiered. Measures that the FULL
+      // maintenance step (probe + lb-pruned endpoint lookup +
+      // contracted closure + O(batch) writes) stays flat when run
+      // counts are bounded by ≤fanIn-run merges instead of collapsed,
+      // and that the alias log left unclear by the tiered verb does
+      // not grow the closure into the timed cost.
+      val root = s"${sys.props("java.io.tmpdir")}/graft_scale_cluster_tiered_v1/${tag(dir)}"
+      val (idx, prs, lbl) = (s"$root/index", s"$root/pairs", s"$root/labels")
+      val done = new java.io.File(s"$root/_GRAFT_HIST")
+      if (!done.exists()) {
+        new java.io.File(root).mkdirs()
+        val docs = Tables.spread(s, Tables.documents(s, dir))
+          .select(col("doc_id"), col("text"))
+        val nb = 4 * k
+        (0 until nb).foreach { b =>
+          streaming.ClusterStream.processBatch(
+            docs.filter(expr(s"doc_id % $nb = $b")), b.toLong,
+            "doc_id", "text", idx, prs, lbl, threshold = 0.5)
+          api.Graft.compactIndexTiered(s, idx, fanIn = 4,
+            keepNewest = 1): Unit
+          streaming.ClusterStream.compactStateTiered(s, lbl,
+            fanIn = 4): Unit
+        }
+        done.createNewFile(): Unit
+      }
       streaming.ClusterStream.processBatch(
         Tables.spread(s, Tables.documents(s, base))
           .filter(expr("doc_id % 4 = 0"))
