@@ -151,15 +151,18 @@ object CompactCurve {
       tierMaxPause = math.max(tierMaxPause, tSecs)
     }
 
-    // end-state equivalence: both layouts serve the same row multiset
-    def fingerprint(idx: String): (Long, BigDecimal) = {
-      val df = spark.read.parquet(idx).drop("batch")
+    // end-state equivalence: both layouts serve the same row multiset —
+    // the index AND the underscore-hidden `_ids` sidecar (a plain read
+    // of the index root never sees the sidecar, and the sidecar gates
+    // all future ingestion via the membership anti-join)
+    def fingerprint(dir: String): (Long, BigDecimal) = {
+      val df = spark.read.parquet(dir).drop("batch")
       val row = df.select(count(lit(1)),
         sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
       (row.getLong(0), BigDecimal(row.getDecimal(1)))
     }
-    val fpM = fingerprint(idxM)
-    val fpT = fingerprint(idxT)
+    val fpM = (fingerprint(idxM), fingerprint(IdSidecar.root(idxM)))
+    val fpT = (fingerprint(idxT), fingerprint(IdSidecar.root(idxT)))
     require(fpM == fpT,
       s"schedules diverged: monolithic=$fpM tiered=$fpT")
 
@@ -175,7 +178,7 @@ object CompactCurve {
     val json =
       s"""{"metric":"compact_schedule","unit":"bytes","sf":"${base.split('/').last}",""" +
       s""""batches":$nBatches,"every_k":$everyK,"fan_in":$fanIn,""" +
-      s""""ingested_bytes":$ingested,"rows":${fpM._1},""" +
+      s""""ingested_bytes":$ingested,"rows":${fpM._1._1},""" +
       s""""monolithic":{"invocations":$monoInvocations,"folds":$monoFolds,""" +
       s""""rewritten_bytes":$monoRewritten,"write_amplification":${amp(monoRewritten)},""" +
       s""""max_single_rewrite":$monoMaxFold,"final_runs":$monoRunCount,""" +

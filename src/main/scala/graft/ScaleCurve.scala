@@ -208,6 +208,14 @@ object ScaleCurve {
     Map("s_dedup_batch" -> 13, "s_cluster_batch" -> 13,
       "s_dedup_tiered" -> 13, "s_cluster_tiered" -> 13)
 
+  /** Recursive delete of a cached-history root (Hadoop FS — the repo's
+    * production-path discipline): the tiered legs' crash recovery. */
+  private def wipeRoot(s: SparkSession, root: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(rp, true): Unit
+  }
+
   private def maintainerLegs(base: String)
       : Seq[(String, String, (SparkSession, String, Int) => DataFrame)] = Seq(
     ("q_bm25_serve", "documents", (s: SparkSession, dir: String, k: Int) => {
@@ -294,6 +302,12 @@ object ScaleCurve {
       val (idx, prs) = (s"$root/index", s"$root/pairs")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       if (!done.exists()) {
+        // No marker = never built OR a crashed build. A crashed TIERED
+        // build cannot be resumed in place: batches already folded into
+        // negative runs would be re-ingested beside their folded copies
+        // (the per-batch overwrite only replaces live batch= partials),
+        // so wipe and rebuild from scratch.
+        wipeRoot(s, root)
         new java.io.File(root).mkdirs()
         val docs = Tables.spread(s, Tables.documents(s, dir))
           .select(col("doc_id"), col("text"))
@@ -369,6 +383,12 @@ object ScaleCurve {
       val (idx, prs, lbl) = (s"$root/index", s"$root/pairs", s"$root/labels")
       val done = new java.io.File(s"$root/_GRAFT_HIST")
       if (!done.exists()) {
+        // Crashed tiered builds cannot resume in place (see
+        // s_dedup_tiered) — and here a resumed LabelLog.advance would
+        // also double every already-folded delta row, breaking the
+        // one-row-per-id invariant serve() and the tiered fold's
+        // soundness rest on. Wipe and rebuild.
+        wipeRoot(s, root)
         new java.io.File(root).mkdirs()
         val docs = Tables.spread(s, Tables.documents(s, dir))
           .select(col("doc_id"), col("text"))

@@ -228,7 +228,7 @@ object IndexCompaction {
     val dirs = committedDirs(fs, rp).dropRight(keepNewest)
     if (dirs.size < (if (transform eq IdentityTransform) 2 else 1)) return 0
     if (fold(spark, fs, rp, dirs, flatFiles, transform,
-        retireEmpty = false) < 0) return 0
+        retireEmpty = false)._2 < 0) return 0
     dirs.size
   }
 
@@ -240,22 +240,24 @@ object IndexCompaction {
       .sortBy(batchId)
 
   /** Fold `dirs` (a committed subset) into one new `batch=<negative>`
-    * run via the write-then-swap manifest discipline. Returns the data
-    * bytes written to the new run; −1 when the subset held no rows and
-    * `retireEmpty` is false (nothing consumed). With `retireEmpty`, an
-    * all-empty subset is still consumed — the manifest commits with no
-    * staging dir, so [[rollForward]] retires the consumed dirs and
-    * promotes nothing (a fold to zero runs; every step stays
-    * idempotent and [[recover]]-compatible). The new run id is one
-    * below the SMALLEST id anywhere under the root — not just in the
-    * consumed subset — so a subset fold can never collide with an
-    * existing compacted run it did not consume. */
+    * run via the write-then-swap manifest discipline. Returns
+    * (new run id, data bytes written to it); bytes are −1 when the
+    * subset held no rows and `retireEmpty` is false (nothing
+    * consumed), 0 when `retireEmpty` consumed an all-empty subset —
+    * the manifest commits with no staging dir, so [[rollForward]]
+    * retires the consumed dirs and promotes nothing (a fold to zero
+    * runs; every step stays idempotent and [[recover]]-compatible).
+    * The new run id is one below the SMALLEST id anywhere under the
+    * root — not just in the consumed subset — so a subset fold can
+    * never collide with an existing compacted run it did not consume.
+    * The read lists ONLY the consumed dirs (basePath partition
+    * discovery), never the whole root — a subset fold's cost must not
+    * grow with total run count. */
   private def fold(spark: SparkSession, fs: FileSystem, rp: Path,
       dirs: Seq[String], flatFiles: Int,
       transform: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame,
-      retireEmpty: Boolean): Long = {
-    val ids = dirs.map(batchId)
+      retireEmpty: Boolean): (Long, Long) = {
     val allIds = batchDirs(fs, rp).map(batchId)
     val newId = math.min(allIds.min, 0L) - 1L
     // Detect the internal scheme from any non-empty consumed dir — an
@@ -273,10 +275,11 @@ object IndexCompaction {
     fs.delete(stagingPath, true)
     val rows =
       if (bytesIn == 0L) None
-      else Some(transform(spark.read.parquet(rp.toString)
-        .filter(col("batch").isin(ids: _*))
+      else Some(transform(spark.read
+        .option("basePath", rp.toString)
+        .parquet(dirs.map(d => new Path(rp, d).toString): _*)
         .drop("batch"))).filterNot(_.isEmpty)
-    if (rows.isEmpty && !retireEmpty) return -1L
+    if (rows.isEmpty && !retireEmpty) return (newId, -1L)
     rows.foreach { all =>
       val staged =
         if (parts.nonEmpty) all.repartition(parts.map(col): _*)
@@ -293,7 +296,7 @@ object IndexCompaction {
     try out.write(manifest.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     rollForward(fs, rp, newId, dirs)
-    written
+    (newId, written)
   }
 
   /** Recursive data-file byte count under `dir` (underscore/dot-hidden
@@ -357,11 +360,15 @@ object IndexCompaction {
     * being a merge candidate, which makes "no fold ever approaches the
     * index's size" an enforced invariant rather than an amortized
     * tendency — without it, the rare top-tier merge of `fanIn` mature
-    * runs still touches most of the index at once. The cost is run
-    * count growing by one ceiling-sized run per ~maxRunBytes ingested
-    * (a slow, capacity-planned file-listing growth), the usual STCS
-    * max-threshold trade; size it to what one maintenance window can
-    * rewrite.
+    * runs still touches most of the index at once. Note the ceiling
+    * bounds fold INPUTS, not the output: a single fold can still read
+    * and write up to `fanIn · maxRunBytes` (the below-ceiling inputs'
+    * sum — bounding the SUM instead would deadlock level-0 merges of
+    * small runs whose total tops the ceiling, leaving run count
+    * unbounded), so size maxRunBytes to (maintenance window) / fanIn.
+    * The cost is run count growing by one ceiling-sized run per
+    * ~maxRunBytes ingested (a slow, capacity-planned file-listing
+    * growth), the usual STCS max-threshold trade.
     *
     * Identity-transform only: a subset fold is sound exactly because
     * union-read append logs (band stores, postings, pair logs,
@@ -384,25 +391,33 @@ object IndexCompaction {
     val logFan = math.log(fanIn.toDouble)
     def level(bytes: Long): Int =
       if (bytes <= 0L) 0 else (math.log(bytes.toDouble) / logFan).toInt
+    // Runs are listed and sized ONCE; each fold updates the map with
+    // what it consumed/produced. Re-walking every unchanged run per
+    // merge would make an invocation O(folds · runs) listings — against
+    // the file-listing motivation of the verb itself. The protected set
+    // is also stable: folds only consume unprotected dirs, so the
+    // newest non-negative committed ids never move during the loop.
+    val committed = committedDirs(fs, rp)
+    val protectedIds = committed.map(batchId).filter(_ >= 0L)
+      .takeRight(keepNewest).toSet
+    var sizes: Map[String, Long] = committed
+      .filterNot(d => protectedIds(batchId(d)))
+      .map(d => d -> dataBytes(fs, new Path(rp, d))).toMap
     var progress = true
     while (progress) {
       progress = false
-      val committed = committedDirs(fs, rp)
-      val protectedIds = committed.map(batchId).filter(_ >= 0L)
-        .takeRight(keepNewest).toSet
-      val sized = committed
-        .filterNot(d => protectedIds(batchId(d)))
-        .map(d => (d, dataBytes(fs, new Path(rp, d))))
-        .filter(_._2 < maxRunBytes)
-      sized.groupBy { case (_, sz) => level(sz) }
+      sizes.toSeq.filter(_._2 < maxRunBytes)
+        .groupBy { case (_, sz) => level(sz) }
         .toSeq.sortBy(_._1)
         .find(_._2.size >= fanIn)
         .foreach { case (_, members) =>
           val chosen = members
             .sortBy { case (d, sz) => (sz, batchId(d)) }
             .take(fanIn).map(_._1)
-          val written = fold(spark, fs, rp, chosen, flatFiles,
+          val (newId, written) = fold(spark, fs, rp, chosen, flatFiles,
             IdentityTransform, retireEmpty = true)
+          sizes --= chosen
+          if (written > 0L) sizes += (s"batch=$newId" -> written)
           stats += TieredStats(1, chosen.size, chosen.size,
             math.max(written, 0L), math.max(written, 0L))
           progress = true

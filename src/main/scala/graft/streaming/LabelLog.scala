@@ -245,6 +245,24 @@ object LabelLog {
     * partial (delta not yet written) stays out until its replay
     * commits. Single-writer, run quiesced. Returns the number of delta
     * partials folded. */
+  private[streaming] def compactState(s: SparkSession,
+      labelsDir: String): Int = {
+    val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
+    if (newest.isEmpty) return 0
+    val folded = IndexCompaction.compact(s, deltaRoot(labelsDir),
+      keepNewest = 1,
+      transform = df => {
+        val cl = aliasClosure(readAliases(s, labelsDir, newest.get + 1))
+          .select(col("from").as("_af"), col("to").as("_at"))
+        df.join(cl, col("comp") === col("_af"), "left")
+          .select(col("id"),
+            coalesce(col("_at"), col("comp")).as("comp"), col("lb"))
+      })
+    if (folded > 0)
+      IndexCompaction.retainSnapshots(s, aliasRoot(labelsDir), keep = 1)
+    folded
+  }
+
   /** Size-tiered fold of the DELTA log — the label state's bounded-
     * barrier maintenance verb ([[IndexCompaction.compactTiered]]
     * applied where it is sound). An IDENTITY subset fold of delta
@@ -271,26 +289,6 @@ object LabelLog {
   private[streaming] def compactStateTiered(s: SparkSession,
       labelsDir: String, fanIn: Int = 4,
       maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
-    if (ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue).isEmpty)
-      IndexCompaction.TieredStats(0, 0, 0, 0L)
-    else IndexCompaction.compactTiered(s, deltaRoot(labelsDir),
+    IndexCompaction.compactTiered(s, deltaRoot(labelsDir),
       fanIn = fanIn, keepNewest = 1, maxRunBytes = maxRunBytes)
-
-  private[streaming] def compactState(s: SparkSession,
-      labelsDir: String): Int = {
-    val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
-    if (newest.isEmpty) return 0
-    val folded = IndexCompaction.compact(s, deltaRoot(labelsDir),
-      keepNewest = 1,
-      transform = df => {
-        val cl = aliasClosure(readAliases(s, labelsDir, newest.get + 1))
-          .select(col("from").as("_af"), col("to").as("_at"))
-        df.join(cl, col("comp") === col("_af"), "left")
-          .select(col("id"),
-            coalesce(col("_at"), col("comp")).as("comp"), col("lb"))
-      })
-    if (folded > 0)
-      IndexCompaction.retainSnapshots(s, aliasRoot(labelsDir), keep = 1)
-    folded
-  }
 }
