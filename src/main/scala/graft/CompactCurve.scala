@@ -124,18 +124,23 @@ object CompactCurve {
 
       if ((b + 1) % everyK == 0) {
         monoInvocations += 1
-        var bytes = 0L; var produced = 0
+        var bytes = 0L; var folds = 0
         val secs = timed {
           val r = measured(spark, idxM) {
-            IndexCompaction.compact(spark, idxM, keepNewest = 1): Unit
-            IdSidecar.compact(spark, idxM, keepNewest = 1): Unit
+            // one fold per STORE actually compacted (compact returns the
+            // consumed-dir count, 0 = no-op) — the same merge-operation
+            // metric as the tiered side's `folds`, not produced dirs
+            if (IndexCompaction.compact(spark, idxM, keepNewest = 1) > 0)
+              folds += 1
+            if (IdSidecar.compact(spark, idxM, keepNewest = 1) > 0)
+              folds += 1
           }
-          bytes = r._1; produced = r._2
+          bytes = r._1
         }
         monoSecs += secs
         monoMaxPause = math.max(monoMaxPause, secs)
         monoRewritten += bytes
-        monoFolds += produced
+        monoFolds += folds
         // each monolithic fold rewrites the whole accumulated store into
         // one run — the produced run IS the single-rewrite barrier
         monoMaxFold = math.max(monoMaxFold, bytes)

@@ -1284,14 +1284,20 @@ object Graft {
     * unchanged: reads union `batch=` runs and internal `bb=`/`sb=`/
     * `mb=`/`cluster=`/`ib=` schemes are preserved inside every folded
     * run. Run between batches (single-writer), as often as you like —
-    * an invocation with no tier at fan-in is a cheap no-op. Label logs
-    * have their own tiered form
+    * an invocation with no tier at fan-in is a cheap no-op. The default
+    * `keepNewest = 1` is the checkpointed-stream replay guard: a
+    * replayed micro-batch OVERWRITES its own `batch=<id>` partial, and
+    * a fold that had consumed that id would see the replay re-create it
+    * beside the folded copy and duplicate its rows (the replay's
+    * exclude filter cannot reach rows re-homed under a negative run
+    * id). Pass 0 only for a root no stream will ever replay into.
+    * Label logs have their own tiered form
     * ([[graft.streaming.ClusterStream.compactStateTiered]] /
     * [[graft.streaming.EmbClusterStream.compactStateTiered]]): the
     * delta log folds tiered, the alias-clearing contraction stays on
     * the monolithic verb. */
   def compactIndexTiered(spark: SparkSession, root: String,
-      fanIn: Int = 4, keepNewest: Int = 0,
+      fanIn: Int = 4, keepNewest: Int = 1,
       maxRunBytes: Long = Long.MaxValue)
       : graft.streaming.IndexCompaction.TieredStats = {
     val idx = graft.streaming.IndexCompaction

@@ -110,8 +110,9 @@ object ClusterStream {
     * untouched), for the frequent maintenance cadence between
     * [[compactState]] contraction points. Single-writer. */
   def compactStateTiered(s: SparkSession, labelsDir: String,
-      fanIn: Int = 4): IndexCompaction.TieredStats =
-    LabelLog.compactStateTiered(s, labelsDir, fanIn)
+      fanIn: Int = 4,
+      maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
+    LabelLog.compactStateTiered(s, labelsDir, fanIn, maxRunBytes)
 
   /** Driver-checked (`s_cluster_labels`): split the corpus into 4
     * deterministic micro-batches (one parquet file each, streamed with

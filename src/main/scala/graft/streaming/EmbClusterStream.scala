@@ -122,8 +122,9 @@ object EmbClusterStream {
     * untouched), for the frequent maintenance cadence between
     * [[compactState]] contraction points. Single-writer. */
   def compactStateTiered(s: SparkSession, labelsDir: String,
-      fanIn: Int = 4): IndexCompaction.TieredStats =
-    LabelLog.compactStateTiered(s, labelsDir, fanIn)
+      fanIn: Int = 4,
+      maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
+    LabelLog.compactStateTiered(s, labelsDir, fanIn, maxRunBytes)
 
   /** Driver-checked (`s_emb_cluster_labels`): create the index with the
     * corpus's 6 lowest-id vectors as planes (= `q_emb_clusters`'s plane

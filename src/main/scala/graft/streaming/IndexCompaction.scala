@@ -388,9 +388,14 @@ object IndexCompaction {
     val (fs, rp) = fsOf(spark, root)
     var stats = TieredStats(0, 0, 0, 0L)
     if (!fs.exists(rp)) return stats
-    val logFan = math.log(fanIn.toDouble)
-    def level(bytes: Long): Int =
-      if (bytes <= 0L) 0 else (math.log(bytes.toDouble) / logFan).toInt
+    // Integer tier assignment (⌊log_fanIn bytes⌋ by repeated division):
+    // exact at tier boundaries (fanIn^k), where an FP log ratio could
+    // bucket boundary-sized runs apart across platforms.
+    def level(bytes: Long): Int = {
+      var b = bytes; var lvl = 0
+      while (b >= fanIn) { b /= fanIn; lvl += 1 }
+      lvl
+    }
     // Runs are listed and sized ONCE; each fold updates the map with
     // what it consumed/produced. Re-walking every unchanged run per
     // merge would make an invocation O(folds · runs) listings — against
