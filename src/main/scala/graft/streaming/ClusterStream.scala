@@ -106,13 +106,26 @@ object ClusterStream {
     LabelLog.compactState(s, labelsDir)
 
   /** Size-tiered delta-log fold — [[LabelLog.compactStateTiered]]: the
-    * bounded-barrier schedule (≤ `fanIn` runs per merge, aliases
-    * untouched), for the frequent maintenance cadence between
-    * [[compactState]] contraction points. Single-writer. */
+    * bounded-barrier schedule (≤ `fanIn` runs per merge, each fold
+    * applying the current alias closure and stamping its fold
+    * high-water mark, then retiring every alias partial all surviving
+    * runs post-date) — the incremental contraction, r16. Single-writer. */
   def compactStateTiered(s: SparkSession, labelsDir: String,
       fanIn: Int = 4,
       maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
     LabelLog.compactStateTiered(s, labelsDir, fanIn, maxRunBytes)
+
+  /** Advance the lowest fold high-water marks by rewriting ≤ `maxRuns`
+    * single bounded runs with the current closure applied, then retire
+    * newly unreferenced alias partials — [[LabelLog.refreshState]] +
+    * [[LabelLog.retireAliases]], the long-cadence leg that clears the
+    * alias log without [[compactState]]'s fold-everything barrier.
+    * Returns (runs refreshed, alias partials retired). */
+  def refreshState(s: SparkSession, labelsDir: String,
+      maxRuns: Int = 1): (Int, Int) = {
+    val refreshed = LabelLog.refreshState(s, labelsDir, maxRuns)
+    (refreshed, LabelLog.retireAliases(s, labelsDir))
+  }
 
   /** Driver-checked (`s_cluster_labels`): split the corpus into 4
     * deterministic micro-batches (one parquet file each, streamed with

@@ -118,13 +118,23 @@ object EmbClusterStream {
     LabelLog.compactState(s, labelsDir)
 
   /** Size-tiered delta-log fold — [[LabelLog.compactStateTiered]]: the
-    * bounded-barrier schedule (≤ `fanIn` runs per merge, aliases
-    * untouched), for the frequent maintenance cadence between
-    * [[compactState]] contraction points. Single-writer. */
+    * bounded-barrier schedule (≤ `fanIn` runs per merge, each fold
+    * applying the current alias closure and stamping its fold
+    * high-water mark, then retiring every alias partial all surviving
+    * runs post-date) — the incremental contraction, r16. Single-writer. */
   def compactStateTiered(s: SparkSession, labelsDir: String,
       fanIn: Int = 4,
       maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
     LabelLog.compactStateTiered(s, labelsDir, fanIn, maxRunBytes)
+
+  /** [[ClusterStream.refreshState]] for the embedding label log: ≤
+    * `maxRuns` single-run closure rewrites + alias retirement. Returns
+    * (runs refreshed, alias partials retired). */
+  def refreshState(s: SparkSession, labelsDir: String,
+      maxRuns: Int = 1): (Int, Int) = {
+    val refreshed = LabelLog.refreshState(s, labelsDir, maxRuns)
+    (refreshed, LabelLog.retireAliases(s, labelsDir))
+  }
 
   /** Driver-checked (`s_emb_cluster_labels`): create the index with the
     * corpus's 6 lowest-id vectors as planes (= `q_emb_clusters`'s plane

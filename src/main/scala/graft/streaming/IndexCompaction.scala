@@ -207,7 +207,8 @@ object IndexCompaction {
   def compact(spark: SparkSession, root: String, flatFiles: Int = 4,
       keepNewest: Int = 0,
       transform: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame = IdentityTransform): Int = {
+        org.apache.spark.sql.DataFrame = IdentityTransform,
+      runMeta: Map[String, String] = Map.empty): Int = {
     require(flatFiles > 0, s"flatFiles must be positive, got $flatFiles")
     require(keepNewest >= 0, s"keepNewest must be non-negative, got $keepNewest")
     recover(spark, root)
@@ -228,7 +229,7 @@ object IndexCompaction {
     val dirs = committedDirs(fs, rp).dropRight(keepNewest)
     if (dirs.size < (if (transform eq IdentityTransform) 2 else 1)) return 0
     if (fold(spark, fs, rp, dirs, flatFiles, transform,
-        retireEmpty = false)._2 < 0) return 0
+        retireEmpty = false, runMeta)._2 < 0) return 0
     dirs.size
   }
 
@@ -257,7 +258,8 @@ object IndexCompaction {
       dirs: Seq[String], flatFiles: Int,
       transform: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame,
-      retireEmpty: Boolean): (Long, Long) = {
+      retireEmpty: Boolean,
+      runMeta: Map[String, String] = Map.empty): (Long, Long) = {
     val allIds = batchDirs(fs, rp).map(batchId)
     val newId = math.min(allIds.min, 0L) - 1L
     // Detect the internal scheme from any non-empty consumed dir — an
@@ -289,6 +291,15 @@ object IndexCompaction {
         .parquet(stagingPath.toString)
     }
     val written = rows.fold(0L)(_ => dataBytes(fs, stagingPath))
+    // Per-run metadata (the `_graft_planes` convention: underscore-
+    // hidden files INSIDE the run dir) is written into staging before
+    // the manifest, so it promotes atomically with the run's data — a
+    // run either carries its metadata or does not exist.
+    if (rows.nonEmpty) runMeta.foreach { case (name, content) =>
+      val mo = fs.create(new Path(stagingPath, name), true)
+      try mo.write(content.getBytes(StandardCharsets.UTF_8))
+      finally mo.close()
+    }
     // Commit point: once the manifest exists, the swap WILL complete —
     // by the lines below or by the next recover().
     val manifest = (newId.toString +: dirs).mkString("\n")
@@ -370,17 +381,27 @@ object IndexCompaction {
     * ~maxRunBytes ingested (a slow, capacity-planned file-listing
     * growth), the usual STCS max-threshold trade.
     *
-    * Identity-transform only: a subset fold is sound exactly because
-    * union-read append logs (band stores, postings, pair logs,
-    * sidecars, label deltas) mean row-set union. [[LabelLog]]'s delta
-    * log qualifies (one row per id — see
-    * [[LabelLog.compactStateTiered]]); what stays on the monolithic
-    * verb is its alias-CLEARING contraction, whose soundness is
-    * coupled to having folded every non-newest delta partial at once.
+    * `transform` must be ROW-LOCAL (each output row a function of one
+    * input row, internal partition columns preserved): a subset fold is
+    * sound exactly because union-read append logs (band stores,
+    * postings, pair logs, sidecars, label deltas) mean row-set union,
+    * and a row-local transform commutes with that union. [[LabelLog]]'s
+    * delta log qualifies (one row per id), and its tiered form
+    * ([[LabelLog.compactStateTiered]]) passes the alias-closure
+    * application as exactly such a transform — the r16 step that makes
+    * the alias-clearing contraction incremental (per-run fold
+    * high-water metadata via `runMeta`, alias partials retired once
+    * every surviving run post-dates them) instead of coupled to the
+    * monolithic [[compact]]'s fold-everything barrier.
+    * `runMeta` (name → content) is stamped into every run this
+    * invocation produces, atomically with the run's data.
     * Single-writer like [[compact]]. */
   def compactTiered(spark: SparkSession, root: String, fanIn: Int = 4,
       keepNewest: Int = 0, flatFiles: Int = 4,
-      maxRunBytes: Long = Long.MaxValue): TieredStats = {
+      maxRunBytes: Long = Long.MaxValue,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = IdentityTransform,
+      runMeta: Map[String, String] = Map.empty): TieredStats = {
     require(fanIn >= 2, s"fanIn must be at least 2, got $fanIn")
     require(keepNewest >= 0, s"keepNewest must be non-negative, got $keepNewest")
     require(maxRunBytes > 0L, s"maxRunBytes must be positive, got $maxRunBytes")
@@ -420,7 +441,7 @@ object IndexCompaction {
             .sortBy { case (d, sz) => (sz, batchId(d)) }
             .take(fanIn).map(_._1)
           val (newId, written) = fold(spark, fs, rp, chosen, flatFiles,
-            IdentityTransform, retireEmpty = true)
+            transform, retireEmpty = true, runMeta)
           sizes --= chosen
           if (written > 0L) sizes += (s"batch=$newId" -> written)
           stats += TieredStats(1, chosen.size, chosen.size,
@@ -429,5 +450,44 @@ object IndexCompaction {
         }
     }
     stats
+  }
+
+  /** Rewrite ONE committed run in place (same manifest write-then-swap,
+    * new negative id) with a row-local `transform` applied and `runMeta`
+    * stamped — the REFRESH verb: a converged tiered log's top-tier runs
+    * may never merge again, so a maintenance fact that must reach every
+    * run (the label log's alias-closure high-water mark) needs a path
+    * that touches exactly one bounded run per invocation. Cost is that
+    * single run's rewrite — never a fold of the accumulated log. No-op
+    * (returns false) when `dirName` is absent or uncommitted.
+    * Single-writer like [[compact]]. */
+  private[streaming] def refoldRun(spark: SparkSession, root: String,
+      dirName: String, flatFiles: Int = 4,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = IdentityTransform,
+      runMeta: Map[String, String] = Map.empty): Boolean = {
+    recover(spark, root)
+    val (fs, rp) = fsOf(spark, root)
+    if (!fs.exists(new Path(new Path(rp, dirName), "_SUCCESS"))) return false
+    fold(spark, fs, rp, Seq(dirName), flatFiles, transform,
+      retireEmpty = true, runMeta)
+    true
+  }
+
+  /** The content of a run's metadata file stamped by a `runMeta` fold,
+    * or None when the run predates the stamping (or isn't a fold). */
+  private[streaming] def readRunMeta(spark: SparkSession, root: String,
+      dirName: String, metaName: String): Option[String] = {
+    val (fs, rp) = fsOf(spark, root)
+    val mp = new Path(new Path(rp, dirName), metaName)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
   }
 }

@@ -49,7 +49,19 @@ import org.apache.spark.sql.functions._
   * The newest delta partial stays live and the newest alias partial is
   * retained (the keep-newest replay headroom); a retained alias
   * re-applied to already-folded rows is a no-op (its `from` ids no
-  * longer occur). */
+  * longer occur).
+  *
+  * INCREMENTAL contraction (r16 — no corpus-sized maintenance barrier
+  * left): [[compactStateTiered]] folds delta runs ≤ `fanIn` at a time
+  * with the closure applied as a row-local transform, stamping each
+  * produced run with the alias generation it is contracted through
+  * ([[HwmFile]]); [[refreshState]] advances the laggard runs one
+  * bounded rewrite at a time; [[retireAliases]] deletes every alias
+  * partial all surviving runs post-date. Together they clear the alias
+  * log with every pause bounded by one tier's run size — the monolithic
+  * [[compactState]] remains as the reach-steady-state-now verb, no
+  * longer the only path to a contracted log. (Reference analog: bounded
+  * savepoint state instead of history rewrites, ec:2104-2194.) */
 object LabelLog {
 
   /** Id-bucket count of the delta log's internal `lb` partitioning —
@@ -62,6 +74,46 @@ object LabelLog {
 
   private def deltaRoot(labelsDir: String) = s"$labelsDir/delta"
   private def aliasRoot(labelsDir: String) = s"$labelsDir/alias"
+
+  /** Per-run FOLD HIGH-WATER MARK file (the `_graft_planes` convention:
+    * an underscore-hidden file inside the run dir, stamped atomically
+    * with the run by the manifest swap): the newest alias GENERATION
+    * whose closure is already applied to every row in the run. A run
+    * with hwm ≥ A contains no comp that any alias at batch ≤ A names —
+    * so an alias partial may be RETIRED once every delta run's hwm is at
+    * or above it ([[retireAliases]]), which is what makes the
+    * alias-clearing contraction incremental instead of coupled to the
+    * monolithic fold-everything [[compactState]]. */
+  private[streaming] val HwmFile = "_graft_fold_hwm"
+
+  /** A delta run's fold high-water mark. A RAW stream-written partial
+    * `batch=B` carries no file but is born at hwm = B: [[advance]]
+    * resolves its comps through the closure of aliases < B and batch
+    * B's own relabel, so no alias at batch ≤ B can name them. A folded
+    * run without the file (written before r16's stamping, or by an
+    * identity fold of unknown inputs) is conservatively unbounded-low —
+    * it blocks retirement until a refresh rewrites it. */
+  private def runHwm(s: SparkSession, labelsDir: String,
+      dirName: String): Long =
+    IndexCompaction.readRunMeta(s, deltaRoot(labelsDir), dirName, HwmFile)
+      .map(_.toLong)
+      .getOrElse {
+        val id = dirName.stripPrefix("batch=").toLong
+        if (id >= 0L) id else Long.MinValue
+      }
+
+  /** `batch=` directory names under `dir` (committed-only when asked). */
+  private def runDirs(s: SparkSession, dir: String,
+      committedOnly: Boolean): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => !committedOnly ||
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
+  }
 
   private val AliasSchema = "from BIGINT, to BIGINT, batch BIGINT"
   private val DeltaSchema = "id BIGINT, comp BIGINT, lb INT, batch BIGINT"
@@ -245,50 +297,163 @@ object LabelLog {
     * partial (delta not yet written) stays out until its replay
     * commits. Single-writer, run quiesced. Returns the number of delta
     * partials folded. */
+  /** The closure-application transform shared by every folding verb:
+    * rewrite each delta row's comp to its root under the closure of
+    * aliases at or below generation `newest` — row-local, so it
+    * commutes with subset folds ([[IndexCompaction.compactTiered]]'s
+    * soundness condition). */
+  private def closureTransform(s: SparkSession, labelsDir: String,
+      newest: Long): DataFrame => DataFrame = {
+    // Lazy: a no-fold invocation (no tier at fan-in — the common
+    // per-batch case) must not pay the closure's materialization.
+    lazy val cl = aliasClosure(readAliases(s, labelsDir, newest + 1))
+      .select(col("from").as("_af"), col("to").as("_at"))
+    df => df.join(cl, col("comp") === col("_af"), "left")
+      .select(col("id"),
+        coalesce(col("_at"), col("comp")).as("comp"), col("lb"))
+  }
+
   private[streaming] def compactState(s: SparkSession,
       labelsDir: String): Int = {
     val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
     if (newest.isEmpty) return 0
     val folded = IndexCompaction.compact(s, deltaRoot(labelsDir),
       keepNewest = 1,
-      transform = df => {
-        val cl = aliasClosure(readAliases(s, labelsDir, newest.get + 1))
-          .select(col("from").as("_af"), col("to").as("_at"))
-        df.join(cl, col("comp") === col("_af"), "left")
-          .select(col("id"),
-            coalesce(col("_at"), col("comp")).as("comp"), col("lb"))
-      })
+      transform = closureTransform(s, labelsDir, newest.get),
+      runMeta = Map(HwmFile -> newest.get.toString))
     if (folded > 0)
       IndexCompaction.retainSnapshots(s, aliasRoot(labelsDir), keep = 1)
     folded
   }
 
   /** Size-tiered fold of the DELTA log — the label state's bounded-
-    * barrier maintenance verb ([[IndexCompaction.compactTiered]]
-    * applied where it is sound). An IDENTITY subset fold of delta
-    * partials preserves every read: ids are ingested once, so the
-    * delta log holds exactly one row per id and is union-read — a
-    * folded run serves the same row set, `lb=` pruning is preserved
-    * per fold, and each row's comp still resolves through the
-    * UNTOUCHED alias log exactly as before. `keepNewest = 1` keeps the
-    * newest committed delta partial out (the replay guard — a replayed
-    * batch must not see its own rows), matching [[compactState]].
+    * barrier maintenance verb ([[IndexCompaction.compactTiered]] with
+    * the row-local [[closureTransform]]). Subset folds are sound here
+    * because ids are ingested once, so the delta log holds exactly one
+    * row per id and is union-read — a folded run serves the same row
+    * set, `lb=` pruning is preserved per fold, and applying the alias
+    * closure to ANY delta generation is sound (see the header: a
+    * delta's comps are roots as of its batch, and aliases at or before
+    * it cannot name them — so rewriting each comp to its CURRENT root
+    * changes no resolution). `keepNewest = 1` keeps the newest
+    * committed delta partial out (the replay guard — a replayed batch
+    * must not see its own rows), matching [[compactState]].
     *
-    * What this verb deliberately does NOT do: apply the alias closure
-    * or clear alias partials. The contraction itself is row-local, but
-    * CLEARING an alias is only sound once no surviving delta row still
-    * names its `from` comp — which requires having folded every
-    * non-newest delta partial, i.e. the monolithic [[compactState]].
-    * The hybrid schedule this enables: tiered folds bound the delta
-    * run listing continuously (each one rewrites at most `fanIn`
-    * similar-sized runs — never the corpus-sized label rewrite the
-    * monolithic fold pays), and the alias-clearing contraction runs at
-    * a much longer cadence, sized by alias-log growth (merge events,
-    * not corpus rows). compactState composes over tiered-folded runs
-    * unchanged (negative run ids fold again like any other). */
+    * r16 — the INCREMENTAL contraction: each fold applies the closure
+    * of aliases at or below the newest committed generation and stamps
+    * the run with that generation ([[HwmFile]]); [[retireAliases]]
+    * then clears every alias partial that all surviving runs post-date.
+    * No invocation rewrites more than `fanIn` similar-sized runs, yet
+    * aliases still clear — the monolithic [[compactState]] stops being
+    * the only path to a contracted alias log. Runs a converged tier
+    * structure never re-folds are advanced by [[refreshState]]'s
+    * one-bounded-run rewrites. compactState still composes over folded
+    * runs unchanged (negative ids fold again like any other). */
+  /** Why the incremental verbs contract through generation
+    * `newest − 1`, not `newest`: the newest committed batch may still
+    * be REPLAYED (state written, checkpoint commit lost), and a replay
+    * re-derives its alias partial from the predecessor state it reads.
+    * If folded runs were already contracted through the newest
+    * generation, the replay's endpoint lookup would find the merge
+    * already applied, re-derive the alias partial as EMPTY — breaking
+    * the verbatim-replay contract — and any still-unfolded low-hwm run
+    * would be left needing the alias rows the replay just erased.
+    * Contracting only through `newest − 1` keeps the replay's inputs
+    * (and so its outputs) bit-identical. [[compactState]] can afford
+    * the newest-inclusive closure only because it folds EVERY
+    * non-newest run at once, leaving no low-hwm run behind. */
   private[streaming] def compactStateTiered(s: SparkSession,
       labelsDir: String, fanIn: Int = 4,
-      maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
-    IndexCompaction.compactTiered(s, deltaRoot(labelsDir),
-      fanIn = fanIn, keepNewest = 1, maxRunBytes = maxRunBytes)
+      maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats = {
+    val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
+    if (newest.isEmpty) return IndexCompaction.TieredStats(0, 0, 0, 0L)
+    val gen = newest.get - 1
+    val stats = IndexCompaction.compactTiered(s, deltaRoot(labelsDir),
+      fanIn = fanIn, keepNewest = 1, maxRunBytes = maxRunBytes,
+      transform = closureTransform(s, labelsDir, gen),
+      runMeta = Map(HwmFile -> gen.toString))
+    retireAliases(s, labelsDir): Unit
+    stats
+  }
+
+  /** Advance the fold high-water mark of the `maxRuns` LOWEST-hwm delta
+    * runs by rewriting each alone with the current closure applied
+    * ([[IndexCompaction.refoldRun]]) — the bounded escape from tiered
+    * convergence: a top-tier run that never merges again would
+    * otherwise pin its hwm forever and block alias retirement. Each
+    * invocation rewrites at most `maxRuns` single runs (each bounded by
+    * the tier ceiling, never a fold of the accumulated log), so driving
+    * refresh + [[retireAliases]] on a long cadence clears the alias log
+    * with every pause bounded by one run's size. The newest committed
+    * generation's own raw partial is never selected (its hwm equals the
+    * newest generation — nothing to advance — which is also the replay
+    * guard: a replayed batch must not find its rows re-homed). Returns
+    * the number of runs refreshed. Single-writer, run quiesced. */
+  private[streaming] def refreshState(s: SparkSession, labelsDir: String,
+      maxRuns: Int = 1): Int = {
+    require(maxRuns >= 1, s"maxRuns must be positive, got $maxRuns")
+    // Heal any crashed fold BEFORE listing: a committed-but-unswapped
+    // manifest still shows its consumed dirs, which would be selected
+    // and then skipped — recover first so the listing is the truth.
+    IndexCompaction.recover(s, deltaRoot(labelsDir))
+    val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
+    if (newest.isEmpty) return 0
+    // `newest − 1`, like compactStateTiered: the newest generation's
+    // aliases stay un-applied so its possible replay re-derives them
+    // verbatim. The newest raw partial itself (hwm = newest) is never
+    // selected below; hwm < newest − 1 is the advance-worthy set.
+    val gen = newest.get - 1
+    val stale = runDirs(s, deltaRoot(labelsDir), committedOnly = true)
+      .map(d => (d, runHwm(s, labelsDir, d)))
+      .filter(_._2 < gen)
+      .sortBy { case (d, h) => (h, d.stripPrefix("batch=").toLong) }
+      .take(maxRuns)
+    if (stale.isEmpty) return 0
+    val transform = closureTransform(s, labelsDir, gen)
+    val meta = Map(HwmFile -> gen.toString)
+    stale.count { case (d, _) =>
+      IndexCompaction.refoldRun(s, deltaRoot(labelsDir), d,
+        transform = transform, runMeta = meta)
+    }
+  }
+
+  /** Retire every alias partial that ALL delta runs post-date: an alias
+    * at batch A is unreferenced — and its partial deletable — once
+    * every run's hwm is ≥ A, because no surviving comp can name its
+    * `from` (and retirement is a PREFIX of the alias log, which chain
+    * resolution never re-enters: an alias's `to` can only be merged
+    * away by a strictly later alias, so every chain step from a
+    * surviving comp uses a generation above the retired prefix). The
+    * newest alias partial is always kept (the [[compactState]] replay
+    * headroom — re-applying it to already-folded rows is a no-op).
+    * Uncommitted delta dirs count at their batch id (a crashed batch's
+    * replay rewrites comps as of that id); uncommitted ALIAS dirs above
+    * the retirement line are left for their replay to overwrite, while
+    * retired orphans (a crash mid-retirement) re-enter the stale set
+    * and are swept here. Deletion follows the [[IndexCompaction
+    * .retainSnapshots]] discipline — `_SUCCESS` first (the commit
+    * point), then the directory; a half-deleted partial still read by
+    * [[readAliases]] is harmless because retired aliases are no-ops by
+    * the hwm argument above. Returns the partials removed. */
+  private[streaming] def retireAliases(s: SparkSession,
+      labelsDir: String): Int = {
+    val deltas = runDirs(s, deltaRoot(labelsDir), committedOnly = false)
+    if (deltas.isEmpty) return 0
+    val minHwm = deltas.map(d => runHwm(s, labelsDir, d)).min
+    val aliases = runDirs(s, aliasRoot(labelsDir), committedOnly = false)
+    if (aliases.isEmpty) return 0
+    val newestAlias = aliases.map(_.stripPrefix("batch=").toLong).max
+    val stale = aliases.filter { d =>
+      val id = d.stripPrefix("batch=").toLong
+      id <= minHwm && id < newestAlias
+    }
+    val rp = new org.apache.hadoop.fs.Path(aliasRoot(labelsDir))
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    stale.foreach { d =>
+      val dir = new org.apache.hadoop.fs.Path(rp, d)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false)
+      fs.delete(dir, true)
+    }
+    stale.size
+  }
 }

@@ -249,8 +249,9 @@ class TieredCompactionSuite extends AnyFunSuite {
       .filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
-  test("label log: tiered delta folds leave labels, aliases, lb= " +
-      "pruning, ongoing maintenance, and the contraction verb intact") {
+  test("label log: tiered delta folds contract through the closure, " +
+      "retire covered aliases, and leave labels, lb= pruning, ongoing " +
+      "maintenance, and the monolithic verb intact") {
     val s = TestSpark.spark
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("tiered_labels").toString
@@ -280,15 +281,21 @@ class TieredCompactionSuite extends AnyFunSuite {
 
     val st = ClusterStream.compactStateTiered(s, s"$root/l", fanIn = 2)
     assert(st.folds >= 1 && st.maxFoldConsumed <= 2)
-    assert(labels() == wantLabels, "identity delta folds changed labels")
-    assert(aliases() == wantAliases, "a tiered fold must not touch aliases")
-    // lb= pruning scheme survives inside every folded delta run
+    assert(labels() == wantLabels, "closure delta folds changed labels")
+    // r16: each fold applies the alias closure and stamps its fold
+    // high-water mark; retirement may only DELETE whole alias partials
+    // all runs post-date — never alter surviving rows
+    assert(aliases().subsetOf(wantAliases),
+      "retirement altered surviving alias rows")
+    // lb= pruning scheme + hwm stamp survive inside every folded run
     val f = fs(s"$root/l/delta")
     val deltaRuns = batchDirNames(s"$root/l/delta")
     assert(deltaRuns.exists(_.stripPrefix("batch=").toLong < 0))
     deltaRuns.filter(_.stripPrefix("batch=").toLong < 0).foreach { d =>
       assert(f.listStatus(new Path(s"$root/l/delta/$d")).exists(
         _.getPath.getName.startsWith("lb=")), s"lb= scheme lost in $d")
+      assert(f.exists(new Path(s"$root/l/delta/$d/${LabelLog.HwmFile}")),
+        s"fold high-water stamp missing in $d")
     }
 
     // maintenance continues across the tiered fold (a merge whose old
