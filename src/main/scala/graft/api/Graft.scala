@@ -1308,6 +1308,91 @@ object Graft {
       maxRunBytes = maxRunBytes)
   }
 
+  /** Knobs of [[maintain]] — one declarative statement of a streaming
+    * installation's maintenance schedule, instead of each caller
+    * hand-sequencing the verbs (r15 verdict #5):
+    *  - `fanIn` / `maxRunBytes`: the size-tiered fold shape — ≤ fanIn
+    *    similar-sized runs per merge, runs at/above the ceiling stop
+    *    merging (size the ceiling to maintenance-window / fanIn);
+    *  - `aliasPartialBudget`: contraction pressure — when a label
+    *    log's alias partial count (merge-event generations, NOT corpus
+    *    rows) exceeds it, a [[maintain]] tick additionally spends
+    *    `refreshRuns` single-run closure rewrites and retires the
+    *    alias partials every run then post-dates;
+    *  - `snapshotKeep`: retention for snapshot-read label roots (the
+    *    ER stream's entity-sized layout);
+    *  - `contractNow = true`: the quiesce-time schedule — monolithic
+    *    [[compactIndex]] / full label contraction reaching steady
+    *    state in one call (what the gated queries run after their
+    *    stream terminates); leave false for the between-batches tick,
+    *    where every invocation is bounded and cheap no-ops are the
+    *    common case. */
+  final case class MaintenancePolicy(
+      fanIn: Int = 4,
+      maxRunBytes: Long = Long.MaxValue,
+      aliasPartialBudget: Int = 8,
+      refreshRuns: Int = 1,
+      snapshotKeep: Int = 2,
+      contractNow: Boolean = false)
+
+  /** One [[maintain]] tick's outcome, for observability: tiered fold
+    * stats per store family plus the incremental-contraction and
+    * retention counters (all zero on the contractNow path, which
+    * reports through its verbs' own returns). */
+  final case class MaintenanceStats(
+      indexFolds: graft.streaming.IndexCompaction.TieredStats,
+      labelFolds: graft.streaming.IndexCompaction.TieredStats,
+      runsRefreshed: Int,
+      aliasesRetired: Int,
+      snapshotsPruned: Int)
+
+  /** THE maintenance entry point — the policy-driven schedule over a
+    * streaming installation's maintained state (r16): tiered-fold each
+    * index root and its `_ids` sidecar, tiered-fold each label delta
+    * log with the alias closure applied (retiring covered alias
+    * partials), spend the bounded refresh budget when an alias log
+    * outgrows the policy, and prune snapshot roots to the retention
+    * count. Call it between micro-batches as often as you like: every
+    * sub-verb is bounded (no invocation rewrites more than `fanIn`
+    * similar-sized runs or one refreshed run) and a tick with nothing
+    * to do costs a few directory listings. Single-writer per root,
+    * like the verbs it drives. With `contractNow` the same entry point
+    * runs the quiesce-time monolithic schedule instead. */
+  def maintain(spark: SparkSession,
+      indexRoots: Seq[String] = Nil,
+      labelDirs: Seq[String] = Nil,
+      snapshotRoots: Seq[String] = Nil,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceStats = {
+    import graft.streaming.{ClusterStream, IndexCompaction}
+    var idx = IndexCompaction.TieredStats(0, 0, 0, 0L)
+    var lbl = IndexCompaction.TieredStats(0, 0, 0, 0L)
+    var refreshed = 0
+    var retired = 0
+    var pruned = 0
+    if (policy.contractNow) {
+      indexRoots.foreach(r => compactIndex(spark, r): Unit)
+      labelDirs.foreach(l => ClusterStream.compactState(spark, l): Unit)
+    } else {
+      indexRoots.foreach { r =>
+        idx += compactIndexTiered(spark, r, policy.fanIn,
+          keepNewest = 1, policy.maxRunBytes)
+      }
+      labelDirs.foreach { l =>
+        lbl += ClusterStream.compactStateTiered(spark, l, policy.fanIn,
+          policy.maxRunBytes)
+        if (ClusterStream.aliasPartials(spark, l) > policy.aliasPartialBudget) {
+          val (rf, rt) = ClusterStream.refreshState(spark, l,
+            policy.refreshRuns)
+          refreshed += rf
+          retired += rt
+        }
+      }
+    }
+    snapshotRoots.foreach(r =>
+      pruned += IndexCompaction.retainSnapshots(spark, r, policy.snapshotKeep))
+    MaintenanceStats(idx, lbl, refreshed, retired, pruned)
+  }
+
   /** Gap-filled daily resample with last-observation-carried-forward:
     * every (entity, day) cell of the entity's active span gets a row,
     * quiet days carry the last observed daily total (integer micros)

@@ -115,6 +115,12 @@ object ClusterStream {
       maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats =
     LabelLog.compactStateTiered(s, labelsDir, fanIn, maxRunBytes)
 
+  /** The label log's alias partial count — [[graft.api.Graft.maintain]]
+    * reads it as contraction pressure (merge-event generations, not
+    * corpus rows). */
+  def aliasPartials(s: SparkSession, labelsDir: String): Int =
+    LabelLog.aliasPartialCount(s, labelsDir)
+
   /** Advance the lowest fold high-water marks by rewriting ≤ `maxRuns`
     * single bounded runs with the current closure applied, then retire
     * newly unreferenced alias partials — [[LabelLog.refreshState]] +
@@ -169,7 +175,10 @@ object ClusterStream {
       new java.io.File(root, "checkpoint").getAbsolutePath,
       LlmQueries.JaccardThreshold)
       .awaitTermination()
-    compactState(s, labelsDir): Unit
+    // quiesce-time contraction through the POLICY entry point (r16 —
+    // the gates drive the same path an installation's scheduler does)
+    graft.api.Graft.maintain(s, labelDirs = Seq(labelsDir),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     clusterLabels(s, labelsDir).orderBy(col("doc_id"))
   }
 

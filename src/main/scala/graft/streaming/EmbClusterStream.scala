@@ -180,7 +180,9 @@ object EmbClusterStream {
       new java.io.File(root, "checkpoint").getAbsolutePath,
       threshold = 0.35)
       .awaitTermination()
-    compactState(s, labelsDir): Unit
+    // quiesce-time contraction through the POLICY entry point (r16)
+    graft.api.Graft.maintain(s, labelDirs = Seq(labelsDir),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     clusterLabels(s, labelsDir).orderBy(col("vec_id"))
   }
 

@@ -417,6 +417,13 @@ object LabelLog {
     }
   }
 
+  /** Alias partial count (committed + orphaned) — the contraction-
+    * pressure signal of [[graft.api.Graft.maintain]]'s policy: it
+    * grows with merge-event generations, never with corpus rows. */
+  private[streaming] def aliasPartialCount(s: SparkSession,
+      labelsDir: String): Int =
+    runDirs(s, aliasRoot(labelsDir), committedOnly = false).size
+
   /** Retire every alias partial that ALL delta runs post-date: an alias
     * at batch A is unreferenced — and its partial deletable — once
     * every run's hwm is ≥ A, because no surviving comp can name its
