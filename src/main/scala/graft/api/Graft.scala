@@ -1308,6 +1308,19 @@ object Graft {
       maxRunBytes = maxRunBytes)
   }
 
+  /** Raise (or set) the bucket fan-out NEW runs of a bucket-partitioned
+    * store are written at — the 100-TB knob the layout scaladocs point
+    * to, now safe to turn on a LIVE store (r16): the count is per-store
+    * metadata stamped into every run, probes prune each run group at
+    * its own stamped count, and compaction never merges (and folds with
+    * re-bucketing transforms migrate) runs across counts — so a raise
+    * can never silently lose candidates against runs written at the old
+    * count. Applies to the `bb=` band store (`root` = the index dir),
+    * the `ib=` sidecar (`root` = `<indexDir>/_ids`), and the `lb=`
+    * label delta log (`root` = `<labelsDir>/delta`). */
+  def setIndexBuckets(spark: SparkSession, root: String, n: Int): Unit =
+    graft.streaming.BucketMeta.setStore(spark, root, n)
+
   /** Knobs of [[maintain]] — one declarative statement of a streaming
     * installation's maintenance schedule, instead of each caller
     * hand-sequencing the verbs (r15 verdict #5):

@@ -67,24 +67,28 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object DedupStream {
 
-  /** Band-bucket fan-out of the index's internal `bb=` partitioning.
-    * The count trades PROBE pruning (finer buckets ⇒ a small batch's
-    * collision read touches a smaller index fraction) against the
-    * per-batch WRITE fan (every micro-batch commits one file per live
-    * bucket; measured on the sf0.1 gate: 256 buckets cost ~4.5 s of
-    * file-commit overhead per batch, 64 cost ~1/4 of that). 64 follows
-    * the BM25 `tb=`/[[LabelLog]] small-written-partial discipline; at
-    * 100 TB raise it with batch size — or split the layout (coarse
-    * per-batch partials, fine compacted base) if micro-batches must
-    * stay tiny — the reads, writes, and compaction are parameterized on
-    * the column, not the count. */
+  /** DEFAULT band-bucket fan-out of the index's internal `bb=`
+    * partitioning — consumed only at INDEX CREATION (r16): the live
+    * count is per-store metadata ([[BucketMeta]]), stamped per run and
+    * read back at probe/fold time, so raising it for a new index (or
+    * via [[BucketMeta.setStore]] on a live one) can never mis-prune
+    * runs written at the old count. The count trades PROBE pruning
+    * (finer buckets ⇒ a small batch's collision read touches a smaller
+    * index fraction) against the per-batch WRITE fan (every micro-batch
+    * commits one file per live bucket; measured on the sf0.1 gate: 256
+    * buckets cost ~4.5 s of file-commit overhead per batch, 64 cost
+    * ~1/4 of that). 64 follows the BM25 `tb=`/[[LabelLog]]
+    * small-written-partial discipline; at 100 TB raise it with batch
+    * size. This default is FROZEN as the interpretation of unstamped
+    * legacy runs. */
   val BbBuckets = 64
 
-  /** The band key's bucket: `bkey` is an md5 hex string, so crc32 — the
-    * BM25 token-bucket hash ([[graft.operators.RetrievalIndex]]) — maps
-    * it to a stable int bucket. */
-  private[streaming] def bandBucket(c: Column): Column =
-    pmod(crc32(c), lit(BbBuckets.toLong)).cast("int")
+  /** The band key's bucket at count `n`: `bkey` is an md5 hex string,
+    * so crc32 — the BM25 token-bucket hash
+    * ([[graft.operators.RetrievalIndex]]) — maps it to a stable int
+    * bucket. */
+  private[streaming] def bandBucket(c: Column, n: Int): Column =
+    pmod(crc32(c), lit(n.toLong)).cast("int")
 
   /** Non-empty-state guard: a partial holding only `_SUCCESS` (an
     * empty batch under the partitioned layout) must not count, or the
@@ -113,14 +117,40 @@ object DedupStream {
 
   /** The probe's band-store read: only the named `bb` buckets, minus
     * `excludeBatch`'s partial — factored out so the plan pin can assert
-    * the bb/batch PartitionFilters reach the scan. */
+    * the bb/batch PartitionFilters reach the scan. `onlyBatches`
+    * restricts to one bucket-count group's run ids during a count
+    * transition (absent on the common single-count store, keeping the
+    * pinned plan shape). */
   private[streaming] def indexBandsRead(spark: SparkSession,
       indexDir: String, idCol: String, bbs: Seq[Any],
-      excludeBatch: Long): DataFrame =
-    spark.read.parquet(indexDir)
+      excludeBatch: Long,
+      onlyBatches: Option[Seq[Long]] = None): DataFrame = {
+    val base = spark.read.parquet(indexDir)
       .filter(col("batch") =!= excludeBatch)
+    onlyBatches.fold(base)(ids => base.filter(col("batch").isin(ids: _*)))
       .filter(col("bb").isin(bbs: _*))
       .selectExpr(s"$idCol AS doc_id", "band", "bkey")
+  }
+
+  /** The count-grouped probe planner over the band store: one
+    * [[indexBandsRead]] per bucket-count group, each pruned with the
+    * batch's bucket set computed AT THAT GROUP'S COUNT — so a raised
+    * count never mis-prunes runs written at the old one. Single-count
+    * stores (the common case) take the unrestricted fast path. */
+  private def indexBandsGrouped(spark: SparkSession, indexDir: String,
+      idCol: String, batchBands: DataFrame,
+      excludeBatch: Long): DataFrame = {
+    val groups = BucketMeta.runGroups(spark, indexDir, BbBuckets)
+      .toSeq.sortBy(_._1)
+    val frames = groups.map { case (n, ids) =>
+      val bbs = BucketMeta.bucketsOf(batchBands, "bkey", n, bandBucket)
+      indexBandsRead(spark, indexDir, idCol, bbs, excludeBatch,
+        onlyBatches = if (groups.size == 1) None else Some(ids))
+    }
+    // no committed run (a crashed first write awaiting replay): empty
+    if (frames.isEmpty) batchBands.limit(0)
+    else frames.reduce(_ unionByName _)
+  }
 
   /** The bucket-pruned probe: verified near-dup pairs of the batch
     * against the accumulated index ∪ the batch itself — batch×corpus
@@ -145,12 +175,10 @@ object DedupStream {
     // Index side of the collision join: bb-pruned band rows, batch ids
     // anti-joined out (a re-crawled id's fresh bands supersede).
     val idxBands =
-      if (has) {
-        val bbs = batchBands.select(bandBucket(col("bkey")).as("bb"))
-          .distinct().collect().map(_.get(0)).toSeq
-        indexBandsRead(spark, indexDir, idCol, bbs, excludeBatch)
+      if (has)
+        indexBandsGrouped(spark, indexDir, idCol, batchBands, excludeBatch)
           .join(batchIds, Seq("doc_id"), "left_anti")
-      } else batchBands.limit(0)
+      else batchBands.limit(0)
     val a = batchBands.alias("a")
     val b = idxBands.unionByName(batchBands).alias("b")
     val cand = Materialize(a.join(b,
@@ -164,13 +192,12 @@ object DedupStream {
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .join(batchIds, Seq("doc_id"), "left_anti")
     val hsOld =
-      if (has) {
-        val ibs = IdSidecar.bucketsOf(oldCand, "doc_id")
-        if (ibs.isEmpty) batchHsx.limit(0)
-        else IdSidecar.read(spark, indexDir, ibs, excludeBatch)
+      if (has)
+        IdSidecar.readForIds(spark, indexDir, "doc_id", oldCand,
+            excludeBatch)
           .selectExpr(s"$idCol AS doc_id", "hs")
           .join(oldCand, Seq("doc_id"), "left_semi")
-      } else batchHsx.limit(0)
+      else batchHsx.limit(0)
     Materialize(LlmQueries.verifyJaccard(cand,
       hsOld.unionByName(batchHsx), threshold))
   }
@@ -194,12 +221,16 @@ object DedupStream {
     val fresh = batchSigx
       .join(exclude, Seq("doc_id"), "left_anti")
       .join(known, Seq("doc_id"), "left_anti")
+    // the store's CURRENT count (stamped at creation) shapes new runs;
+    // each run records the count its partitions were hashed with
+    val n = BucketMeta.ensureStore(spark, indexDir, BbBuckets)
     LlmQueries.lshBandsFromSig(fresh)
-      .withColumn("bb", bandBucket(col("bkey")))
+      .withColumn("bb", bandBucket(col("bkey"), n))
       .withColumnRenamed("doc_id", idCol)
       .repartition(col("bb"))
       .write.mode("overwrite").partitionBy("bb")
       .parquet(s"$indexDir/batch=$batchId")
+    BucketMeta.stampRun(spark, indexDir, batchId, n)
     IdSidecar.append(fresh.select(col("doc_id").as(idCol), col("hs")),
       idCol, indexDir, batchId)
   }

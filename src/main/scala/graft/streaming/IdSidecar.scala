@@ -46,19 +46,23 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object IdSidecar {
 
-  /** Bucket count of the `ib=` partitioning — the pruning knob, sized
-    * like [[LabelLog.Buckets]]: a membership check of k ids reads at
-    * most min(k, Buckets) buckets. At 100 TB raise it (the layout,
-    * reads, and compaction are parameterized on the column, not the
-    * count). */
+  /** DEFAULT bucket count of the `ib=` partitioning — consumed only at
+    * sidecar CREATION (r16): the live count is per-store metadata
+    * ([[BucketMeta]]), stamped per run and read back at lookup/fold
+    * time, so raising it never mis-prunes runs written at the old
+    * count; this default is FROZEN as the interpretation of unstamped
+    * legacy runs. Sized like [[LabelLog.Buckets]]: a membership check
+    * of k ids reads at most min(k, count) buckets — at 100 TB raise it
+    * per-store via [[BucketMeta.setStore]]. */
   val Buckets = 16
 
   def root(indexDir: String): String = s"$indexDir/_ids"
 
-  /** The id's bucket: xxhash64 (not a plain mod) so ANY id type — the
-    * text streams admit non-numeric doc ids — buckets uniformly. */
-  def bucket(c: Column): Column =
-    pmod(xxhash64(c), lit(Buckets.toLong)).cast("int")
+  /** The id's bucket at count `n`: xxhash64 (not a plain mod) so ANY id
+    * type — the text streams admit non-numeric doc ids — buckets
+    * uniformly. */
+  def bucket(c: Column, n: Int): Column =
+    pmod(xxhash64(c), lit(n.toLong)).cast("int")
 
   /** True iff `dir` holds at least one `batch=` partial CONTAINING
     * data. The data check matters for partitioned layouts: an EMPTY
@@ -89,22 +93,44 @@ private[graft] object IdSidecar {
   def exists(spark: SparkSession, indexDir: String): Boolean =
     hasBatchData(spark, root(indexDir))
 
-  /** The ≤ [[Buckets]] distinct `ib` values `ids`' id column hashes to —
-    * the bounded driver metadata that prunes the read. */
-  def bucketsOf(ids: DataFrame, idCol: String): Seq[Any] =
-    ids.select(bucket(col(idCol)).as("ib")).distinct()
-      .collect().map(_.get(0)).toSeq
+  /** The ≤ count distinct `ib` values `ids`' id column hashes to at
+    * count `n` — the bounded driver metadata that prunes the read. */
+  def bucketsOf(ids: DataFrame, idCol: String, n: Int): Seq[Any] =
+    BucketMeta.bucketsOf(ids, idCol, n, bucket)
 
   /** The pruned sidecar scan — `ib` partition-pruned to `ibs`, current
     * batch excluded. Factored out so the plan pins can assert the
-    * `ib`/`batch` PartitionFilters reach the scan. Returns every stored
-    * column (id + co-located payload), `batch`/`ib` dropped. */
+    * `ib`/`batch` PartitionFilters reach the scan. `onlyBatches`
+    * restricts to one bucket-count group's runs during a count
+    * transition (absent on the common single-count store). Returns
+    * every stored column (id + co-located payload), `batch`/`ib`
+    * dropped. */
   def read(spark: SparkSession, indexDir: String, ibs: Seq[Any],
-      excludeBatch: Long): DataFrame =
-    spark.read.parquet(root(indexDir))
+      excludeBatch: Long,
+      onlyBatches: Option[Seq[Long]] = None): DataFrame = {
+    val base = spark.read.parquet(root(indexDir))
       .filter(col("batch") =!= excludeBatch)
+    onlyBatches.fold(base)(ids => base.filter(col("batch").isin(ids: _*)))
       .filter(col("ib").isin(ibs: _*))
       .drop("batch", "ib")
+  }
+
+  /** The count-grouped pruned scan for `ids`' rows: one [[read]] per
+    * bucket-count group, each pruned with `ids`' bucket set computed
+    * AT THAT GROUP'S COUNT. Single-count stores take the unrestricted
+    * fast path (the pinned plan shape). */
+  def readForIds(spark: SparkSession, indexDir: String, idCol: String,
+      ids: DataFrame, excludeBatch: Long): DataFrame = {
+    val groups = BucketMeta.runGroups(spark, root(indexDir), Buckets)
+      .toSeq.sortBy(_._1)
+    val frames = groups.map { case (n, batchIds) =>
+      read(spark, indexDir, bucketsOf(ids, idCol, n), excludeBatch,
+        onlyBatches = if (groups.size == 1) None else Some(batchIds))
+    }
+    if (frames.isEmpty)
+      spark.read.parquet(root(indexDir)).drop("batch", "ib").limit(0)
+    else frames.reduce(_ unionByName _)
+  }
 
   /** Bucket-pruned membership: the already-indexed ids in the buckets
     * `ids` hash to (a superset of `ids` ∩ index — exactly what a
@@ -113,20 +139,24 @@ private[graft] object IdSidecar {
   def knownIds(spark: SparkSession, indexDir: String, idCol: String,
       ids: DataFrame, excludeBatch: Long): DataFrame =
     if (!exists(spark, indexDir)) ids.select(col(idCol)).limit(0)
-    else read(spark, indexDir, bucketsOf(ids, idCol), excludeBatch)
+    else readForIds(spark, indexDir, idCol, ids, excludeBatch)
       .select(col(idCol))
 
   /** Write the batch's sidecar partial: one row per accepted id (plus
-    * any co-located payload columns), `ib`-bucketed, `batch=<id>`
-    * OVERWRITE. The pre-write repartition lands each bucket in one task
-    * → one file per live bucket (the BM25 postings small-files
-    * discipline). */
+    * any co-located payload columns), `ib`-bucketed at the store's
+    * current count and stamped with it, `batch=<id>` OVERWRITE. The
+    * pre-write repartition lands each bucket in one task → one file
+    * per live bucket (the BM25 postings small-files discipline). */
   def append(rows: DataFrame, idCol: String, indexDir: String,
-      batchId: Long): Unit =
-    rows.withColumn("ib", bucket(col(idCol)))
+      batchId: Long): Unit = {
+    val spark = rows.sparkSession
+    val n = BucketMeta.ensureStore(spark, root(indexDir), Buckets)
+    rows.withColumn("ib", bucket(col(idCol), n))
       .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib")
       .parquet(s"${root(indexDir)}/batch=$batchId")
+    BucketMeta.stampRun(spark, root(indexDir), batchId, n)
+  }
 
   /** Compact the sidecar's batch partials into one (preserving `ib=`) —
     * run alongside the owner index's own compaction, same single-writer

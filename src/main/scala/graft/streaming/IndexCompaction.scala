@@ -227,11 +227,39 @@ object IndexCompaction {
     // its rows. The ErStream keep-2 retention discipline, applied to a
     // union-read log.
     val dirs = committedDirs(fs, rp).dropRight(keepNewest)
-    if (dirs.size < (if (transform eq IdentityTransform) 2 else 1)) return 0
-    if (fold(spark, fs, rp, dirs, flatFiles, transform,
-        retireEmpty = false, runMeta)._2 < 0) return 0
-    dirs.size
+    if (transform eq IdentityTransform) {
+      // An identity fold must never merge runs hashed at DIFFERENT
+      // bucket counts (their partition values live in different hash
+      // spaces — the merged run would prune wrong): fold one run per
+      // count group, each output stamped with its group's count. A
+      // re-bucketing transform (the label log's) handles mixing itself.
+      bucketGroups(spark, rp, dirs).map { case (stamp, group) =>
+        if (group.size < 2) 0
+        else {
+          val meta = stamp.fold(runMeta)(n =>
+            Map(BucketMeta.File -> n) ++ runMeta)
+          if (fold(spark, fs, rp, group, flatFiles, transform,
+              retireEmpty = false, meta)._2 < 0) 0
+          else group.size
+        }
+      }.sum
+    } else {
+      if (dirs.isEmpty) return 0
+      if (fold(spark, fs, rp, dirs, flatFiles, transform,
+          retireEmpty = false, runMeta)._2 < 0) return 0
+      dirs.size
+    }
   }
+
+  /** Committed dirs grouped by their bucket-count stamp (None = legacy
+    * unstamped — the scheme's frozen default), insertion-ordered for
+    * deterministic fold sequencing. */
+  private def bucketGroups(spark: SparkSession, rp: Path,
+      dirs: Seq[String]): Seq[(Option[String], Seq[String])] =
+    dirs.map { d =>
+      readRunMeta(spark, rp.toString, d, BucketMeta.File) -> d
+    }.groupBy(_._1).toSeq.sortBy(_._1.getOrElse(""))
+      .map { case (stamp, ds) => stamp -> ds.map(_._2) }
 
   /** `_SUCCESS`-committed `batch=` directory names under `root`, sorted
     * by batch id ascending (compacted negative runs first). */
@@ -426,24 +454,41 @@ object IndexCompaction {
     val committed = committedDirs(fs, rp)
     val protectedIds = committed.map(batchId).filter(_ >= 0L)
       .takeRight(keepNewest).toSet
-    var sizes: Map[String, Long] = committed
-      .filterNot(d => protectedIds(batchId(d)))
+    val eligible = committed.filterNot(d => protectedIds(batchId(d)))
+    var sizes: Map[String, Long] = eligible
       .map(d => d -> dataBytes(fs, new Path(rp, d))).toMap
+    // Bucket-count affinity: runs hashed at different counts never
+    // merge (different hash spaces — the merged run would prune wrong)
+    // UNLESS the caller's transform re-buckets every row, which it
+    // declares by carrying the output count in `runMeta` itself.
+    val rebuckets = runMeta.contains(BucketMeta.File)
+    var stamps: Map[String, Option[String]] = eligible
+      .map(d => d -> readRunMeta(spark, rp.toString, d, BucketMeta.File))
+      .toMap
     var progress = true
     while (progress) {
       progress = false
       sizes.toSeq.filter(_._2 < maxRunBytes)
-        .groupBy { case (_, sz) => level(sz) }
-        .toSeq.sortBy(_._1)
+        .groupBy { case (d, sz) =>
+          (if (rebuckets) None else stamps.getOrElse(d, None), level(sz))
+        }
+        .toSeq.sortBy { case ((st, lvl), _) => (st.getOrElse(""), lvl) }
         .find(_._2.size >= fanIn)
-        .foreach { case (_, members) =>
+        .foreach { case ((stamp, _), members) =>
           val chosen = members
             .sortBy { case (d, sz) => (sz, batchId(d)) }
             .take(fanIn).map(_._1)
+          val meta = stamp.filterNot(_ => rebuckets)
+            .fold(runMeta)(n => Map(BucketMeta.File -> n) ++ runMeta)
           val (newId, written) = fold(spark, fs, rp, chosen, flatFiles,
-            transform, retireEmpty = true, runMeta)
+            transform, retireEmpty = true, meta)
           sizes --= chosen
-          if (written > 0L) sizes += (s"batch=$newId" -> written)
+          stamps --= chosen
+          if (written > 0L) {
+            sizes += (s"batch=$newId" -> written)
+            stamps += (s"batch=$newId" ->
+              meta.get(BucketMeta.File).orElse(stamp))
+          }
           stats += TieredStats(1, chosen.size, chosen.size,
             math.max(written, 0L), math.max(written, 0L))
           progress = true

@@ -64,13 +64,21 @@ import org.apache.spark.sql.functions._
   * savepoint state instead of history rewrites, ec:2104-2194.) */
 object LabelLog {
 
-  /** Id-bucket count of the delta log's internal `lb` partitioning —
-    * the pruning knob: a point lookup of k ids reads at most
-    * min(k, Buckets) buckets. 16 matches the postings layout's default;
-    * at 100 TB corpus scale raise it (65k buckets ⇒ a batch's lookup
-    * reads ~|batch| row groups) — the layout, reads, and compaction are
-    * all parameterized on the column, not the count. */
+  /** DEFAULT id-bucket count of the delta log's internal `lb`
+    * partitioning — consumed only at LOG CREATION (r16): the live count
+    * is per-store metadata ([[BucketMeta]]), stamped per run and read
+    * back at lookup/fold time, so raising it (per-log via
+    * [[BucketMeta.setStore]]) never mis-prunes runs written at the old
+    * count; this default is FROZEN as the interpretation of unstamped
+    * legacy runs. The pruning knob: a point lookup of k ids reads at
+    * most min(k, count) buckets. 16 matches the postings layout's
+    * default; at 100 TB corpus scale raise it (65k buckets ⇒ a batch's
+    * lookup reads ~|batch| row groups). */
   val Buckets = 16
+
+  /** The id's `lb` bucket at count `n` (ids are BIGINT — plain mod). */
+  private def lbBucket(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(c, lit(n.toLong)).cast("int")
 
   private def deltaRoot(labelsDir: String) = s"$labelsDir/delta"
   private def aliasRoot(labelsDir: String) = s"$labelsDir/alias"
@@ -198,15 +206,26 @@ object LabelLog {
     * reaches the delta scan). */
   private[streaming] def lookupRows(s: SparkSession,
       labelsDir: String, batchId: Long, ids: DataFrame): DataFrame = {
-    val buckets = ids
-      .select(pmod(col("id"), lit(Buckets.toLong)).cast("int").as("lb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    if (buckets.isEmpty)
-      ids.select(col("id"), col("id").as("comp")).limit(0)
-    else readDeltas(s, labelsDir, batchId)
-      .filter(col("lb").isin(buckets: _*))
-      .join(ids.select(col("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("comp"))
+    val empty = ids.select(col("id"), col("id").as("comp")).limit(0)
+    // Count-grouped (r16): each run group prunes with the bucket set
+    // computed at ITS OWN stamped count; single-count logs (the common
+    // case) take the unrestricted fast path — the pinned plan shape.
+    val groups = BucketMeta.runGroups(s, deltaRoot(labelsDir), Buckets)
+      .map { case (n, bs) => n -> bs.filter(_ < batchId) }
+      .filter(_._2.nonEmpty).toSeq.sortBy(_._1)
+    val frames = groups.map { case (n, bs) =>
+      val buckets = BucketMeta.bucketsOf(ids, "id", n, lbBucket)
+      if (buckets.isEmpty) empty
+      else {
+        val base = readDeltas(s, labelsDir, batchId)
+        (if (groups.size == 1) base
+         else base.filter(col("batch").isin(bs: _*)))
+          .filter(col("lb").isin(buckets: _*))
+          .join(ids.select(col("id")), Seq("id"), "left_semi")
+          .select(col("id"), col("comp"))
+      }
+    }
+    if (frames.isEmpty) empty else frames.reduce(_ unionByName _)
   }
 
   /** One label advance — the O(batch) union step shared by every
@@ -255,14 +274,17 @@ object LabelLog {
     relabel.join(batchIds, col("_oc") === col("id"), "left_anti")
       .select(col("_oc").as("from"), col("_nc").as("to"))
       .write.mode("overwrite").parquet(s"${aliasRoot(labelsDir)}/batch=$batchId")
-    // Delta partial: every batch id's final comp, bucketed for pruned
-    // future lookups.
+    // Delta partial: every batch id's final comp, bucketed at the
+    // log's current count (stamped at creation) and the run stamped
+    // with it, for pruned future lookups.
+    val n = BucketMeta.ensureStore(spark, deltaRoot(labelsDir), Buckets)
     batchIds.select(col("id"), col("id").as("comp"))
       .join(relabel, col("comp") === col("_oc"), "left")
       .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp"))
-      .withColumn("lb", pmod(col("id"), lit(Buckets.toLong)).cast("int"))
+      .withColumn("lb", lbBucket(col("id"), n))
       .write.partitionBy("lb").mode("overwrite")
       .parquet(s"${deltaRoot(labelsDir)}/batch=$batchId")
+    BucketMeta.stampRun(spark, deltaRoot(labelsDir), batchId, n)
   }
 
   /** The current labels, shaped like the cluster queries' output:
@@ -299,28 +321,37 @@ object LabelLog {
     * partials folded. */
   /** The closure-application transform shared by every folding verb:
     * rewrite each delta row's comp to its root under the closure of
-    * aliases at or below generation `newest` — row-local, so it
+    * aliases at or below generation `newest`, and RE-BUCKET `lb` to
+    * the log's current count `n` — both row-local, so the transform
     * commutes with subset folds ([[IndexCompaction.compactTiered]]'s
-    * soundness condition). */
+    * soundness condition), and re-bucketing makes label folds safe
+    * across mixed-count runs (each fold's output is uniformly at `n`,
+    * declared to the fold machinery via the count in its runMeta). */
   private def closureTransform(s: SparkSession, labelsDir: String,
-      newest: Long): DataFrame => DataFrame = {
+      newest: Long, n: Int): DataFrame => DataFrame = {
     // Lazy: a no-fold invocation (no tier at fan-in — the common
     // per-batch case) must not pay the closure's materialization.
     lazy val cl = aliasClosure(readAliases(s, labelsDir, newest + 1))
       .select(col("from").as("_af"), col("to").as("_at"))
     df => df.join(cl, col("comp") === col("_af"), "left")
-      .select(col("id"),
-        coalesce(col("_at"), col("comp")).as("comp"), col("lb"))
+      .select(col("id"), coalesce(col("_at"), col("comp")).as("comp"),
+        lbBucket(col("id"), n).as("lb"))
   }
+
+  /** Fold metadata shared by the three contraction verbs: the hwm
+    * generation plus the re-bucketed count. */
+  private def foldMeta(gen: Long, n: Int): Map[String, String] =
+    Map(HwmFile -> gen.toString, BucketMeta.File -> n.toString)
 
   private[streaming] def compactState(s: SparkSession,
       labelsDir: String): Int = {
     val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
     if (newest.isEmpty) return 0
+    val n = BucketMeta.storeCount(s, deltaRoot(labelsDir), Buckets)
     val folded = IndexCompaction.compact(s, deltaRoot(labelsDir),
       keepNewest = 1,
-      transform = closureTransform(s, labelsDir, newest.get),
-      runMeta = Map(HwmFile -> newest.get.toString))
+      transform = closureTransform(s, labelsDir, newest.get, n),
+      runMeta = foldMeta(newest.get, n))
     if (folded > 0)
       IndexCompaction.retainSnapshots(s, aliasRoot(labelsDir), keep = 1)
     folded
@@ -368,10 +399,11 @@ object LabelLog {
     val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
     if (newest.isEmpty) return IndexCompaction.TieredStats(0, 0, 0, 0L)
     val gen = newest.get - 1
+    val n = BucketMeta.storeCount(s, deltaRoot(labelsDir), Buckets)
     val stats = IndexCompaction.compactTiered(s, deltaRoot(labelsDir),
       fanIn = fanIn, keepNewest = 1, maxRunBytes = maxRunBytes,
-      transform = closureTransform(s, labelsDir, gen),
-      runMeta = Map(HwmFile -> gen.toString))
+      transform = closureTransform(s, labelsDir, gen, n),
+      runMeta = foldMeta(gen, n))
     retireAliases(s, labelsDir): Unit
     stats
   }
@@ -403,14 +435,20 @@ object LabelLog {
     // verbatim. The newest raw partial itself (hwm = newest) is never
     // selected below; hwm < newest − 1 is the advance-worthy set.
     val gen = newest.get - 1
+    val n = BucketMeta.storeCount(s, deltaRoot(labelsDir), Buckets)
+    // Refresh-worthy: hwm behind the contractable generation, OR an
+    // out-of-date bucket count (a raised store count migrates the same
+    // way) — never the newest committed run (h = newest), the replay
+    // guard.
     val stale = runDirs(s, deltaRoot(labelsDir), committedOnly = true)
-      .map(d => (d, runHwm(s, labelsDir, d)))
-      .filter(_._2 < gen)
-      .sortBy { case (d, h) => (h, d.stripPrefix("batch=").toLong) }
-      .take(maxRuns)
+      .map(d => (d, runHwm(s, labelsDir, d),
+        BucketMeta.runCount(s, deltaRoot(labelsDir), d, Buckets)))
+      .filter { case (_, h, c) => h < gen || (c != n && h < newest.get) }
+      .sortBy { case (d, h, _) => (h, d.stripPrefix("batch=").toLong) }
+      .take(maxRuns).map(t => (t._1, t._2))
     if (stale.isEmpty) return 0
-    val transform = closureTransform(s, labelsDir, gen)
-    val meta = Map(HwmFile -> gen.toString)
+    val transform = closureTransform(s, labelsDir, gen, n)
+    val meta = foldMeta(gen, n)
     stale.count { case (d, _) =>
       IndexCompaction.refoldRun(s, deltaRoot(labelsDir), d,
         transform = transform, runMeta = meta)

@@ -192,7 +192,7 @@ class ClusterStreamSuite extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*bb#[^\\]]*\\]".r.findFirstIn(pb).isDefined,
       pb.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
     val ib10 = Seq(10L).toDF("x")
-      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+      .select(IdSidecar.bucket(col("x"), IdSidecar.Buckets)).head.getInt(0)
     val sidecar = IdSidecar.read(s, s"$root/i", Seq(ib10), 2L)
     val ps = sidecar.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,

@@ -139,7 +139,7 @@ class DedupStreamSuite extends AnyFunSuite {
     // the sidecar read: ib partition filter reaches the scan, and the
     // bucket a known id hashes to really holds its (id, hs) row
     val ib1 = Seq(1L).toDF("x")
-      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+      .select(IdSidecar.bucket(col("x"), IdSidecar.Buckets)).head.getInt(0)
     val sidecar = IdSidecar.read(s, idx, Seq(ib1), 2L)
     val ps = sidecar.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,

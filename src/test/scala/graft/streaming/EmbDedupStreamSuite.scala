@@ -132,7 +132,7 @@ class EmbDedupStreamSuite extends AnyFunSuite {
     // plan pin: the first-write-wins membership read is the IdSidecar's
     // ib-pruned point lookup, never an O(index) vec_id scan
     val ib1 = Seq(1L).toDF("x")
-      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+      .select(IdSidecar.bucket(col("x"), IdSidecar.Buckets)).head.getInt(0)
     val sidecar = IdSidecar.read(s, idx, Seq(ib1), 4L)
     val ps = sidecar.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,

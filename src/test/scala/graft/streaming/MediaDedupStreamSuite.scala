@@ -87,7 +87,7 @@ class MediaDedupStreamSuite extends AnyFunSuite {
     // the first-write-wins membership read prunes on the sidecar's ib
     import TestSpark.spark.implicits._
     val ib30 = Seq(30L).toDF("x")
-      .select(IdSidecar.bucket(col("x"))).head.getInt(0)
+      .select(IdSidecar.bucket(col("x"), IdSidecar.Buckets)).head.getInt(0)
     val sidecar = IdSidecar.read(s, s"$root/i", Seq(ib30), 1L)
     val ps = sidecar.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*ib#[^\\]]*\\]".r.findFirstIn(ps).isDefined,
