@@ -83,7 +83,15 @@ private[graft] object BucketMeta {
 
   /** Stamp a freshly written run with the count its partitions were
     * hashed with. The run write is a `batch=<id>` OVERWRITE (replay
-    * rewrites both data and stamp), so no swap discipline is needed. */
+    * rewrites both data and stamp), so no swap discipline is needed.
+    * Crash window, stated: a crash between the data write and this
+    * stamp leaves a committed run that reads at the frozen default
+    * until its batch replays (which rewrites data + stamp together).
+    * On a store still at the default — every store that has never been
+    * raised — the window is a no-op; on a raised store it can
+    * under-prune or mis-prune THAT ONE RUN for reads issued during the
+    * crash downtime, healed by the replay. (Stamping first is not an
+    * option: the overwrite mode deletes the directory.) */
   def stampRun(spark: SparkSession, root: String, batchId: Long,
       n: Int): Unit = {
     val (fs, rp) = fsOf(spark, root)
