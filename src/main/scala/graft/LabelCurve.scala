@@ -35,8 +35,13 @@ import graft.streaming.{ClusterStream, IndexCompaction}
   * compactState ever running.
   *
   * Usage: `runMain graft.LabelCurve [nBatches] [everyK] [fanIn]
-  * [outJson]` (defaults 48, 8, 4, LABELCURVE.json); corpus from
-  * SPARK_GRAFT_SF_DIR (default sf0.1). Prints ONE JSON line. */
+  * [outJson] [maxRunKb]` (defaults 48, 8, 4, LABELCURVE.json, none);
+  * corpus from SPARK_GRAFT_SF_DIR (default sf0.1). `maxRunKb` applies
+  * the top-tier ceiling to the INCREMENTAL side only — the leg that
+  * shows "max single rewrite bounded by the ceiling while aliases
+  * still clear", the bound the monolithic contraction structurally
+  * cannot offer (its rewrite IS the accumulated label state). Prints
+  * ONE JSON line. */
 object LabelCurve {
 
   private def fsOf(s: SparkSession, dir: String) =
@@ -63,6 +68,8 @@ object LabelCurve {
     val everyK = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val fanIn = args.drop(2).headOption.map(_.toInt).getOrElse(4)
     val outJson = args.drop(3).headOption.getOrElse("LABELCURVE.json")
+    val maxRunBytes = args.drop(4).headOption
+      .map(_.toLong * 1024L).getOrElse(Long.MaxValue)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Session.build(s"local[$cpus]", cpus)
@@ -113,7 +120,8 @@ object LabelCurve {
           ClusterStream.compactState(spark, mono._3): Unit
         }
       incLeg.measure(s"${inc._3}/delta") {
-        ClusterStream.compactStateTiered(spark, inc._3, fanIn): Unit
+        ClusterStream.compactStateTiered(spark, inc._3, fanIn,
+          maxRunBytes): Unit
         ClusterStream.refreshState(spark, inc._3, maxRuns = 1): Unit
       }
       incMaxAliases = math.max(incMaxAliases,
@@ -149,6 +157,8 @@ object LabelCurve {
     val json =
       s"""{"metric":"label_contraction","unit":"sec","sf":"${base.split('/').last}",""" +
       s""""batches":$nBatches,"every_k":$everyK,"fan_in":$fanIn,"rows":${fpM._1},""" +
+      (if (maxRunBytes == Long.MaxValue) ""
+       else s""""max_run_bytes":$maxRunBytes,""") +
       s""""monolithic":{"invocations":${monoLeg.invocations},""" +
       s""""compact_sec":${sec(monoLeg.secs)},"max_pause_sec":${sec(monoLeg.maxPause)},""" +
       s""""rewritten_bytes":${monoLeg.rewritten},"max_single_rewrite":${monoLeg.maxRewrite},""" +

@@ -1321,6 +1321,21 @@ object Graft {
   def setIndexBuckets(spark: SparkSession, root: String, n: Int): Unit =
     graft.streaming.BucketMeta.setStore(spark, root, n)
 
+  /** The coarse-partials / fine-base schedule for a text signature
+    * index ([[graft.streaming.DedupStream.rebucketTiered]]): writers
+    * keep a COARSE per-batch `bb=`/`ib=` fan (set the store counts low
+    * via [[setIndexBuckets]] — few files committed per micro-batch),
+    * and this verb refines folded runs to `toBands`/`toIds` buckets as
+    * they graduate tiers, where probe pruning wants them. Probes are
+    * correct at every point (count-grouped pruning); run between
+    * batches like every compaction verb. */
+  def rebucketIndexTiered(spark: SparkSession, indexDir: String,
+      toBands: Int, toIds: Int, fanIn: Int = 4,
+      maxRunBytes: Long = Long.MaxValue)
+      : graft.streaming.IndexCompaction.TieredStats =
+    graft.streaming.DedupStream.rebucketTiered(spark, indexDir,
+      toBands, toIds, fanIn, keepNewest = 1, maxRunBytes)
+
   /** Knobs of [[maintain]] — one declarative statement of a streaming
     * installation's maintenance schedule, instead of each caller
     * hand-sequencing the verbs (r15 verdict #5):

@@ -79,8 +79,11 @@ object DedupStream {
     * buckets cost ~4.5 s of file-commit overhead per batch, 64 cost
     * ~1/4 of that). 64 follows the BM25 `tb=`/[[LabelLog]]
     * small-written-partial discipline; at 100 TB raise it with batch
-    * size. This default is FROZEN as the interpretation of unstamped
-    * legacy runs. */
+    * size, or — when micro-batches must stay tiny — set the store
+    * count COARSE and refine folded runs with [[rebucketTiered]] (the
+    * coarse-partials/fine-base split, a real verb since r16). This
+    * default is FROZEN as the interpretation of unstamped legacy
+    * runs. */
   val BbBuckets = 64
 
   /** The band key's bucket at count `n`: `bkey` is an md5 hex string,
@@ -233,6 +236,34 @@ object DedupStream {
     BucketMeta.stampRun(spark, indexDir, batchId, n)
     IdSidecar.append(fresh.select(col("doc_id").as(idCol), col("hs")),
       idCol, indexDir, batchId)
+  }
+
+  /** The COARSE-PARTIALS / FINE-BASE split, as a verb (r16 — the
+    * 100-TB escape hatch [[BbBuckets]]'s scaladoc used to only
+    * document): when micro-batches are small, a fine `bb=` fan makes
+    * every batch commit one near-empty file per live bucket, so a
+    * deployment sets the STORE count coarse (writers commit few files
+    * per batch) and lets this verb refine folded runs to `to` buckets
+    * — where the probe pruning wants them — as they graduate tiers.
+    * Size-tiered ([[IndexCompaction.compactTiered]]), with the re-
+    * bucketing transform row-local (each band row re-hashes its own
+    * bkey; each sidecar row its own id), so subset folds stay sound
+    * and mixed-count inputs are safe (the output declares its count
+    * via runMeta). Probes are correct at EVERY point regardless —
+    * count-grouped pruning reads coarse runs at their coarse count —
+    * this verb only moves rows to the finer space. `toIds` refines the
+    * sidecar's `ib=` fan the same way. Single-writer, run between
+    * batches. */
+  def rebucketTiered(spark: SparkSession, indexDir: String, to: Int,
+      toIds: Int, fanIn: Int = 4, keepNewest: Int = 1,
+      maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats = {
+    require(to >= 1, s"bucket count must be positive, got $to")
+    val bands = IndexCompaction.compactTiered(spark, indexDir, fanIn,
+      keepNewest, maxRunBytes = maxRunBytes,
+      transform = df => df.withColumn("bb", bandBucket(col("bkey"), to)),
+      runMeta = Map(BucketMeta.File -> to.toString))
+    bands + IdSidecar.rebucketTiered(spark, indexDir, toIds, fanIn,
+      keepNewest, maxRunBytes)
   }
 
   /** One micro-batch step — the foreachBatch body, callable directly for

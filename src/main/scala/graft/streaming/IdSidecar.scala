@@ -166,4 +166,26 @@ private[graft] object IdSidecar {
     if (!exists(spark, indexDir)) 0
     else IndexCompaction.compact(spark, root(indexDir),
       keepNewest = keepNewest)
+
+  /** Size-tiered sidecar fold that RE-BUCKETS every row to `to` `ib=`
+    * buckets — the sidecar half of [[DedupStream.rebucketTiered]]'s
+    * coarse-partials/fine-base split. Row-local (each row re-hashes its
+    * own id), so subset folds stay sound; the output run declares its
+    * count via runMeta, which also tells the fold machinery mixing
+    * input counts is safe. The id column is detected as the first
+    * non-layout column ([[append]] writes it first). */
+  def rebucketTiered(spark: SparkSession, indexDir: String, to: Int,
+      fanIn: Int = 4, keepNewest: Int = 1,
+      maxRunBytes: Long = Long.MaxValue): IndexCompaction.TieredStats = {
+    require(to >= 1, s"bucket count must be positive, got $to")
+    if (!exists(spark, indexDir))
+      return IndexCompaction.TieredStats(0, 0, 0, 0L)
+    IndexCompaction.compactTiered(spark, root(indexDir), fanIn,
+      keepNewest, maxRunBytes = maxRunBytes,
+      transform = df => {
+        val idCol = df.columns.filterNot(Set("ib", "batch")).head
+        df.withColumn("ib", bucket(col(idCol), to))
+      },
+      runMeta = Map(BucketMeta.File -> to.toString))
+  }
 }

@@ -161,6 +161,63 @@ class BucketMetaSuite extends AnyFunSuite {
       s"post-contraction merge over the re-bucketed base broke: $after")
   }
 
+  test("coarse partials / fine base: writers commit a small fan, " +
+      "rebucket folds refine to the serving counts, probes stay " +
+      "correct throughout") {
+    val sp = s
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("coarsefine").toFile
+    val idx = new java.io.File(root, "index").getAbsolutePath
+    val prs = new java.io.File(root, "pairs").getAbsolutePath
+    // CREATION at coarse counts — the tiny-micro-batch deployment: a
+    // batch commits at most 8 band files + 4 sidecar files
+    Graft.setIndexBuckets(s, idx, 8)
+    Graft.setIndexBuckets(s, IdSidecar.root(idx), 4)
+    def step(docs: Seq[(Long, String)], id: Long): Unit =
+      DedupStream.processBatch(docs.toDF("id", "body"), id,
+        "id", "body", idx, prs, threshold = 0.5): Unit
+    def pairs() = DedupStream.readPairs(s, prs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    step(Seq((1L, doc("tok")), (2L, doc("aaa"))), 0L)
+    step(Seq((3L, doc("zzz"))), 1L)
+    step(Seq((9L, mut(20)), (10L, doc("qqq"))), 2L)
+    step(Seq((11L, doc("rrr"))), 3L)
+    step(Seq((12L, mut(22))), 4L)
+    assert(pairs().contains((1L, 9L)) && pairs().contains((1L, 12L)))
+    val f = fs(idx)
+    assert(stampOf(idx, "batch=0").contains("8"))
+    assert(f.listStatus(new Path(s"$idx/batch=0"))
+      .count(_.getPath.getName.startsWith("bb=")) <= 8,
+      "coarse partial committed more than its fan")
+
+    // refine: folded runs graduate to the fine serving counts
+    val st = Graft.rebucketIndexTiered(s, idx, toBands = 64, toIds = 16,
+      fanIn = 2)
+    assert(st.folds >= 1 && st.maxFoldConsumed <= 2)
+    val fine = runNames(idx).filter(_.stripPrefix("batch=").toLong < 0)
+    assert(fine.nonEmpty)
+    fine.foreach(d => assert(stampOf(idx, d).contains("64"),
+      s"refined run not stamped 64: $d"))
+    runNames(IdSidecar.root(idx))
+      .filter(_.stripPrefix("batch=").toLong < 0)
+      .foreach(d => assert(stampOf(IdSidecar.root(idx), d).contains("16")))
+    // the rows really re-hashed into the finer space (a coarse run
+    // could never hold a bucket ≥ 8)
+    assert(fine.exists(d => f.listStatus(new Path(s"$idx/$d"))
+      .exists(st => st.getPath.getName.startsWith("bb=") &&
+        st.getPath.getName.stripPrefix("bb=").toInt >= 8)),
+      "no refined bucket above the coarse fan — rows were not re-hashed")
+
+    // probes stay correct over the MIXED layout (coarse raw newest +
+    // fine folded base): a new near-dup of the era-1 hub still pairs
+    val wantPairs = pairs()
+    step(Seq((20L, mut(24))), 5L)
+    assert(pairs() == wantPairs + ((1L, 20L)),
+      s"probe over the coarse/fine mix broke: ${pairs()}")
+  }
+
   test("an unstamped legacy run reads at the frozen default") {
     val sp = s
     import sp.implicits._
