@@ -53,10 +53,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * sub-linear in the INDEX size too, not just join-bounded. */
 object EmbDedupStream {
 
-  /** Sketch-prefix partition fan-out: 256 dirs per batch — coarse enough
-    * to avoid a small-files explosion, fine enough that a probe touches
-    * ~|batch| of them. Full-sketch equality implies prefix equality, so
-    * pruning loses no candidate pair. */
+  /** DEFAULT sketch-prefix partition fan-out — consumed only at index
+    * creation (r16, the [[BucketMeta]] discipline: the live count is
+    * per-store metadata, stamped per run and read back count-grouped at
+    * probe time, so raising it never mis-prunes runs written at the old
+    * count; this default is FROZEN as the interpretation of unstamped
+    * legacy runs). 256 dirs per batch — coarse enough to avoid a
+    * small-files explosion, fine enough that a probe touches ~|batch|
+    * of them. Full-sketch equality implies prefix equality, so pruning
+    * loses no candidate pair at ANY count. */
   private val SbBuckets = 256
 
   /** Non-empty-state guard ([[IdSidecar.hasBatchData]]): an empty
@@ -102,13 +107,18 @@ object EmbDedupStream {
 
   /** The probe's index-read frame: only the named sb prefixes, minus
     * `excludeBatch`'s partial — factored out so the plan pin can assert
-    * the sb/batch PartitionFilters reach the scan. */
+    * the sb/batch PartitionFilters reach the scan. `onlyBatches`
+    * restricts to one bucket-count group's runs during a count
+    * transition (absent on the common single-count store). */
   private[streaming] def probeRead(spark: SparkSession, indexDir: String,
-      sbs: Seq[Any], excludeBatch: Long): DataFrame =
-    spark.read.parquet(indexDir)
+      sbs: Seq[Any], excludeBatch: Long,
+      onlyBatches: Option[Seq[Long]] = None): DataFrame = {
+    val base = spark.read.parquet(indexDir)
       .filter(col("batch") =!= excludeBatch)
+    onlyBatches.fold(base)(ids => base.filter(col("batch").isin(ids: _*)))
       .filter(col("sb").isin(sbs: _*))
       .drop("batch", "sb")
+  }
 
   /** The sketch-bucket probe: verified cosine pairs of the batch against
     * the accumulated index ∪ the batch itself — batch×corpus and
@@ -122,10 +132,20 @@ object EmbDedupStream {
     val spark = batchSk.sparkSession
     val index =
       if (hasParquet(spark, indexDir)) {
-        val sbs = batchSk
-          .select(pmod(col("sketch"), lit(SbBuckets)).as("sb"))
-          .distinct().collect().map(_.get(0))
-        probeRead(spark, indexDir, sbs.toSeq, excludeBatch)
+        // count-grouped (r16): each run group prunes with the sketch
+        // buckets computed at ITS stamped count; single-count stores
+        // take the unrestricted fast path — the pinned plan shape
+        val groups = BucketMeta.runGroups(spark, indexDir, SbBuckets)
+          .toSeq.sortBy(_._1)
+        val frames = groups.map { case (n, ids) =>
+          val sbs = batchSk
+            .select(pmod(col("sketch"), lit(n)).as("sb"))
+            .distinct().collect().map(_.get(0)).toSeq
+          probeRead(spark, indexDir, sbs, excludeBatch,
+            onlyBatches = if (groups.size == 1) None else Some(ids))
+        }
+        if (frames.isEmpty) batchSk.limit(0)
+        else frames.reduce(_ unionByName _)
       } else batchSk.limit(0)
     // Candidates: every batch vector against the index ∪ this batch on
     // the sketch bucket. A batch×batch pair surfaces from both of its
@@ -170,10 +190,12 @@ object EmbDedupStream {
     val fresh = batchSk
       .join(exclude, Seq("vec_id"), "left_anti")
       .join(known, Seq("vec_id"), "left_anti")
+    val n = BucketMeta.ensureStore(spark, indexDir, SbBuckets)
     fresh
-      .withColumn("sb", pmod(col("sketch"), lit(SbBuckets)))
+      .withColumn("sb", pmod(col("sketch"), lit(n)))
       .write.mode("overwrite").partitionBy("sb")
       .parquet(s"$indexDir/batch=$batchId")
+    BucketMeta.stampRun(spark, indexDir, batchId, n)
     IdSidecar.append(fresh.select("vec_id"), "vec_id", indexDir, batchId)
   }
 

@@ -53,8 +53,13 @@ object MediaDedupStream {
     * .hammingBandPairs]]: 4 bands × 16 bits. */
   val BandBits = 16
 
-  /** Partition fan-out of the index's internal `mb=<bkey mod 256>`
-    * bucketing — 256 dirs per batch, the EmbDedupStream `sb=` sizing. */
+  /** DEFAULT partition fan-out of the index's internal
+    * `mb=<bkey mod count>` bucketing — consumed only at index creation
+    * (r16, the [[BucketMeta]] discipline: per-store metadata, stamped
+    * per run, read back count-grouped at probe time, so a raise never
+    * mis-prunes old runs; frozen as the unstamped-legacy
+    * interpretation). 256 dirs per batch, the EmbDedupStream `sb=`
+    * sizing. */
   private val MbBuckets = 256
 
   /** Non-empty-state guard ([[IdSidecar.hasBatchData]]): an empty
@@ -115,13 +120,24 @@ object MediaDedupStream {
     // 2. probe: batch bands against the mb-pruned index ∪ the batch.
     val indexBands =
       if (hasParquet(spark, indexDir)) {
-        val mbs = batchBands
-          .select(pmod(col("bkey"), lit(MbBuckets)).as("mb"))
-          .distinct().collect().map(_.get(0))
-        spark.read.parquet(indexDir)
-          .filter(col("batch") =!= batchId)
-          .filter(col("mb").isin(mbs.toSeq: _*))
-          .drop("batch", "mb")
+        // count-grouped (r16): each run group prunes with the band
+        // buckets computed at ITS stamped count; single-count stores
+        // take the unrestricted fast path — the pinned plan shape
+        val groups = BucketMeta.runGroups(spark, indexDir, MbBuckets)
+          .toSeq.sortBy(_._1)
+        val frames = groups.map { case (n, ids) =>
+          val mbs = batchBands
+            .select(pmod(col("bkey"), lit(n)).as("mb"))
+            .distinct().collect().map(_.get(0)).toSeq
+          val base = spark.read.parquet(indexDir)
+            .filter(col("batch") =!= batchId)
+          (if (groups.size == 1) base
+           else base.filter(col("batch").isin(ids: _*)))
+            .filter(col("mb").isin(mbs: _*))
+            .drop("batch", "mb")
+        }
+        if (frames.isEmpty) batchBands.limit(0)
+        else frames.reduce(_ unionByName _)
       } else batchBands.limit(0)
     val u = indexBands.withColumn("_b", lit(false))
       .unionByName(batchBands.withColumn("_b", lit(true)))
@@ -155,10 +171,12 @@ object MediaDedupStream {
     // measurement).
     val fresh = batchBands
       .join(known, Seq("doc_id"), "left_anti")
+    val n = BucketMeta.ensureStore(spark, indexDir, MbBuckets)
     fresh
-      .withColumn("mb", pmod(col("bkey"), lit(MbBuckets)))
+      .withColumn("mb", pmod(col("bkey"), lit(n)))
       .write.mode("overwrite").partitionBy("mb")
       .parquet(s"$indexDir/batch=$batchId")
+    BucketMeta.stampRun(spark, indexDir, batchId, n)
     IdSidecar.append(fresh.select("doc_id").distinct(), "doc_id",
       indexDir, batchId)
   }

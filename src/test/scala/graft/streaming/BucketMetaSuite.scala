@@ -218,6 +218,59 @@ class BucketMetaSuite extends AnyFunSuite {
       s"probe over the coarse/fine mix broke: ${pairs()}")
   }
 
+  test("emb and media stores: raised sb=/mb= counts lose no candidate " +
+      "across eras") {
+    val sp = s
+    import sp.implicits._
+    // EMB: era 1 at the default sb fan; raise; the era-2 probe must
+    // still find its era-1 partner (pruning old runs at the new count
+    // would read the wrong sb partitions)
+    val eroot = java.nio.file.Files.createTempDirectory("bucketemb").toFile
+    val eidx = new java.io.File(eroot, "index").getAbsolutePath
+    val eprs = new java.io.File(eroot, "pairs").getAbsolutePath
+    EmbDedupStream.processBatch(
+      Seq((1L, Array(1f, -0.1f, 0f)), (2L, Array(-0.1f, 1f, 0f)))
+        .toDF("id", "emb"),
+      0L, "id", "emb", eidx, eprs, threshold = 0.9, nPlanes = 2): Unit
+    assert(stampOf(eidx, "batch=0").contains("256"))
+    Graft.setIndexBuckets(s, eidx, 512)
+    EmbDedupStream.processBatch(
+      Seq((9L, Array(0.99f, -0.1f, 0.01f))).toDF("id", "emb"),
+      1L, "id", "emb", eidx, eprs, threshold = 0.9, nPlanes = 2): Unit
+    assert(stampOf(eidx, "batch=1").contains("512"))
+    val epairs = EmbDedupStream.readPairs(s, eprs)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(epairs.contains((1L, 9L)),
+      s"emb cross-era candidate lost after the raise: $epairs")
+
+    // MEDIA: same claim on the mb= band layout (twin fingerprints at
+    // hamming 1 across the raise)
+    val mroot = java.nio.file.Files.createTempDirectory("bucketmed").toFile
+    val midx = new java.io.File(mroot, "index").getAbsolutePath
+    val mprs = new java.io.File(mroot, "pairs").getAbsolutePath
+    val mq = new java.io.File(mroot, "q").getAbsolutePath
+    def payload(h: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(h).array()
+    val kernel: Array[Byte] => Either[String, Long] =
+      b => Right(java.nio.ByteBuffer.wrap(b).getLong)
+    MediaDedupStream.processBatch(
+      Seq((1L, payload(0x0123456789ABCDEFL)),
+        (2L, payload(0x7EDCBA9876543210L))).toDF("doc_id", "payload"),
+      0L, "doc_id", "payload", kernel, midx, mprs, mq): Unit
+    assert(stampOf(midx, "batch=0").contains("256"))
+    Graft.setIndexBuckets(s, midx, 512)
+    MediaDedupStream.processBatch(
+      Seq((9L, payload(0x0123456789ABCDEEL))).toDF("doc_id", "payload"),
+      1L, "doc_id", "payload", kernel, midx, mprs, mq): Unit
+    assert(stampOf(midx, "batch=1").contains("512"))
+    val mpairs = MediaDedupStream.readPairs(s, mprs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mpairs.contains((1L, 9L)),
+      s"media cross-era candidate lost after the raise: $mpairs")
+  }
+
   test("an unstamped legacy run reads at the frozen default") {
     val sp = s
     import sp.implicits._
