@@ -1267,7 +1267,14 @@ object Graft {
     * `sb=`/`cluster=`/`bb=` directories. An id-membership sidecar
     * (`_ids/`, [[graft.streaming.IdSidecar]]) compacts alongside its
     * index. Run between batches (single-writer). Returns the number of
-    * batch directories compacted (0 = no-op), counting both stores. */
+    * batch directories compacted (0 = no-op), counting both stores.
+    * Count-stamp note: runs bucket-stamped at different counts never
+    * merge; UNSTAMPED legacy runs (pre-r16 writers) are grouped apart
+    * from stamped ones here because this generic entry point cannot
+    * know each scheme's frozen default — such stores converge fully
+    * via their store-specific wrappers (which pass the default) or a
+    * re-bucketing fold ([[rebucketIndexTiered]]), and in the meantime
+    * only under-consolidate, never mis-prune. */
   def compactIndex(spark: SparkSession, root: String): Int =
     graft.streaming.IndexCompaction.compact(spark, root) +
       graft.streaming.IdSidecar.compact(spark, root)
@@ -1294,8 +1301,14 @@ object Graft {
     * Label logs have their own tiered form
     * ([[graft.streaming.ClusterStream.compactStateTiered]] /
     * [[graft.streaming.EmbClusterStream.compactStateTiered]]): the
-    * delta log folds tiered, the alias-clearing contraction stays on
-    * the monolithic verb. */
+    * delta log folds tiered WITH the alias closure applied per fold
+    * (r16) — each produced run is stamped with its fold high-water
+    * generation, laggard runs advance one bounded rewrite at a time
+    * ([[graft.streaming.ClusterStream.refreshState]]), and alias
+    * partials retire once every surviving run post-dates them, so the
+    * alias-clearing contraction is incremental too; the monolithic
+    * [[graft.streaming.ClusterStream.compactState]] remains only as
+    * the reach-steady-state-now quiesce verb. */
   def compactIndexTiered(spark: SparkSession, root: String,
       fanIn: Int = 4, keepNewest: Int = 1,
       maxRunBytes: Long = Long.MaxValue)

@@ -116,6 +116,15 @@ object Bm25Stream {
       statsDir,
       new java.io.File(root, "checkpoint").getAbsolutePath)
       .awaitTermination()
+    // quiesce-time contraction through the POLICY entry point (r17):
+    // tb=-partitioned postings, flat doclens, and the 1-row stats
+    // partials all fold (stats rows are additive — the fold preserves
+    // them and the serve re-sums); the gate hash-checks the FOLDED
+    // form's tb=-pruned serve.
+    graft.api.Graft.maintain(s,
+      indexRoots = Seq(postingsDir,
+        new java.io.File(root, "doclens").getAbsolutePath, statsDir),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     serveFrom(s, postingsDir, statsDir)
   }
 

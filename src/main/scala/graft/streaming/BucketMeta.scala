@@ -106,21 +106,43 @@ private[graft] object BucketMeta {
     readInt(fs, new Path(new Path(rp, dirName), File)).getOrElse(default)
   }
 
+  /** Per-JVM stamp cache for [[runGroups]]'s hot probe path: a stamp is
+    * immutable once its run commits, and a replay OVERWRITES the whole
+    * run dir (fresh stamp file → fresh mtime/len), so keying on
+    * (path, mtime, len) makes rewritten stamps miss naturally. Bounded
+    * defensively — fixture roots accumulate across a long JVM. */
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+
   /** Committed run ids grouped by their count — the read-side planning
     * metadata (bounded: one tiny file per run, run count is bounded by
-    * compaction). */
+    * compaction). ONE child listing per run yields commit status and
+    * the stamp entry together (instead of two exists probes plus an
+    * open — a real per-batch latency term on object stores), and stamp
+    * CONTENT reads hit the per-JVM cache. */
   def runGroups(spark: SparkSession, root: String,
       default: Int): Map[Int, Seq[Long]] = {
     val (fs, rp) = fsOf(spark, root)
-    if (!fs.exists(rp)) Map.empty
-    else fs.listStatus(rp).toSeq
+    if (!fs.exists(rp)) return Map.empty
+    fs.listStatus(rp).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName)
-      .groupBy(d => runCount(spark, root, d, default))
-      .map { case (n, ds) =>
-        n -> ds.map(_.stripPrefix("batch=").toLong)
+      .flatMap { st =>
+        val children = fs.listStatus(st.getPath)
+        if (!children.exists(_.getPath.getName == "_SUCCESS")) None
+        else {
+          val n = children.find(_.getPath.getName == File) match {
+            case Some(f) =>
+              if (stampCache.size > 65536) stampCache.clear()
+              stampCache.computeIfAbsent(
+                (f.getPath.toString, f.getModificationTime, f.getLen),
+                _ => readInt(fs, f.getPath).getOrElse(default))
+            case None => default
+          }
+          Some(n -> st.getPath.getName.stripPrefix("batch=").toLong)
+        }
       }
+      .groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2) }
   }
 
   /** Read-or-create: the store count, stamping the default at first

@@ -58,40 +58,71 @@ object ClusterStream {
     // One text pass over the batch; probed AND appended from this. The
     // probe is [[DedupStream.probePairs]]: bb-pruned band collision +
     // ib-pruned sidecar verify — per-batch index reads never scan the
-    // accumulated index (r14 verdict #1).
-    val batchSigx = LlmQueries.minhashMaterialized(batch, idCol, textCol)
-    val pairs = DedupStream.probePairs(spark, indexDir, idCol, batchSigx,
-      threshold, batchId)
-    pairs.select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    // accumulated index (r14 verdict #1). PhaseClock.timed is the
+    // profiler seam (no-op unless PhaseLabelGate installed a sink).
+    val batchSigx = PhaseClock.timed("sig_materialize") {
+      LlmQueries.minhashMaterialized(batch, idCol, textCol)
+    }
+    val pairs = PhaseClock.timed("probe") {
+      DedupStream.probePairs(spark, indexDir, idCol, batchSigx,
+        threshold, batchId)
+    }
+    PhaseClock.timed("pairs_write") {
+      pairs.select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    }
     // Index EVERY batch doc (labels need full connectivity — see
     // header): exclude-nothing append. First-write-wins per id rides
     // the sidecar's bucket-pruned membership lookup, current batch id
     // excluded so a replay rewrites its own partial instead of treating
     // it as prior state.
-    DedupStream.appendIndex(batchSigx, idCol, indexDir, batchId,
-      exclude = batchSigx.select("doc_id").limit(0))
+    PhaseClock.timed("index_append") {
+      DedupStream.appendIndex(batchSigx, idCol, indexDir, batchId,
+        exclude = batchSigx.select("doc_id").limit(0))
+    }
     // Label advance: O(batch) log-structured union-find (LabelLog). The
     // committed pair partial re-reads from parquet so the closure scans
     // files, not the probe plan a second time.
-    LabelLog.advance(spark, labelsDir, batchId,
-      Materialize(batch.select(col(idCol).as("id")).distinct()),
-      spark.read.parquet(s"$pairsDir/batch=$batchId")
-        .select(col("doc_a").as("e1"), col("doc_b").as("e2")))
+    PhaseClock.timed("label_advance") {
+      LabelLog.advance(spark, labelsDir, batchId,
+        Materialize(batch.select(col(idCol).as("id")).distinct()),
+        spark.read.parquet(s"$pairsDir/batch=$batchId")
+          .select(col("doc_a").as("e1"), col("doc_b").as("e2")))
+    }
   }
 
   /** Attach continuous cluster-label maintenance to a streaming frame of
-    * documents carrying `idCol` and `textCol`. */
+    * documents carrying `idCol` and `textCol`.
+    *
+    * `maintainEvery` > 0 declares the production maintenance schedule
+    * ONCE on the builder (r17 — the auto-tick): every K-th micro-batch
+    * runs a [[graft.api.Graft.maintain]] tick over this installation's
+    * three roots, inside foreachBatch AFTER the batch's state writes.
+    * Replay-safe by the verbs' own guards: every fold protects the
+    * newest committed run (`keepNewest = 1` — at tick time that is the
+    * current batch's just-written partial, exactly the one a replay
+    * overwrites) and the label contraction stops at generation
+    * newest − 1, so a crash between the tick and the checkpoint commit
+    * replays the batch verbatim over the maintained layout
+    * (spec-pinned). 0 = off (the caller owns the schedule). */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, pairsDir: String, labelsDir: String,
-      checkpointDir: String, threshold: Double): StreamingQuery =
+      checkpointDir: String, threshold: Double,
+      maintainEvery: Int = 0,
+      policy: graft.api.Graft.MaintenancePolicy =
+        graft.api.Graft.MaintenancePolicy()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b, id, idCol, textCol, indexDir, pairsDir,
-          labelsDir, threshold))
+          labelsDir, threshold)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(indexDir, pairsDir),
+            labelDirs = Seq(labelsDir), policy = policy): Unit
+      }
       .start()
 
   /** The current labels, shaped like `q_dup_clusters`'s output:
@@ -177,8 +208,10 @@ object ClusterStream {
       .awaitTermination()
     // quiesce-time contraction through the POLICY entry point (r16 —
     // the gates drive the same path an installation's scheduler does)
-    graft.api.Graft.maintain(s, labelDirs = Seq(labelsDir),
-      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
+    PhaseClock.timed("contraction") {
+      graft.api.Graft.maintain(s, labelDirs = Seq(labelsDir),
+        policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
+    }
     clusterLabels(s, labelsDir).orderBy(col("doc_id"))
   }
 

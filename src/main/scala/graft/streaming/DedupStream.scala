@@ -286,16 +286,30 @@ object DedupStream {
   }
 
   /** Attach continuous dedup to a streaming Dataset of documents:
-    * `docs` must be a streaming frame carrying `idCol` and `textCol`. */
+    * `docs` must be a streaming frame carrying `idCol` and `textCol`.
+    *
+    * `maintainEvery` > 0 declares the maintenance schedule once on the
+    * builder (r17 auto-tick): every K-th micro-batch runs a
+    * [[graft.api.Graft.maintain]] tick over the index and pair-log
+    * roots inside foreachBatch, after the batch's state writes —
+    * replay-safe because every tiered fold protects the newest
+    * committed run (the current batch's own partial, the one a replay
+    * overwrites). 0 = off. */
   def start(docs: DataFrame, idCol: String, textCol: String,
             indexDir: String, pairsDir: String, checkpointDir: String,
-            threshold: Double = 0.7): StreamingQuery =
+            threshold: Double = 0.7, maintainEvery: Int = 0,
+            policy: graft.api.Graft.MaintenancePolicy =
+              graft.api.Graft.MaintenancePolicy()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(b, id, idCol, textCol, indexDir, pairsDir, threshold): Unit)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, id, idCol, textCol, indexDir, pairsDir, threshold): Unit
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(indexDir, pairsDir), policy = policy): Unit
+      }
       .start()
 
   /** Driver-checked (`s_dedup_index`, r15 — the curation stream was the
@@ -328,6 +342,11 @@ object DedupStream {
           .parquet(new java.io.File(docDir, s"b$b").getAbsolutePath)
       }
     }
+    // The AUTO-TICK gate (r17): the maintenance schedule is declared
+    // once on the builder — every micro-batch runs a bounded
+    // maintain() tick (fanIn=2 so folds actually fire at 4 batches),
+    // so later batches probe ACROSS folded runs mid-stream and the
+    // oracle hash-checks that the maintained layout serves identically.
     start(
       s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -336,8 +355,19 @@ object DedupStream {
       new java.io.File(root, "index").getAbsolutePath,
       new java.io.File(root, "pairs").getAbsolutePath,
       new java.io.File(root, "checkpoint").getAbsolutePath,
-      LlmQueries.JaccardThreshold)
+      LlmQueries.JaccardThreshold,
+      maintainEvery = 1,
+      policy = graft.api.Graft.MaintenancePolicy(fanIn = 2))
       .awaitTermination()
+    // quiesce-time contraction through the POLICY entry point (r17 —
+    // every index-family gate drives the same path an installation's
+    // scheduler does): the band store + its sidecar and the pair log
+    // fold monolithically, and the gate hash-checks the FOLDED form.
+    graft.api.Graft.maintain(s,
+      indexRoots = Seq(
+        new java.io.File(root, "index").getAbsolutePath,
+        new java.io.File(root, "pairs").getAbsolutePath),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     readPairs(s, new java.io.File(root, "pairs").getAbsolutePath)
       .orderBy(col("doc_a"), col("doc_b"))
   }

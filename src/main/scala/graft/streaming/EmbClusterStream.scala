@@ -96,14 +96,23 @@ object EmbClusterStream {
     * `vecCol`. The index must already exist ([[createIndex]]). */
   def start(vectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String, pairsDir: String, labelsDir: String,
-      checkpointDir: String, threshold: Double): StreamingQuery =
+      checkpointDir: String, threshold: Double,
+      maintainEvery: Int = 0,
+      policy: graft.api.Graft.MaintenancePolicy =
+        graft.api.Graft.MaintenancePolicy()): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b, id, idCol, vecCol, indexDir, pairsDir,
-          labelsDir, threshold))
+          labelsDir, threshold)
+        // the ClusterStream.start auto-tick (r17), same replay guards
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(indexDir, pairsDir),
+            labelDirs = Seq(labelsDir), policy = policy): Unit
+      }
       .start()
 
   /** The current labels, shaped like `q_emb_clusters`'s output:

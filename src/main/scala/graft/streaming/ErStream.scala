@@ -177,6 +177,15 @@ object ErStream {
         new java.io.File(root, "checkpoint").getAbsolutePath)
         .awaitTermination()
     }
+    // quiesce-time contraction through the POLICY entry point (r17):
+    // the link log folds into one run and the entity-sized label
+    // snapshots prune to the retention pair ([[compactLabels]]'s
+    // keep-2, now policy-driven); the gate resolves from the
+    // MAINTAINED state.
+    graft.api.Graft.maintain(s,
+      indexRoots = Seq(new java.io.File(root, "pairs").getAbsolutePath),
+      snapshotRoots = Seq(new java.io.File(root, "labels").getAbsolutePath),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     resolved(s, catalog,
       new java.io.File(root, "pairs").getAbsolutePath,
       new java.io.File(root, "labels").getAbsolutePath)

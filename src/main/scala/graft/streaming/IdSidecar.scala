@@ -165,7 +165,10 @@ private[graft] object IdSidecar {
       keepNewest: Int = 0): Int =
     if (!exists(spark, indexDir)) 0
     else IndexCompaction.compact(spark, root(indexDir),
-      keepNewest = keepNewest)
+      keepNewest = keepNewest,
+      // the scheme default resolves unstamped legacy runs into the
+      // matching stamped group (an upgraded sidecar still converges)
+      defaultBuckets = Some(Buckets))
 
   /** Size-tiered sidecar fold that RE-BUCKETS every row to `to` `ib=`
     * buckets — the sidecar half of [[DedupStream.rebucketTiered]]'s

@@ -208,9 +208,18 @@ object IndexCompaction {
       keepNewest: Int = 0,
       transform: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame = IdentityTransform,
-      runMeta: Map[String, String] = Map.empty): Int = {
+      runMeta: Map[String, String] = Map.empty,
+      defaultBuckets: Option[Int] = None): Int = {
     require(flatFiles > 0, s"flatFiles must be positive, got $flatFiles")
     require(keepNewest >= 0, s"keepNewest must be non-negative, got $keepNewest")
+    // Mis-stamp guard: a bucket-count entry in runMeta DECLARES that the
+    // transform re-hashes every row to that count — an identity fold
+    // carrying one would stamp runs at a count their rows were not
+    // bucketed with (silent mis-pruning downstream).
+    require(!(runMeta.contains(BucketMeta.File) &&
+        (transform eq IdentityTransform)),
+      "runMeta declares a bucket count but the transform is identity — " +
+        "a re-bucketing fold must actually re-hash rows")
     recover(spark, root)
     val (fs, rp) = fsOf(spark, root)
     // Only _SUCCESS-committed partials are consumed (matching
@@ -233,7 +242,13 @@ object IndexCompaction {
       // spaces — the merged run would prune wrong): fold one run per
       // count group, each output stamped with its group's count. A
       // re-bucketing transform (the label log's) handles mixing itself.
-      bucketGroups(spark, rp, dirs).map { case (stamp, group) =>
+      // `defaultBuckets` (the caller's scheme default — the frozen
+      // interpretation of unstamped legacy runs) resolves legacy runs
+      // into the matching stamped group, so an upgraded store still
+      // converges to one run; without it, legacy and
+      // stamped-at-the-same-count runs stay in separate groups and only
+      // converge via a re-bucketing fold.
+      bucketGroups(spark, rp, dirs, defaultBuckets).map { case (stamp, group) =>
         if (group.size < 2) 0
         else {
           val meta = stamp.fold(runMeta)(n =>
@@ -252,12 +267,16 @@ object IndexCompaction {
   }
 
   /** Committed dirs grouped by their bucket-count stamp (None = legacy
-    * unstamped — the scheme's frozen default), insertion-ordered for
+    * unstamped — the scheme's frozen default, resolved to
+    * `defaultBuckets` when the caller supplies it so legacy runs group
+    * with runs stamped at that same count), insertion-ordered for
     * deterministic fold sequencing. */
   private def bucketGroups(spark: SparkSession, rp: Path,
-      dirs: Seq[String]): Seq[(Option[String], Seq[String])] =
+      dirs: Seq[String], defaultBuckets: Option[Int] = None)
+      : Seq[(Option[String], Seq[String])] =
     dirs.map { d =>
-      readRunMeta(spark, rp.toString, d, BucketMeta.File) -> d
+      readRunMeta(spark, rp.toString, d, BucketMeta.File)
+        .orElse(defaultBuckets.map(_.toString)) -> d
     }.groupBy(_._1).toSeq.sortBy(_._1.getOrElse(""))
       .map { case (stamp, ds) => stamp -> ds.map(_._2) }
 
@@ -429,10 +448,17 @@ object IndexCompaction {
       maxRunBytes: Long = Long.MaxValue,
       transform: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame = IdentityTransform,
-      runMeta: Map[String, String] = Map.empty): TieredStats = {
+      runMeta: Map[String, String] = Map.empty,
+      defaultBuckets: Option[Int] = None): TieredStats = {
     require(fanIn >= 2, s"fanIn must be at least 2, got $fanIn")
     require(keepNewest >= 0, s"keepNewest must be non-negative, got $keepNewest")
     require(maxRunBytes > 0L, s"maxRunBytes must be positive, got $maxRunBytes")
+    // Same mis-stamp guard as [[compact]]: a runMeta bucket count means
+    // "the transform re-buckets every row" — never true of identity.
+    require(!(runMeta.contains(BucketMeta.File) &&
+        (transform eq IdentityTransform)),
+      "runMeta declares a bucket count but the transform is identity — " +
+        "a re-bucketing fold must actually re-hash rows")
     recover(spark, root)
     val (fs, rp) = fsOf(spark, root)
     var stats = TieredStats(0, 0, 0, 0L)
@@ -463,7 +489,8 @@ object IndexCompaction {
     // declares by carrying the output count in `runMeta` itself.
     val rebuckets = runMeta.contains(BucketMeta.File)
     var stamps: Map[String, Option[String]] = eligible
-      .map(d => d -> readRunMeta(spark, rp.toString, d, BucketMeta.File))
+      .map(d => d -> readRunMeta(spark, rp.toString, d, BucketMeta.File)
+        .orElse(defaultBuckets.map(_.toString)))
       .toMap
     var progress = true
     while (progress) {
@@ -511,6 +538,10 @@ object IndexCompaction {
       transform: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame = IdentityTransform,
       runMeta: Map[String, String] = Map.empty): Boolean = {
+    require(!(runMeta.contains(BucketMeta.File) &&
+        (transform eq IdentityTransform)),
+      "runMeta declares a bucket count but the transform is identity — " +
+        "a re-bucketing refold must actually re-hash rows")
     recover(spark, root)
     val (fs, rp) = fsOf(spark, root)
     if (!fs.exists(new Path(new Path(rp, dirName), "_SUCCESS"))) return false

@@ -241,6 +241,14 @@ object MediaDedupStream {
       new java.io.File(root, "checkpoint").getAbsolutePath,
       maxHamming = 2)
       .awaitTermination()
+    // quiesce-time contraction through the POLICY entry point (r17):
+    // mb= store + sidecar and the pair log fold; the gate hash-checks
+    // the FOLDED form.
+    graft.api.Graft.maintain(s,
+      indexRoots = Seq(
+        new java.io.File(root, "index").getAbsolutePath,
+        new java.io.File(root, "pairs").getAbsolutePath),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     readPairs(s, new java.io.File(root, "pairs").getAbsolutePath)
       .orderBy(col("doc_a"), col("doc_b"))
   }

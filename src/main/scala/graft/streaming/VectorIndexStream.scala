@@ -215,6 +215,12 @@ object VectorIndexStream {
       new java.io.File(root, "checkpoint").getAbsolutePath,
       pqM = PersistedVectorIndex.M, pqK = PersistedVectorIndex.K)
       .awaitTermination()
+    // quiesce-time contraction through the POLICY entry point (r17):
+    // the cluster=-partitioned runs fold into one (the `_graft_*`
+    // vocabularies beside them are untouched); the serve funnel then
+    // prunes the FOLDED run — the gate hash-checks that form.
+    graft.api.Graft.maintain(s, indexRoots = Seq(indexDir),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     graft.operators.LlmQueries.annServe(readIndex(s, indexDir))
   }
 
