@@ -90,10 +90,15 @@ object LabelCurve {
       var maxPause = 0.0
       var rewritten = 0L
       var maxRewrite = 0L
-      def measure(deltaDir: String)(body: => Unit): Unit = {
+      var maxFold = 0L
+      // body returns the max bytes any single FOLD inside it wrote
+      // (TieredStats.maxFoldBytes — r17, the metric the per-invocation
+      // runs-diff cannot stand in for: one invocation may span several
+      // folds), or −1 for single-fold verbs where the runs-diff IS it.
+      def measure(deltaDir: String)(body: => Long): Unit = {
         val b0 = runs(spark, deltaDir)
         val t0 = System.nanoTime()
-        body
+        val foldBytes = body
         val t = (System.nanoTime() - t0) / 1e9
         val newRuns = runs(spark, deltaDir) -- b0
         val bytes = bytesOf(spark, deltaDir, newRuns)
@@ -102,6 +107,7 @@ object LabelCurve {
         maxPause = math.max(maxPause, t)
         rewritten += bytes
         maxRewrite = math.max(maxRewrite, bytes)
+        maxFold = math.max(maxFold, if (foldBytes >= 0L) foldBytes else bytes)
       }
     }
     val monoLeg = new Leg
@@ -118,11 +124,15 @@ object LabelCurve {
       if ((b + 1) % everyK == 0)
         monoLeg.measure(s"${mono._3}/delta") {
           ClusterStream.compactState(spark, mono._3): Unit
+          -1L // single fold: the runs-diff IS the per-fold bytes
         }
       incLeg.measure(s"${inc._3}/delta") {
-        ClusterStream.compactStateTiered(spark, inc._3, fanIn,
-          maxRunBytes): Unit
+        val st = ClusterStream.compactStateTiered(spark, inc._3, fanIn,
+          maxRunBytes)
         ClusterStream.refreshState(spark, inc._3, maxRuns = 1): Unit
+        // refresh rewrites ONE run — the runs-diff fallback covers it
+        // only when it exceeds the tiered folds' own max
+        st.maxFoldBytes
       }
       incMaxAliases = math.max(incMaxAliases,
         ClusterStream.aliasPartials(spark, inc._3))
@@ -134,6 +144,7 @@ object LabelCurve {
       incLeg.measure(s"${inc._3}/delta") {
         val (refreshed, _) = ClusterStream.refreshState(spark, inc._3, 1)
         draining = refreshed > 0
+        -1L
       }
 
     // end-state equivalence: identical served labels on both schedules
@@ -162,10 +173,12 @@ object LabelCurve {
       s""""monolithic":{"invocations":${monoLeg.invocations},""" +
       s""""compact_sec":${sec(monoLeg.secs)},"max_pause_sec":${sec(monoLeg.maxPause)},""" +
       s""""rewritten_bytes":${monoLeg.rewritten},"max_single_rewrite":${monoLeg.maxRewrite},""" +
+      s""""max_fold_bytes":${monoLeg.maxFold},""" +
       s""""final_alias_partials":$monoAliases,"final_delta_runs":$monoRuns},""" +
       s""""incremental":{"invocations":${incLeg.invocations},""" +
       s""""compact_sec":${sec(incLeg.secs)},"max_pause_sec":${sec(incLeg.maxPause)},""" +
       s""""rewritten_bytes":${incLeg.rewritten},"max_single_rewrite":${incLeg.maxRewrite},""" +
+      s""""max_fold_bytes":${incLeg.maxFold},""" +
       s""""max_alias_partials":$incMaxAliases,"final_alias_partials":$incAliases,""" +
       s""""final_delta_runs":$incRuns}}"""
     println(json)

@@ -81,14 +81,17 @@ object ConnectedComponents {
     * documents the same contract on its `entities` / `nodes` input. */
   def closeWithNewEdges(oldLabels: DataFrame,
       newEdges: DataFrame): DataFrame = {
-    val ce = Materialize(newEdges
+    // the merged-edge check rides the materializing job (one action,
+    // not checkpoint-then-isEmpty — the r17 job-count diet)
+    val (ce, ceAny) = Materialize.withAny(newEdges
       .join(oldLabels.select(col("id").as("_i1"), col("comp").as("_c1")),
         col("e1") === col("_i1"))
       .join(oldLabels.select(col("id").as("_i2"), col("comp").as("_c2")),
         col("e2") === col("_i2"))
       .filter(col("_c1") =!= col("_c2"))
-      .select(col("_c1").as("e1"), col("_c2").as("e2")).distinct())
-    if (ce.isEmpty) oldLabels.select(col("id"), col("comp"))
+      .select(col("_c1").as("e1"), col("_c2").as("e2")).distinct(),
+      lit(true))
+    if (!ceAny) oldLabels.select(col("id"), col("comp"))
     else {
       val touched = ce.select(col("e1").as("id"))
         .union(ce.select(col("e2").as("id"))).distinct()
@@ -206,15 +209,26 @@ object ConnectedComponents {
       // either way, so the second self-join per round is pure added
       // shuffle, not saved rounds. Single jump is the right trade.)
       val byId = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      // Convergence probe rides the round's own materializing job via a
+      // task-side accumulator (r17 — one Spark job per round, not
+      // checkpoint-then-count; the Materialize.withAny discipline).
+      // Only zero vs non-zero is read, so retried/speculative tasks
+      // double-counting is harmless; the probe UDF is non-deterministic
+      // so the optimizer can neither fold nor elide it, and every
+      // changed row is deterministic join output, so a zero accumulator
+      // after an all-tasks-succeeded action means no row changed.
+      val acc = sc.longAccumulator("graft_cc_changed")
+      val probe = udf { (c: Boolean) =>
+        if (c) acc.add(1L)
+        c
+      }.asNondeterministic()
       val next = checkpointRound( // eager: materializes the round, truncates lineage
         stepped.join(byId, stepped("comp") === byId("jid"), "left")
           .select(stepped("id"), stepped("prev"),
             least(stepped("comp"), coalesce(col("jcomp"), stepped("comp"))).as("comp"))
           .select(col("id"), col("comp"),
-            (col("comp") =!= col("prev")).as("changed")))
-      val nChanged =
-        next.agg(count(when(col("changed"), lit(1)))).head().getLong(0)
-      converged = nChanged == 0L
+            probe(col("comp") =!= col("prev")).as("changed")))
+      converged = acc.value == 0L
       labels = next.select(col("id"), col("comp"))
       round += 1
     }

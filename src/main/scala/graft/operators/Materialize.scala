@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.udf
 
 /** One-shot lineage-truncating materialization, shared by every operator
   * that computes an intermediate ONCE and references it from several plan
@@ -29,4 +30,33 @@ private[graft] object Materialize {
     if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
       df.localCheckpoint()
     else df.checkpoint()
+
+  /** Materialize `df` AND report whether any row satisfied `flag` — off
+    * a task-side accumulator populated by the SAME materializing job,
+    * so the emptiness/progress probes of iterative drivers (the alias
+    * closure's hop check, the label advance's merged-edge check) stop
+    * costing a second Spark action each. At per-batch maintenance scale
+    * those probe jobs are pure scheduling overhead: the data is tiny,
+    * the job constant is not (r16 profile: the label gate's floor IS
+    * its fixed job count).
+    *
+    * The probe is a side-effecting UDF marked non-deterministic (the
+    * optimizer must not collapse, re-order past filters, or
+    * re-evaluate it), carried in a column that is DROPPED from the
+    * returned frame after materialization. Only zero vs non-zero is
+    * ever read, so speculative/retried tasks double-counting the
+    * accumulator is harmless — reading an exact count here would not
+    * be. The flag column must be part of the materialized projection,
+    * which `withColumn` before the checkpoint guarantees. */
+  def withAny(df: DataFrame, flag: Column): (DataFrame, Boolean) = {
+    val acc = df.sparkSession.sparkContext.longAccumulator("graft_any")
+    val probe = udf { (f: Boolean) =>
+      if (f) acc.add(1L)
+      f
+    }.asNondeterministic()
+    val out = apply(df.withColumn("_graft_any",
+      probe(org.apache.spark.sql.functions.coalesce(flag,
+        org.apache.spark.sql.functions.lit(false)))))
+    (out.drop("_graft_any"), acc.value > 0L)
+  }
 }

@@ -153,22 +153,29 @@ object LabelLog {
   /** [[aliasClosure]] plus the executed round count — the depth seam the
     * 64-batch suite pins: rounds = ceil(log2(longest chain)) hop rounds
     * + 1 terminal no-hop round, so a linear-chain alias log of length L
-    * must close in ~log2(L), never L, rounds. */
+    * must close in ~log2(L), never L, rounds.
+    *
+    * ONE Spark job per round (r17): the liveness/hop probes ride the
+    * round's own materializing job via [[Materialize.withAny]]'s
+    * task-side accumulator, instead of a second checkpoint-then-count
+    * action — at per-batch maintenance scale the probe data is tiny
+    * but the job constant is not (the r16 profile's finding). */
   private[streaming] def aliasClosureCounted(
       aliases: DataFrame): (DataFrame, Int) = {
-    var a = Materialize(aliases.select(col("from"), col("to")).distinct())
+    var (a, live) = Materialize.withAny(
+      aliases.select(col("from"), col("to")).distinct(), lit(true))
     var rounds = 0
-    var live = a.limit(1).count() > 0
     while (live) {
       rounds += 1
       require(rounds <= 64,
         s"alias closure did not converge after $rounds doubling rounds")
-      val stepped = Materialize(a.as("x")
+      val (stepped, hopped) = Materialize.withAny(a.as("x")
         .join(a.select(col("from").as("_f"), col("to").as("_t")),
           col("to") === col("_f"), "left")
         .select(col("from"), coalesce(col("_t"), col("to")).as("to"),
-          col("_t").isNotNull.as("_hopped")))
-      live = stepped.filter(col("_hopped")).limit(1).count() > 0
+          col("_t").isNotNull.as("_hopped")),
+        col("_hopped"))
+      live = hopped
       a = stepped.select(col("from"), col("to"))
     }
     (a, rounds)
@@ -240,6 +247,10 @@ object LabelLog {
     // ids seed as themselves (their own delta rows — if replaying —
     // are excluded by the batch < current filter).
     val oldEndpoints = endpoints.join(batchIds, Seq("id"), "left_anti")
+    // Materialized: seeds feeds BOTH sides of the ce join — without the
+    // checkpoint the bucket-pruned lookup and the union-distinct run
+    // twice inside ce's job, which measured WORSE than the dedicated
+    // materialization round-trip (r17: gate 23.5 → 27-29 s when tried).
     val seeds = Materialize(
       batchIds.select(col("id"), col("id").as("comp")).unionByName(
         lookupComps(spark, labelsDir, batchId, oldEndpoints)))
@@ -247,15 +258,18 @@ object LabelLog {
     // contracted graph (ConnectedComponents.closeWithNewEdges's core,
     // inlined because here the RELABEL MAP itself is the output — the
     // full label table must never materialize per batch).
-    val ce = Materialize(committed
+    // the merged-edge check rides the materializing job (one action,
+    // not checkpoint-then-isEmpty — the r17 job-count diet)
+    val (ce, ceAny) = Materialize.withAny(committed
       .join(seeds.select(col("id").as("_i1"), col("comp").as("_c1")),
         col("e1") === col("_i1"))
       .join(seeds.select(col("id").as("_i2"), col("comp").as("_c2")),
         col("e2") === col("_i2"))
       .filter(col("_c1") =!= col("_c2"))
-      .select(col("_c1").as("e1"), col("_c2").as("e2")).distinct())
+      .select(col("_c1").as("e1"), col("_c2").as("e2")).distinct(),
+      lit(true))
     val relabel =
-      if (ce.isEmpty)
+      if (!ceAny)
         seeds.select(col("comp").as("_oc"), col("comp").as("_nc")).limit(0)
       else {
         val touched = ce.select(col("e1").as("id"))
