@@ -1362,6 +1362,22 @@ object Graft {
     *    alias partials every run then post-dates;
     *  - `snapshotKeep`: retention for snapshot-read label roots (the
     *    ER stream's entity-sized layout);
+    *  - `monolithicBelowBytes`: the label-state size below which a
+    *    tick's contraction PREFERS the monolithic verb — one
+    *    [[graft.streaming.ClusterStream.compactState]] barrier when
+    *    alias pressure trips, instead of the tiered+refresh drip.
+    *    Measured basis (LABELCURVE_SCALE.json, r17): at small states
+    *    the monolithic pause is job-overhead-dominated and BELOW the
+    *    incremental schedule's (0.92 s vs 1.27 s at 66 KB, 1.23 s vs
+    *    2.10 s at 750 KB on the measurement box), while its per-fold
+    *    rewrite — the quantity that grows 13.7× across a 16× corpus —
+    *    is still trivial in absolute terms; the incremental schedule's
+    *    bounded per-fold bytes only start paying for their 4-8× write
+    *    amplification once the state outgrows the pause budget
+    *    (extrapolated wall crossover ≈ 2.6 MB at the measured
+    *    ~0.5 s/MB monolithic slope). Default 4 MiB sits above that
+    *    crossover; pause-SLA-tight deployments lower it (0 = always
+    *    tiered);
     *  - `contractNow = true`: the quiesce-time schedule — monolithic
     *    [[compactIndex]] / full label contraction reaching steady
     *    state in one call (what the gated queries run after their
@@ -1374,6 +1390,7 @@ object Graft {
       aliasPartialBudget: Int = 8,
       refreshRuns: Int = 1,
       snapshotKeep: Int = 2,
+      monolithicBelowBytes: Long = 4L << 20,
       contractNow: Boolean = false)
 
   /** One [[maintain]] tick's outcome, for observability: tiered fold
@@ -1385,7 +1402,8 @@ object Graft {
       labelFolds: graft.streaming.IndexCompaction.TieredStats,
       runsRefreshed: Int,
       aliasesRetired: Int,
-      snapshotsPruned: Int)
+      snapshotsPruned: Int,
+      monolithicContractions: Int = 0)
 
   /** THE maintenance entry point — the policy-driven schedule over a
     * streaming installation's maintained state (r16): tiered-fold each
@@ -1395,8 +1413,9 @@ object Graft {
     * outgrows the policy, and prune snapshot roots to the retention
     * count. Call it between micro-batches as often as you like: every
     * sub-verb is bounded (no invocation rewrites more than `fanIn`
-    * similar-sized runs or one refreshed run) and a tick with nothing
-    * to do costs a few directory listings. Single-writer per root,
+    * similar-sized runs, one refreshed run, or — on the small-state
+    * monolithic branch — a label log below `monolithicBelowBytes`)
+    * and a tick with nothing to do costs a few directory listings. Single-writer per root,
     * like the verbs it drives. With `contractNow` the same entry point
     * runs the quiesce-time monolithic schedule instead. */
   def maintain(spark: SparkSession,
@@ -1410,6 +1429,7 @@ object Graft {
     var refreshed = 0
     var retired = 0
     var pruned = 0
+    var mono = 0
     if (policy.contractNow) {
       indexRoots.foreach(r => compactIndex(spark, r): Unit)
       labelDirs.foreach(l => ClusterStream.compactState(spark, l): Unit)
@@ -1419,19 +1439,34 @@ object Graft {
           keepNewest = 1, policy.maxRunBytes)
       }
       labelDirs.foreach { l =>
-        lbl += ClusterStream.compactStateTiered(spark, l, policy.fanIn,
-          policy.maxRunBytes)
-        if (ClusterStream.aliasPartials(spark, l) > policy.aliasPartialBudget) {
-          val (rf, rt) = ClusterStream.refreshState(spark, l,
-            policy.refreshRuns)
-          refreshed += rf
-          retired += rt
+        val pressure =
+          ClusterStream.aliasPartials(spark, l) > policy.aliasPartialBudget
+        // Below the measured crossover the monolithic verb is the
+        // better schedule on BOTH total cost and max pause (see
+        // MaintenancePolicy.monolithicBelowBytes): contract in one
+        // small barrier when pressure trips, skip the tiered+refresh
+        // machinery entirely. Above it, bounded folds + the refresh
+        // budget keep every pause ≤ one tier's rewrite.
+        if (ClusterStream.stateBytes(spark, l) < policy.monolithicBelowBytes) {
+          if (pressure) {
+            ClusterStream.compactState(spark, l): Unit
+            mono += 1
+          }
+        } else {
+          lbl += ClusterStream.compactStateTiered(spark, l, policy.fanIn,
+            policy.maxRunBytes)
+          if (pressure) {
+            val (rf, rt) = ClusterStream.refreshState(spark, l,
+              policy.refreshRuns)
+            refreshed += rf
+            retired += rt
+          }
         }
       }
     }
     snapshotRoots.foreach(r =>
       pruned += IndexCompaction.retainSnapshots(spark, r, policy.snapshotKeep))
-    MaintenanceStats(idx, lbl, refreshed, retired, pruned)
+    MaintenanceStats(idx, lbl, refreshed, retired, pruned, mono)
   }
 
   /** Gap-filled daily resample with last-observation-carried-forward:

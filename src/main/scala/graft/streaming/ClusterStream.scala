@@ -152,6 +152,12 @@ object ClusterStream {
   def aliasPartials(s: SparkSession, labelsDir: String): Int =
     LabelLog.aliasPartialCount(s, labelsDir)
 
+  /** Total delta-log bytes — the state-size signal of
+    * [[graft.api.Graft.maintain]]'s monolithic-below-crossover branch
+    * (driver FS walk, bounded by run count). */
+  def stateBytes(s: SparkSession, labelsDir: String): Long =
+    LabelLog.stateBytes(s, labelsDir)
+
   /** Advance the lowest fold high-water marks by rewriting ≤ `maxRuns`
     * single bounded runs with the current closure applied, then retire
     * newly unreferenced alias partials — [[LabelLog.refreshState]] +

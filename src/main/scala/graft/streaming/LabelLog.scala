@@ -476,6 +476,17 @@ object LabelLog {
       labelsDir: String): Int =
     runDirs(s, aliasRoot(labelsDir), committedOnly = false).size
 
+  /** Total delta-log data bytes — the label-state SIZE signal of
+    * [[graft.api.Graft.maintain]]'s monolithic-below-crossover policy
+    * (r17): a driver filesystem walk over the run dirs, bounded by the
+    * maintained run count, never a data read. */
+  private[streaming] def stateBytes(s: SparkSession,
+      labelsDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(deltaRoot(labelsDir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    IndexCompaction.dataBytes(fs, p)
+  }
+
   /** Retire every alias partial that ALL delta runs post-date: an alias
     * at batch A is unreferenced — and its partial deletable — once
     * every run's hwm is ≥ A, because no surviving comp can name its

@@ -175,6 +175,52 @@ class MaintainedFamiliesSuite extends AnyFunSuite {
       s"link-log run count unbounded: ${dirCount(s"$root/p")}")
   }
 
+  test("small-state monolithic branch: below monolithicBelowBytes a " +
+      "tick contracts via compactState when pressure trips — labels ≡ " +
+      "recompute, alias log cleared, tiered machinery never runs") {
+    val sp = s
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("maint_mono").toString
+    val (idx, prs, lbl) = (s"$root/i", s"$root/p", s"$root/l")
+    // the DEFAULT policy: 4 MiB threshold — this toy state sits far
+    // below it, so the tick must take the monolithic branch
+    val policy = Graft.MaintenancePolicy(aliasPartialBudget = 4)
+
+    val base = (1 to 30).map(i => s"m$i").mkString(" ")
+    def mut(at: Int) = (1 to 30)
+      .map(i => if (i == at) "Y" else s"m$i").mkString(" ")
+    def batchDocs(k: Int): Seq[(Long, String)] =
+      if (k == 0) Seq((1L, base))
+      else Seq((100L + k, mut((k % 28) + 2)))
+
+    var monoTicks = 0
+    var tieredFolds = 0
+    (0 until 16).foreach { k =>
+      ClusterStream.processBatch(batchDocs(k).toDF("doc_id", "text"),
+        k.toLong, "doc_id", "text", idx, prs, lbl, 0.5)
+      val st = Graft.maintain(sp, labelDirs = Seq(lbl), policy = policy)
+      monoTicks += st.monolithicContractions
+      tieredFolds += st.labelFolds.folds
+    }
+    assert(monoTicks >= 1,
+      "pressure above the alias budget never took the monolithic branch")
+    assert(tieredFolds == 0,
+      "the tiered path ran below the monolithic threshold")
+    // the barrier actually contracted: alias partials at the
+    // kept-newest working set, never one per batch
+    assert(dirCount(s"$lbl/alias") <= policy.aliasPartialBudget + 1,
+      s"alias log uncleared: ${dirCount(s"$lbl/alias")} partials")
+
+    val allDocs = (0 until 16).flatMap(batchDocs).toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(rows(ClusterStream.clusterLabels(sp, lbl)) ==
+      rows(graft.operators.DedupClusters.clusters(allDocs,
+        "doc_id", "text", 0.5)),
+      "monolithic-branch maintenance diverged from recompute")
+  }
+
   test("auto-tick replay safety: a foreachBatch replay after a " +
       "mid-stream maintain() tick is a verbatim no-op") {
     val sp = s

@@ -45,8 +45,13 @@ class MaintainedHistorySuite extends AnyFunSuite {
     import sp.implicits._
     val root = java.nio.file.Files.createTempDirectory("maint_hist").toString
     val (idx, prs, lbl) = (s"$root/i", s"$root/p", s"$root/l")
+    // monolithicBelowBytes = 0: this suite pins the INCREMENTAL
+    // schedule at depth — the small-state monolithic branch (which the
+    // default threshold would select at this toy size) has its own
+    // switch spec in MaintainedFamiliesSuite.
     val policy = Graft.MaintenancePolicy(
-      fanIn = 4, aliasPartialBudget = 4, refreshRuns = 1)
+      fanIn = 4, aliasPartialBudget = 4, refreshRuns = 1,
+      monolithicBelowBytes = 0L)
 
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     def mut(at: Int) = (1 to 40)
