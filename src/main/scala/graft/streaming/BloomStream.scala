@@ -110,6 +110,13 @@ object BloomStream {
     // No stateful operator in the maintain query (foreachBatch only), so
     // no state-partition scoping is needed (cf. MvStream.sMvDelta).
     maintain(s, chunkDir.getAbsolutePath, ck, idx).awaitTermination()
+    // quiesce-time contraction through the POLICY entry point (r17):
+    // both batch= logs fold — the bitmap partials union-read (OR is
+    // associative), the key log reads distinct — and the gate
+    // hash-checks the FOLDED form's probe.
+    graft.api.Graft.maintain(s,
+      indexRoots = Seq(s"$idx/bloom", s"$idx/keys"),
+      policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     val cand = graft.Tables.events(s, d)
       .select(col("user_id").as("k")).distinct()
       .select(explode(array(col("k"), col("k") + 1000000000L)).as("k"))
