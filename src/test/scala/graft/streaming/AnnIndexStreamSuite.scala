@@ -58,25 +58,33 @@ class AnnIndexStreamSuite extends AnyFunSuite {
 
   test("replaying a micro-batch id is a no-op on the streamed layout") {
     val s = TestSpark.spark
-    SparkEntry.queries("s_ann_index")(s, sf).collect()
+    // The gate's /tmp state is FOLDED at quiesce since r17 (its batch
+    // ids are gone into the consolidated run), so the replay claim —
+    // batch= overwrite + stored vocabularies rewrite verbatim — is
+    // exercised on a directly-built UNFOLDED stream layout, where
+    // per-batch ids still exist to replay.
+    SparkEntry.queries("s_ann_index")(s, sf).collect() // batch files cached
     val root = s"/tmp/graft_stream_ann/${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
-    val streamedDir = s"$root/index"
-    def state() = VectorIndexStream.readIndex(s, streamedDir)
+    val e = graft.Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("ann_replay").toString + "/index"
+    VectorIndexStream.createIndex(e, "vec_id", "embedding", idxDir,
+      pqM = PersistedVectorIndex.M, pqK = PersistedVectorIndex.K)
+    (0 until 4).foreach { b =>
+      VectorIndexStream.processBatch(s.read.parquet(s"$root/vecs/b$b"),
+        b.toLong, "vec_id", "embedding", idxDir,
+        pqM = PersistedVectorIndex.M, pqK = PersistedVectorIndex.K): Unit
+    }
+    def state() = VectorIndexStream.readIndex(s, idxDir)
       .collect().map(_.toString).sorted.toSeq
     val before = state()
-    // re-run one batch file through processBatch under the id it
-    // actually carried (file→trigger order isn't contractual, so read
-    // it back from the state): the batch= overwrite + stored
-    // vocabularies must rewrite verbatim.
-    val b2 = s.read.parquet(s"$root/vecs/b2")
-    val bid = s.read.parquet(streamedDir)
-      .join(b2.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("batch").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    assert(bid.length == 1, s"b2 spread over batches $bid")
-    VectorIndexStream.processBatch(b2, bid.head, "vec_id", "embedding",
-      streamedDir, pqM = PersistedVectorIndex.M,
-      pqK = PersistedVectorIndex.K)
+    VectorIndexStream.processBatch(s.read.parquet(s"$root/vecs/b2"), 2L,
+      "vec_id", "embedding", idxDir, pqM = PersistedVectorIndex.M,
+      pqK = PersistedVectorIndex.K): Unit
     assert(state() == before)
+    // and on the FOLDED layout the same replay is guarded by keepNewest
+    // in the live tick path — the gate's quiesce fold is terminal by
+    // contract (the stream has ended; nothing replays into it).
   }
 }
