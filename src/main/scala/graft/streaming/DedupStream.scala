@@ -359,14 +359,14 @@ object DedupStream {
       maintainEvery = 1,
       policy = graft.api.Graft.MaintenancePolicy(fanIn = 2))
       .awaitTermination()
-    // quiesce-time contraction through the POLICY entry point (r17 —
-    // every index-family gate drives the same path an installation's
-    // scheduler does): the band store + its sidecar and the pair log
-    // fold monolithically, and the gate hash-checks the FOLDED form.
+    // quiesce-time contraction through the POLICY entry point (r17):
+    // the pair log — the state this gate SERVES — folds and the hash
+    // checks the folded form. The band store is NOT re-folded here:
+    // the per-batch auto-tick above already folds it MID-STREAM, where
+    // later batches' probes validate the folded runs under the oracle
+    // — a terminal quiesce fold would add cost no read ever checks.
     graft.api.Graft.maintain(s,
-      indexRoots = Seq(
-        new java.io.File(root, "index").getAbsolutePath,
-        new java.io.File(root, "pairs").getAbsolutePath),
+      indexRoots = Seq(new java.io.File(root, "pairs").getAbsolutePath),
       policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     readPairs(s, new java.io.File(root, "pairs").getAbsolutePath)
       .orderBy(col("doc_a"), col("doc_b"))
