@@ -1446,10 +1446,15 @@ object Graft {
         // MaintenancePolicy.monolithicBelowBytes): contract in one
         // small barrier when pressure trips, skip the tiered+refresh
         // machinery entirely. Above it, bounded folds + the refresh
-        // budget keep every pause ≤ one tier's rewrite.
+        // budget keep every pause ≤ one tier's rewrite. The tick may
+        // run INSIDE foreachBatch (the auto-tick), so the barrier must
+        // be the REPLAY-SAFE newest−1 fold — compactState's
+        // newest-inclusive closure would make a replayed batch find
+        // its merges pre-applied and rewrite different partials
+        // (LabelLog.compactStateSafe's scaladoc has the full argument).
         if (ClusterStream.stateBytes(spark, l) < policy.monolithicBelowBytes) {
           if (pressure) {
-            ClusterStream.compactState(spark, l): Unit
+            ClusterStream.compactStateSafe(spark, l): Unit
             mono += 1
           }
         } else {

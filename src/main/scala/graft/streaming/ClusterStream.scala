@@ -136,6 +136,13 @@ object ClusterStream {
   def compactState(s: SparkSession, labelsDir: String): Int =
     LabelLog.compactState(s, labelsDir)
 
+  /** The replay-safe monolithic fold a between-batches maintain() tick
+    * may run — [[LabelLog.compactStateSafe]] (newest−1 closure + hwm
+    * stamps + alias retirement; see its scaladoc for why
+    * [[compactState]] must not run mid-stream). */
+  def compactStateSafe(s: SparkSession, labelsDir: String): Int =
+    LabelLog.compactStateSafe(s, labelsDir)
+
   /** Size-tiered delta-log fold — [[LabelLog.compactStateTiered]]: the
     * bounded-barrier schedule (≤ `fanIn` runs per merge, each fold
     * applying the current alias closure and stamping its fold

@@ -371,6 +371,36 @@ object LabelLog {
     folded
   }
 
+  /** The monolithic fold a BETWEEN-BATCHES tick may run (r17 — the
+    * small-state branch of [[graft.api.Graft.maintain]]'s policy):
+    * [[compactState]]'s one-fold consolidation, but contracted through
+    * generation `newest − 1` with per-run hwm stamps and
+    * [[retireAliases]] — the incremental verbs' replay discipline.
+    * [[compactState]] itself is NOT replay-safe mid-stream: its
+    * newest-INCLUSIVE closure applies the just-committed batch's
+    * merges to the folded base, so a replay of that batch (state
+    * written, checkpoint commit lost — exactly the window a
+    * foreachBatch tick sits in) would find its merges pre-applied,
+    * re-derive an EMPTY alias partial, and re-seed its delta rows as
+    * singletons — diverging labels. Contracting through `newest − 1`
+    * keeps the replay's inputs (and so its outputs) bit-identical; the
+    * newest alias partial survives retirement and resolves the folded
+    * base across it. Quiesced installs (stream terminated — nothing
+    * can replay) keep [[compactState]] as the reach-steady-state verb. */
+  private[streaming] def compactStateSafe(s: SparkSession,
+      labelsDir: String): Int = {
+    val newest = ErStream.prevSnapshot(s, deltaRoot(labelsDir), Long.MaxValue)
+    if (newest.isEmpty) return 0
+    val gen = newest.get - 1
+    val n = BucketMeta.storeCount(s, deltaRoot(labelsDir), Buckets)
+    val folded = IndexCompaction.compact(s, deltaRoot(labelsDir),
+      keepNewest = 1,
+      transform = closureTransform(s, labelsDir, gen, n),
+      runMeta = foldMeta(gen, n))
+    retireAliases(s, labelsDir): Unit
+    folded
+  }
+
   /** Size-tiered fold of the DELTA log — the label state's bounded-
     * barrier maintenance verb ([[IndexCompaction.compactTiered]] with
     * the row-local [[closureTransform]]). Subset folds are sound here

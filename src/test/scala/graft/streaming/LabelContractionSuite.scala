@@ -202,6 +202,48 @@ class LabelContractionSuite extends AnyFunSuite {
     assert(labels(root) == w, "replay moved labels")
   }
 
+  test("compactStateSafe (the tick's monolithic barrier) keeps replay " +
+      "bit-verbatim; compactState keeps only the SEMANTICS — the exact " +
+      "shape of the newest−1 rule on the one-fold verb") {
+    val root = Files.createTempDirectory("contract_safe").toString
+    (0 until 12).foreach(advanceChain(root, 12, _))
+    val w = want(12)
+    val twin = Files.createTempDirectory("contract_unsafe").toString
+    copyTree(root, twin)
+    def aliasRows(r: String) = s.read.parquet(s"$r/alias/batch=11")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val wantAlias = aliasRows(root)
+    assert(wantAlias == Set((2L, 1L))) // batch 11 merged OLD comps 2 → 1
+
+    // the tick's barrier: one fold, closure through newest−1, aliases
+    // retired to the covered prefix — a replay of batch 11 still sees
+    // comp(2) = 2 and re-derives its partials BIT-VERBATIM, the
+    // invariant every exactly-once spec in this suite keys on
+    assert(LabelLog.compactStateSafe(s, root) > 0)
+    advanceChain(root, 12, 11)
+    assert(aliasRows(root) == wantAlias,
+      "replay across compactStateSafe re-derived a different alias partial")
+    assert(labels(root) == w, "replay across compactStateSafe moved labels")
+
+    // contrast — what the newest-INCLUSIVE quiesce verb gives up
+    // mid-stream: it pre-applies batch 11's merge to the folded base,
+    // so the replay finds nothing to merge and rewrites an EMPTY alias
+    // partial (verbatim contract broken) — yet the SERVED labels stay
+    // equal, because a COMPLETE fold leaves no unfolded low-hwm run
+    // that needed the erased alias rows (the LabelLog scaladoc's
+    // complete-fold argument, here demonstrated rather than argued).
+    // The tick uses Safe anyway: uniform bit-verbatim replay across
+    // every between-batches verb is the invariant worth paying one
+    // surviving alias partial for.
+    assert(LabelLog.compactState(s, twin) > 0)
+    advanceChain(twin, 12, 11)
+    assert(aliasRows(twin) == Set.empty,
+      "the newest-inclusive fold should erase the replayed alias partial")
+    assert(labels(twin) == w,
+      "complete-fold semantics must survive the replay even without " +
+        "the verbatim contract")
+  }
+
   test("a legacy folded run without a high-water stamp blocks " +
       "retirement until a refresh rewrites it") {
     val root = Files.createTempDirectory("contract_legacy").toString

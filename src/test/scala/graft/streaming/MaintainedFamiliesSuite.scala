@@ -219,6 +219,20 @@ class MaintainedFamiliesSuite extends AnyFunSuite {
       rows(graft.operators.DedupClusters.clusters(allDocs,
         "doc_id", "text", 0.5)),
       "monolithic-branch maintenance diverged from recompute")
+
+    // replay of the NEWEST batch across the monolithic barrier — the
+    // crash-between-tick-and-checkpoint-commit window the auto-tick
+    // sits in: compactStateSafe's newest−1 closure must leave the
+    // replay's inputs (and so its partials and the served labels)
+    // bit-identical. This is exactly where the newest-INCLUSIVE
+    // compactState would diverge (merges pre-applied → empty alias
+    // partial + singleton delta rows on replay).
+    assert(ClusterStream.compactStateSafe(sp, lbl) >= 0)
+    val before = rows(ClusterStream.clusterLabels(sp, lbl))
+    ClusterStream.processBatch(batchDocs(15).toDF("doc_id", "text"),
+      15L, "doc_id", "text", idx, prs, lbl, 0.5)
+    assert(rows(ClusterStream.clusterLabels(sp, lbl)) == before,
+      "a replay across the monolithic tick barrier changed the labels")
   }
 
   test("auto-tick replay safety: a foreachBatch replay after a " +
