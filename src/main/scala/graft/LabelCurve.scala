@@ -129,10 +129,16 @@ object LabelCurve {
       incLeg.measure(s"${inc._3}/delta") {
         val st = ClusterStream.compactStateTiered(spark, inc._3, fanIn,
           maxRunBytes)
+        // The refresh's in-place rewrite must reach the per-fold
+        // metric: TieredStats only covers the tiered merges, and
+        // returning it alone silences the runs-diff fallback (r17
+        // ADVICE). Diff the run set around the refresh ALONE — one
+        // run rewritten, so the diff IS its bytes — and max it in.
+        val mid = runs(spark, s"${inc._3}/delta")
         ClusterStream.refreshState(spark, inc._3, maxRuns = 1): Unit
-        // refresh rewrites ONE run — the runs-diff fallback covers it
-        // only when it exceeds the tiered folds' own max
-        st.maxFoldBytes
+        val refreshBytes = bytesOf(spark, s"${inc._3}/delta",
+          runs(spark, s"${inc._3}/delta") -- mid)
+        math.max(st.maxFoldBytes, refreshBytes)
       }
       incMaxAliases = math.max(incMaxAliases,
         ClusterStream.aliasPartials(spark, inc._3))

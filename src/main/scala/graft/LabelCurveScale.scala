@@ -143,10 +143,18 @@ object LabelCurveScale {
         incLeg.measure {
           val st = ClusterStream.compactStateTiered(spark, inc._3, fanIn,
             maxRunBytes)
+          // The refresh's in-place rewrite (up to fanIn × maxRunBytes —
+          // it refolds ONE run that may itself be a prior fanIn-fold's
+          // output) must reach the per-fold metric: TieredStats only
+          // covers the tiered merges, and returning it alone would
+          // silence the runs-diff fallback (r17 ADVICE). Diff the run
+          // set around the refresh call ALONE — one run rewritten, so
+          // the diff IS its bytes — and max it with the tiered folds'.
+          val mid = runs(spark, s"${inc._3}/delta")
           ClusterStream.refreshState(spark, inc._3, maxRuns = 1): Unit
-          // refresh rewrites ONE run, covered by the runs-diff fallback
-          // only when it exceeds the tiered folds' own max
-          st.maxFoldBytes
+          val refreshBytes = bytesOf(spark, s"${inc._3}/delta",
+            runs(spark, s"${inc._3}/delta") -- mid)
+          math.max(st.maxFoldBytes, refreshBytes)
         }
       }
       // drain the incremental refresh backlog (quiesced cadence) —

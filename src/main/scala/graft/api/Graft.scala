@@ -1371,13 +1371,18 @@ object Graft {
     *    incremental schedule's (0.92 s vs 1.27 s at 66 KB, 1.23 s vs
     *    2.10 s at 750 KB on the measurement box), while its per-fold
     *    rewrite — the quantity that grows 13.7× across a 16× corpus —
-    *    is still trivial in absolute terms; the incremental schedule's
-    *    bounded per-fold bytes only start paying for their 4-8× write
-    *    amplification once the state outgrows the pause budget
-    *    (extrapolated wall crossover ≈ 2.6 MB at the measured
-    *    ~0.5 s/MB monolithic slope). Default 4 MiB sits above that
-    *    crossover; pause-SLA-tight deployments lower it (0 = always
-    *    tiered);
+    *    is still trivial in absolute terms. WHICH AXIS the default
+    *    optimizes (r17 verdict): TOTAL contraction cost, where the
+    *    monolithic schedule stays ~5× cheaper across the whole
+    *    measured range (compact_sec 3.1–4.0 vs 18.7–19.4 — the
+    *    incremental drip pays 4-8× write amplification for its
+    *    bounded pauses), not max pause, whose extrapolated crossover
+    *    is ≈ 2.6 MB (at the measured ~0.5 s/MB monolithic slope).
+    *    Between ~2.6 MB and the 4 MiB default the policy therefore
+    *    accepts a worst pause slightly above the incremental
+    *    schedule's (~1.2 + 0.5·MB s vs ~2.1 s) in exchange for ~5×
+    *    less total work; a p99-pause-tuned deployment should set
+    *    ~2 MiB instead (0 = always tiered);
     *  - `contractNow = true`: the quiesce-time schedule — monolithic
     *    [[compactIndex]] / full label contraction reaching steady
     *    state in one call (what the gated queries run after their
@@ -1439,8 +1444,19 @@ object Graft {
           keepNewest = 1, policy.maxRunBytes)
       }
       labelDirs.foreach { l =>
+        // Contraction pressure is EITHER signal (r17 ADVICE): alias
+        // partials (merge-event generations) OR committed delta run
+        // count. A merge-free workload writes a delta run per batch
+        // but may never trip the alias budget — without the run-count
+        // term, a small state under the monolithic threshold would
+        // accumulate one tiny run per batch indefinitely. The bound
+        // mirrors the tiered invariant: the tiered schedule keeps run
+        // count ≤ ~fanIn·log(levels), so fanIn·aliasPartialBudget runs
+        // is well past "a fold is due".
         val pressure =
-          ClusterStream.aliasPartials(spark, l) > policy.aliasPartialBudget
+          ClusterStream.aliasPartials(spark, l) > policy.aliasPartialBudget ||
+            ClusterStream.deltaRuns(spark, l) >
+              policy.fanIn * policy.aliasPartialBudget
         // Below the measured crossover the monolithic verb is the
         // better schedule on BOTH total cost and max pause (see
         // MaintenancePolicy.monolithicBelowBytes): contract in one

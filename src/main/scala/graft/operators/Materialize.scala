@@ -47,16 +47,23 @@ private[graft] object Materialize {
     * ever read, so speculative/retried tasks double-counting the
     * accumulator is harmless — reading an exact count here would not
     * be. The flag column must be part of the materialized projection,
-    * which `withColumn` before the checkpoint guarantees. */
+    * which `withColumn` before the checkpoint guarantees. The probe
+    * column's name is picked FRESH against the input's columns (r17
+    * ADVICE): a fixed `_graft_any` would be silently replaced-then-
+    * dropped on a frame that already carries one, corrupting the
+    * returned frame. */
   def withAny(df: DataFrame, flag: Column): (DataFrame, Boolean) = {
+    val probeCol = Iterator.from(0)
+      .map(i => if (i == 0) "_graft_any" else s"_graft_any_$i")
+      .find(n => !df.columns.contains(n)).get
     val acc = df.sparkSession.sparkContext.longAccumulator("graft_any")
     val probe = udf { (f: Boolean) =>
       if (f) acc.add(1L)
       f
     }.asNondeterministic()
-    val out = apply(df.withColumn("_graft_any",
+    val out = apply(df.withColumn(probeCol,
       probe(org.apache.spark.sql.functions.coalesce(flag,
         org.apache.spark.sql.functions.lit(false)))))
-    (out.drop("_graft_any"), acc.value > 0L)
+    (out.drop(probeCol), acc.value > 0L)
   }
 }

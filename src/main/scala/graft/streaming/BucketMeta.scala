@@ -106,13 +106,24 @@ private[graft] object BucketMeta {
     readInt(fs, new Path(new Path(rp, dirName), File)).getOrElse(default)
   }
 
-  /** Per-JVM stamp cache for [[runGroups]]'s hot probe path: a stamp is
-    * immutable once its run commits, and a replay OVERWRITES the whole
-    * run dir (fresh stamp file → fresh mtime/len), so keying on
-    * (path, mtime, len) makes rewritten stamps miss naturally. Bounded
-    * defensively — fixture roots accumulate across a long JVM. */
+  /** Per-JVM stamp cache for [[runGroups]]'s hot probe path, keyed on
+    * (path, mtime, len). The key is only sound once the file has
+    * SETTLED: an in-place rewrite (a batch replay re-running
+    * [[stampRun]] at the same path, or a refold landing after the
+    * root was deleted and recreated) can produce the same path, the
+    * same 1-2-byte length, and — under coarse store mtime granularity
+    * (seconds on S3A) — the same mtime, aliasing a stale entry. So
+    * stamps younger than [[SettleMs]] BYPASS the cache entirely (read
+    * directly, never inserted, never looked up): within the window a
+    * rewrite can never be served stale, and after it the rewrite's
+    * fresh mtime is a distinct key. The bypass costs one tiny-file
+    * read per probe on fresh runs only — exactly the pre-cache
+    * behavior — and assumes writer/store clock skew below SettleMs.
+    * Bounded defensively — fixture roots accumulate across a long
+    * JVM. */
   private val stampCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+  private val SettleMs = 60000L
 
   /** Committed run ids grouped by their count — the read-side planning
     * metadata (bounded: one tiny file per run, run count is bounded by
@@ -131,6 +142,12 @@ private[graft] object BucketMeta {
         if (!children.exists(_.getPath.getName == "_SUCCESS")) None
         else {
           val n = children.find(_.getPath.getName == File) match {
+            case Some(f)
+                if f.getModificationTime >
+                  System.currentTimeMillis() - SettleMs =>
+              // unsettled stamp: an in-place rewrite could alias the
+              // (path, mtime, len) key — read it, don't cache it
+              readInt(fs, f.getPath).getOrElse(default)
             case Some(f) =>
               if (stampCache.size > 65536) stampCache.clear()
               stampCache.computeIfAbsent(

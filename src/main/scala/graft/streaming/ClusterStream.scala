@@ -60,14 +60,14 @@ object ClusterStream {
     // ib-pruned sidecar verify — per-batch index reads never scan the
     // accumulated index (r14 verdict #1). PhaseClock.timed is the
     // profiler seam (no-op unless PhaseLabelGate installed a sink).
-    val batchSigx = PhaseClock.timed("sig_materialize") {
+    val batchSigx = PhaseClock.timed(labelsDir, "sig_materialize") {
       LlmQueries.minhashMaterialized(batch, idCol, textCol)
     }
-    val pairs = PhaseClock.timed("probe") {
+    val pairs = PhaseClock.timed(labelsDir, "probe") {
       DedupStream.probePairs(spark, indexDir, idCol, batchSigx,
         threshold, batchId)
     }
-    PhaseClock.timed("pairs_write") {
+    PhaseClock.timed(labelsDir, "pairs_write") {
       pairs.select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
     }
@@ -76,14 +76,14 @@ object ClusterStream {
     // the sidecar's bucket-pruned membership lookup, current batch id
     // excluded so a replay rewrites its own partial instead of treating
     // it as prior state.
-    PhaseClock.timed("index_append") {
+    PhaseClock.timed(labelsDir, "index_append") {
       DedupStream.appendIndex(batchSigx, idCol, indexDir, batchId,
         exclude = batchSigx.select("doc_id").limit(0))
     }
     // Label advance: O(batch) log-structured union-find (LabelLog). The
     // committed pair partial re-reads from parquet so the closure scans
     // files, not the probe plan a second time.
-    PhaseClock.timed("label_advance") {
+    PhaseClock.timed(labelsDir, "label_advance") {
       LabelLog.advance(spark, labelsDir, batchId,
         Materialize(batch.select(col(idCol).as("id")).distinct()),
         spark.read.parquet(s"$pairsDir/batch=$batchId")
@@ -165,6 +165,13 @@ object ClusterStream {
   def stateBytes(s: SparkSession, labelsDir: String): Long =
     LabelLog.stateBytes(s, labelsDir)
 
+  /** Committed delta run count — [[graft.api.Graft.maintain]]'s second
+    * contraction-pressure signal: bounds the file-listing growth of a
+    * merge-free workload that never trips alias pressure
+    * ([[LabelLog.deltaRunCount]]). */
+  def deltaRuns(s: SparkSession, labelsDir: String): Int =
+    LabelLog.deltaRunCount(s, labelsDir)
+
   /** Advance the lowest fold high-water marks by rewriting ≤ `maxRuns`
     * single bounded runs with the current closure applied, then retire
     * newly unreferenced alias partials — [[LabelLog.refreshState]] +
@@ -185,6 +192,14 @@ object ClusterStream {
     * hash-checked against `q_dup_clusters`'s full-recompute oracle
     * (stream ≡ recompute is the declared contract, and the oracle is
     * the SAME string). */
+  /** The `s_cluster_labels` gate's label root for source dir `d` — the
+    * fixture path [[sClusterLabels]] uses, exposed so
+    * [[PhaseLabelGate]] can name it as its [[PhaseClock]] scope. */
+  private[streaming] def gateLabelsDir(d: String): String =
+    new java.io.File(new java.io.File(
+      s"/tmp/graft_stream_clusters/${d.replaceAll("[^A-Za-z0-9.]", "_")}"),
+      "labels").getAbsolutePath
+
   def sClusterLabels(s: SparkSession, d: String): DataFrame = {
     val root = new java.io.File(
       s"/tmp/graft_stream_clusters/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
@@ -221,7 +236,7 @@ object ClusterStream {
       .awaitTermination()
     // quiesce-time contraction through the POLICY entry point (r16 —
     // the gates drive the same path an installation's scheduler does)
-    PhaseClock.timed("contraction") {
+    PhaseClock.timed(labelsDir, "contraction") {
       graft.api.Graft.maintain(s, labelDirs = Seq(labelsDir),
         policy = graft.api.Graft.MaintenancePolicy(contractNow = true)): Unit
     }

@@ -506,6 +506,18 @@ object LabelLog {
       labelsDir: String): Int =
     runDirs(s, aliasRoot(labelsDir), committedOnly = false).size
 
+  /** Committed delta run count — the SECOND contraction-pressure signal
+    * of [[graft.api.Graft.maintain]]'s policy (r17 ADVICE): alias
+    * pressure alone only grows when batches produce merge events, so a
+    * long merge-free workload under the monolithic-below threshold
+    * would otherwise accumulate one tiny run per batch indefinitely
+    * with no signal ever tripping the barrier. Run count is the
+    * file-listing bound contraction exists for, so the policy bounds
+    * it directly. */
+  private[streaming] def deltaRunCount(s: SparkSession,
+      labelsDir: String): Int =
+    runDirs(s, deltaRoot(labelsDir), committedOnly = true).size
+
   /** Total delta-log data bytes — the label-state SIZE signal of
     * [[graft.api.Graft.maintain]]'s monolithic-below-crossover policy
     * (r17): a driver filesystem walk over the run dirs, bounded by the

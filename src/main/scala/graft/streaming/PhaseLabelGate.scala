@@ -40,7 +40,10 @@ object PhaseLabelGate {
 
     // measured run: the REAL gate with in-run phase attribution
     val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
-    PhaseClock.install(phases)
+    // scoped to the gate's own label root: a concurrent stream (or a
+    // suite sharing the session) can never co-mingle its phase seconds
+    // into this profile (r17 ADVICE)
+    PhaseClock.install(ClusterStream.gateLabelsDir(sf), phases)
     val tGate0 = System.nanoTime()
     val served = ClusterStream.sClusterLabels(spark, sf)
     val t0 = System.nanoTime()
