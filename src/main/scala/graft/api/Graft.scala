@@ -790,6 +790,48 @@ object Graft {
     graft.operators.PersistedVectorIndex
       .retractTo(spark, dir, outDir, deleted, idCol)
 
+  /** REBUILD a [[writePqIndex]]-layout serving index — the lifecycle's
+    * retrain-and-swap verb (r18; create / probe / compact / retract
+    * had no remediation once the recall audits fire). Takedowns and
+    * ingestion reshape the corpus under FROZEN vocabularies (the right
+    * serving-path call — see [[retractPqIndex]]), so recall drifts and
+    * `q_ann_recall`-style audits alarm with no verb to answer: this is
+    * that verb. It RETRAINS both vocabularies on the index's CURRENT
+    * postings — the stored float vector exists precisely so the index
+    * can retrain without the source table — re-encodes every posting,
+    * and writes a complete sibling generation into `outDir`:
+    * [[trainIvfCentroids]] (k = 0 ⇒ ⌈√N⌉ cells, `iters` Lloyd's
+    * iterations from the lowest-id seeds) → [[trainPqCodebook]] over
+    * the new cells' integer residuals → [[writePqIndex]] under the new
+    * vocabularies. Deterministic end to end (exact integer training
+    * from deterministic seeds), so a rebuild equals a from-scratch
+    * train-and-write over the same vector set — spec-pinned.
+    *
+    * SWAP: `outDir` is a sibling generation, not an in-place rewrite —
+    * serve from the old generation until the new one is complete, then
+    * flip the pointer (the `q_ann_rebuild` fixture gates the flip on a
+    * marker file written LAST; reference analog: re-registration
+    * replacing a schema wholesale, ec:1722-1804). Report the swap with
+    * a before/after recall audit over the new corpus
+    * (`q_ann_rebuild_recall`'s shape). Cost: two Lloyd's trainings +
+    * one linear re-encode — an offline maintenance job whose shuffle
+    * shape is the original build's, nothing corpus-quadratic. */
+  def rebuildPqIndex(spark: SparkSession, dir: String, outDir: String,
+                     idCol: String, vecCol: String, m: Int = 4,
+                     k: Int = 16, iters: Int = 2): Unit = {
+    val stored = spark.read.parquet(dir)
+    val codeCols = stored.columns.filter(_.matches("code\\d+"))
+    val vectors = stored.drop(codeCols: _*).drop("norm", "cluster")
+    // the trained centroid table feeds the codebook training AND the
+    // final assignment+write — materialize once or Lloyd's re-runs
+    val cents = graft.operators.Materialize(
+      trainIvfCentroids(vectors, idCol, vecCol, k = 0, iters = iters))
+    val cbk = trainPqCodebook(vectors, idCol, vecCol, cents, "cid", "cv",
+      m, k, iters)
+    writePqIndex(vectors, idCol, vecCol, cents, "cid", "cv", outDir, m, k,
+      codebook = Some(cbk))
+  }
+
   /** Train a PQ codebook with per-subspace Lloyd's iterations over the
     * INTEGER residuals — the production upgrade over [[writePqIndex]]'s
     * lowest-id seed codebook, in the [[trainIvfCentroids]] discipline:

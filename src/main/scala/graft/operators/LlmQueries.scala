@@ -1842,6 +1842,8 @@ object LlmQueries {
     "q_ivf_pq" -> (VectorIndexQueries.qIvfPq _),
     "q_ivf_pq_multiprobe" -> (VectorIndexQueries.qIvfPqMultiprobe _),
     "q_ann_retract" -> (VectorIndexQueries.qAnnRetract _),
+    "q_ann_rebuild" -> (VectorIndexQueries.qAnnRebuild _),
+    "q_ann_rebuild_recall" -> (VectorIndexQueries.qAnnRebuildRecall _),
     "q_ann_recall" -> (VectorIndexQueries.qAnnRecall _),
     "q_ann_multiprobe" -> qAnnMultiprobe _,
     "q_hard_negatives" -> qHardNegatives _,
@@ -1903,7 +1905,10 @@ object LlmQueries {
     * `q_ann_trained`, `q_ann_persisted`, and IVF × PQ oracles so the
     * training every trained-index consumer replays can never drift. */
   private[graft] lazy val ivfTrainedAssignCte: String =
-    s"""$ivfKmeansCte,
+    ivfTrainedAssignCteFrom("embeddings")
+
+  private[graft] def ivfTrainedAssignCteFrom(rel: String): String =
+    s"""${ivfKmeansCteFrom(rel)},
        |c2 AS (SELECT cid,
        |              list(CAST(CAST(m AS real) AS double) ORDER BY pos) AS cv
        |       FROM u2 GROUP BY cid),
@@ -1952,8 +1957,10 @@ object LlmQueries {
     * two Lloyd's IVF iterations ([[ivfTrainedAssignCte]]), residuals
     * against the trained centroids, then two per-subspace codebook
     * iterations from the lowest-id residual slices ([[pqCbIterCte]]). */
-  private[graft] lazy val ivfPqBaseCte: String =
-    s"""$ivfTrainedAssignCte,
+  private[graft] lazy val ivfPqBaseCte: String = ivfPqBaseCteFrom("embeddings")
+
+  private[graft] def ivfPqBaseCteFrom(rel: String): String =
+    s"""${ivfTrainedAssignCteFrom(rel)},
        |cq2 AS (SELECT cid,
        |               list_transform(cv, x -> CAST(round(x * 1000000.0) AS bigint)) AS cq
        |        FROM c2n),
@@ -1984,10 +1991,24 @@ object LlmQueries {
     * always come from the FULL corpus: vocabulary identity is index
     * identity, and a takedown never retrains. */
   private[graft] def ivfPqMultiprobeOracle(postingsFilter: String): String =
-    s"""WITH $ivfPqBaseCte,
+    ivfPqFunnelSql("embeddings", postingsFilter, nQueries = 3, topK = 3) +
+      "\nORDER BY qid, rk"
+
+  /** The funnel oracle body, fully parameterized (r18 — the rebuild
+    * oracles need it over the survivor relation and at the recall
+    * arms' nQueries = 5 / topK = 10): vocabularies trained over `rel`,
+    * postings = the trained assignment filtered by `postingsFilter`,
+    * first `nQueries` posting rows as the query batch, 2-probe / ADC
+    * shortlist 32 / exact re-rank to `topK`. A complete
+    * WITH…SELECT(qid, rk, vec_id, label, cluster, sim) with NO final
+    * ORDER BY, so it can stand alone (callers append one) or nest as a
+    * derived-table subquery. */
+  private[graft] def ivfPqFunnelSql(rel: String, postingsFilter: String,
+      nQueries: Int, topK: Int): String =
+    s"""WITH ${ivfPqBaseCteFrom(rel)},
        |post AS (SELECT * FROM assigned$postingsFilter),
        |qb AS (SELECT vec_id AS qid, v AS qv, q AS qq FROM post
-       |       WHERE vec_id < 3),
+       |       WHERE vec_id < $nQueries),
        |pr AS (
        |  SELECT qid, qv, qq, cid AS qcluster, cq AS qcq,
        |         row_number() OVER (PARTITION BY qid
@@ -2032,8 +2053,7 @@ object LlmQueries {
        |         ORDER BY ${cosDuck("v", "qv")} DESC, vec_id) AS int) AS rk,
        |       vec_id, label, CAST(cluster AS bigint) AS cluster,
        |       ${cosDuck("v", "qv")} AS sim
-       |FROM sc QUALIFY rk <= 3
-       |ORDER BY qid, rk""".stripMargin
+       |FROM sc QUALIFY rk <= $topK""".stripMargin
 
   private[graft] val duckShingles3 =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), i -> array_to_string(toks[i:i+2], ' ')))"
@@ -2160,8 +2180,14 @@ object LlmQueries {
     * `a2` (second-iteration assignment) — shared by the kmeans oracle and
     * the trained-probe oracle so the training arithmetic can never
     * drift between them. `en` carries `label` for the probe tail. */
-  private def ivfKmeansCte: String =
-    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+  private def ivfKmeansCte: String = ivfKmeansCteFrom("embeddings")
+
+  /** The same two unrolled Lloyd's iterations over ANY source relation
+    * exposing (vec_id, label, embedding) — the rebuild oracles replay
+    * the training over the survivor corpus (r18): `rel` may be a table
+    * name or a parenthesized subquery. */
+  private def ivfKmeansCteFrom(rel: String): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM $rel),
       |en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
       |kc AS (SELECT CAST(ceil(sqrt(count(*))) AS bigint) AS kv FROM en),
       |c0 AS (SELECT CAST(vec_id AS integer) AS cid, v AS cv, nrm AS cnorm
@@ -2270,6 +2296,46 @@ object LlmQueries {
        |  UNION ALL
        |  SELECT qid, 'multiprobe' AS method, count(*) AS n
        |  FROM re2 JOIN ex USING (qid, vec_id) GROUP BY qid)
+       |SELECT qb.qid, m.method, coalesce(hm.n, 0) AS hits
+       |FROM qb CROSS JOIN methods m
+       |LEFT JOIN hm ON hm.qid = qb.qid AND hm.method = m.method
+       |ORDER BY qb.qid, m.method""".stripMargin
+
+  /** The `q_ann_retract` survivor corpus AS A SOURCE RELATION — the
+    * rebuild oracles train over it (takedown filter applied at the
+    * source), where the retract oracle filters only the postings. */
+  private[graft] val survivorRel =
+    "(SELECT * FROM embeddings WHERE NOT (vec_id % 7 = 1))"
+
+  /** The `q_ann_rebuild_recall` oracle: multiprobe funnel recall@10
+    * BEFORE the rebuild (survivor postings, full-corpus vocabularies —
+    * the `q_ann_retract` state) vs AFTER (vocabularies retrained on
+    * survivors), both against the exact cosine top-10 over the
+    * survivor corpus. Each funnel replay is a complete
+    * [[ivfPqFunnelSql]] nested as a derived-table subquery with its
+    * own WITH chain — two independent trainings in one statement, no
+    * CTE collisions. Output mirrors `q_ann_recall`: one row per
+    * query × arm, integer hit counts, zero rows grid-filled. */
+  private def annRebuildRecallOracle: String =
+    s"""WITH en AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM $survivorRel),
+       |qb AS (SELECT vec_id AS qid, v AS qv FROM en WHERE vec_id < 5),
+       |ex AS (SELECT qb.qid, a.vec_id,
+       |         row_number() OVER (PARTITION BY qb.qid
+       |           ORDER BY ${cosDuck("a.v", "qb.qv")} DESC, a.vec_id) AS rk
+       |       FROM en a, qb QUALIFY rk <= 10),
+       |bf AS (SELECT qid, vec_id FROM (
+       |${ivfPqFunnelSql("embeddings", " WHERE NOT (vec_id % 7 = 1)",
+            nQueries = 5, topK = 10)})),
+       |af AS (SELECT qid, vec_id FROM (
+       |${ivfPqFunnelSql(survivorRel, "", nQueries = 5, topK = 10)})),
+       |methods AS (SELECT unnest(['before','after']) AS method),
+       |hm AS (
+       |  SELECT qid, 'before' AS method, count(*) AS n
+       |  FROM bf JOIN ex USING (qid, vec_id) GROUP BY qid
+       |  UNION ALL
+       |  SELECT qid, 'after' AS method, count(*) AS n
+       |  FROM af JOIN ex USING (qid, vec_id) GROUP BY qid)
        |SELECT qb.qid, m.method, coalesce(hm.n, 0) AS hits
        |FROM qb CROSS JOIN methods m
        |LEFT JOIN hm ON hm.qid = qb.qid AND hm.method = m.method
@@ -2679,6 +2745,17 @@ object LlmQueries {
     // identity is index identity; retraction never retrains).
     "q_ann_retract" -> ivfPqMultiprobeOracle(
       postingsFilter = " WHERE NOT (vec_id % 7 = 1)"),
+    // REBUILD ≡ from-scratch build on the survivor corpus: the funnel
+    // with BOTH vocabularies retrained over the filtered relation (the
+    // takedown filter applied at the source, not at the postings).
+    "q_ann_rebuild" -> (ivfPqFunnelSql(survivorRel, "",
+      nQueries = 3, topK = 3) + "\nORDER BY qid, rk"),
+    // The rebuild's before/after recall@10: survivor postings under the
+    // full corpus's vocabularies (before) vs retrained vocabularies
+    // (after), both against the exact top-10 over survivors. The two
+    // funnel replays nest as derived-table subqueries — each carries
+    // its own WITH chain, so the two trainings can never collide.
+    "q_ann_rebuild_recall" -> annRebuildRecallOracle,
     // Recall@10 audit of the trained serving funnel — exact vs cell-only
     // vs single-probe PQ vs 2-probe PQ, as integer hit counts.
     "q_ann_recall" -> annRecallOracle,

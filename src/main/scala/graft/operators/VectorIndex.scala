@@ -157,6 +157,56 @@ private[graft] object PersistedVectorIndex {
     dir
   }
 
+  /** REBUILD — the lifecycle's FOURTH maintenance verb (r18, r17
+    * verdict #1: create / probe / compact / retract had no remediation
+    * once the recall audits fire). Vocabulary identity is index
+    * identity: a takedown copies the trained centroids and residual
+    * codebook VERBATIM because retraining would re-bucket and re-code
+    * every stored posting — the right serving-path call, but it means
+    * the vocabularies drift from the corpus they serve as retractions
+    * (and at scale, ingestion) reshape it, and the recall audits
+    * (`q_ann_recall`) are the alarm with no verb to answer it. This is
+    * that verb: RETRAIN both vocabularies on the CURRENT corpus — the
+    * generation's own stored postings (vec_id, label, embedding; the
+    * stored float vector exists precisely so the index can eat its own
+    * re-rank and retrain without the source table) — re-encode every
+    * posting under the new vocabulary, and write a complete sibling
+    * generation into `outDir`. [[buildFrom]] is the one code path, so
+    * the rebuilt generation is bit-identical to a from-scratch build
+    * over the same corpus (the increment≡recompute discipline applied
+    * to retraining; `q_ann_rebuild`'s oracle replays it literally).
+    *
+    * SWAP discipline: this writes data + codebook + centroids but NO
+    * build marker — the caller's marker write IS the generation swap
+    * ([[ensureRebuilt]]; reference analog: wholesale re-registration
+    * replacing a schema, ec:1722-1804). Probes resolve generations by
+    * marker, so a crashed rebuild (any prefix of the three writes) is
+    * never served and the next attempt overwrites it. Cost: one linear
+    * re-encode of the postings (the same shuffle shape as the build)
+    * plus the two Lloyd's trainings — an offline maintenance job, not
+    * a serving-path write. */
+  def rebuildTo(s: SparkSession, dir: String, outDir: String): Unit =
+    buildFrom(s,
+      s.read.parquet(dir).select(col("vec_id"), col("label"),
+        col("embedding")),
+      outDir)
+
+  /** Build-once rebuilt generation for `q_ann_rebuild` /
+    * `q_ann_rebuild_recall`: the takedown generation
+    * ([[ensureRetracted]] — whose vocabularies are still the FULL
+    * corpus's, the exact drift the rebuild repairs) retrained on its
+    * survivors, marker-last like every generation. */
+  def ensureRebuilt(s: SparkSession, d: String): String = synchronized {
+    val retracted = ensureRetracted(s, d)
+    val dir = retracted + "_rebuild"
+    val marker = java.nio.file.Paths.get(dir, Marker)
+    if (!java.nio.file.Files.exists(marker)) {
+      rebuildTo(s, retracted, dir)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    dir
+  }
+
   /** Integer-quantize `vecCol` and attach the RESIDUAL against the
     * row's assigned centroid: adds `vq` (vector micro-ints), and `r`
     * (vq − centroid ints). `centsInt` must carry (ccid, cq) and is
@@ -258,9 +308,26 @@ private[graft] object PersistedVectorIndex {
     * DAG; the trained centroid table is checkpointed once (it feeds the
     * assignment join, the residual broadcast, AND the persisted table —
     * re-deriving it three times would re-run both Lloyd's passes). */
-  private def build(s: SparkSession, d: String, dir: String): Unit = {
+  private def build(s: SparkSession, d: String, dir: String): Unit =
+    buildFrom(s, Tables.embeddings(s, d), dir)
+
+  /** The build body over ANY corpus frame carrying (vec_id, label,
+    * embedding) — ONE code path for the from-scratch fixture build
+    * ([[build]]: corpus = the raw embeddings table) and the REBUILD
+    * verb ([[rebuildTo]]: corpus = a generation's stored postings), so
+    * "rebuild ≡ from-scratch build on the same corpus" is an identity
+    * of code, not a claim about two implementations agreeing. All
+    * training conventions are corpus-relative: seeds are the corpus
+    * rows with `vec_id < ⌈√N⌉` ([[LlmQueries.seedCentroids]] — on a
+    * survivor corpus with id gaps this may be fewer than ⌈√N⌉ rows,
+    * deterministically), codebook seed codes the corpus rows with
+    * `vec_id < K` (gaps ⇒ unused code ids, which the argmin simply
+    * never picks), so the DuckDB oracle replays the whole rebuild by
+    * running the build CTEs over the filtered relation. */
+  private[graft] def buildFrom(s: SparkSession, corpus: DataFrame,
+      dir: String): Unit = {
     graft.functions.DotF32.ensureRegistered(s)
-    val e = Tables.embeddings(s, d)
+    val e = corpus.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("norm", expr("sqrt(dot_f32(embedding, embedding))"))
     val cents0 = LlmQueries.seedCentroids(e)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"),
@@ -339,6 +406,64 @@ private[graft] object VectorIndexQueries {
     val dir = PersistedVectorIndex.ensureRetracted(s, d)
     funnelTopK(s, dir, nQueries = 3, nprobe = 2, shortList = 32, topK = 3)
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Serving after a REBUILD (`q_ann_rebuild`): the multiprobe funnel
+    * over the RETRAINED generation ([[PersistedVectorIndex
+    * .ensureRebuilt]] — the takedown generation's survivors with both
+    * vocabularies retrained on them and every posting re-encoded). The
+    * oracle replays the WHOLE rebuild from scratch over the survivor
+    * relation — rebuild ≡ from-scratch build on the same corpus,
+    * checked literally (the increment≡recompute discipline applied to
+    * retraining). */
+  def qAnnRebuild(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val dir = PersistedVectorIndex.ensureRebuilt(s, d)
+    funnelTopK(s, dir, nQueries = 3, nprobe = 2, shortList = 32, topK = 3)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The rebuild's REPORT CARD (`q_ann_rebuild_recall`): recall@10 of
+    * the multiprobe funnel BEFORE the rebuild (the takedown generation
+    * — survivor postings under the full corpus's frozen vocabularies,
+    * the drifted state the audit alarms on) vs AFTER (the retrained
+    * generation), both against the exact cosine top-10 over the same
+    * survivor corpus — the before/after comparison a production
+    * rebuild ships with, riding the `q_ann_recall` machinery (same
+    * funnel code path, same hit-count shape: integer |approx ∩ exact|,
+    * one row per query × arm even at zero hits). */
+  def qAnnRebuildRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(s)
+    val beforeDir = PersistedVectorIndex.ensureRetracted(s, d)
+    val afterDir = PersistedVectorIndex.ensureRebuilt(s, d)
+    // survivors — identical row sets in both generations; read the
+    // rebuilt one (exact arm + query batch never touch the vocabularies)
+    val idx = s.read.parquet(afterDir)
+    val q = idx.filter(col("vec_id") < 5)
+      .selectExpr("vec_id AS qid", "embedding AS qv", "norm AS qnorm")
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    def topIds(df: DataFrame): DataFrame = df
+      .withColumn("sim", expr("round(dot_f32(embedding, qv) / (norm * qnorm), 6)"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val exact = topIds(idx.crossJoin(broadcast(q)))
+    val before = funnelTopK(s, beforeDir, nQueries = 5, nprobe = 2,
+      shortList = 32, topK = 10).select(col("qid"), col("vec_id"))
+    val after = funnelTopK(s, afterDir, nQueries = 5, nprobe = 2,
+      shortList = 32, topK = 10).select(col("qid"), col("vec_id"))
+    def hitsFor(m: DataFrame, name: String): DataFrame = m
+      .join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      .withColumn("method", lit(name))
+    val counts = hitsFor(before, "before").unionAll(hitsFor(after, "after"))
+    val grid = q.select(col("qid")).crossJoin(
+      s.range(1).selectExpr("explode(array('before','after')) AS method"))
+    grid.join(counts, Seq("qid", "method"), "left")
+      .select(col("qid"), col("method"),
+        coalesce(col("n"), lit(0L)).as("hits"))
+      .orderBy(col("qid"), col("method"))
   }
 
   /** The batched IVF × PQ serving funnel over a [[PersistedVectorIndex]]

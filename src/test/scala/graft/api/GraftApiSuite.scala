@@ -361,6 +361,50 @@ class GraftApiSuite extends AnyFunSuite {
     assert(pf.isDefined, plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("rebuildPqIndex retrains from the index's own postings and equals " +
+      "a from-scratch train-and-write over the same vectors") {
+    val s2 = graft.TestSpark.spark
+    val vecs = (0L until 24L).map { i =>
+      (i, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        ((i % 5) / 4.0).toFloat, 1f))
+    }.toDF("vid", "emb")
+    // generation 0: arbitrary untrained seed centroids — the drifted
+    // state a recall audit would alarm on
+    val cents0 = Seq((100, Array(1f, 0f, 0f, 0f)),
+      (200, Array(0f, 1f, 0f, 0f))).toDF("cid", "cv")
+    val g0 = java.nio.file.Files.createTempDirectory("graft_pq_g0").toString
+    Graft.writePqIndex(vecs, "vid", "emb", cents0, "cid", "cv", g0,
+      m = 2, k = 4)
+    // the verb under test: retrain + re-encode into a sibling generation
+    val g1 = java.nio.file.Files.createTempDirectory("graft_pq_g1").toString
+    Graft.rebuildPqIndex(s2, g0, g1, "vid", "emb", m = 2, k = 4, iters = 2)
+    // reference: from-scratch train-and-write over the raw vector frame
+    // (the stored postings carry the same (vid, emb) rows, and training
+    // is exact integer arithmetic from deterministic seeds, so the two
+    // must agree LAYOUT-identically, not merely serve alike)
+    val cents = Graft.trainIvfCentroids(vecs, "vid", "emb", k = 0, iters = 2)
+    val cbk = Graft.trainPqCodebook(vecs, "vid", "emb", cents, "cid", "cv",
+      m = 2, k = 4, iters = 2)
+    val gr = java.nio.file.Files.createTempDirectory("graft_pq_ref").toString
+    Graft.writePqIndex(vecs, "vid", "emb", cents, "cid", "cv", gr,
+      m = 2, k = 4, codebook = Some(cbk))
+    def same(a: String, b: String, what: String): Unit = {
+      val x = s2.read.parquet(a)
+      val cols = x.columns.sorted.map(col).toSeq
+      val (xa, xb) = (x.select(cols: _*), s2.read.parquet(b).select(cols: _*))
+      assert(xa.exceptAll(xb).isEmpty && xb.exceptAll(xa).isEmpty,
+        s"$what differs between rebuild and from-scratch")
+    }
+    same(g1, gr, "postings")
+    same(s"$g1/_graft_centroids", s"$gr/_graft_centroids", "centroids")
+    same(s"$g1/_graft_pq_codebook", s"$gr/_graft_pq_codebook", "codebook")
+    // and the rebuild actually RETRAINED: generation 0's untrained
+    // centroid ids are gone (new cids = lowest stored ids)
+    val cids = s2.read.parquet(s"$g1/_graft_centroids")
+      .select($"cid".cast("long")).collect().map(_.getLong(0)).toSet
+    assert(!cids.contains(100L) && !cids.contains(200L), cids.toString)
+  }
+
   test("trainPqCodebook converges to exact per-group integer means and " +
       "its codes separate the groups the seed codebook cannot") {
     val s2 = graft.TestSpark.spark
