@@ -42,9 +42,20 @@ object BloomStream {
   }
 
   /** Maintain the membership index from the CDC chunk stream: INSERT /
-    * UPDAFT row images contribute their key. */
+    * UPDAFT row images contribute their key.
+    *
+    * `maintainEvery` > 0 declares the maintenance schedule once on the
+    * builder (r18 auto-tick): every K-th micro-batch runs a bounded
+    * [[graft.api.Graft.maintain]] tick over the bitmap and key logs
+    * inside foreachBatch, after the batch's writes — replay-safe
+    * because every tiered fold protects the newest committed run (the
+    * current batch's own partials, exactly what a replay overwrites);
+    * folding is union-neutral here (bitmap OR is associative, the key
+    * log reads distinct). 0 = off. */
   def maintain(spark: SparkSession, chunkDir: String, checkpointDir: String,
-               root: String): StreamingQuery =
+               root: String, maintainEvery: Int = 0,
+               policy: graft.api.Graft.MaintenancePolicy =
+                 graft.api.Graft.MaintenancePolicy()): StreamingQuery =
     spark.readStream
       .format("graft.sources.CdcChunkSource")
       .option("path", chunkDir)
@@ -54,7 +65,13 @@ object BloomStream {
       .select(col("key").as("k"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id, root))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, id, root)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(s"$root/bloom", s"$root/keys"),
+            policy = policy): Unit
+      }
       .trigger(Trigger.AvailableNow())
       .start()
 

@@ -52,15 +52,33 @@ object Bm25Stream {
   }
 
   /** Attach continuous indexing to a streaming frame of documents
-    * (`doc_id`, `text`). */
+    * (`doc_id`, `text`).
+    *
+    * `maintainEvery` > 0 declares the maintenance schedule once on the
+    * builder (r18 — the r17 auto-tick extended to every maintained
+    * family): every K-th micro-batch runs a bounded
+    * [[graft.api.Graft.maintain]] tick over the three roots inside
+    * foreachBatch, after the batch's writes — replay-safe because
+    * every tiered fold protects the newest committed run (the current
+    * batch's own partials, exactly what a replay overwrites), and
+    * folding is union-neutral here (postings/doclens are append rows,
+    * the 1-row stats deltas are additive and re-summed at serve).
+    * 0 = off (the caller owns the schedule). */
   def start(docs: DataFrame, postingsDir: String, doclensDir: String,
-      statsDir: String, checkpointDir: String): StreamingQuery =
+      statsDir: String, checkpointDir: String, maintainEvery: Int = 0,
+      policy: graft.api.Graft.MaintenancePolicy =
+        graft.api.Graft.MaintenancePolicy()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(b, id, postingsDir, doclensDir, statsDir))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, id, postingsDir, doclensDir, statsDir)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(postingsDir, doclensDir, statsDir),
+            policy = policy): Unit
+      }
       .start()
 
   /** The served query over the accumulated partials: tb-pruned postings
@@ -107,6 +125,12 @@ object Bm25Stream {
     }
     val postingsDir = new java.io.File(root, "postings").getAbsolutePath
     val statsDir = new java.io.File(root, "stats").getAbsolutePath
+    // The AUTO-TICK gate (r18 — the s_dedup_index schedule applied to
+    // the retrieval family): the maintenance schedule is declared once
+    // on the builder; every micro-batch runs a bounded maintain() tick
+    // (fanIn=2 so folds actually fire at 4 batches), so the serve below
+    // reads state that was folded MID-stream and the oracle hash-checks
+    // the maintained layout end to end.
     start(
       s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -114,7 +138,9 @@ object Bm25Stream {
       postingsDir,
       new java.io.File(root, "doclens").getAbsolutePath,
       statsDir,
-      new java.io.File(root, "checkpoint").getAbsolutePath)
+      new java.io.File(root, "checkpoint").getAbsolutePath,
+      maintainEvery = 1,
+      policy = graft.api.Graft.MaintenancePolicy(fanIn = 2))
       .awaitTermination()
     // quiesce-time contraction through the POLICY entry point (r17):
     // tb=-partitioned postings, flat doclens, and the 1-row stats

@@ -103,16 +103,37 @@ object ErStream {
 
   /** Attach continuous resolution to a streaming frame of mentions
     * (`mention_id`, `mname`) against a static catalog
-    * (`entity_id`, `ename`). */
+    * (`entity_id`, `ename`).
+    *
+    * `maintainEvery` > 0 declares the maintenance schedule once on the
+    * builder (r18 auto-tick): every K-th micro-batch runs a bounded
+    * [[graft.api.Graft.maintain]] tick — the link log tiered-folds and
+    * the entity-sized label snapshots prune to the policy's retention
+    * count — inside foreachBatch, after the batch's writes.
+    * Replay-safe: folds protect the newest committed run, and the
+    * snapshot retention must keep ≥ 2 generations
+    * (`policy.snapshotKeep`, default 2): a replay of the newest batch
+    * re-reads its PREDECESSOR snapshot, which keep-2 always retains. */
   def start(mentions: DataFrame, catalog: DataFrame, pairsDir: String,
-      labelsDir: String, checkpointDir: String): StreamingQuery =
+      labelsDir: String, checkpointDir: String, maintainEvery: Int = 0,
+      policy: graft.api.Graft.MaintenancePolicy =
+        graft.api.Graft.MaintenancePolicy()): StreamingQuery = {
+    require(maintainEvery <= 0 || policy.snapshotKeep >= 2,
+      "a mid-stream tick must retain at least 2 label snapshots — a " +
+        "replay of the newest batch re-reads its predecessor snapshot")
     mentions.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(b, id, catalog, pairsDir, labelsDir))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, id, catalog, pairsDir, labelsDir)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(pairsDir),
+            snapshotRoots = Seq(labelsDir), policy = policy): Unit
+      }
       .start()
+  }
 
   /** Current resolved assignments: the latest label snapshot + the full
     * link log through [[FuzzyJoin.resolveTail]] — identical output shape

@@ -182,18 +182,33 @@ object MediaDedupStream {
   }
 
   /** Attach continuous media dedup to a streaming frame of
-    * (`idCol`, binary `payloadCol`) rows. */
+    * (`idCol`, binary `payloadCol`) rows.
+    *
+    * `maintainEvery` > 0 declares the maintenance schedule once on the
+    * builder (r18 auto-tick): every K-th micro-batch runs a bounded
+    * [[graft.api.Graft.maintain]] tick over the `mb=` fingerprint
+    * index, the pair log, and the quarantine log inside foreachBatch,
+    * after the batch's writes — replay-safe because every tiered fold
+    * protects the newest committed run (the current batch's own
+    * partials, exactly what a replay overwrites). 0 = off. */
   def start(media: DataFrame, idCol: String, payloadCol: String,
       kernel: Array[Byte] => Either[String, Long], indexDir: String,
       pairsDir: String, quarantineDir: String, checkpointDir: String,
-      maxHamming: Int = 2): StreamingQuery =
+      maxHamming: Int = 2, maintainEvery: Int = 0,
+      policy: graft.api.Graft.MaintenancePolicy =
+        graft.api.Graft.MaintenancePolicy()): StreamingQuery =
     media.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b, id, idCol, payloadCol, kernel, indexDir,
-          pairsDir, quarantineDir, maxHamming))
+          pairsDir, quarantineDir, maxHamming)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(indexDir, pairsDir, quarantineDir),
+            policy = policy): Unit
+      }
       .start()
 
   /** Driver-checked (`s_media_index`): split the corpus's synthetic PGM

@@ -116,16 +116,33 @@ object VectorIndexStream {
   }
 
   /** Attach continuous index maintenance to a streaming Dataset of
-    * vectors carrying `idCol` and an `Array[Float]` `vecCol`. */
+    * vectors carrying `idCol` and an `Array[Float]` `vecCol`.
+    *
+    * `maintainEvery` > 0 declares the maintenance schedule once on the
+    * builder (r18 auto-tick): every K-th micro-batch runs a bounded
+    * [[graft.api.Graft.maintain]] tick over the `cluster=`-partitioned
+    * posting runs inside foreachBatch, after the batch's append —
+    * replay-safe because every tiered fold protects the newest
+    * committed run (the current batch's own partial, exactly what a
+    * replay overwrites), and a fold preserves the internal `cluster=`
+    * scheme while never touching the underscore-hidden frozen
+    * vocabularies beside the runs. 0 = off. */
   def start(vectors: DataFrame, idCol: String, vecCol: String,
             indexDir: String, checkpointDir: String, k: Int = 0,
-            iters: Int = 2, pqM: Int = 0, pqK: Int = 16): StreamingQuery =
+            iters: Int = 2, pqM: Int = 0, pqK: Int = 16,
+            maintainEvery: Int = 0,
+            policy: graft.api.Graft.MaintenancePolicy =
+              graft.api.Graft.MaintenancePolicy()): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(b, id, idCol, vecCol, indexDir, k, iters, pqM, pqK): Unit)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, id, idCol, vecCol, indexDir, k, iters, pqM, pqK): Unit
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+          graft.api.Graft.maintain(b.sparkSession,
+            indexRoots = Seq(indexDir), policy = policy): Unit
+      }
       .start()
 
   /** Create the index: train and persist its vocabularies (IVF centroid
