@@ -285,9 +285,38 @@ object LabelLog {
     // reads key on the newest committed DELTA, so a crash between the
     // two leaves the alias partial invisible until the replay rewrites
     // both.
-    relabel.join(batchIds, col("_oc") === col("id"), "left_anti")
-      .select(col("_oc").as("from"), col("_nc").as("to"))
-      .write.mode("overwrite").parquet(s"${aliasRoot(labelsDir)}/batch=$batchId")
+    //
+    // MERGE-FREE batches skip the write outright (r18 — the advance's
+    // write-job diet, VERDICT r17 #5): with no merged edge, relabel is
+    // empty BY CONSTRUCTION (the ceAny accumulator already knows —
+    // no extra action), so the partial would be an empty parquet whose
+    // only content is a Spark write job's fixed constant. Replay-
+    // verbatim holds: a replay recomputes the same empty relabel and
+    // skips identically, every alias reader lists whatever run dirs
+    // exist (absence ≡ empty partial), and the ONE case where a
+    // merge-free recompute must still write — a replay of a formerly-
+    // MERGING batch after a newest-inclusive fold pre-applied its
+    // merges, whose stale partial must be overwritten (with emptiness)
+    // exactly as before — is caught by the existence probe: one
+    // driver-side exists(), never a Spark job. Contraction pressure no
+    // longer depends on a partial per batch — maintain()'s run-count
+    // term (deltaRunCount) bounds merge-free workloads on its own.
+    // The remaining two jobs (alias on merge batches + delta) resist
+    // fusion without a layout change: a single unioned run per batch
+    // would put rows with DIFFERENT lifecycles (deltas tier-fold under
+    // the closure transform; aliases retire wholesale once all runs
+    // post-date them) inside one run structure, coupling the fold
+    // transform to retirement — evaluated r18 and rejected as not
+    // worth the replay-contract blast radius for one job constant.
+    val aliasRun = new org.apache.hadoop.fs.Path(
+      s"${aliasRoot(labelsDir)}/batch=$batchId")
+    val aliasFs = aliasRun.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (ceAny || aliasFs.exists(aliasRun))
+      relabel.join(batchIds, col("_oc") === col("id"), "left_anti")
+        .select(col("_oc").as("from"), col("_nc").as("to"))
+        .write.mode("overwrite")
+        .parquet(s"${aliasRoot(labelsDir)}/batch=$batchId")
     // Delta partial: every batch id's final comp, bucketed at the
     // log's current count (stamped at creation) and the run stamped
     // with it, for pruned future lookups.

@@ -244,6 +244,30 @@ class LabelContractionSuite extends AnyFunSuite {
         "the verbatim contract")
   }
 
+  test("merge-free batches write NO alias partial (the r18 advance " +
+      "write-job diet), and the log stays fully consistent without one") {
+    val root = Files.createTempDirectory("contract_mergefree").toString
+    val sp = s
+    import sp.implicits._
+    // three batches of disjoint singletons — no merge anywhere
+    (0 until 3).foreach { k =>
+      LabelLog.advance(sp, root, k.toLong,
+        Seq(k * 10L + 1, k * 10L + 2).toDF("id"),
+        Seq.empty[(Long, Long)].toDF("e1", "e2"))
+    }
+    assert(dirNames(s"$root/alias").isEmpty,
+      "a merge-free advance paid an alias write job")
+    // serving, contraction, and retirement all tolerate the absent root
+    assert(LabelLog.serve(sp, root, "id").count() == 6L)
+    assert(LabelLog.compactStateSafe(sp, root) >= 0)
+    assert(LabelLog.retireAliases(sp, root) == 0)
+    assert(LabelLog.serve(sp, root, "id").count() == 6L)
+    // a replay of the newest merge-free batch skips identically
+    LabelLog.advance(sp, root, 2L, Seq(21L, 22L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("e1", "e2"))
+    assert(dirNames(s"$root/alias").isEmpty)
+  }
+
   test("a legacy folded run without a high-water stamp blocks " +
       "retirement until a refresh rewrites it") {
     val root = Files.createTempDirectory("contract_legacy").toString
@@ -256,9 +280,11 @@ class LabelContractionSuite extends AnyFunSuite {
 
     // conservative: the unstamped run's hwm is unbounded-low, so
     // nothing retires (retiring on guesswork would lose alias rows the
-    // un-contracted run still resolves through)
+    // un-contracted run still resolves through). 7 partials, not 8:
+    // batch 0 has nothing to merge with and the r18 advance skips the
+    // empty partial's write job outright.
     assert(LabelLog.retireAliases(s, root) == 0)
-    assert(dirNames(s"$root/alias").size == 8)
+    assert(dirNames(s"$root/alias").size == 7)
 
     var guard = 0
     while (LabelLog.refreshState(s, root, maxRuns = 2) > 0) {
