@@ -181,6 +181,26 @@ object LlmQueries {
       textCol: String): DataFrame =
     Materialize(signaturePlan(docs, idCol, textCol))
 
+  /** [[minhashMaterialized]] for a MICRO-BATCH read from few files
+    * (r18, guide §2.5 + §2 scale-adaptive partitioning): a one-file
+    * batch is ONE scan partition, so the shingle+minhash kernels — the
+    * dominant per-row cost — would run on a single core. The batch is
+    * hash-spread across the session's cores FOR THE KERNEL PASS ONLY,
+    * then re-partitioned by id with no explicit count so AQE coalesces
+    * the materialized signatures back to size-appropriate partitions
+    * (~1 at gate scale, hundreds at production batch sizes) — without
+    * the coalesce, every downstream consumer stage (probe joins, the
+    * index/sidecar appends) schedules one tiny task per kernel
+    * partition, which measured as expensive as the serial kernel it
+    * replaced. Kernel wide, state narrow. */
+  private[graft] def minhashMaterializedSpread(docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spread = graft.Tables.spread(docs.sparkSession,
+      docs.select(col(idCol), col(textCol)))
+    Materialize(signaturePlan(spread, idCol, textCol)
+      .repartition(col("doc_id")))
+  }
+
   /** The one-pass (doc_id, hs, sig) plan the materialization executes. */
   private def signaturePlan(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

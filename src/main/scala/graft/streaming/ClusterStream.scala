@@ -60,8 +60,12 @@ object ClusterStream {
     // ib-pruned sidecar verify — per-batch index reads never scan the
     // accumulated index (r14 verdict #1). PhaseClock.timed is the
     // profiler seam (no-op unless PhaseLabelGate installed a sink).
+    // Kernel-spread + AQE-coalesced signature pass (r18, guide §2.5):
+    // see [[LlmQueries.minhashMaterializedSpread]] — a one-file
+    // micro-batch ran the shingle+minhash kernels on ONE core (census:
+    // a ~1.1 s single-task job per batch at sf0.1).
     val batchSigx = PhaseClock.timed(labelsDir, "sig_materialize") {
-      LlmQueries.minhashMaterialized(batch, idCol, textCol)
+      LlmQueries.minhashMaterializedSpread(batch, idCol, textCol)
     }
     val pairs = PhaseClock.timed(labelsDir, "probe") {
       DedupStream.probePairs(spark, indexDir, idCol, batchSigx,

@@ -273,15 +273,32 @@ object DedupStream {
                    threshold: Double): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.TextHash.ensureRegistered(spark)
-    // One text pass over the batch; probed AND appended from this.
-    val batchSigx = LlmQueries.minhashMaterialized(batch, idCol, textCol)
-    val pairs = probePairs(spark, indexDir, idCol, batchSigx, threshold,
-      batchId)
+    def traced[T](name: String)(body: => T): T =
+      if (!sys.env.contains("GRAFT_TRACE")) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"[dedup_stream] batch $batchId $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    // One text pass over the batch; probed AND appended from this —
+    // kernel-spread + AQE-coalesced (see minhashMaterializedSpread).
+    val batchSigx = traced("sig_materialize") {
+      LlmQueries.minhashMaterializedSpread(batch, idCol, textCol)
+    }
+    val pairs = traced("probe") {
+      probePairs(spark, indexDir, idCol, batchSigx, threshold, batchId)
+    }
     // ^ materialized: consumed as pair log + rejection set.
-    pairs.write.mode("overwrite")
-      .parquet(s"$pairsDir/batch=$batchId")
+    traced("pairs_write") {
+      pairs.write.mode("overwrite")
+        .parquet(s"$pairsDir/batch=$batchId")
+    }
     val rejected = pairs.select(col("doc_b").as("doc_id"))
-    appendIndex(batchSigx, idCol, indexDir, batchId, rejected)
+    traced("index_append") {
+      appendIndex(batchSigx, idCol, indexDir, batchId, rejected)
+    }
     pairs
   }
 
@@ -306,9 +323,14 @@ object DedupStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b, id, idCol, textCol, indexDir, pairsDir, threshold): Unit
-        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0) {
+          val t0 = System.nanoTime()
           graft.api.Graft.maintain(b.sparkSession,
             indexRoots = Seq(indexDir, pairsDir), policy = policy): Unit
+          if (sys.env.contains("GRAFT_TRACE"))
+            System.err.println(f"[dedup_stream] batch $id maintain " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       }
       .start()
 

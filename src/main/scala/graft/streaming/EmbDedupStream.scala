@@ -57,12 +57,20 @@ object EmbDedupStream {
     * creation (r16, the [[BucketMeta]] discipline: the live count is
     * per-store metadata, stamped per run and read back count-grouped at
     * probe time, so raising it never mis-prunes runs written at the old
-    * count; this default is FROZEN as the interpretation of unstamped
-    * legacy runs). 256 dirs per batch — coarse enough to avoid a
-    * small-files explosion, fine enough that a probe touches ~|batch|
-    * of them. Full-sketch equality implies prefix equality, so pruning
-    * loses no candidate pair at ANY count. */
-  private val SbBuckets = 256
+    * count; the interpretation of unstamped legacy runs is FROZEN at
+    * the pre-r18 default, [[SbBucketsLegacy]]). 64 dirs per batch
+    * (r18 — the [[DedupStream.BbBuckets]] file-commit measurement:
+    * every micro-batch commits one file per live bucket, and 256
+    * buckets cost ~4× the 64-bucket commit overhead; a 6-plane install
+    * only ever populates 64 sketch values anyway). Full-sketch equality
+    * implies prefix equality, so pruning loses no candidate pair at ANY
+    * count; raise per store via [[BucketMeta.setStore]] at scale. */
+  private val SbBuckets = 64
+
+  /** The frozen interpretation of UNSTAMPED legacy runs — the default
+    * at the time those runs were written (pre-r18: 256). Never change
+    * this. */
+  private val SbBucketsLegacy = 256
 
   /** Non-empty-state guard ([[IdSidecar.hasBatchData]]): an empty
     * batch's `sb=`-partitioned partial is `_SUCCESS`-only and must not
@@ -135,7 +143,7 @@ object EmbDedupStream {
         // count-grouped (r16): each run group prunes with the sketch
         // buckets computed at ITS stamped count; single-count stores
         // take the unrestricted fast path — the pinned plan shape
-        val groups = BucketMeta.runGroups(spark, indexDir, SbBuckets)
+        val groups = BucketMeta.runGroups(spark, indexDir, SbBucketsLegacy)
           .toSeq.sortBy(_._1)
         val frames = groups.map { case (n, ids) =>
           val sbs = batchSk
@@ -191,8 +199,12 @@ object EmbDedupStream {
       .join(exclude, Seq("vec_id"), "left_anti")
       .join(known, Seq("vec_id"), "left_anti")
     val n = BucketMeta.ensureStore(spark, indexDir, SbBuckets)
+    // repartition(sb) first — one file per bucket per batch, not one
+    // per (input task × bucket), file creates across cores (the
+    // DedupStream `bb=` discipline, r18 — guide §6 small files).
     fresh
       .withColumn("sb", pmod(col("sketch"), lit(n)))
+      .repartition(col("sb"))
       .write.mode("overwrite").partitionBy("sb")
       .parquet(s"$indexDir/batch=$batchId")
     BucketMeta.stampRun(spark, indexDir, batchId, n)

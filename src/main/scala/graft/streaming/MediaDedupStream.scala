@@ -58,9 +58,23 @@ object MediaDedupStream {
     * (r16, the [[BucketMeta]] discipline: per-store metadata, stamped
     * per run, read back count-grouped at probe time, so a raise never
     * mis-prunes old runs; frozen as the unstamped-legacy
-    * interpretation). 256 dirs per batch, the EmbDedupStream `sb=`
-    * sizing. */
-  private val MbBuckets = 256
+    * interpretation — runs without a stamp were written at 256, the
+    * pre-r18 default, so the frozen constant stays 256 below).
+    *
+    * DEFAULT 64 for NEW stores (r18): the [[DedupStream.BbBuckets]]
+    * measurement applies unchanged here — every micro-batch commits one
+    * file per live bucket, and at 256 buckets the per-batch file-commit
+    * overhead measured ~4× the 64-bucket cost while the probe pruning
+    * it buys only matters once run sizes dwarf batch sizes. At 100 TB
+    * raise it per store ([[BucketMeta.setStore]]) as batches grow, or
+    * keep coarse partials and refine folded runs via the rebucket
+    * verbs. */
+  private val MbBuckets = 64
+
+  /** The frozen interpretation of UNSTAMPED legacy runs — the default
+    * at the time those runs were written (pre-r18: 256). Never change
+    * this; it is what keeps old unstamped runs correctly pruned. */
+  private val MbBucketsLegacy = 256
 
   /** Non-empty-state guard ([[IdSidecar.hasBatchData]]): an empty
     * batch's `mb=`-partitioned partial is `_SUCCESS`-only and must not
@@ -101,16 +115,25 @@ object MediaDedupStream {
       maxHamming: Int = 2): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // 1. decode + fingerprint: the one mapPartitions batch seam.
-    val decoded = Materialize(batch
-      .select(col(idCol).cast("long"), col(payloadCol))
+    // 1. decode + fingerprint: the one mapPartitions batch seam. The
+    // batch is spread first (r18, guide §2.5): a one-file micro-batch is
+    // ONE scan partition, so the decode byte-walk — the dominant per-row
+    // cost — ran on a single core; the deterministic hash repartition
+    // moves each payload once, before decoding. The decoded rows (24
+    // bytes each — id, hash, reason) re-partition by id with no explicit
+    // count, so AQE coalesces the materialized frame back to size-
+    // appropriate partitions and downstream stages don't schedule one
+    // tiny task per kernel partition. Kernel wide, state narrow.
+    val decoded = Materialize(graft.Tables.spread(spark, batch
+      .select(col(idCol).cast("long"), col(payloadCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         kernel(payload) match {
           case Right(h) => (id, h, null.asInstanceOf[String])
           case Left(reason) => (id, 0L, reason)
         }
-      }).toDF("doc_id", "hash", "reason"))
+      }).toDF("doc_id", "hash", "reason")
+      .repartition(col("doc_id")))
     decoded.filter(col("reason").isNotNull)
       .select(col("doc_id"), col("reason"))
       .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
@@ -123,7 +146,7 @@ object MediaDedupStream {
         // count-grouped (r16): each run group prunes with the band
         // buckets computed at ITS stamped count; single-count stores
         // take the unrestricted fast path — the pinned plan shape
-        val groups = BucketMeta.runGroups(spark, indexDir, MbBuckets)
+        val groups = BucketMeta.runGroups(spark, indexDir, MbBucketsLegacy)
           .toSeq.sortBy(_._1)
         val frames = groups.map { case (n, ids) =>
           val mbs = batchBands
@@ -172,8 +195,12 @@ object MediaDedupStream {
     val fresh = batchBands
       .join(known, Seq("doc_id"), "left_anti")
     val n = BucketMeta.ensureStore(spark, indexDir, MbBuckets)
+    // repartition(mb) first — one file per bucket per batch, not one per
+    // (input task × bucket), and the file creates run across cores (the
+    // DedupStream `bb=` discipline, r18 — guide §6 small files).
     fresh
       .withColumn("mb", pmod(col("bkey"), lit(n)))
+      .repartition(col("mb"))
       .write.mode("overwrite").partitionBy("mb")
       .parquet(s"$indexDir/batch=$batchId")
     BucketMeta.stampRun(spark, indexDir, batchId, n)

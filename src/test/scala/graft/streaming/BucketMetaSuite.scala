@@ -232,7 +232,7 @@ class BucketMetaSuite extends AnyFunSuite {
       Seq((1L, Array(1f, -0.1f, 0f)), (2L, Array(-0.1f, 1f, 0f)))
         .toDF("id", "emb"),
       0L, "id", "emb", eidx, eprs, threshold = 0.9, nPlanes = 2): Unit
-    assert(stampOf(eidx, "batch=0").contains("256"))
+    assert(stampOf(eidx, "batch=0").contains("64"))
     Graft.setIndexBuckets(s, eidx, 512)
     EmbDedupStream.processBatch(
       Seq((9L, Array(0.99f, -0.1f, 0.01f))).toDF("id", "emb"),
@@ -258,7 +258,7 @@ class BucketMetaSuite extends AnyFunSuite {
       Seq((1L, payload(0x0123456789ABCDEFL)),
         (2L, payload(0x7EDCBA9876543210L))).toDF("doc_id", "payload"),
       0L, "doc_id", "payload", kernel, midx, mprs, mq): Unit
-    assert(stampOf(midx, "batch=0").contains("256"))
+    assert(stampOf(midx, "batch=0").contains("64"))
     Graft.setIndexBuckets(s, midx, 512)
     MediaDedupStream.processBatch(
       Seq((9L, payload(0x0123456789ABCDEEL))).toDF("doc_id", "payload"),
