@@ -36,9 +36,11 @@ object BloomStream {
     * write the batch's bitmap partial and distinct keys, exactly-once. */
   def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
     val keys = batch.select(col("k")).distinct()
-    BloomJoin.buildBloom(keys, "k")
-      .write.mode("overwrite").parquet(s"$root/bloom/batch=$batchId")
-    keys.write.mode("overwrite").parquet(s"$root/keys/batch=$batchId")
+    // Disjoint-root partials off one plan — overlap (r18, guide §2.6).
+    BatchPar.run(
+      () => BloomJoin.buildBloom(keys, "k")
+        .write.mode("overwrite").parquet(s"$root/bloom/batch=$batchId"),
+      () => keys.write.mode("overwrite").parquet(s"$root/keys/batch=$batchId"))
   }
 
   /** Maintain the membership index from the CDC chunk stream: INSERT /

@@ -42,13 +42,19 @@ object Bm25Stream {
   def processBatch(batch: DataFrame, batchId: Long, postingsDir: String,
       doclensDir: String, statsDir: String): Unit = {
     val (postings, doclens) = RetrievalIndex.tokenize(batch)
-    // repartition(tb) first — one file per bucket per batch, not one per
-    // (upstream task × bucket); see RetrievalIndex.writeState
-    postings.repartition(col("tb")).write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$postingsDir/batch=$batchId")
-    doclens.write.mode("overwrite").parquet(s"$doclensDir/batch=$batchId")
-    RetrievalIndex.statsOf(doclens).write.mode("overwrite")
-      .parquet(s"$statsDir/batch=$batchId")
+    // The three `batch=` partials land on disjoint roots and derive
+    // from the same tokenize plan (no cross-reads) — overlap them
+    // (r18, guide §2.6 — [[BatchPar]]).
+    BatchPar.run(
+      // repartition(tb) first — one file per bucket per batch, not one
+      // per (upstream task × bucket); see RetrievalIndex.writeState
+      () => postings.repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$postingsDir/batch=$batchId"),
+      () => doclens.write.mode("overwrite")
+        .parquet(s"$doclensDir/batch=$batchId"),
+      () => RetrievalIndex.statsOf(doclens).write.mode("overwrite")
+        .parquet(s"$statsDir/batch=$batchId"))
   }
 
   /** Attach continuous indexing to a streaming frame of documents

@@ -71,28 +71,40 @@ object ClusterStream {
       DedupStream.probePairs(spark, indexDir, idCol, batchSigx,
         threshold, batchId)
     }
-    PhaseClock.timed(labelsDir, "pairs_write") {
-      pairs.select(col("doc_a"), col("doc_b"))
-        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    }
-    // Index EVERY batch doc (labels need full connectivity — see
-    // header): exclude-nothing append. First-write-wins per id rides
-    // the sidecar's bucket-pruned membership lookup, current batch id
-    // excluded so a replay rewrites its own partial instead of treating
-    // it as prior state.
-    PhaseClock.timed(labelsDir, "index_append") {
-      DedupStream.appendIndex(batchSigx, idCol, indexDir, batchId,
-        exclude = batchSigx.select("doc_id").limit(0))
-    }
-    // Label advance: O(batch) log-structured union-find (LabelLog). The
-    // committed pair partial re-reads from parquet so the closure scans
-    // files, not the probe plan a second time.
-    PhaseClock.timed(labelsDir, "label_advance") {
-      LabelLog.advance(spark, labelsDir, batchId,
-        Materialize(batch.select(col(idCol).as("id")).distinct()),
-        spark.read.parquet(s"$pairsDir/batch=$batchId")
-          .select(col("doc_a").as("e1"), col("doc_b").as("e2")))
-    }
+    // The batch tail's three state actions overlap where independent
+    // (r18, guide §2.6 — see [[BatchPar]]): the pair write feeds the
+    // label advance (it re-reads the committed partial, same lane,
+    // pairs + labels roots), while the index append (index + sidecar
+    // roots) shares nothing with either — `pairs` is materialized, so
+    // no lane re-executes the index-reading probe plan. Phase seconds
+    // still nest inside the gate wall, but concurrent phases can SUM
+    // past it (the PhaseLabelGate residual may go negative — it now
+    // measures overlap won, not scaffolding alone).
+    BatchPar.run(
+      () => {
+        PhaseClock.timed(labelsDir, "pairs_write") {
+          pairs.select(col("doc_a"), col("doc_b"))
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        }
+        // Label advance: O(batch) log-structured union-find (LabelLog).
+        // The committed pair partial re-reads from parquet so the
+        // closure scans files, not the probe plan a second time.
+        PhaseClock.timed(labelsDir, "label_advance") {
+          LabelLog.advance(spark, labelsDir, batchId,
+            Materialize(batch.select(col(idCol).as("id")).distinct()),
+            spark.read.parquet(s"$pairsDir/batch=$batchId")
+              .select(col("doc_a").as("e1"), col("doc_b").as("e2")))
+        }
+      },
+      // Index EVERY batch doc (labels need full connectivity — see
+      // header): exclude-nothing append. First-write-wins per id rides
+      // the sidecar's bucket-pruned membership lookup, current batch id
+      // excluded so a replay rewrites its own partial instead of
+      // treating it as prior state.
+      () => PhaseClock.timed(labelsDir, "index_append") {
+        DedupStream.appendIndex(batchSigx, idCol, indexDir, batchId,
+          exclude = batchSigx.select("doc_id").limit(0))
+      })
   }
 
   /** Attach continuous cluster-label maintenance to a streaming frame of

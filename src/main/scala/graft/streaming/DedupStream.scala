@@ -291,14 +291,18 @@ object DedupStream {
       probePairs(spark, indexDir, idCol, batchSigx, threshold, batchId)
     }
     // ^ materialized: consumed as pair log + rejection set.
-    traced("pairs_write") {
-      pairs.write.mode("overwrite")
-        .parquet(s"$pairsDir/batch=$batchId")
-    }
     val rejected = pairs.select(col("doc_b").as("doc_id"))
-    traced("index_append") {
-      appendIndex(batchSigx, idCol, indexDir, batchId, rejected)
-    }
+    // Disjoint-root actions overlap (r18, guide §2.6 — [[BatchPar]]):
+    // the pair-log write and the index append both read only the
+    // MATERIALIZED pairs/signatures, and write to different roots.
+    BatchPar.run(
+      () => traced("pairs_write") {
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
+      },
+      () => traced("index_append") {
+        appendIndex(batchSigx, idCol, indexDir, batchId, rejected)
+      })
     pairs
   }
 

@@ -64,20 +64,27 @@ object EmbClusterStream {
       indexDir, nPlanes = 0)
     val pairs = EmbDedupStream.discoverPairs(batchSk, indexDir,
       threshold, excludeBatch = batchId)
-    pairs.select(col("vec_a"), col("vec_b"))
-      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    // Index EVERY batch vector (index-ALL — labels need connectivity
-    // through duplicates); first-write-wins, replay-safe.
-    EmbDedupStream.appendIndex(batchSk, indexDir, batchId,
-      exclude = batchSk.select(col("vec_id")).limit(0))
-    // Label advance: the shared O(batch) log-structured union-find. The
-    // committed pair partial re-reads from parquet so the closure scans
-    // files, not the probe plan a second time.
-    LabelLog.advance(spark, labelsDir, batchId,
-      graft.operators.Materialize(
-        batch.select(col(idCol).as("id")).distinct()),
-      spark.read.parquet(s"$pairsDir/batch=$batchId")
-        .select(col("vec_a").as("e1"), col("vec_b").as("e2")))
+    // Disjoint-root actions overlap (r18, guide §2.6 — [[BatchPar]]):
+    // `pairs` is materialized, so the pair write + label advance lane
+    // (pairs + labels roots) and the index append lane (index + sidecar
+    // roots) share nothing; ClusterStream.processBatch's shape.
+    BatchPar.run(
+      () => {
+        pairs.select(col("vec_a"), col("vec_b"))
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        // Label advance: the shared O(batch) log-structured union-find.
+        // The committed pair partial re-reads from parquet so the
+        // closure scans files, not the probe plan a second time.
+        LabelLog.advance(spark, labelsDir, batchId,
+          graft.operators.Materialize(
+            batch.select(col(idCol).as("id")).distinct()),
+          spark.read.parquet(s"$pairsDir/batch=$batchId")
+            .select(col("vec_a").as("e1"), col("vec_b").as("e2")))
+      },
+      // Index EVERY batch vector (index-ALL — labels need connectivity
+      // through duplicates); first-write-wins, replay-safe.
+      () => EmbDedupStream.appendIndex(batchSk, indexDir, batchId,
+        exclude = batchSk.select(col("vec_id")).limit(0)))
   }
 
   /** Create the index: fix its plane set (plane identity IS index

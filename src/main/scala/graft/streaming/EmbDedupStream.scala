@@ -219,10 +219,15 @@ object EmbDedupStream {
     val spark = batch.sparkSession
     val batchSk = sketchBatch(batch, idCol, vecCol, indexDir, nPlanes)
     val pairs = discoverPairs(batchSk, indexDir, threshold, batchId)
-    // consumed twice: pair log + rejection set.
-    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    // consumed twice: pair log + rejection set (both off the
+    // materialized frame).
     val rejected = pairs.select(col("vec_b").as("vec_id")).distinct()
-    appendIndex(batchSk, indexDir, batchId, rejected)
+    // Disjoint-root actions overlap (r18, guide §2.6 — [[BatchPar]]):
+    // the DedupStream.processBatch shape.
+    BatchPar.run(
+      () => pairs.write.mode("overwrite")
+        .parquet(s"$pairsDir/batch=$batchId"),
+      () => appendIndex(batchSk, indexDir, batchId, rejected))
     pairs
   }
 

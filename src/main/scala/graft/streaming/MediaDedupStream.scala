@@ -134,9 +134,6 @@ object MediaDedupStream {
         }
       }).toDF("doc_id", "hash", "reason")
       .repartition(col("doc_id")))
-    decoded.filter(col("reason").isNotNull)
-      .select(col("doc_id"), col("reason"))
-      .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
     val batchBands = Materialize(
       bandRows(decoded.filter(col("reason").isNull)
         .select(col("doc_id"), col("hash"))))
@@ -171,7 +168,7 @@ object MediaDedupStream {
     // batch×corpus pair surfaces once, from its batch end. distinct()
     // BEFORE the popcount collapses multi-band collisions of one pair,
     // hammingBandPairs' discipline.
-    probe.join(u, Seq("band", "bkey"))
+    val pairsPlan = probe.join(u, Seq("band", "bkey"))
       .filter(col("_uid") =!= col("_pid"))
       .filter(!col("_b") || col("_uid") < col("_pid"))
       .select(least(col("_uid"), col("_pid")).as("doc_a"),
@@ -182,7 +179,6 @@ object MediaDedupStream {
       .withColumn("hamming", expr("cast(bit_count(_ha ^ _hb) AS bigint)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
     // 3. index-ALL append: first-write-wins via the IdSidecar's
     // bucket-pruned membership lookup (r14 verdict #2 — never an
     // O(index) id scan), replay-safe; the accepted ids' sidecar partial
@@ -195,17 +191,32 @@ object MediaDedupStream {
     val fresh = batchBands
       .join(known, Seq("doc_id"), "left_anti")
     val n = BucketMeta.ensureStore(spark, indexDir, MbBuckets)
-    // repartition(mb) first — one file per bucket per batch, not one per
-    // (input task × bucket), and the file creates run across cores (the
-    // DedupStream `bb=` discipline, r18 — guide §6 small files).
-    fresh
-      .withColumn("mb", pmod(col("bkey"), lit(n)))
-      .repartition(col("mb"))
-      .write.mode("overwrite").partitionBy("mb")
-      .parquet(s"$indexDir/batch=$batchId")
-    BucketMeta.stampRun(spark, indexDir, batchId, n)
-    IdSidecar.append(fresh.select("doc_id").distinct(), "doc_id",
-      indexDir, batchId)
+    // The batch tail's three state writes overlap (r18, guide §2.6 —
+    // [[BatchPar]]): quarantine, pair log, and index + sidecar land on
+    // disjoint roots, and every read each lane executes (the probe's
+    // mb-pruned index scan, the append's sidecar membership scan) was
+    // CONSTRUCTED above, before the fork — a lane adding a `batch=` dir
+    // cannot enter another lane's already-captured file index.
+    BatchPar.run(
+      () => decoded.filter(col("reason").isNotNull)
+        .select(col("doc_id"), col("reason"))
+        .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId"),
+      () => pairsPlan
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId"),
+      () => {
+        // repartition(mb) first — one file per bucket per batch, not one
+        // per (input task × bucket), and the file creates run across
+        // cores (the DedupStream `bb=` discipline, r18 — guide §6 small
+        // files).
+        fresh
+          .withColumn("mb", pmod(col("bkey"), lit(n)))
+          .repartition(col("mb"))
+          .write.mode("overwrite").partitionBy("mb")
+          .parquet(s"$indexDir/batch=$batchId")
+        BucketMeta.stampRun(spark, indexDir, batchId, n)
+        IdSidecar.append(fresh.select("doc_id").distinct(), "doc_id",
+          indexDir, batchId)
+      })
   }
 
   /** Attach continuous media dedup to a streaming frame of
