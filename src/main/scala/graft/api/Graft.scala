@@ -553,20 +553,24 @@ object Graft {
                 centroids: DataFrame, cidCol: String,
                 cvecCol: String): DataFrame = {
     graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+    // MAP-SIDE argmax (r18, guide §2.3/§2.4 — see
+    // [[graft.operators.LlmQueries.kmeansAssign]], the shared form):
+    // the centroid table folds to a 1-row broadcast carrying
+    // array<struct<cid, cv, cnorm>> and each vector scores + folds the
+    // array in one projection — the previous crossJoin×K + window rank
+    // shuffled K copies of every embedding per assignment (one Exchange
+    // + Sort, gone). Same rounding, same lower-cid tie-break,
+    // NaN-consistent — bit-identical assignments.
     val cents = centroids
       .select(col(cidCol).as("_cid"), col(cvecCol).as("_cv"))
       .withColumn("_cnorm", expr("sqrt(dot_f32(_cv, _cv))"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_csim").desc, col("_cid"))
     vectors
       .withColumn("_norm", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_csim",
-        expr(s"round(dot_f32($vecCol, _cv) / (_norm * _cnorm), 6)"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .withColumn("cluster", col("_cid"))
-      .drop("_cid", "_cv", "_cnorm", "_csim", "_rn", "_norm")
+      .crossJoin(broadcast(graft.operators.LlmQueries.centroidsRow(
+        cents, "_cid", "_cv", "_cnorm")))
+      .withColumn("cluster",
+        graft.operators.LlmQueries.bestCentroidExpr(vecCol, "_norm"))
+      .drop("_cents", "_norm")
   }
 
   /** Train IVF centroids: `iters` Lloyd's iterations (max-cosine

@@ -282,9 +282,15 @@ object LlmQueries {
       threshold: Double): DataFrame = {
     val x = hsx.selectExpr("doc_id AS doc_a", "hs AS hs_a")
     val y = hsx.selectExpr("doc_id AS doc_b", "hs AS hs_b")
+    // |∪| = |A| + |B| − |∩| (hs are distinct sets — both shingle kernels
+    // emit array_distinct output): one hash-set pass per pair instead of
+    // two (r18 — the verify is the per-pair CPU term of every probe).
+    // Same integers, same division, bit-identical jaccard.
     pairs.join(x, "doc_a").join(y, "doc_b")
       .selectExpr("doc_a", "doc_b",
-        "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
+        "size(array_intersect(hs_a, hs_b)) AS _li",
+        "size(hs_a) + size(hs_b) AS _ls")
+      .selectExpr("doc_a", "doc_b", "_li / (_ls - _li) AS jaccard")
       .filter(col("jaccard") >= threshold)
   }
 
@@ -375,7 +381,11 @@ object LlmQueries {
     pairs.join(x, "doc_a").join(y, "doc_b")
       .selectExpr("doc_a", "doc_b",
         s"round(size(filter(zip_with(sig_a, sig_b, (p, q) -> p = q), v -> v)) / $NumPerms, 6) AS est_jaccard",
-        "size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)) AS jaccard")
+        // |∪| = |A| + |B| − |∩| (hs are distinct sets) — one array pass
+        "size(array_intersect(hs_a, hs_b)) AS _li",
+        "size(hs_a) + size(hs_b) AS _ls")
+      .selectExpr("doc_a", "doc_b", "est_jaccard",
+        "_li / (_ls - _li) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1121,17 +1131,61 @@ object LlmQueries {
     * driver-side loop state. */
   /** One Lloyd's assignment step: every row of `e` (needs vec_id,
     * embedding, norm; extra columns carried through) labeled with its
-    * max-cosine centroid from `cents` (cid, cv, cnorm) — centroids ride
-    * one broadcast, ties break on the lower cid after 6-dp rounding. */
-  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        expr(s"round(${dotSpark("embedding", "cv")} / (norm * cnorm), 6)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("cv", "cnorm", "csim", "rn")
-  }
+    * max-cosine centroid from `cents` (cid, cv, cnorm) — ties break on
+    * the lower cid after 6-dp rounding.
+    *
+    * MAP-SIDE argmax (r18, guide §2.3/§2.4): the previous form
+    * crossJoined every vector with the K-row broadcast centroid table
+    * and window-ranked the ×K exploded rows — per assignment, one
+    * Exchange + Sort carrying K copies of every embedding (K = ⌈√N⌉,
+    * so the shuffle amplifies corpus bytes ×√N; training pays it once
+    * per Lloyd's iteration). The argmax is per-row arithmetic over a
+    * bounded broadcast set, so it needs NO shuffle at all: the centroid
+    * table folds to ONE row carrying array<struct<cid, cv, cnorm>>
+    * ([[centroidsRow]] — a 1-row broadcast, the bounded-frame crossJoin
+    * pattern), each vector scores the array once (`transform`, one
+    * dot_f32 per centroid — the same K dot products as before) and
+    * folds it to the best struct (`aggregate` with an explicit
+    * (sim desc, cid asc) comparison). Fold order cannot matter: the
+    * winner is the unique lexicographic max, and Spark's double
+    * comparisons are NaN-consistent with the sort order the window
+    * form used (NaN compares greater than any value — SQL NaN
+    * semantics), so the assignment is bit-identical, including on
+    * degenerate zero-norm rows. Exchange count per assignment: 1 → 0. */
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroidsRow(cents, "cid", "cv", "cnorm")))
+      .withColumn("cid", bestCentroidExpr("embedding", "norm"))
+      .drop("_cents")
+
+  /** The centroid table folded to ONE row: array<struct<cid, cv,
+    * cnorm>>, cid-sorted (determinism of the array VALUE; the argmax
+    * fold is order-independent regardless). Shared by [[kmeansAssign]]
+    * and [[graft.api.Graft.ivfAssign]]. */
+  private[graft] def centroidsRow(cents: DataFrame, cidCol: String,
+      cvCol: String, cnormCol: String): DataFrame =
+    cents.agg(expr(
+      s"array_sort(collect_list(struct($cidCol AS cid, $cvCol AS cv, " +
+        s"$cnormCol AS cnorm))) AS _cents"))
+
+  /** The per-row argmax fold over `_cents`: round-6 cosine, ties to the
+    * lower cid — [[kmeansAssign]]'s convention, NaN-consistent with the
+    * window ordering it replaces (see its scaladoc). The sims
+    * materialize once per centroid via `transform`; the fold keeps the
+    * (sim desc, cid asc) max. The init element is the array's head at
+    * sim −2 (below any cosine, and NaN beats it too), so the result
+    * type follows the data and an empty centroid table yields NULL —
+    * degenerate-only (training seeds from the data, so centroids are
+    * empty only when the corpus is). */
+  private[graft] def bestCentroidExpr(vecCol: String,
+      normCol: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(
+       |  transform(_cents, x -> struct(
+       |    round(${dotSpark(vecCol, "x.cv")} / ($normCol * x.cnorm), 6) AS s,
+       |    x.cid AS c)),
+       |  struct(CAST(-2.0 AS DOUBLE) AS s, element_at(_cents, 1).cid AS c),
+       |  (acc, y) -> CASE
+       |    WHEN y.s > acc.s OR (y.s = acc.s AND y.c < acc.c) THEN y
+       |    ELSE acc END).c""".stripMargin)
 
   /** One Lloyd's recompute step: centroids as element-wise means with the
     * exact-integer quantized-sum discipline (see [[qIvfKmeans]] doc). */
@@ -1594,7 +1648,11 @@ object LlmQueries {
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .selectExpr("doc_a", "doc_b",
-        "round(size(array_intersect(hs_a, hs_b)) / size(array_union(hs_a, hs_b)), 6) AS jaccard")
+        // |∪| = |A| + |B| − |∩| (hs are distinct sets) — one array pass
+        "size(array_intersect(hs_a, hs_b)) AS _li",
+        "size(hs_a) + size(hs_b) AS _ls")
+      .selectExpr("doc_a", "doc_b",
+        "round(_li / (_ls - _li), 6) AS jaccard")
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -51,6 +51,24 @@ object VectorIndexStream {
 
   private def codebookPath(indexDir: String) = s"$indexDir/_graft_pq_codebook"
 
+  /** Per-STREAM cache of the frozen-vocabulary frames and their guard
+    * metadata (r18 — guide §1.2 per-task work: the census showed the
+    * gate re-resolving the IMMUTABLE centroid/codebook state every
+    * batch — a parquet read construction, a `dim` head() job, and the
+    * per-subspace validation collect, ×4 batches for state frozen at
+    * creation). One instance per [[start]] call (dies with the stream —
+    * never a cross-run memo); the standalone [[processBatch]] default
+    * allocates a fresh one per call, preserving its per-call behavior.
+    * Safe because vocabulary identity IS index identity: the cached
+    * frames read underscore-hidden paths no fold or append ever
+    * rewrites, so every batch of one stream run sees the same rows a
+    * fresh read would. */
+  private[streaming] final class VocabCache {
+    var cents: DataFrame = null
+    var dim: Int = -1
+    var cbkRows: DataFrame = null
+  }
+
   /** One micro-batch step — the foreachBatch body, callable directly for
     * batch-driven ingestion. Returns the batch's written rows.
     *
@@ -64,7 +82,8 @@ object VectorIndexStream {
     * serves ADC probes across all `batch=` directories at once. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
                    vecCol: String, indexDir: String, k: Int = 0,
-                   iters: Int = 2, pqM: Int = 0, pqK: Int = 16): DataFrame = {
+                   iters: Int = 2, pqM: Int = 0, pqK: Int = 16,
+                   vocab: VocabCache = new VocabCache): DataFrame = {
     val spark = batch.sparkSession
     // Centroid bootstrap: the first batch trains and persists the
     // codebook for the index's lifetime. Training is deterministic
@@ -73,13 +92,18 @@ object VectorIndexStream {
     if (!exists(spark, centroidsPath(indexDir)))
       graft.api.Graft.trainIvfCentroids(batch, idCol, vecCol, k, iters)
         .write.mode("overwrite").parquet(centroidsPath(indexDir))
-    val cents = readCentroids(spark, indexDir)
+    if (vocab.cents == null)
+      vocab.cents = readCentroids(spark, indexDir)
+    val cents = vocab.cents
     val assigned = graft.api.Graft
       .ivfAssign(batch, idCol, vecCol, cents, "cid", "cv")
     val out = if (pqM <= 0) assigned else {
       import graft.operators.PersistedVectorIndex
-      // bounded driver metadata: the stored centroid width fixes dim
-      val dim = cents.select(size(col("cv")).as("_n")).head().getInt(0)
+      // bounded driver metadata: the stored centroid width fixes dim —
+      // resolved once per stream (frozen with the centroids)
+      if (vocab.dim < 0)
+        vocab.dim = cents.select(size(col("cv")).as("_n")).head().getInt(0)
+      val dim = vocab.dim
       require(pqM > 0 && dim % pqM == 0,
         s"dim $dim must divide into pqM=$pqM subspaces")
       val sub = dim / pqM
@@ -93,21 +117,25 @@ object VectorIndexStream {
       if (!exists(spark, codebookPath(indexDir)))
         PersistedVectorIndex.codebookRows(withRes, idCol, pqM, sub, pqK)
           .coalesce(1).write.mode("overwrite").parquet(codebookPath(indexDir))
-      val cbkRows = spark.read.parquet(codebookPath(indexDir))
-      // Fail fast on a degenerate codebook (bounded driver metadata:
-      // ≤ pqM rows). The seeds are the creating batch's id < pqK rows —
-      // if that batch had none, every subspace is empty and
-      // encodeWithCodebook's argmin over an empty filter would write
-      // NULL code columns for every row: silent recall loss in later
-      // ADC probes. Mirrors the raise_error guard in LlmQueries.pqTopK.
-      val perSub = cbkRows.groupBy(col("s")).agg(count(lit(1)).as("n"))
-        .collect()
-      require(perSub.length == pqM && perSub.forall(_.getLong(1) > 0),
-        s"codebook at ${codebookPath(indexDir)} covers ${perSub.length} " +
-          s"of $pqM subspaces — the creating batch contained no rows " +
-          s"with $idCol < $pqK, so PQ codes would encode as NULL; " +
-          "rebuild the index from a batch that carries the seed ids")
-      PersistedVectorIndex.encodeWithCodebook(withRes, cbkRows, pqM, sub)
+      if (vocab.cbkRows == null) {
+        val cbkRows = spark.read.parquet(codebookPath(indexDir))
+        // Fail fast on a degenerate codebook (bounded driver metadata:
+        // ≤ pqM rows, checked once per stream — the codebook is frozen).
+        // The seeds are the creating batch's id < pqK rows — if that
+        // batch had none, every subspace is empty and
+        // encodeWithCodebook's argmin over an empty filter would write
+        // NULL code columns for every row: silent recall loss in later
+        // ADC probes. Mirrors the raise_error guard in LlmQueries.pqTopK.
+        val perSub = cbkRows.groupBy(col("s")).agg(count(lit(1)).as("n"))
+          .collect()
+        require(perSub.length == pqM && perSub.forall(_.getLong(1) > 0),
+          s"codebook at ${codebookPath(indexDir)} covers ${perSub.length} " +
+            s"of $pqM subspaces — the creating batch contained no rows " +
+            s"with $idCol < $pqK, so PQ codes would encode as NULL; " +
+            "rebuild the index from a batch that carries the seed ids")
+        vocab.cbkRows = cbkRows
+      }
+      PersistedVectorIndex.encodeWithCodebook(withRes, vocab.cbkRows, pqM, sub)
         .drop("vq", "r", "cq")
     }
     out.write.mode("overwrite").partitionBy("cluster")
@@ -132,18 +160,22 @@ object VectorIndexStream {
             iters: Int = 2, pqM: Int = 0, pqK: Int = 16,
             maintainEvery: Int = 0,
             policy: graft.api.Graft.MaintenancePolicy =
-              graft.api.Graft.MaintenancePolicy()): StreamingQuery =
+              graft.api.Graft.MaintenancePolicy()): StreamingQuery = {
+    // frozen-vocabulary frames + guards resolve ONCE per stream run
+    val vocab = new VocabCache
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b, id, idCol, vecCol, indexDir, k, iters, pqM, pqK): Unit
+        processBatch(b, id, idCol, vecCol, indexDir, k, iters, pqM, pqK,
+          vocab): Unit
         if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
           graft.api.Graft.maintain(b.sparkSession,
             indexRoots = Seq(indexDir), policy = policy): Unit
       }
       .start()
+  }
 
   /** Create the index: train and persist its vocabularies (IVF centroid
     * table, and for `pqM` > 0 the TRAINED residual codebook) from
