@@ -1321,9 +1321,16 @@ object Graft {
     * via their store-specific wrappers (which pass the default) or a
     * re-bucketing fold ([[rebucketIndexTiered]]), and in the meantime
     * only under-consolidate, never mis-prune. */
-  def compactIndex(spark: SparkSession, root: String): Int =
-    graft.streaming.IndexCompaction.compact(spark, root) +
-      graft.streaming.IdSidecar.compact(spark, root)
+  def compactIndex(spark: SparkSession, root: String): Int = {
+    // The band-run fold and the `_ids` sidecar fold touch disjoint
+    // subtrees (the sidecar is underscore-hidden from the root's run
+    // listing) — overlap them (r18, guide §2.6).
+    val folded = new Array[Int](2)
+    graft.streaming.BatchPar.run(
+      () => folded(0) = graft.streaming.IndexCompaction.compact(spark, root),
+      () => folded(1) = graft.streaming.IdSidecar.compact(spark, root))
+    folded(0) + folded(1)
+  }
 
   /** Size-tiered compaction of a streaming index root and its `_ids`
     * sidecar — the 100-TB schedule: merge at most `fanIn` similar-sized
@@ -1359,12 +1366,17 @@ object Graft {
       fanIn: Int = 4, keepNewest: Int = 1,
       maxRunBytes: Long = Long.MaxValue)
       : graft.streaming.IndexCompaction.TieredStats = {
-    val idx = graft.streaming.IndexCompaction
-      .compactTiered(spark, root, fanIn, keepNewest,
-        maxRunBytes = maxRunBytes)
-    idx + graft.streaming.IndexCompaction.compactTiered(spark,
-      graft.streaming.IdSidecar.root(root), fanIn, keepNewest,
-      maxRunBytes = maxRunBytes)
+    // disjoint subtrees (root's `batch=` runs vs the underscore-hidden
+    // `_ids` sidecar) — overlap the two bounded folds (r18, guide §2.6)
+    val stats = Array.fill(2)(graft.streaming.IndexCompaction.TieredStats(0, 0, 0, 0L))
+    graft.streaming.BatchPar.run(
+      () => stats(0) = graft.streaming.IndexCompaction
+        .compactTiered(spark, root, fanIn, keepNewest,
+          maxRunBytes = maxRunBytes),
+      () => stats(1) = graft.streaming.IndexCompaction.compactTiered(spark,
+        graft.streaming.IdSidecar.root(root), fanIn, keepNewest,
+        maxRunBytes = maxRunBytes))
+    stats(0) + stats(1)
   }
 
   /** Raise (or set) the bucket fan-out NEW runs of a bucket-partitioned
@@ -1474,61 +1486,86 @@ object Graft {
       labelDirs: Seq[String] = Nil,
       snapshotRoots: Seq[String] = Nil,
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceStats = {
-    import graft.streaming.{ClusterStream, IndexCompaction}
+    import graft.streaming.{BatchPar, ClusterStream, IndexCompaction}
     var idx = IndexCompaction.TieredStats(0, 0, 0, 0L)
     var lbl = IndexCompaction.TieredStats(0, 0, 0, 0L)
     var refreshed = 0
     var retired = 0
     var pruned = 0
     var mono = 0
+    // A tick's per-root verbs are single-writer PER ROOT and no verb
+    // reads another root's state, so DISTINCT roots contract
+    // concurrently (r18, guide §2.6 — [[graft.streaming.BatchPar]]):
+    // a dedup-stream tick folds its band store, sidecar, and pair log
+    // as overlapping lanes instead of a driver-serial chain of bounded
+    // folds. The .distinct keeps a repeated root single-writer (its
+    // second fold was a sequential no-op before; concurrent manifest
+    // swaps on ONE root would race).
+    val iRoots = indexRoots.distinct
+    val lRoots = labelDirs.distinct
     if (policy.contractNow) {
-      indexRoots.foreach(r => compactIndex(spark, r): Unit)
-      labelDirs.foreach(l => ClusterStream.compactState(spark, l): Unit)
+      val lanes =
+        iRoots.map(r => () => { compactIndex(spark, r): Unit }) ++
+          lRoots.map(l => () => { ClusterStream.compactState(spark, l): Unit })
+      if (lanes.nonEmpty) BatchPar.run(lanes: _*)
     } else {
-      indexRoots.foreach { r =>
-        idx += compactIndexTiered(spark, r, policy.fanIn,
-          keepNewest = 1, policy.maxRunBytes)
+      val iStats = Array.fill(iRoots.size)(IndexCompaction.TieredStats(0, 0, 0, 0L))
+      // (tiered stats, refreshed, retired, monolithic) per label root
+      val lStats = Array.fill(lRoots.size)(
+        (IndexCompaction.TieredStats(0, 0, 0, 0L), 0, 0, 0))
+      val indexLanes: Seq[() => Unit] = iRoots.zipWithIndex.map {
+        case (r, i) => () => {
+          iStats(i) = compactIndexTiered(spark, r, policy.fanIn,
+            keepNewest = 1, policy.maxRunBytes)
+        }
       }
-      labelDirs.foreach { l =>
-        // Contraction pressure is EITHER signal (r17 ADVICE): alias
-        // partials (merge-event generations) OR committed delta run
-        // count. A merge-free workload writes a delta run per batch
-        // but may never trip the alias budget — without the run-count
-        // term, a small state under the monolithic threshold would
-        // accumulate one tiny run per batch indefinitely. The bound
-        // mirrors the tiered invariant: the tiered schedule keeps run
-        // count ≤ ~fanIn·log(levels), so fanIn·aliasPartialBudget runs
-        // is well past "a fold is due".
-        val pressure =
-          ClusterStream.aliasPartials(spark, l) > policy.aliasPartialBudget ||
-            ClusterStream.deltaRuns(spark, l) >
-              policy.fanIn * policy.aliasPartialBudget
-        // Below the measured crossover the monolithic verb is the
-        // better schedule on BOTH total cost and max pause (see
-        // MaintenancePolicy.monolithicBelowBytes): contract in one
-        // small barrier when pressure trips, skip the tiered+refresh
-        // machinery entirely. Above it, bounded folds + the refresh
-        // budget keep every pause ≤ one tier's rewrite. The tick may
-        // run INSIDE foreachBatch (the auto-tick), so the barrier must
-        // be the REPLAY-SAFE newest−1 fold — compactState's
-        // newest-inclusive closure would make a replayed batch find
-        // its merges pre-applied and rewrite different partials
-        // (LabelLog.compactStateSafe's scaladoc has the full argument).
-        if (ClusterStream.stateBytes(spark, l) < policy.monolithicBelowBytes) {
-          if (pressure) {
-            ClusterStream.compactStateSafe(spark, l): Unit
-            mono += 1
-          }
-        } else {
-          lbl += ClusterStream.compactStateTiered(spark, l, policy.fanIn,
-            policy.maxRunBytes)
-          if (pressure) {
-            val (rf, rt) = ClusterStream.refreshState(spark, l,
-              policy.refreshRuns)
-            refreshed += rf
-            retired += rt
+      val labelLanes: Seq[() => Unit] = lRoots.zipWithIndex.map {
+        case (l, i) => () => {
+          // Contraction pressure is EITHER signal (r17 ADVICE): alias
+          // partials (merge-event generations) OR committed delta run
+          // count. A merge-free workload writes a delta run per batch
+          // but may never trip the alias budget — without the run-count
+          // term, a small state under the monolithic threshold would
+          // accumulate one tiny run per batch indefinitely. The bound
+          // mirrors the tiered invariant: the tiered schedule keeps run
+          // count ≤ ~fanIn·log(levels), so fanIn·aliasPartialBudget runs
+          // is well past "a fold is due".
+          val pressure =
+            ClusterStream.aliasPartials(spark, l) > policy.aliasPartialBudget ||
+              ClusterStream.deltaRuns(spark, l) >
+                policy.fanIn * policy.aliasPartialBudget
+          // Below the measured crossover the monolithic verb is the
+          // better schedule on BOTH total cost and max pause (see
+          // MaintenancePolicy.monolithicBelowBytes): contract in one
+          // small barrier when pressure trips, skip the tiered+refresh
+          // machinery entirely. Above it, bounded folds + the refresh
+          // budget keep every pause ≤ one tier's rewrite. The tick may
+          // run INSIDE foreachBatch (the auto-tick), so the barrier must
+          // be the REPLAY-SAFE newest−1 fold — compactState's
+          // newest-inclusive closure would make a replayed batch find
+          // its merges pre-applied and rewrite different partials
+          // (LabelLog.compactStateSafe's scaladoc has the full argument).
+          if (ClusterStream.stateBytes(spark, l) < policy.monolithicBelowBytes) {
+            if (pressure) {
+              ClusterStream.compactStateSafe(spark, l): Unit
+              lStats(i) = (lStats(i)._1, 0, 0, 1)
+            }
+          } else {
+            val st = ClusterStream.compactStateTiered(spark, l, policy.fanIn,
+              policy.maxRunBytes)
+            if (pressure) {
+              val (rf, rt) = ClusterStream.refreshState(spark, l,
+                policy.refreshRuns)
+              lStats(i) = (st, rf, rt, 0)
+            } else lStats(i) = (st, 0, 0, 0)
           }
         }
+      }
+      if (iRoots.nonEmpty || lRoots.nonEmpty)
+        BatchPar.run(indexLanes ++ labelLanes: _*)
+      iStats.foreach(idx += _)
+      lStats.foreach { case (st, rf, rt, m) =>
+        lbl += st; refreshed += rf; retired += rt; mono += m
       }
     }
     snapshotRoots.foreach(r =>
