@@ -16,9 +16,13 @@ import graft.Session
   * the pair-log write, the index append, the label advance) and on the
   * gate's quiesce-time contraction; the serving collect is timed here.
   * Every phase second is nested inside the gate's wall clock by
-  * construction, so `scaffolding = gate_total − Σ phases` is the
-  * genuine trigger/checkpoint/offset-log overhead and CANNOT go
-  * negative — the profile stays trustworthy when margins are thin.
+  * construction. Since r18's [[BatchPar]] lanes, the pairs_write +
+  * label_advance chain and the index_append phase run CONCURRENTLY, so
+  * Σ phases can legitimately exceed the wall and
+  * `scaffolding = gate_total − Σ phases` can go NEGATIVE — it now
+  * reads as (trigger/checkpoint overhead − wall-clock won by overlap),
+  * not as pure scaffolding. Per-phase numbers stay exact (each timer
+  * wraps its own lane).
   *
   * Usage: `runMain graft.streaming.PhaseLabelGate [sfDir] [outJson]`
   * (defaults /root/testdata/sf0.1, PHASE_LABELGATE.json). Run it alone
