@@ -551,8 +551,7 @@ object Graft {
     * can never drift on a near-tie. */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cidCol: String,
-                cvecCol: String): DataFrame = {
-    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
+                cvecCol: String): DataFrame =
     // MAP-SIDE argmax (r18, guide §2.3/§2.4 — see
     // [[graft.operators.LlmQueries.kmeansAssign]], the shared form):
     // the centroid table folds to a 1-row broadcast carrying
@@ -561,13 +560,33 @@ object Graft {
     // shuffled K copies of every embedding per assignment (one Exchange
     // + Sort, gone). Same rounding, same lower-cid tie-break,
     // NaN-consistent — bit-identical assignments.
-    val cents = centroids
-      .select(col(cidCol).as("_cid"), col(cvecCol).as("_cv"))
-      .withColumn("_cnorm", expr("sqrt(dot_f32(_cv, _cv))"))
+    ivfAssignRow(vectors, vecCol,
+      ivfCentsRow(vectors.sparkSession, centroids, cidCol, cvecCol))
+
+  /** The centroid table folded to the assignment's 1-row
+    * array<struct<cid, cv, cnorm>> frame — split out (r19) so a
+    * streaming maintainer can fold ONCE per stream run (and localize it
+    * via [[graft.operators.Materialize.local]]) instead of re-running
+    * the fold + its broadcast build as fresh jobs every micro-batch. */
+  private[graft] def ivfCentsRow(spark: SparkSession, centroids: DataFrame,
+      cidCol: String, cvecCol: String): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(spark)
+    graft.operators.LlmQueries.centroidsRow(
+      centroids
+        .select(col(cidCol).as("_cid"), col(cvecCol).as("_cv"))
+        .withColumn("_cnorm", expr("sqrt(dot_f32(_cv, _cv))")),
+      "_cid", "_cv", "_cnorm")
+  }
+
+  /** [[ivfAssign]] against a PRE-FOLDED 1-row centroid frame — the
+    * per-batch body; bit-identical output to [[ivfAssign]] by
+    * construction (same fold, same argmax expression). */
+  private[graft] def ivfAssignRow(vectors: DataFrame, vecCol: String,
+      centsRow: DataFrame): DataFrame = {
+    graft.functions.DotF32.ensureRegistered(vectors.sparkSession)
     vectors
       .withColumn("_norm", expr(s"sqrt(dot_f32($vecCol, $vecCol))"))
-      .crossJoin(broadcast(graft.operators.LlmQueries.centroidsRow(
-        cents, "_cid", "_cv", "_cnorm")))
+      .crossJoin(broadcast(centsRow))
       .withColumn("cluster",
         graft.operators.LlmQueries.bestCentroidExpr(vecCol, "_norm"))
       .drop("_cents", "_norm")
@@ -1501,12 +1520,26 @@ object Graft {
     // folds. The .distinct keeps a repeated root single-writer (its
     // second fold was a sequential no-op before; concurrent manifest
     // swaps on ONE root would race).
+    // Single-writer must also hold ACROSS the two lists (r19, ADVICE): a
+    // root present in BOTH indexRoots and labelDirs would otherwise get
+    // its index fold and its label contraction as two concurrent lanes
+    // on ONE root — the manifest-swap race the per-list .distinct
+    // guards against. Colliding roots fuse into one sequential lane.
     val iRoots = indexRoots.distinct
     val lRoots = labelDirs.distinct
+    val collide = iRoots.toSet.intersect(lRoots.toSet)
+    def fuseLanes(iLanes: Seq[() => Unit], lLanes: Seq[() => Unit])
+        : Seq[() => Unit] = {
+      val iByRoot = iRoots.zip(iLanes).toMap
+      val lByRoot = lRoots.zip(lLanes).toMap
+      iRoots.filterNot(collide).map(iByRoot) ++
+        lRoots.filterNot(collide).map(lByRoot) ++
+        collide.toSeq.map(r => () => { iByRoot(r)(); lByRoot(r)() })
+    }
     if (policy.contractNow) {
-      val lanes =
-        iRoots.map(r => () => { compactIndex(spark, r): Unit }) ++
-          lRoots.map(l => () => { ClusterStream.compactState(spark, l): Unit })
+      val lanes = fuseLanes(
+        iRoots.map(r => () => { compactIndex(spark, r): Unit }),
+        lRoots.map(l => () => { ClusterStream.compactState(spark, l): Unit }))
       if (lanes.nonEmpty) BatchPar.run(lanes: _*)
     } else {
       val iStats = Array.fill(iRoots.size)(IndexCompaction.TieredStats(0, 0, 0, 0L))
@@ -1562,7 +1595,7 @@ object Graft {
         }
       }
       if (iRoots.nonEmpty || lRoots.nonEmpty)
-        BatchPar.run(indexLanes ++ labelLanes: _*)
+        BatchPar.run(fuseLanes(indexLanes, labelLanes): _*)
       iStats.foreach(idx += _)
       lStats.foreach { case (st, rf, rt, m) =>
         lbl += st; refreshed += rf; retired += rt; mono += m

@@ -1173,19 +1173,24 @@ object LlmQueries {
     * materialize once per centroid via `transform`; the fold keeps the
     * (sim desc, cid asc) max. The init element is the array's head at
     * sim −2 (below any cosine, and NaN beats it too), so the result
-    * type follows the data and an empty centroid table yields NULL —
-    * degenerate-only (training seeds from the data, so centroids are
-    * empty only when the corpus is). */
+    * type follows the data. An EMPTY centroid table is degenerate-only
+    * (training seeds from the data, so centroids are empty only when
+    * the corpus is — and then no row evaluates this at all); rather
+    * than silently emitting a NULL cluster for every vector (or
+    * throwing from `element_at` under ANSI), the guard raises
+    * explicitly (r19, ADVICE). */
   private[graft] def bestCentroidExpr(vecCol: String,
       normCol: String): org.apache.spark.sql.Column = expr(
-    s"""aggregate(
+    s"""CASE WHEN size(_cents) = 0 THEN
+       |  raise_error('bestCentroidExpr: empty centroid table — cannot assign a non-empty corpus')
+       |ELSE aggregate(
        |  transform(_cents, x -> struct(
        |    round(${dotSpark(vecCol, "x.cv")} / ($normCol * x.cnorm), 6) AS s,
        |    x.cid AS c)),
        |  struct(CAST(-2.0 AS DOUBLE) AS s, element_at(_cents, 1).cid AS c),
        |  (acc, y) -> CASE
        |    WHEN y.s > acc.s OR (y.s = acc.s AND y.c < acc.c) THEN y
-       |    ELSE acc END).c""".stripMargin)
+       |    ELSE acc END).c END""".stripMargin)
 
   /** One Lloyd's recompute step: centroids as element-wise means with the
     * exact-integer quantized-sum discipline (see [[qIvfKmeans]] doc). */

@@ -31,6 +31,23 @@ private[graft] object Materialize {
       df.localCheckpoint()
     else df.checkpoint()
 
+  /** Rebuild a BOUNDED frame as a driver-LOCAL relation (r19 — guide
+    * §3.1, the s_ann_index broadcast-rebuild finding): collect its rows
+    * once and serve them as a LocalRelation, so every later broadcast
+    * of the frame — or of a plan-time-foldable projection over it —
+    * builds straight from driver memory instead of re-running the
+    * frame's full plan (parquet read + fold + exchange) as fresh Spark
+    * jobs on EVERY action that references it. The streaming vocabulary
+    * caches use it for state frozen at index creation (bounded by
+    * construction: K = ⌈√N⌉ centroid rows, ≤ m·k codebook rows —
+    * exactly the bytes every per-batch broadcast already shipped
+    * through the driver, now shipped once per stream run instead of
+    * once per micro-batch). The caller owns the boundedness argument. */
+  def local(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Materialize `df` AND report whether any row satisfied `flag` — off
     * a task-side accumulator populated by the SAME materializing job,
     * so the emptiness/progress probes of iterative drivers (the alias

@@ -235,10 +235,22 @@ private[graft] object PersistedVectorIndex {
     * gain `code0..code(m−1)` by per-subspace argmin over the 1-row
     * broadcast codebook (lexicographic struct min, ties on code id). */
   private[graft] def encodeWithCodebook(withRes: DataFrame,
-      cbkRows: DataFrame, m: Int, sub: Int): DataFrame = {
-    val cbk = cbkRows.groupBy()
+      cbkRows: DataFrame, m: Int, sub: Int): DataFrame =
+    encodeWithFoldedCodebook(withRes, foldCodebook(cbkRows), m, sub)
+
+  /** The codebook rows folded to the encode's 1-row `cbk` frame — split
+    * out (r19) so a streaming maintainer can fold ONCE per stream run
+    * (localized via [[Materialize.local]]) instead of re-running the
+    * fold + broadcast build as fresh jobs every micro-batch. */
+  private[graft] def foldCodebook(cbkRows: DataFrame): DataFrame =
+    cbkRows.groupBy()
       .agg(sort_array(collect_list(struct(col("s"), col("c"), col("w"))))
         .as("cbk"))
+
+  /** [[encodeWithCodebook]] against a PRE-FOLDED 1-row codebook frame —
+    * bit-identical output by construction (same fold, same argmin). */
+  private[graft] def encodeWithFoldedCodebook(withRes: DataFrame,
+      cbk: DataFrame, m: Int, sub: Int): DataFrame =
     (0 until m).foldLeft(withRes.crossJoin(broadcast(cbk))) {
       case (df, i) =>
         df.withColumn(s"code$i", expr(
@@ -246,7 +258,6 @@ private[graft] object PersistedVectorIndex {
             s"${l2i(s"slice(r, ${i * sub} + 1, $sub)", "w.w")} AS d, " +
             s"w.c AS c))).c"))
     }.drop("cbk")
-  }
 
   /** The shared PQ encode: [[codebookRows]] derived from the frame
     * itself, then [[encodeWithCodebook]]. Returns (codebook rows,

@@ -32,8 +32,21 @@ package graft.streaming
   *
   * Error contract: every lane runs to completion (a half-submitted lane
   * set would leave Spark jobs racing the stream's failure handling),
-  * then the FIRST failure rethrows on the calling thread — foreachBatch
-  * fails the batch and the replay rewrites all lanes, committed or not.
+  * then the FIRST failure rethrows on the calling thread — with any
+  * later lanes' failures attached via `addSuppressed` — and foreachBatch
+  * fails the batch; the replay rewrites all lanes, committed or not.
+  *
+  * Interrupt contract (r19 — the r18 `sbt test` shutdown crash): the
+  * join loop is UNINTERRUPTIBLE. An interrupt of the calling thread
+  * (stream stop, suite teardown) must not orphan still-running lanes —
+  * a leaked lane keeps submitting parquet writes past SparkSession /
+  * JVM shutdown (the observed `SparkShutdownHookManager` crash over an
+  * in-flight `FileFormatWriter` job). On interrupt we forward the
+  * interrupt to every lane thread (so a lane blocked in an
+  * interruptible Spark wait aborts promptly), KEEP joining until all
+  * lanes have exited, and only then restore the caller's interrupt flag.
+  * Lanes are non-daemon so an in-flight write blocks JVM exit instead
+  * of racing it.
   *
   * Plain threads, one per lane (lanes are 2-3 driver-side action chains;
   * a pool would outlive the batch and pin its inherited thread-locals).
@@ -45,20 +58,38 @@ private[graft] object BatchPar {
   def run(lanes: (() => Unit)*): Unit = {
     require(lanes.nonEmpty, "BatchPar.run: no lanes")
     if (lanes.lengthCompare(1) == 0) { lanes.head.apply(); return }
-    val firstError =
-      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = lanes.zipWithIndex.map { case (lane, i) =>
       val t = new Thread(
         () => try lane() catch {
-          case e: Throwable => firstError.compareAndSet(null, e): Unit
+          case e: Throwable => errors.add(e): Unit
         },
         s"graft-batch-par-$i")
-      t.setDaemon(true)
+      t.setDaemon(false)
       t.start()
       t
     }
-    threads.foreach(_.join())
-    val e = firstError.get()
-    if (e != null) throw e
+    // Uninterruptible join: never return (or throw) with a lane still
+    // running. On interrupt, forward it to the lanes and keep waiting.
+    var interrupted = false
+    threads.foreach { t =>
+      var joined = false
+      while (!joined) {
+        try { t.join(); joined = true }
+        catch {
+          case _: InterruptedException =>
+            interrupted = true
+            threads.foreach(_.interrupt())
+        }
+      }
+    }
+    if (interrupted) Thread.currentThread().interrupt()
+    val it = errors.iterator()
+    if (it.hasNext) {
+      val first = it.next()
+      while (it.hasNext) first.addSuppressed(it.next())
+      throw first
+    }
   }
 }

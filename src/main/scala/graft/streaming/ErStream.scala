@@ -58,27 +58,42 @@ object ErStream {
       pairsDir: String, labelsDir: String): Unit = {
     val t0 = System.nanoTime()
     val s = mentions.sparkSession
-    val newPairs = FuzzyJoin.editJoin1(catalog, "entity_id", "ename",
-      mentions, "mention_id", "mname")
-    newPairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    // Re-read the committed partial: the projection and the closure then
-    // scan parquet instead of re-running the blocking chain twice.
-    val committed = s.read.parquet(s"$pairsDir/batch=$batchId")
-    val newEdges = FuzzyJoin.entityProjection(committed)
-    // Advance the snapshot by CONTRACTION (FuzzyJoin.closeWithNewEdges):
-    // the per-batch closure runs over the O(batch) contracted component
-    // graph, never the entity-sized star graph. Batch 0 (or a catalog
-    // that grew since `prev`) starts from singleton labels via the
-    // left-join seed.
-    val prevLabels = prevSnapshot(s, labelsDir, batchId) match {
-      case Some(prev) => s.read.parquet(s"$labelsDir/batch=$prev")
-      case None => catalog.select(col("entity_id").as("id"),
-        col("entity_id").as("comp")).limit(0)
-    }
-    val seeded = graft.operators.ConnectedComponents.seedLabels(
-      catalog.select(col("entity_id")), prevLabels)
-    FuzzyJoin.closeWithNewEdges(seeded, newEdges)
-      .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+    // Materialized ONCE (r19, guide §2.6): the blocking chain runs a
+    // single time and BOTH consumers — the pair-log write and the label
+    // advance — read the checkpointed rows. The pre-r19 form serialized
+    // them through parquet (write, then re-read the committed partial),
+    // which made the advance DEPEND on the write; off the materialized
+    // frame the two touch disjoint roots (pairs vs labels) and overlap
+    // as [[BatchPar]] lanes, the discipline every other maintenance
+    // stream already runs. Same rows either way — the write persists
+    // exactly the frame the projection reads.
+    val newPairs = graft.operators.Materialize(
+      FuzzyJoin.editJoin1(catalog, "entity_id", "ename",
+        mentions, "mention_id", "mname"))
+    // Replay safety is unchanged: both writes are `batch=<id>`-keyed
+    // OVERWRITEs on roots the other lane never touches, and the label
+    // lane's reads (prev snapshot < batchId, the static catalog) are
+    // independent of the pair lane's output.
+    BatchPar.run(
+      () => newPairs.write.mode("overwrite")
+        .parquet(s"$pairsDir/batch=$batchId"),
+      () => {
+        val newEdges = FuzzyJoin.entityProjection(newPairs)
+        // Advance the snapshot by CONTRACTION
+        // (FuzzyJoin.closeWithNewEdges): the per-batch closure runs over
+        // the O(batch) contracted component graph, never the
+        // entity-sized star graph. Batch 0 (or a catalog that grew since
+        // `prev`) starts from singleton labels via the left-join seed.
+        val prevLabels = prevSnapshot(s, labelsDir, batchId) match {
+          case Some(prev) => s.read.parquet(s"$labelsDir/batch=$prev")
+          case None => catalog.select(col("entity_id").as("id"),
+            col("entity_id").as("comp")).limit(0)
+        }
+        val seeded = graft.operators.ConnectedComponents.seedLabels(
+          catalog.select(col("entity_id")), prevLabels)
+        FuzzyJoin.closeWithNewEdges(seeded, newEdges)
+          .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+      })
     if (sys.env.contains("GRAFT_TRACE"))
       System.err.println(
         f"[er_stream] batch $batchId ${(System.nanoTime() - t0) / 1e9}%.2f s")
