@@ -201,6 +201,32 @@ object LlmQueries {
       .repartition(col("doc_id")))
   }
 
+  /** [[minhashMaterializedSpread]] that ALSO collects, off the SAME
+    * materializing job, the distinct-int sets each probe column's array
+    * evaluates to (r19, guide §1.5/§2.6 — [[Materialize.withIntSets]]):
+    * the streaming maintainers' per-batch bucket collects (band `bb`,
+    * sidecar `ib`) ride the signature checkpoint instead of costing a
+    * separate distinct+collect action each. */
+  private[graft] def minhashMaterializedSpreadWithSets(docs: DataFrame,
+      idCol: String, textCol: String,
+      probes: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, Seq[Seq[Int]]) = {
+    val spread = graft.Tables.spread(docs.sparkSession,
+      docs.select(col(idCol), col(textCol)))
+    Materialize.withIntSets(signaturePlan(spread, idCol, textCol)
+      .repartition(col("doc_id")), probes)
+  }
+
+  /** The band-bucket probe column at count `n` over a (…, sig) row: the
+    * array of the row's [[Bands]] band-key buckets — the EXACT band keys
+    * of [[lshBandsFromSig]] (same [[bandStructsExpr]]) under the EXACT
+    * bucket arithmetic of [[graft.streaming.DedupStream]]'s bandBucket
+    * (crc32 mod n, int-cast), so the accumulated set equals what
+    * `BucketMeta.bucketsOf` collects over the derived band rows. */
+  private[graft] def bandBucketsCol(n: Int): org.apache.spark.sql.Column =
+    expr(s"transform(array($bandStructsExpr), " +
+      s"x -> cast(pmod(crc32(x.bkey), ${n}L) AS int))")
+
   /** The one-pass (doc_id, hs, sig) plan the materialization executes. */
   private def signaturePlan(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

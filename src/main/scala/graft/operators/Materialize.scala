@@ -83,4 +83,69 @@ private[graft] object Materialize {
         org.apache.spark.sql.functions.lit(false)))))
     (out.drop(probeCol), acc.value > 0L)
   }
+
+  /** Task-side distinct-int set — the accumulator behind [[withIntSets]].
+    * Dedup happens inside each task (a ConcurrentHashMap key set), so a
+    * task ships at most |bucket space| values to the driver no matter
+    * how many rows it saw; merges are set unions. Retried/speculative
+    * tasks re-adding the same values are harmless — only membership is
+    * ever read, never a count. */
+  private final class IntSetAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Int, java.util.Set[Int]] {
+    private val set = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def isZero: Boolean = set.isEmpty
+    override def copy(): IntSetAccumulator = {
+      val a = new IntSetAccumulator
+      a.set.addAll(set)
+      a
+    }
+    override def reset(): Unit = set.clear()
+    override def add(v: Int): Unit = { set.add(v): Unit }
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[Int, java.util.Set[Int]])
+        : Unit = set.addAll(other.value): Unit
+    override def value: java.util.Set[Int] = set
+  }
+
+  /** Materialize `df` AND collect, off the SAME materializing job, the
+    * distinct int values each probe column's array evaluates to — the
+    * r19 fusion of the streaming probes' per-batch bucket collects
+    * (guide §1.5/§2.6): every maintenance probe used to run a separate
+    * `distinct().collect()` Spark action per bucket scheme (band `bb`,
+    * sidecar `ib`, label `lb`) just to learn which partitions the batch
+    * touches — at micro-batch scale each of those actions is 2-3 jobs
+    * of pure scheduling constant over data the materializing job had
+    * already seen. Each probe column must evaluate to `array<int>` OVER
+    * THE SAME ROWS the frame materializes, using the scheme's exact
+    * bucket arithmetic — the returned sets are then exactly (or, where
+    * a caller over-includes endpoints, a superset of) what the separate
+    * collect produced, and partition-prune consumers tolerate supersets
+    * by construction. The probe UDF is non-deterministic (never folded,
+    * reordered, or elided) and its column is dropped after
+    * materialization; accumulator double-adds from retried tasks are
+    * harmless because only set membership is read. */
+  def withIntSets(df: DataFrame,
+      probes: Seq[Column]): (DataFrame, Seq[Seq[Int]]) = {
+    if (probes.isEmpty) return (apply(df), Nil)
+    val spark = df.sparkSession
+    val names = Iterator.from(0).map(i => s"_graft_set_$i")
+      .filterNot(df.columns.contains).take(probes.size).toSeq
+    val accs = probes.map { _ =>
+      val a = new IntSetAccumulator
+      spark.sparkContext.register(a, "graft_int_set")
+      a
+    }
+    val withProbes = probes.zip(accs).zip(names)
+      .foldLeft(df) { case (d, ((p, acc), name)) =>
+        val probe = udf { (xs: Seq[Int]) =>
+          if (xs != null) xs.foreach(acc.add)
+          true
+        }.asNondeterministic()
+        d.withColumn(name, probe(p))
+      }
+    val out = apply(withProbes)
+    import scala.jdk.CollectionConverters._
+    (names.foldLeft(out)(_ drop _),
+      accs.map(_.value.asScala.toSeq.sorted))
+  }
 }

@@ -64,12 +64,27 @@ object ClusterStream {
     // see [[LlmQueries.minhashMaterializedSpread]] — a one-file
     // micro-batch ran the shingle+minhash kernels on ONE core (census:
     // a ~1.1 s single-task job per batch at sf0.1).
-    val batchSigx = PhaseClock.timed(labelsDir, "sig_materialize") {
-      LlmQueries.minhashMaterializedSpread(batch, idCol, textCol)
+    // The batch's band-bucket (bb) and sidecar id-bucket (ib) sets
+    // accumulate off the SAME materializing job, and the verified
+    // pairs' endpoint label-buckets (lb) off the probe's own verify
+    // materialization (r19, guide §1.5 — each was a separate
+    // distinct+collect action per batch whose job constant, not data,
+    // was the cost).
+    val nBb = BucketMeta.storeCount(spark, indexDir, DedupStream.BbBuckets)
+    val nIb = BucketMeta.storeCount(spark, IdSidecar.root(indexDir),
+      IdSidecar.Buckets)
+    val nLb = LabelLog.storeBucketCount(spark, labelsDir)
+    val (batchSigx, sigSets) = PhaseClock.timed(labelsDir, "sig_materialize") {
+      LlmQueries.minhashMaterializedSpreadWithSets(batch, idCol, textCol,
+        Seq(LlmQueries.bandBucketsCol(nBb),
+          array(IdSidecar.bucket(col("doc_id"), nIb))))
     }
-    val pairs = PhaseClock.timed(labelsDir, "probe") {
-      DedupStream.probePairs(spark, indexDir, idCol, batchSigx,
-        threshold, batchId)
+    val (pairs, pairSets) = PhaseClock.timed(labelsDir, "probe") {
+      DedupStream.probePairsFused(spark, indexDir, idCol, batchSigx,
+        threshold, batchId,
+        bbPre = Some(nBb -> sigSets.head),
+        pairProbes = Seq(array(LabelLog.lbBucketCol(col("doc_a"), nLb),
+          LabelLog.lbBucketCol(col("doc_b"), nLb))))
     }
     // The batch tail's three state actions overlap where independent
     // (r18, guide §2.6 — see [[BatchPar]]): the pair write feeds the
@@ -93,7 +108,8 @@ object ClusterStream {
           LabelLog.advance(spark, labelsDir, batchId,
             Materialize(batch.select(col(idCol).as("id")).distinct()),
             spark.read.parquet(s"$pairsDir/batch=$batchId")
-              .select(col("doc_a").as("e1"), col("doc_b").as("e2")))
+              .select(col("doc_a").as("e1"), col("doc_b").as("e2")),
+            lbPre = Some(nLb -> pairSets.head))
         }
       },
       // Index EVERY batch doc (labels need full connectivity — see
@@ -103,7 +119,8 @@ object ClusterStream {
       // treating it as prior state.
       () => PhaseClock.timed(labelsDir, "index_append") {
         DedupStream.appendIndex(batchSigx, idCol, indexDir, batchId,
-          exclude = batchSigx.select("doc_id").limit(0))
+          exclude = batchSigx.select("doc_id").limit(0),
+          ibPre = Some(nIb -> sigSets(1)))
       })
   }
 

@@ -142,11 +142,16 @@ object DedupStream {
     * stores (the common case) take the unrestricted fast path. */
   private def indexBandsGrouped(spark: SparkSession, indexDir: String,
       idCol: String, batchBands: DataFrame,
-      excludeBatch: Long): DataFrame = {
+      excludeBatch: Long,
+      bbPre: Option[(Int, Seq[Int])] = None): DataFrame = {
     val groups = BucketMeta.runGroups(spark, indexDir, BbBuckets)
       .toSeq.sortBy(_._1)
     val frames = groups.map { case (n, ids) =>
-      val bbs = BucketMeta.bucketsOf(batchBands, "bkey", n, bandBucket)
+      // r19 (guide §1.5): a group whose count matches the set already
+      // accumulated off the signature materialization skips the
+      // per-batch distinct+collect action; other counts fall back.
+      val bbs = bbPre.filter(_._1 == n).map(_._2.map(x => x: Any))
+        .getOrElse(BucketMeta.bucketsOf(batchBands, "bkey", n, bandBucket))
       indexBandsRead(spark, indexDir, idCol, bbs, excludeBatch,
         onlyBatches = if (groups.size == 1) None else Some(ids))
     }
@@ -166,7 +171,25 @@ object DedupStream {
     */
   private[graft] def probePairs(spark: SparkSession, indexDir: String,
       idCol: String, batchSigx: DataFrame, threshold: Double,
-      excludeBatch: Long): DataFrame = {
+      excludeBatch: Long): DataFrame =
+    probePairsFused(spark, indexDir, idCol, batchSigx, threshold,
+      excludeBatch)._1
+
+  /** [[probePairs]] with the r19 collect-fusion seams (guide §1.5):
+    * `bbPre` is the batch's band-bucket set already accumulated off the
+    * signature materialization (skips the per-batch bb collect when a
+    * run group's count matches); the candidate endpoints' `ib` set is
+    * accumulated off the `cand` materialization this method already
+    * runs (over-inclusive by the batch's own ids — partition pruning
+    * tolerates supersets, and the semi-join keeps row semantics exact);
+    * `pairProbes` ride the final verify materialization and their sets
+    * return alongside the pairs (the label streams' `lb` endpoint
+    * buckets — over-inclusive the same way). */
+  private[graft] def probePairsFused(spark: SparkSession, indexDir: String,
+      idCol: String, batchSigx: DataFrame, threshold: Double,
+      excludeBatch: Long,
+      bbPre: Option[(Int, Seq[Int])] = None,
+      pairProbes: Seq[Column] = Nil): (DataFrame, Seq[Seq[Int]]) = {
     val batchHsx = batchSigx.select("doc_id", "hs")
     val batchIds = batchSigx.select("doc_id")
     // NOT materialized: the band tail is a struct+md5 projection over
@@ -179,30 +202,38 @@ object DedupStream {
     // anti-joined out (a re-crawled id's fresh bands supersede).
     val idxBands =
       if (has)
-        indexBandsGrouped(spark, indexDir, idCol, batchBands, excludeBatch)
+        indexBandsGrouped(spark, indexDir, idCol, batchBands, excludeBatch,
+          bbPre)
           .join(batchIds, Seq("doc_id"), "left_anti")
       else batchBands.limit(0)
     val a = batchBands.alias("a")
     val b = idxBands.unionByName(batchBands).alias("b")
-    val cand = Materialize(a.join(b,
+    // The sidecar store's current count, read driver-side BEFORE the
+    // cand materialization so the candidate endpoints' ib buckets
+    // accumulate off that job instead of a separate collect.
+    val nIb = BucketMeta.storeCount(spark, IdSidecar.root(indexDir),
+      IdSidecar.Buckets)
+    val (cand, candSets) = Materialize.withIntSets(a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct())
-    // ^ materialized: consumed by the bucket collect AND the verify.
+      .distinct(),
+      Seq(array(IdSidecar.bucket(col("doc_a"), nIb),
+        IdSidecar.bucket(col("doc_b"), nIb))))
+    // ^ materialized: consumed by the verify (and the ib set above).
     val oldCand = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .join(batchIds, Seq("doc_id"), "left_anti")
     val hsOld =
       if (has)
         IdSidecar.readForIds(spark, indexDir, "doc_id", oldCand,
-            excludeBatch)
+            excludeBatch, pre = Some(nIb -> candSets.head))
           .selectExpr(s"$idCol AS doc_id", "hs")
           .join(oldCand, Seq("doc_id"), "left_semi")
       else batchHsx.limit(0)
-    Materialize(LlmQueries.verifyJaccard(cand,
-      hsOld.unionByName(batchHsx), threshold))
+    Materialize.withIntSets(LlmQueries.verifyJaccard(cand,
+      hsOld.unionByName(batchHsx), threshold), pairProbes)
   }
 
   /** Append the batch's index state, minus `exclude` — band rows to the
@@ -213,10 +244,11 @@ object DedupStream {
     * duplicates; the label stream ([[ClusterStream]]) excludes nothing
     * (index-ALL). */
   private[streaming] def appendIndex(batchSigx: DataFrame, idCol: String,
-      indexDir: String, batchId: Long, exclude: DataFrame): Unit = {
+      indexDir: String, batchId: Long, exclude: DataFrame,
+      ibPre: Option[(Int, Seq[Int])] = None): Unit = {
     val spark = batchSigx.sparkSession
     val known = IdSidecar.knownIds(spark, indexDir, idCol,
-        batchSigx.select(col("doc_id").as(idCol)), batchId)
+        batchSigx.select(col("doc_id").as(idCol)), batchId, ibPre)
       .select(col(idCol).as("doc_id"))
     // NOT materialized: both writes re-run two small anti-joins over the
     // already-materialized signatures — cheaper than checkpointing the
@@ -284,11 +316,21 @@ object DedupStream {
       }
     // One text pass over the batch; probed AND appended from this —
     // kernel-spread + AQE-coalesced (see minhashMaterializedSpread).
-    val batchSigx = traced("sig_materialize") {
-      LlmQueries.minhashMaterializedSpread(batch, idCol, textCol)
+    // The batch's band-bucket (bb) and id-bucket (ib) sets accumulate
+    // off the SAME materializing job (r19, guide §1.5 — the per-batch
+    // bucket collects were separate distinct+collect actions whose job
+    // constants, not data, were the cost at micro-batch scale).
+    val nBb = BucketMeta.storeCount(spark, indexDir, BbBuckets)
+    val nIb = BucketMeta.storeCount(spark, IdSidecar.root(indexDir),
+      IdSidecar.Buckets)
+    val (batchSigx, sigSets) = traced("sig_materialize") {
+      LlmQueries.minhashMaterializedSpreadWithSets(batch, idCol, textCol,
+        Seq(LlmQueries.bandBucketsCol(nBb),
+          array(IdSidecar.bucket(col("doc_id"), nIb))))
     }
     val pairs = traced("probe") {
-      probePairs(spark, indexDir, idCol, batchSigx, threshold, batchId)
+      probePairsFused(spark, indexDir, idCol, batchSigx, threshold, batchId,
+        bbPre = Some(nBb -> sigSets.head))._1
     }
     // ^ materialized: consumed as pair log + rejection set.
     val rejected = pairs.select(col("doc_b").as("doc_id"))
@@ -301,7 +343,8 @@ object DedupStream {
           .parquet(s"$pairsDir/batch=$batchId")
       },
       () => traced("index_append") {
-        appendIndex(batchSigx, idCol, indexDir, batchId, rejected)
+        appendIndex(batchSigx, idCol, indexDir, batchId, rejected,
+          ibPre = Some(nIb -> sigSets(1)))
       })
     pairs
   }

@@ -59,11 +59,26 @@ object EmbClusterStream {
       s"no planes under $indexDir — create the index first (createIndex)")
     // One sketch pass over the batch (under the stored planes); probed
     // AND appended from this. nPlanes is only read on bootstrap, which
-    // the require above forecloses.
-    val batchSk = EmbDedupStream.sketchBatch(batch, idCol, vecCol,
-      indexDir, nPlanes = 0)
-    val pairs = EmbDedupStream.discoverPairs(batchSk, indexDir,
-      threshold, excludeBatch = batchId)
+    // the require above forecloses. The sb/ib bucket sets ride the
+    // sketch materialization and the endpoint lb set rides the pair
+    // materialization (r19, guide §1.5 — no separate per-batch collect
+    // actions).
+    val nSb = EmbDedupStream.sbStoreCount(spark, indexDir)
+    val nIb = BucketMeta.storeCount(spark, IdSidecar.root(indexDir),
+      IdSidecar.Buckets)
+    val nLb = LabelLog.storeBucketCount(spark, labelsDir)
+    val (batchSk, skSets) = EmbDedupStream.sketchBatchWithSets(batch,
+      idCol, vecCol, indexDir, nPlanes = 0,
+      Seq(org.apache.spark.sql.functions.array(
+        EmbDedupStream.sbBucketCol(nSb)),
+        org.apache.spark.sql.functions.array(
+          IdSidecar.bucket(col("vec_id"), nIb))))
+    val (pairs, pairSets) = EmbDedupStream.discoverPairs(batchSk, indexDir,
+      threshold, excludeBatch = batchId,
+      sbPre = Some(nSb -> skSets.head),
+      pairProbes = Seq(org.apache.spark.sql.functions.array(
+        LabelLog.lbBucketCol(col("vec_a"), nLb),
+        LabelLog.lbBucketCol(col("vec_b"), nLb))))
     // Disjoint-root actions overlap (r18, guide §2.6 — [[BatchPar]]):
     // `pairs` is materialized, so the pair write + label advance lane
     // (pairs + labels roots) and the index append lane (index + sidecar
@@ -79,12 +94,14 @@ object EmbClusterStream {
           graft.operators.Materialize(
             batch.select(col(idCol).as("id")).distinct()),
           spark.read.parquet(s"$pairsDir/batch=$batchId")
-            .select(col("vec_a").as("e1"), col("vec_b").as("e2")))
+            .select(col("vec_a").as("e1"), col("vec_b").as("e2")),
+          lbPre = Some(nLb -> pairSets.head))
       },
       // Index EVERY batch vector (index-ALL — labels need connectivity
       // through duplicates); first-write-wins, replay-safe.
       () => EmbDedupStream.appendIndex(batchSk, indexDir, batchId,
-        exclude = batchSk.select(col("vec_id")).limit(0)))
+        exclude = batchSk.select(col("vec_id")).limit(0),
+        ibPre = Some(nIb -> skSets(1))))
   }
 
   /** Create the index: fix its plane set (plane identity IS index

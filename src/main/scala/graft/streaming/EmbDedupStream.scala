@@ -104,14 +104,39 @@ object EmbDedupStream {
     * replay of batch 0 rewrites identical planes). One sketch pass;
     * callers probe AND append from the returned frame. */
   private[streaming] def sketchBatch(batch: DataFrame, idCol: String,
-      vecCol: String, indexDir: String, nPlanes: Int): DataFrame = {
+      vecCol: String, indexDir: String, nPlanes: Int): DataFrame =
+    sketchBatchWithSets(batch, idCol, vecCol, indexDir, nPlanes, Nil)._1
+
+  /** [[sketchBatch]] that ALSO accumulates, off the SAME materializing
+    * job, the distinct-int sets each probe column's array evaluates to
+    * (r19, guide §1.5 — [[graft.operators.Materialize.withIntSets]]):
+    * the per-batch sketch-bucket (`sb`) and sidecar id-bucket (`ib`)
+    * collects ride the sketch checkpoint instead of costing a separate
+    * distinct+collect action each. */
+  private[streaming] def sketchBatchWithSets(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, nPlanes: Int,
+      probes: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, Seq[Seq[Int]]) = {
     val spark = batch.sparkSession
     if (!hasPlanes(spark, indexDir))
       LlmQueries.derivePlanes(batch, idCol, vecCol, nPlanes)
         .write.mode("overwrite").parquet(planesPath(indexDir))
-    Materialize(
-      LlmQueries.signSketch(batch, idCol, vecCol, readPlanes(spark, indexDir)))
+    Materialize.withIntSets(
+      LlmQueries.signSketch(batch, idCol, vecCol, readPlanes(spark, indexDir)),
+      probes)
   }
+
+  /** The `sb` bucket of a sketch row at count `n`, int-cast for the
+    * set accumulator — value-identical to the store's
+    * `pmod(sketch, n)` (sketches and buckets are non-negative). */
+  private[streaming] def sbBucketCol(n: Int): org.apache.spark.sql.Column =
+    pmod(col("sketch"), lit(n.toLong)).cast("int")
+
+  /** The store count new `sb=` runs are written at — read driver-side
+    * by the collect-fusion callers. */
+  private[streaming] def sbStoreCount(spark: SparkSession,
+      indexDir: String): Int =
+    BucketMeta.storeCount(spark, indexDir, SbBuckets)
 
   /** The probe's index-read frame: only the named sb prefixes, minus
     * `excludeBatch`'s partial — factored out so the plan pin can assert
@@ -136,7 +161,10 @@ object EmbDedupStream {
     * keeps a foreachBatch replay from treating its own about-to-be-
     * overwritten index rows as prior state. */
   private[streaming] def discoverPairs(batchSk: DataFrame, indexDir: String,
-      threshold: Double, excludeBatch: Long): DataFrame = {
+      threshold: Double, excludeBatch: Long,
+      sbPre: Option[(Int, Seq[Int])] = None,
+      pairProbes: Seq[org.apache.spark.sql.Column] = Nil)
+      : (DataFrame, Seq[Seq[Int]]) = {
     val spark = batchSk.sparkSession
     val index =
       if (hasParquet(spark, indexDir)) {
@@ -146,9 +174,14 @@ object EmbDedupStream {
         val groups = BucketMeta.runGroups(spark, indexDir, SbBucketsLegacy)
           .toSeq.sortBy(_._1)
         val frames = groups.map { case (n, ids) =>
-          val sbs = batchSk
-            .select(pmod(col("sketch"), lit(n)).as("sb"))
-            .distinct().collect().map(_.get(0)).toSeq
+          // r19 (guide §1.5): a group at the pre-accumulated count
+          // skips the per-batch distinct+collect (the set rode the
+          // sketch materialization); other counts fall back.
+          val sbs = sbPre.filter(_._1 == n)
+            .map(_._2.map(b => b.toLong: Any))
+            .getOrElse(batchSk
+              .select(pmod(col("sketch"), lit(n)).as("sb"))
+              .distinct().collect().map(_.get(0)).toSeq)
           probeRead(spark, indexDir, sbs, excludeBatch,
             onlyBatches = if (groups.size == 1) None else Some(ids))
         }
@@ -166,14 +199,15 @@ object EmbDedupStream {
     val probe = batchSk
       .selectExpr("vec_id AS _pid", "sketch", "embedding AS _pv",
         "norm AS _pn")
-    Materialize(probe.join(u, Seq("sketch"))
+    Materialize.withIntSets(probe.join(u, Seq("sketch"))
       .filter(col("_uid") =!= col("_pid"))
       .filter(!col("_b") || col("_uid") < col("_pid"))
       .withColumn("sim", expr(
         "round(dot_f32(_uv, _pv) / (_un * _pn), 6)"))
       .filter(col("sim") >= threshold)
       .select(least(col("_uid"), col("_pid")).as("vec_a"),
-        greatest(col("_uid"), col("_pid")).as("vec_b"), col("sim")))
+        greatest(col("_uid"), col("_pid")).as("vec_b"), col("sim")),
+      pairProbes)
     // ^ each unordered pair survives the _b/id filters exactly once (a
     //   vector lives in one bucket, so a pair can only meet on one
     //   sketch value).
@@ -188,10 +222,11 @@ object EmbDedupStream {
     * sketch rows. The curation stream excludes rejected duplicates; the
     * label stream ([[EmbClusterStream]]) excludes nothing (index-ALL). */
   private[streaming] def appendIndex(batchSk: DataFrame, indexDir: String,
-      batchId: Long, exclude: DataFrame): Unit = {
+      batchId: Long, exclude: DataFrame,
+      ibPre: Option[(Int, Seq[Int])] = None): Unit = {
     val spark = batchSk.sparkSession
     val known = IdSidecar.knownIds(spark, indexDir, "vec_id",
-      batchSk.select("vec_id"), batchId)
+      batchSk.select("vec_id"), batchId, ibPre)
     // NOT materialized: both writes re-run two small anti-joins over the
     // already-materialized sketches — cheaper than a second checkpoint
     // of the embedding rows (the DedupStream.appendIndex measurement).
@@ -217,8 +252,17 @@ object EmbDedupStream {
                    vecCol: String, indexDir: String, pairsDir: String,
                    threshold: Double, nPlanes: Int): DataFrame = {
     val spark = batch.sparkSession
-    val batchSk = sketchBatch(batch, idCol, vecCol, indexDir, nPlanes)
-    val pairs = discoverPairs(batchSk, indexDir, threshold, batchId)
+    // sb + ib bucket sets accumulate off the sketch materialization
+    // (r19, guide §1.5 — no separate per-batch collect actions).
+    val nSb = sbStoreCount(spark, indexDir)
+    val nIb = BucketMeta.storeCount(spark, IdSidecar.root(indexDir),
+      IdSidecar.Buckets)
+    val (batchSk, skSets) = sketchBatchWithSets(batch, idCol, vecCol,
+      indexDir, nPlanes,
+      Seq(array(sbBucketCol(nSb)),
+        array(IdSidecar.bucket(col("vec_id"), nIb))))
+    val pairs = discoverPairs(batchSk, indexDir, threshold, batchId,
+      sbPre = Some(nSb -> skSets.head))._1
     // consumed twice: pair log + rejection set (both off the
     // materialized frame).
     val rejected = pairs.select(col("vec_b").as("vec_id")).distinct()
@@ -227,7 +271,8 @@ object EmbDedupStream {
     BatchPar.run(
       () => pairs.write.mode("overwrite")
         .parquet(s"$pairsDir/batch=$batchId"),
-      () => appendIndex(batchSk, indexDir, batchId, rejected))
+      () => appendIndex(batchSk, indexDir, batchId, rejected,
+        ibPre = Some(nIb -> skSets(1))))
     pairs
   }
 

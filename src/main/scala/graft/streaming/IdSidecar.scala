@@ -118,13 +118,25 @@ private[graft] object IdSidecar {
   /** The count-grouped pruned scan for `ids`' rows: one [[read]] per
     * bucket-count group, each pruned with `ids`' bucket set computed
     * AT THAT GROUP'S COUNT. Single-count stores take the unrestricted
-    * fast path (the pinned plan shape). */
+    * fast path (the pinned plan shape).
+    *
+    * `pre` (r19, guide §1.5): a bucket set ALREADY collected for `ids`'
+    * id column at a known count — typically accumulated off the batch's
+    * own materializing job ([[graft.operators.Materialize.withIntSets]])
+    * so the per-batch membership probe costs no extra collect action. A
+    * group whose stamped count matches uses it directly (a SUPERSET of
+    * the exact set is fine — pruning reads more partitions, the
+    * semi/anti-join consumers filter rows); any other group falls back
+    * to the per-group collect, so mixed-count stores stay exact. */
   def readForIds(spark: SparkSession, indexDir: String, idCol: String,
-      ids: DataFrame, excludeBatch: Long): DataFrame = {
+      ids: DataFrame, excludeBatch: Long,
+      pre: Option[(Int, Seq[Int])] = None): DataFrame = {
     val groups = BucketMeta.runGroups(spark, root(indexDir), Buckets)
       .toSeq.sortBy(_._1)
     val frames = groups.map { case (n, batchIds) =>
-      read(spark, indexDir, bucketsOf(ids, idCol, n), excludeBatch,
+      val ibs = pre.filter(_._1 == n).map(_._2.map(x => x: Any))
+        .getOrElse(bucketsOf(ids, idCol, n))
+      read(spark, indexDir, ibs, excludeBatch,
         onlyBatches = if (groups.size == 1) None else Some(batchIds))
     }
     if (frames.isEmpty)
@@ -135,11 +147,13 @@ private[graft] object IdSidecar {
   /** Bucket-pruned membership: the already-indexed ids in the buckets
     * `ids` hash to (a superset of `ids` ∩ index — exactly what a
     * left-anti consumer needs; no distinct, anti-joins don't care).
-    * Empty frame when the sidecar doesn't exist yet. */
+    * Empty frame when the sidecar doesn't exist yet. `pre` as in
+    * [[readForIds]]. */
   def knownIds(spark: SparkSession, indexDir: String, idCol: String,
-      ids: DataFrame, excludeBatch: Long): DataFrame =
+      ids: DataFrame, excludeBatch: Long,
+      pre: Option[(Int, Seq[Int])] = None): DataFrame =
     if (!exists(spark, indexDir)) ids.select(col(idCol)).limit(0)
-    else readForIds(spark, indexDir, idCol, ids, excludeBatch)
+    else readForIds(spark, indexDir, idCol, ids, excludeBatch, pre)
       .select(col(idCol))
 
   /** Write the batch's sidecar partial: one row per accepted id (plus

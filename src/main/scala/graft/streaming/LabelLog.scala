@@ -80,6 +80,18 @@ object LabelLog {
   private def lbBucket(c: org.apache.spark.sql.Column, n: Int) =
     pmod(c, lit(n.toLong)).cast("int")
 
+  /** The delta log's CURRENT store count — read driver-side by callers
+    * that accumulate endpoint `lb` buckets off an earlier materializing
+    * job (r19, guide §1.5) instead of paying [[lookupRows]]'s per-batch
+    * collect. */
+  private[streaming] def storeBucketCount(s: SparkSession,
+      labelsDir: String): Int =
+    BucketMeta.storeCount(s, deltaRoot(labelsDir), Buckets)
+
+  /** [[lbBucket]] for those callers — the EXACT lookup arithmetic. */
+  private[streaming] def lbBucketCol(c: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = lbBucket(c, n)
+
   private def deltaRoot(labelsDir: String) = s"$labelsDir/delta"
   private def aliasRoot(labelsDir: String) = s"$labelsDir/alias"
 
@@ -201,18 +213,24 @@ object LabelLog {
     * prefix-probe pattern) and the delta read prunes to those
     * partitions, then the alias closure re-points merged comps. */
   private[streaming] def lookupComps(s: SparkSession, labelsDir: String,
-      batchId: Long, ids: DataFrame): DataFrame = {
+      batchId: Long, ids: DataFrame,
+      lbPre: Option[(Int, Seq[Int])] = None): DataFrame = {
     if (ErStream.prevSnapshot(s, deltaRoot(labelsDir), batchId).isEmpty)
       return ids.select(col("id"), col("id").as("comp")).limit(0)
-    resolve(lookupRows(s, labelsDir, batchId, ids),
+    resolve(lookupRows(s, labelsDir, batchId, ids, lbPre),
       readAliases(s, labelsDir, batchId))
   }
 
   /** The bucket-pruned point-read itself — the lookup's scan frame,
     * shared with the plan pin (which asserts `lb` partition pruning
-    * reaches the delta scan). */
+    * reaches the delta scan). `lbPre` (r19, guide §1.5): a bucket set
+    * already accumulated for a SUPERSET of `ids` at a known count —
+    * used for any run group whose stamped count matches (pruning
+    * tolerates supersets; the semi-join keeps row semantics exact),
+    * other groups fall back to the per-group collect. */
   private[streaming] def lookupRows(s: SparkSession,
-      labelsDir: String, batchId: Long, ids: DataFrame): DataFrame = {
+      labelsDir: String, batchId: Long, ids: DataFrame,
+      lbPre: Option[(Int, Seq[Int])] = None): DataFrame = {
     val empty = ids.select(col("id"), col("id").as("comp")).limit(0)
     // Count-grouped (r16): each run group prunes with the bucket set
     // computed at ITS OWN stamped count; single-count logs (the common
@@ -221,7 +239,8 @@ object LabelLog {
       .map { case (n, bs) => n -> bs.filter(_ < batchId) }
       .filter(_._2.nonEmpty).toSeq.sortBy(_._1)
     val frames = groups.map { case (n, bs) =>
-      val buckets = BucketMeta.bucketsOf(ids, "id", n, lbBucket)
+      val buckets = lbPre.filter(_._1 == n).map(_._2.map(x => x: Any))
+        .getOrElse(BucketMeta.bucketsOf(ids, "id", n, lbBucket))
       if (buckets.isEmpty) empty
       else {
         val base = readDeltas(s, labelsDir, batchId)
@@ -240,7 +259,8 @@ object LabelLog {
     * `batchIds` or already labeled) into the log for `batchId`.
     * `batchIds` must be the batch's distinct ids. */
   private[streaming] def advance(spark: SparkSession, labelsDir: String,
-      batchId: Long, batchIds: DataFrame, committed: DataFrame): Unit = {
+      batchId: Long, batchIds: DataFrame, committed: DataFrame,
+      lbPre: Option[(Int, Seq[Int])] = None): Unit = {
     val endpoints = committed.select(col("e1").as("id"))
       .unionByName(committed.select(col("e2").as("id"))).distinct()
     // Old endpoints' current comps: bucket-pruned point lookup. Batch
@@ -253,7 +273,7 @@ object LabelLog {
     // materialization round-trip (r17: gate 23.5 → 27-29 s when tried).
     val seeds = Materialize(
       batchIds.select(col("id"), col("id").as("comp")).unionByName(
-        lookupComps(spark, labelsDir, batchId, oldEndpoints)))
+        lookupComps(spark, labelsDir, batchId, oldEndpoints, lbPre)))
     // Contract each pair to its endpoints' comps; close the O(batch)
     // contracted graph (ConnectedComponents.closeWithNewEdges's core,
     // inlined because here the RELABEL MAP itself is the output — the

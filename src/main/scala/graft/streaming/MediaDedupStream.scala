@@ -124,8 +124,18 @@ object MediaDedupStream {
     // count, so AQE coalesces the materialized frame back to size-
     // appropriate partitions and downstream stages don't schedule one
     // tiny task per kernel partition. Kernel wide, state narrow.
-    val decoded = Materialize(graft.Tables.spread(spark, batch
-      .select(col(idCol).cast("long"), col(payloadCol)))
+    // The sidecar id-bucket (ib) set accumulates off the decode
+    // materialization and the band-bucket (mb) set off the band
+    // materialization (r19, guide §1.5 — the per-batch bucket collects
+    // were separate distinct+collect actions). The ib set is over ALL
+    // decoded ids (quarantined included) — a superset, which partition
+    // pruning tolerates and the membership anti-join filters exactly.
+    val nIb = BucketMeta.storeCount(spark, IdSidecar.root(indexDir),
+      IdSidecar.Buckets)
+    val nMb = BucketMeta.storeCount(spark, indexDir, MbBuckets)
+    val (decoded, decSets) = Materialize.withIntSets(
+      graft.Tables.spread(spark, batch
+        .select(col(idCol).cast("long"), col(payloadCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         kernel(payload) match {
@@ -133,10 +143,12 @@ object MediaDedupStream {
           case Left(reason) => (id, 0L, reason)
         }
       }).toDF("doc_id", "hash", "reason")
-      .repartition(col("doc_id")))
-    val batchBands = Materialize(
+      .repartition(col("doc_id")),
+      Seq(array(IdSidecar.bucket(col("doc_id"), nIb))))
+    val (batchBands, bandSets) = Materialize.withIntSets(
       bandRows(decoded.filter(col("reason").isNull)
-        .select(col("doc_id"), col("hash"))))
+        .select(col("doc_id"), col("hash"))),
+      Seq(array(pmod(col("bkey"), lit(nMb.toLong)).cast("int"))))
     // 2. probe: batch bands against the mb-pruned index ∪ the batch.
     val indexBands =
       if (hasParquet(spark, indexDir)) {
@@ -146,9 +158,14 @@ object MediaDedupStream {
         val groups = BucketMeta.runGroups(spark, indexDir, MbBucketsLegacy)
           .toSeq.sortBy(_._1)
         val frames = groups.map { case (n, ids) =>
-          val mbs = batchBands
-            .select(pmod(col("bkey"), lit(n)).as("mb"))
-            .distinct().collect().map(_.get(0)).toSeq
+          // r19 (guide §1.5): the store-count group reuses the set
+          // accumulated off the band materialization; other counts
+          // fall back to the per-group collect.
+          val mbs =
+            if (n == nMb) bandSets.head.map(b => b.toLong: Any)
+            else batchBands
+              .select(pmod(col("bkey"), lit(n)).as("mb"))
+              .distinct().collect().map(_.get(0)).toSeq
           val base = spark.read.parquet(indexDir)
             .filter(col("batch") =!= batchId)
           (if (groups.size == 1) base
@@ -184,7 +201,8 @@ object MediaDedupStream {
     // O(index) id scan), replay-safe; the accepted ids' sidecar partial
     // writes alongside the band rows.
     val known = IdSidecar.knownIds(spark, indexDir, "doc_id",
-      decoded.filter(col("reason").isNull).select("doc_id"), batchId)
+      decoded.filter(col("reason").isNull).select("doc_id"), batchId,
+      pre = Some(nIb -> decSets.head))
     // NOT materialized: both writes re-run one small anti-join over the
     // already-materialized band rows (the DedupStream.appendIndex
     // measurement).
