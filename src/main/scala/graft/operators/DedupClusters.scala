@@ -93,9 +93,13 @@ object ConnectedComponents {
       lit(true))
     if (!ceAny) oldLabels.select(col("id"), col("comp"))
     else {
-      val touched = ce.select(col("e1").as("id"))
-        .union(ce.select(col("e2").as("id"))).distinct()
-      val relabel = components(touched, "id", ce, "e1", "e2")
+      // componentsOfEdges, not components(touched, …): the relabel map
+      // only needs labels for EDGE-TOUCHED components, which is exactly
+      // the loop's own active-node set — computing `touched` (a
+      // union+distinct) and the singleton stamp join would re-derive
+      // and then re-join a set the loop already produces (r19, guide
+      // §2.4 — two exchanges and a join removed per merge batch).
+      val relabel = componentsOfEdges(ce, "e1", "e2")
         .select(col("id").as("_oc"), col("comp").as("_nc"))
       oldLabels.join(relabel, oldLabels("comp") === col("_oc"), "left")
         .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp"))
@@ -140,6 +144,25 @@ object ConnectedComponents {
   def components(nodes: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
                  maxRounds: Int = 50): DataFrame = {
+    // Singletons (no incident edge) never enter the loop: one left
+    // join stamps them with their own id. The converged label table is
+    // the small side; at dedup-shaped edge densities AQE broadcasts it.
+    nodes.select(col(idCol).as("id"))
+      .join(componentsOfEdges(edges, srcCol, dstCol, maxRounds)
+          .withColumnRenamed("id", "_aid"),
+        col("id") === col("_aid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** [[components]] restricted to the EDGE-TOUCHED node set — (id,
+    * comp) for exactly the nodes an edge names (r19): the min-label
+    * loop already runs over that set (its round-0 aggregation keys are
+    * the symmetrized edge endpoints), so contraction consumers — whose
+    * node set IS the edge set's endpoints — skip both the caller-side
+    * `touched` union+distinct and the singleton stamp join that
+    * [[components]] adds for general node sets. */
+  def componentsOfEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     // Reliable when the session has a checkpoint dir (survives executor
     // loss), executor-local otherwise (no dir needed) — see scaladoc. In
@@ -147,7 +170,7 @@ object ConnectedComponents {
     // has materialized (Spark's cleaner never deletes reliable
     // checkpoints by default — a 50-round run would otherwise leave 50
     // full label-table copies in the checkpoint store).
-    val sc = nodes.sparkSession.sparkContext
+    val sc = edges.sparkSession.sparkContext
     // getCheckpointDir already points at this context's UUID-scoped
     // subdirectory; its direct children are the per-RDD checkpoint dirs.
     def listCkpt(): Set[String] = sc.getCheckpointDir.map { base =>
@@ -236,13 +259,7 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxRounds rounds")
-    // Singletons (no incident edge) never entered the loop: one left
-    // join stamps them with their own id. The converged label table is
-    // the small side; at dedup-shaped edge densities AQE broadcasts it.
-    nodes.select(col(idCol).as("id"))
-      .join(labels.withColumnRenamed("id", "_aid"),
-        col("id") === col("_aid"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    labels
   }
 }
 

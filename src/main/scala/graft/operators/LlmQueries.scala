@@ -1186,7 +1186,19 @@ object LlmQueries {
   /** The centroid table folded to ONE row: array<struct<cid, cv,
     * cnorm>>, cid-sorted (determinism of the array VALUE; the argmax
     * fold is order-independent regardless). Shared by [[kmeansAssign]]
-    * and [[graft.api.Graft.ivfAssign]]. */
+    * and [[graft.api.Graft.ivfAssign]].
+    *
+    * Deliberately UNGUARDED against an empty centroid table (r19): the
+    * degenerate case is unreachable on every declared path (training
+    * seeds centroids from the data, so centroids are empty only when
+    * the corpus is — and then no vector row evaluates the fold), and
+    * both guard placements measured as real regressions on the
+    * assignment-heavy queries — a per-row CASE in the fold ~3×, a CASE
+    * projection even on this 1-row frame ~18% (q_ann_trained,
+    * interleaved A/B). The streaming maintainer — the one consumer
+    * with persisted, externally-supplied state — guards driver-side at
+    * its per-run vocabulary collection instead
+    * ([[graft.streaming.VectorIndexStream]]). */
   private[graft] def centroidsRow(cents: DataFrame, cidCol: String,
       cvCol: String, cnormCol: String): DataFrame =
     cents.agg(expr(
@@ -1199,24 +1211,20 @@ object LlmQueries {
     * materialize once per centroid via `transform`; the fold keeps the
     * (sim desc, cid asc) max. The init element is the array's head at
     * sim −2 (below any cosine, and NaN beats it too), so the result
-    * type follows the data. An EMPTY centroid table is degenerate-only
-    * (training seeds from the data, so centroids are empty only when
-    * the corpus is — and then no row evaluates this at all); rather
-    * than silently emitting a NULL cluster for every vector (or
-    * throwing from `element_at` under ANSI), the guard raises
-    * explicitly (r19, ADVICE). */
+    * type follows the data. An EMPTY centroid table never reaches this
+    * expression: [[centroidsRow]] raises on it at broadcast-build time
+    * (r19, ADVICE) — guarding HERE, per row, measured ~3× on the
+    * assignment-heavy queries. */
   private[graft] def bestCentroidExpr(vecCol: String,
       normCol: String): org.apache.spark.sql.Column = expr(
-    s"""CASE WHEN size(_cents) = 0 THEN
-       |  raise_error('bestCentroidExpr: empty centroid table — cannot assign a non-empty corpus')
-       |ELSE aggregate(
+    s"""aggregate(
        |  transform(_cents, x -> struct(
        |    round(${dotSpark(vecCol, "x.cv")} / ($normCol * x.cnorm), 6) AS s,
        |    x.cid AS c)),
        |  struct(CAST(-2.0 AS DOUBLE) AS s, element_at(_cents, 1).cid AS c),
        |  (acc, y) -> CASE
        |    WHEN y.s > acc.s OR (y.s = acc.s AND y.c < acc.c) THEN y
-       |    ELSE acc END).c END""".stripMargin)
+       |    ELSE acc END).c""".stripMargin)
 
   /** One Lloyd's recompute step: centroids as element-wise means with the
     * exact-integer quantized-sum discipline (see [[qIvfKmeans]] doc). */

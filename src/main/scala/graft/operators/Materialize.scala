@@ -137,8 +137,13 @@ private[graft] object Materialize {
     }
     val withProbes = probes.zip(accs).zip(names)
       .foldLeft(df) { case (d, ((p, acc), name)) =>
-        val probe = udf { (xs: Seq[Int]) =>
-          if (xs != null) xs.foreach(acc.add)
+        // boxed element type: a null bucket (null key under the
+        // scheme's hash) must not NPE on unboxing — the replaced
+        // collects carried nulls too, and `isin(null)` never matches,
+        // so dropping them from the set preserves the pruning result.
+        val probe = udf { (xs: Seq[java.lang.Integer]) =>
+          if (xs != null)
+            xs.foreach(x => if (x != null) acc.add(x.intValue))
           true
         }.asNondeterministic()
         d.withColumn(name, probe(p))

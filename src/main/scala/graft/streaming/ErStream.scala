@@ -53,11 +53,35 @@ object ErStream {
   }
 
   /** One micro-batch step — the foreachBatch body, callable directly for
-    * the batch≡stream specs. */
+    * the batch≡stream specs.
+    *
+    * `seededThisRun` (r19, guide §2.4 — internal, default false): set by
+    * [[start]] for every batch AFTER the first one processed in the
+    * current stream run. Within one run the catalog frame is fixed and
+    * every snapshot the run writes covers exactly the catalog's ids
+    * (the first batch seeds singletons from the catalog;
+    * `closeWithNewEdges` preserves the id set) — so the seed left-join
+    * is the identity for later batches and the predecessor snapshot is
+    * read as the seed table directly, one join fewer per batch. The
+    * FIRST batch of every run — including a replay or a restart against
+    * state a previous run wrote, where the catalog may have grown —
+    * always runs the full [[graft.operators.ConnectedComponents
+    * .seedLabels]], so catalog growth across restarts keeps entering as
+    * singletons exactly as before. */
   def processBatch(mentions: DataFrame, batchId: Long, catalog: DataFrame,
-      pairsDir: String, labelsDir: String): Unit = {
+      pairsDir: String, labelsDir: String,
+      seededThisRun: Boolean = false): Unit = {
     val t0 = System.nanoTime()
     val s = mentions.sparkSession
+    def traced[T](tag: String)(body: => T): T =
+      if (!sys.env.contains("GRAFT_TRACE")) body
+      else {
+        val p0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[er_stream] batch $batchId $tag " +
+          f"${(System.nanoTime() - p0) / 1e9}%.2f s")
+        r
+      }
     // Materialized ONCE (r19, guide §2.6): the blocking chain runs a
     // single time and BOTH consumers — the pair-log write and the label
     // advance — read the checkpointed rows. The pre-r19 form serialized
@@ -67,32 +91,44 @@ object ErStream {
     // as [[BatchPar]] lanes, the discipline every other maintenance
     // stream already runs. Same rows either way — the write persists
     // exactly the frame the projection reads.
-    val newPairs = graft.operators.Materialize(
-      FuzzyJoin.editJoin1(catalog, "entity_id", "ename",
-        mentions, "mention_id", "mname"))
+    val newPairs = traced("block_verify") {
+      graft.operators.Materialize(
+        FuzzyJoin.editJoin1(catalog, "entity_id", "ename",
+          mentions, "mention_id", "mname"))
+    }
     // Replay safety is unchanged: both writes are `batch=<id>`-keyed
     // OVERWRITEs on roots the other lane never touches, and the label
     // lane's reads (prev snapshot < batchId, the static catalog) are
     // independent of the pair lane's output.
     BatchPar.run(
-      () => newPairs.write.mode("overwrite")
-        .parquet(s"$pairsDir/batch=$batchId"),
-      () => {
+      () => traced("pairs_write") {
+        newPairs.write.mode("overwrite")
+          .parquet(s"$pairsDir/batch=$batchId")
+      },
+      () => traced("label_advance") {
         val newEdges = FuzzyJoin.entityProjection(newPairs)
         // Advance the snapshot by CONTRACTION
         // (FuzzyJoin.closeWithNewEdges): the per-batch closure runs over
         // the O(batch) contracted component graph, never the
         // entity-sized star graph. Batch 0 (or a catalog that grew since
         // `prev`) starts from singleton labels via the left-join seed.
-        val prevLabels = prevSnapshot(s, labelsDir, batchId) match {
+        val prevOpt = prevSnapshot(s, labelsDir, batchId)
+        val prevLabels = prevOpt match {
           case Some(prev) => s.read.parquet(s"$labelsDir/batch=$prev")
           case None => catalog.select(col("entity_id").as("id"),
             col("entity_id").as("comp")).limit(0)
         }
-        val seeded = graft.operators.ConnectedComponents.seedLabels(
-          catalog.select(col("entity_id")), prevLabels)
-        FuzzyJoin.closeWithNewEdges(seeded, newEdges)
-          .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+        val seeded =
+          if (seededThisRun && prevOpt.isDefined)
+            prevLabels.select(col("id"), col("comp"))
+          else graft.operators.ConnectedComponents.seedLabels(
+            catalog.select(col("entity_id")), prevLabels)
+        val closed = traced("close") {
+          FuzzyJoin.closeWithNewEdges(seeded, newEdges)
+        }
+        traced("snapshot_write") {
+          closed.write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+        }
       })
     if (sys.env.contains("GRAFT_TRACE"))
       System.err.println(
@@ -136,12 +172,17 @@ object ErStream {
     require(maintainEvery <= 0 || policy.snapshotKeep >= 2,
       "a mid-stream tick must retain at least 2 label snapshots — a " +
         "replay of the newest batch re-reads its predecessor snapshot")
+    // True once this RUN has processed a batch — the seed fast path's
+    // guard (see processBatch): later batches of the run read their
+    // predecessor snapshot as the seed table directly.
+    val seededThisRun = new java.util.concurrent.atomic.AtomicBoolean(false)
     mentions.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        processBatch(b, id, catalog, pairsDir, labelsDir)
+        processBatch(b, id, catalog, pairsDir, labelsDir,
+          seededThisRun.getAndSet(true))
         if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
           graft.api.Graft.maintain(b.sparkSession,
             indexRoots = Seq(pairsDir),

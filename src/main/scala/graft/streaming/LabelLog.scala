@@ -291,13 +291,15 @@ object LabelLog {
     val relabel =
       if (!ceAny)
         seeds.select(col("comp").as("_oc"), col("comp").as("_nc")).limit(0)
-      else {
-        val touched = ce.select(col("e1").as("id"))
-          .union(ce.select(col("e2").as("id"))).distinct()
-        ConnectedComponents.components(touched, "id", ce, "e1", "e2")
+      else
+        // componentsOfEdges (r19, guide §2.4): the relabel map's node
+        // set IS the contracted edge set's endpoints — exactly the
+        // loop's own active set — so the `touched` union+distinct and
+        // the singleton stamp join were re-deriving what the loop
+        // already produces.
+        ConnectedComponents.componentsOfEdges(ce, "e1", "e2")
           .select(col("id").as("_oc"), col("comp").as("_nc"))
           .filter(col("_oc") =!= col("_nc"))
-      }
     // Alias partial: OLD component ids this batch merged away. A fresh
     // batch seed that merged needs no alias (no prior row references
     // it — ids are ingested once); its delta row below carries the

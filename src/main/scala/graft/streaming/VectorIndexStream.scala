@@ -113,6 +113,15 @@ object VectorIndexStream {
       // driver memory — no per-batch scan/fold/collect jobs (r19).
       vocab.cents = graft.operators.Materialize.local(
         readCentroids(spark, indexDir))
+      // The empty-vocabulary guard lives HERE, driver-side on the
+      // already-collected rows (r19, ADVICE — an in-expression guard
+      // measured as a real regression on the assignment queries): an
+      // index created from an empty corpus must fail loudly, not
+      // assign every later vector a NULL cluster.
+      require(!vocab.cents.isEmpty,
+        s"empty centroid table under ${centroidsPath(indexDir)} — the " +
+          "index was created from an empty corpus; rebuild it from a " +
+          "batch that carries vectors")
       vocab.centsRow = graft.operators.Materialize.local(
         graft.api.Graft.ivfCentsRow(spark, vocab.cents, "cid", "cv"))
     }
