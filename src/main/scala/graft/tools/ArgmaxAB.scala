@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   * requested N, builds K = ⌈√N⌉ centroids from the lowest ids, and
   * times both forms with the noop sink (guide §1.4).
   *
-  * Usage: `runMain graft.tools.ArgmaxAB [N,N,...] [dim] [reps]`
-  * (defaults 20000,200000,2000000 / 64 / 3). Prints one line per
-  * (N, form) with per-rep seconds and the median. NOT part of the
-  * bench contract — a measurement tool only. */
+  * Usage: `runMain graft.tools.ArgmaxAB [N,N,...] [dim] [reps] [forms]`
+  * (defaults 20000,200000,2000000 / 64 / 3 / window,fold). Prints one
+  * line per (N, form) with per-rep seconds and the median. NOT part of
+  * the bench contract — a measurement tool only. `forms` exists
+  * because the window arm stops FITTING first: at N = 2×10⁶ (K = 1415)
+  * it must shuffle N·K ≈ 2.8×10⁹ embedding-carrying rows (~10² GB of
+  * spill — it exhausted this sandbox's disk), while the fold arm
+  * shuffles nothing and completes — which is the claim, measured. */
 object ArgmaxAB {
 
   /** Deterministic synthetic vectors: element j of row i is a cheap
@@ -59,6 +63,8 @@ object ArgmaxAB {
       .split(",").map(_.trim.toLong).toSeq
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val forms = args.lift(3).map(_.split(",").toSeq)
+      .getOrElse(Seq("window", "fold"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Session.build(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -78,6 +84,7 @@ object ArgmaxAB {
           col("norm").as("cnorm"))
         .localCheckpoint()
       Seq("window" -> (assignWindow _), "fold" -> (assignFold _))
+        .filter(f => forms.contains(f._1))
         .foreach { case (name, form) =>
           spark.sparkContext.setJobDescription(s"argmax_ab $name n=$n")
           run(form(e, cents)) // warm, untimed
